@@ -1,0 +1,57 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Shared table loaders and oracle-safe expression helpers.
+  *
+  * Determinism rules (SURVEY.md §7.3): every contract query ends in a
+  * total-order sort; money/double aggregations go through integer cents;
+  * timestamps leave the engine as formatted strings so Spark (µs) and
+  * DuckDB (ns) agree.
+  */
+object Core {
+  /** Driver contract query type: (session, sfDir) => result. */
+  type Q = (SparkSession, String) => DataFrame
+
+  def table(s: SparkSession, dir: String, name: String): DataFrame = {
+    // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    // reader rejects; read it as raw nanos and rebuild at µs precision
+    // (integer DIV — exact, and the same truncation DuckDB's epoch_us
+    // applies, see SURVEY.md §7.3d).
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else raw
+  }
+
+  /** Exact money arithmetic: double -> integer cents. Test values carry
+    * <= 2 decimals, so x*100 is within ~1e-10 of an integer and rounding
+    * is unambiguous in both Spark and DuckDB; summing longs is exact and
+    * associative (shuffle-order independent, unlike double sums).
+    */
+  def cents(c: Column): Column = round(c * 100).cast(LongType)
+
+  /** One deterministic division back to a display double. */
+  def centsToDouble(c: Column): Column = c / 100.0
+
+  /** events-as-weather-observations: `props.k` is the WMO-style code
+    * (0..99), `value` the temperature reading, `ts` the observation time.
+    * Mirrors the forecast record shape of /root/reference/weather.py:73-85.
+    */
+  def observations(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "events").withColumn(
+      "code",
+      from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
+        .getField("k"))
+
+  /** ISO-8601 to minute precision, the reference's `current.time` format
+    * ("YYYY-MM-DDTHH:MM", /root/reference/weather.py:77,306). */
+  def isoMin(c: Column): Column = date_format(c, "yyyy-MM-dd'T'HH:mm")
+
+  /** DuckDB-side equivalents, kept adjacent so Spark/SQL stay in sync. */
+  val isoMinSql: String => String = c => s"strftime($c, '%Y-%m-%dT%H:%M')"
+  val kSql: String = "CAST(json_extract_string(props, '$.k') AS INTEGER)"
+}

@@ -1,0 +1,327 @@
+package graft.operators
+
+import graft.core.Core._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2-B — capability joins / aggregations / windows / set ops
+  * the reference only exercises trivially, demonstrated at engine scale.
+  *
+  * Scale design notes:
+  *  - dimension joins (`nation`, `region`) are explicit `broadcast()`;
+  *    fact-fact joins shuffle on their keys and AQE picks SMJ/broadcast
+  *    and splits skewed partitions at runtime;
+  *  - all money aggregations run in integer cents (exact, associative,
+  *    shuffle-order independent — a double sum would be neither);
+  *  - windows partition on high-cardinality keys (user_id, custkey), so
+  *    state per partition stays bounded at 100 TB;
+  *  - the as-of join is equi-join on the key plus a range filter and a
+  *    per-left-row row_number, the standard Spark formulation (no
+  *    cartesian anywhere).
+  */
+object RelationalOps {
+
+  /** discount/tax as exact integer percent (values carry <=2 decimals). */
+  private def pct(c: org.apache.spark.sql.Column) =
+    round(c * 100).cast(LongType)
+
+  def queries: Map[String, Q] = Map(
+    // Multi-table equi join: orders ⋈ customer ⋈ nation ⋈ region,
+    // revenue per nation. nation/region broadcast; orders⋈customer
+    // shuffles on the key (AQE re-plans at runtime).
+    "join_hash_inner" -> { (s, dir) =>
+      table(s, dir, "orders")
+        .join(table(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(table(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(table(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          (sum(cents(col("o_totalprice"))) / 100.0).as("revenue"))
+        .orderBy("r_name", "n_name")
+    },
+
+    // Semi + anti join: customers with / without orders.
+    "join_semi_anti" -> { (s, dir) =>
+      val c = table(s, dir, "customer")
+      val o = table(s, dir, "orders")
+      val semi = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), lit("has_orders").as("tag"))
+      val anti = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), lit("no_orders").as("tag"))
+      semi.unionAll(anti).orderBy("c_custkey", "tag")
+    },
+
+    // As-of join: latest click at-or-before each purchase, per user.
+    // Equi-join on user_id + range filter + keep-latest row_number.
+    "join_range_asof" -> { (s, dir) =>
+      val e = table(s, dir, "events")
+        .withColumn("us", unix_micros(col("ts")))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("us").as("purchase_us"))
+      val c = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"),
+          col("user_id").as("c_user_id"), col("us").as("click_us"))
+      val w = Window.partitionBy("purchase_id")
+        .orderBy(col("click_us").desc, col("click_id").desc)
+      p.join(c,
+          col("user_id") === col("c_user_id") &&
+            col("click_us") <= col("purchase_us"), "left")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("purchase_id", "purchase_us", "click_id", "click_us")
+        .orderBy("purchase_id")
+    },
+
+    // TPC-H Q1 shape: grouped multi-aggregate over lineitem, fully in
+    // integer cents/percent so every sum is exact and associative.
+    "agg_group_multi" -> { (s, dir) =>
+      table(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("2000-12-01").cast(TimestampType))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          (sum(cents(col("l_quantity"))) / 100.0).as("sum_qty"),
+          (sum(cents(col("l_extendedprice"))) / 100.0).as("sum_base_price"),
+          // extprice*(1-disc) in units of 1e-4: cents * (100 - pct)
+          (sum(cents(col("l_extendedprice")) * (lit(100L) - pct(col("l_discount"))))
+            / 10000.0).as("sum_disc_price"),
+          // extprice*(1-disc)*(1+tax) in units of 1e-6
+          (sum(cents(col("l_extendedprice")) * (lit(100L) - pct(col("l_discount")))
+            * (lit(100L) + pct(col("l_tax")))) / 1000000.0).as("sum_charge"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // COUNT(DISTINCT) per group.
+    "agg_distinct" -> { (s, dir) =>
+      table(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          count_distinct(col("l_partkey")).as("n_parts"),
+          count_distinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    },
+
+    // ROLLUP grouping sets with subtotal rows.
+    "agg_rollup_cube" -> { (s, dir) =>
+      table(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+          count(lit(1)).as("n"),
+          (sum(cents(col("l_quantity"))) / 100.0).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("(all)")).as("flag"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("status"),
+          col("n"), col("sum_qty"))
+        .orderBy("flag", "status")
+    },
+
+    // HLL++ approximate distinct — no DuckDB oracle (approximate);
+    // rows-only check, exactness asserted ±5% in scalatest.
+    "agg_approx_distinct" -> { (s, dir) =>
+      table(s, dir, "events")
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .orderBy("event_type")
+    },
+
+    // Top-k per group: top-3 orders per customer.
+    "win_rank_topk" -> { (s, dir) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      table(s, dir, "orders")
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select("o_custkey", "rnk", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "rnk")
+    },
+
+    // Gaps-and-islands sessionization: 30-min inactivity gap per user,
+    // session id = running count of session starts (lag + cumulative sum).
+    "win_lag_sessionize" -> { (s, dir) =>
+      val byUser = Window.partitionBy("user_id")
+        .orderBy(col("us").asc, col("event_id").asc)
+      val cum = byUser.rowsBetween(Window.unboundedPreceding, 0)
+      table(s, dir, "events")
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+        .withColumn(
+          "new_session",
+          when(col("prev_us").isNull ||
+            col("us") - col("prev_us") > 30L * 60 * 1000000, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("new_session")).over(cum))
+        .select("event_id", "user_id", "us", "session_id")
+        .orderBy("event_id")
+    },
+
+    // UNION / INTERSECT / EXCEPT (distinct set semantics), tagged.
+    "setop_union" -> { (s, dir) =>
+      val a = table(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val b = table(s, dir, "orders")
+        .filter(col("o_totalprice") > 300000.0)
+        .select(col("o_custkey").as("c_custkey"))
+      a.union(b).distinct().withColumn("op", lit("union"))
+        .unionAll(a.intersect(b).withColumn("op", lit("intersect")))
+        .unionAll(a.except(b).withColumn("op", lit("except")))
+        .select("op", "c_custkey")
+        .orderBy("op", "c_custkey")
+    },
+
+    // Multi-key sort (mixed direction) + limit, with unique tiebreak.
+    "sort_multi_key" -> { (s, dir) =>
+      table(s, dir, "lineitem")
+        .orderBy(col("l_returnflag").desc, col("l_shipdate").asc,
+          col("l_orderkey").asc, col("l_linenumber").asc)
+        .limit(100)
+        .select(
+          col("l_returnflag"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"),
+          col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    },
+
+    // JSON path extraction from a string column (get_json_object path;
+    // src_http_json covers the schema'd from_json path).
+    "json_extract" -> { (s, dir) =>
+      table(s, dir, "events")
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast(IntegerType).as("k"),
+          length(col("props")).as("props_len"))
+        .orderBy("event_id")
+    })
+
+  def oracleSql: Map[String, String] = Map(
+    "join_hash_inner" ->
+      """SELECT r_name, n_name, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+        |            AS BIGINT) / 100.0 AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "join_semi_anti" ->
+      """SELECT * FROM (
+        |  SELECT c_custkey, 'has_orders' AS tag FROM customer
+        |  WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |  UNION ALL
+        |  SELECT c_custkey, 'no_orders' AS tag FROM customer
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |) ORDER BY c_custkey, tag""".stripMargin,
+
+    "join_range_asof" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS us
+        |           FROM events WHERE event_type = 'purchase'),
+        |     c AS (SELECT event_id, user_id, epoch_us(ts) AS us
+        |           FROM events WHERE event_type = 'click'),
+        |     j AS (SELECT p.event_id AS purchase_id, p.us AS purchase_us,
+        |                  c.event_id AS click_id, c.us AS click_us,
+        |                  ROW_NUMBER() OVER (PARTITION BY p.event_id
+        |                    ORDER BY c.us DESC, c.event_id DESC) AS rn
+        |           FROM p LEFT JOIN c
+        |             ON p.user_id = c.user_id AND c.us <= p.us)
+        |SELECT purchase_id, purchase_us, click_id, click_us
+        |FROM j WHERE rn = 1 ORDER BY purchase_id""".stripMargin,
+
+    "agg_group_multi" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT)
+        |    / 100.0 AS sum_qty,
+        |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+        |    / 100.0 AS sum_base_price,
+        |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+        |    * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)
+        |    / 10000.0 AS sum_disc_price,
+        |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+        |    * (100 - CAST(round(l_discount*100) AS BIGINT))
+        |    * (100 + CAST(round(l_tax*100) AS BIGINT))) AS BIGINT)
+        |    / 1000000.0 AS sum_charge,
+        |  CAST(COUNT(*) AS BIGINT) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "agg_distinct" ->
+      """SELECT l_returnflag,
+        |       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+        |       CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_rollup_cube" ->
+      """SELECT COALESCE(l_returnflag, '(all)') AS flag,
+        |       COALESCE(l_linestatus, '(all)') AS status,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT)
+        |         / 100.0 AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin,
+
+    // agg_approx_distinct: intentionally no oracle (approximate;
+    // SURVEY.md §2-B / §7.3e) — driver records rows-only check.
+
+    "win_rank_topk" ->
+      """SELECT o_custkey, rnk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |           ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER)
+        |           AS rnk
+        |  FROM orders)
+        |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin,
+
+    "win_lag_sessionize" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
+        |     l AS (SELECT *, lag(us) OVER
+        |             (PARTITION BY user_id ORDER BY us, event_id) AS prev_us
+        |           FROM e),
+        |     f AS (SELECT *, CASE WHEN prev_us IS NULL
+        |                       OR us - prev_us > 1800000000
+        |                     THEN 1 ELSE 0 END AS new_session FROM l)
+        |SELECT event_id, user_id, us,
+        |       CAST(SUM(new_session) OVER (PARTITION BY user_id
+        |         ORDER BY us, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS BIGINT) AS session_id
+        |FROM f ORDER BY event_id""".stripMargin,
+
+    "setop_union" ->
+      """WITH a AS (SELECT c_custkey FROM customer
+        |           WHERE c_mktsegment = 'BUILDING'),
+        |     b AS (SELECT o_custkey AS c_custkey FROM orders
+        |           WHERE o_totalprice > 300000.0)
+        |SELECT 'union' AS op, c_custkey
+        |  FROM (SELECT c_custkey FROM a UNION SELECT c_custkey FROM b)
+        |UNION ALL
+        |SELECT 'intersect', c_custkey
+        |  FROM (SELECT c_custkey FROM a INTERSECT SELECT c_custkey FROM b)
+        |UNION ALL
+        |SELECT 'except', c_custkey
+        |  FROM (SELECT c_custkey FROM a EXCEPT SELECT c_custkey FROM b)
+        |ORDER BY op, c_custkey""".stripMargin,
+
+    "sort_multi_key" ->
+      """SELECT l_returnflag, strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
+        |       l_orderkey, l_linenumber, l_quantity
+        |FROM lineitem
+        |ORDER BY l_returnflag DESC, l_shipdate ASC, l_orderkey ASC,
+        |         l_linenumber ASC
+        |LIMIT 100""".stripMargin,
+
+    "json_extract" ->
+      """SELECT event_id,
+        |       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+        |       CAST(length(props) AS INTEGER) AS props_len
+        |FROM events ORDER BY event_id""".stripMargin)
+}
