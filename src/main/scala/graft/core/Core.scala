@@ -47,6 +47,13 @@ object Core {
       from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
         .getField("k"))
 
+  /** Python's `"{:.0f}".format(x)` exactly: round-half-even via bround,
+    * plus the "-0" output Python produces for x in [-0.5, -0) (Spark's
+    * bround goes through BigDecimal, which has no negative zero). */
+  def pyFmt0f(c: Column): Column =
+    when(c < 0 && bround(c) === 0.0, lit("-0"))
+      .otherwise(format_string("%.0f", bround(c)))
+
   /** ISO-8601 to minute precision, the reference's `current.time` format
     * ("YYYY-MM-DDTHH:MM", /root/reference/weather.py:77,306). */
   def isoMin(c: Column): Column = date_format(c, "yyyy-MM-dd'T'HH:mm")

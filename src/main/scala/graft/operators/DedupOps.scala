@@ -1,0 +1,234 @@
+package graft.operators
+
+import graft.core.Core._
+import graft.functions.TextHash
+import graft.functions.TextHash._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators for a training-data pipeline (north-star
+  * extensions): exact keep-first, token-set Jaccard, bigram-shingle
+  * Jaccard, MinHash+LSH, SimHash. All hash arithmetic is the
+  * cross-engine-exact integer scheme of [[TextHash]], so even the
+  * sketch-based operators are DuckDB-oracle-checked exactly.
+  *
+  * Scale notes:
+  *  - the exact pairwise variants (`dedup_near`, `dedup_ngram`) block by
+  *    `source` — O(block²), the SURVEY §7.3 bound; they are the
+  *    correctness baseline;
+  *  - `dedup_minhash_lsh` is the 100 TB path: per-doc signatures (one
+  *    linear pass, map-side), then a shuffle keyed on (band, band-key) —
+  *    candidate generation never compares all pairs; verification runs
+  *    only on bucket collisions;
+  *  - `dedup_simhash` similarly reduces each doc to one 31-bit sketch
+  *    before any pairing.
+  */
+object DedupOps {
+
+  /** doc_id, source, distinct lowercase token set. */
+  private def tokSets(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        array_distinct(split(lower(col("text")), " ")).as("toks"))
+
+  private val tokSetsSql =
+    """SELECT doc_id, source,
+      |       list_distinct(string_split(lower(text), ' ')) AS toks
+      |FROM documents""".stripMargin
+
+  private def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast(DoubleType) / size(array_union(a, b))
+
+  private val jaccardSql =
+    "CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) " +
+      "/ len(list_distinct(a.toks || b.toks))"
+
+  /** doc_id -> base token hash rows (distinct tokens, mod P). */
+  private def docTokHash(s: SparkSession, dir: String): DataFrame =
+    tokSets(s, dir)
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .withColumn("base", TextHash.tokHash(col("tok")) % P)
+
+  private val docTokHashSql =
+    s"""SELECT doc_id, ${tokHashSql("tok")} % $P AS base
+       |FROM (SELECT doc_id, unnest(list_distinct(
+       |        string_split(lower(text), ' '))) AS tok FROM documents)""".stripMargin
+
+  def queries: Map[String, Q] = Map(
+    // Exact duplicate removal: keep-first by doc_id within identical
+    // text (deterministic row_number, not dropDuplicates — SURVEY §7.3).
+    "dedup_exact" -> { (s, dir) =>
+      val w = Window.partitionBy("text").orderBy("doc_id")
+      table(s, dir, "documents")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    },
+
+    // Near-dup pairs: token-set Jaccard >= 0.6, pairwise within source
+    // blocks (exact baseline for the LSH variant).
+    "dedup_near" -> { (s, dir) =>
+      val a = tokSets(s, dir).select(
+        col("source"), col("doc_id").as("a_id"), col("toks").as("a_toks"))
+      val b = tokSets(s, dir).select(
+        col("source"), col("doc_id").as("b_id"), col("toks").as("b_toks"))
+      a.join(b, Seq("source"))
+        .filter(col("a_id") < col("b_id"))
+        .withColumn("jaccard", jaccard(col("a_toks"), col("b_toks")))
+        .filter(col("jaccard") >= 0.6)
+        .select("a_id", "b_id", "jaccard")
+        .orderBy("a_id", "b_id")
+    },
+
+    // Near-dup pairs on bigram shingles (order-sensitive n-gram Jaccard).
+    "dedup_ngram" -> { (s, dir) =>
+      val sh = table(s, dir, "documents")
+        .withColumn("t", split(lower(col("text")), " "))
+        .select(col("doc_id"), col("source"),
+          array_distinct(expr(
+            "transform(slice(t, 1, size(t) - 1), " +
+              "(x, i) -> concat(x, ' ', t[i + 1]))")).as("toks"))
+      val a = sh.select(col("source"), col("doc_id").as("a_id"),
+        col("toks").as("a_toks"))
+      val b = sh.select(col("source"), col("doc_id").as("b_id"),
+        col("toks").as("b_toks"))
+      a.join(b, Seq("source"))
+        .filter(col("a_id") < col("b_id"))
+        .withColumn("jaccard", jaccard(col("a_toks"), col("b_toks")))
+        .filter(col("jaccard") >= 0.3)
+        .select("a_id", "b_id", "jaccard")
+        .orderBy("a_id", "b_id")
+    },
+
+    // MinHash + LSH: 16 permuted min-hashes per doc -> 4 bands of 4 ->
+    // bucket-join on (band, key) -> candidate pairs -> exact Jaccard
+    // verify >= 0.5. The scale path: no all-pairs comparison anywhere.
+    "dedup_minhash_lsh" -> { (s, dir) =>
+      val minExprs = (0 until MinhashK)
+        .map(j => min(permute(j, col("base"))).as(s"m$j"))
+      val sig = docTokHash(s, dir)
+        .groupBy("doc_id")
+        .agg(minExprs.head, minExprs.tail: _*)
+      val banded = (0 until Bands).map { b =>
+        val ms = (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}"))
+        sig.select(col("doc_id"), lit(b).as("band"),
+          concat_ws("-", ms: _*).as("bkey"))
+      }.reduce(_ unionAll _)
+      val cand = banded.alias("x")
+        .join(banded.alias("y"), Seq("band", "bkey"))
+        .filter(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .distinct()
+      val ts = tokSets(s, dir)
+      cand
+        .join(ts.select(col("doc_id").as("a_id"), col("toks").as("a_toks")), "a_id")
+        .join(ts.select(col("doc_id").as("b_id"), col("toks").as("b_toks")), "b_id")
+        .withColumn("jaccard", jaccard(col("a_toks"), col("b_toks")))
+        .filter(col("jaccard") >= 0.5)
+        .select("a_id", "b_id", "jaccard")
+        .orderBy("a_id", "b_id")
+    },
+
+    // SimHash: 31-bit sign-aggregated sketch per doc; near-dup pairs =
+    // same-source pairs with Hamming distance <= 10.
+    "dedup_simhash" -> { (s, dir) =>
+      val bitSums = (0 until SimhashBits).map { j =>
+        sum(when(shiftright(col("base"), j).bitwiseAND(lit(1L)) === 1L,
+          lit(1L)).otherwise(lit(-1L))).as(s"s$j")
+      }
+      val sketch = docTokHash(s, dir)
+        .groupBy("doc_id")
+        .agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"),
+          (0 until SimhashBits)
+            .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+            .reduce(_ + _).as("simhash"))
+      val d = table(s, dir, "documents").select("doc_id", "source")
+        .join(sketch, "doc_id")
+      val a = d.select(col("source"), col("doc_id").as("a_id"),
+        col("simhash").as("a_sh"))
+      val b = d.select(col("source"), col("doc_id").as("b_id"),
+        col("simhash").as("b_sh"))
+      a.join(b, Seq("source"))
+        .filter(col("a_id") < col("b_id"))
+        .withColumn("hamming",
+          bit_count(col("a_sh").bitwiseXOR(col("b_sh"))).cast(IntegerType))
+        .filter(col("hamming") <= 10)
+        .select("a_id", "b_id", "hamming")
+        .orderBy("a_id", "b_id")
+    })
+
+  def oracleSql: Map[String, String] = {
+    val minCols = (0 until MinhashK)
+      .map(j => s"min(${permuteSql(j, "base")}) AS m$j").mkString(", ")
+    val bandSelects = (0 until Bands).map { b =>
+      val key = (0 until RowsPerBand).map(r => s"m${b * RowsPerBand + r}")
+        .mkString(" || '-' || ")
+      s"SELECT doc_id, $b AS band, $key AS bkey FROM sig"
+    }.mkString(" UNION ALL ")
+    val bitSums = (0 until SimhashBits)
+      .map(j => s"SUM(CASE WHEN (base >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
+      .mkString(", ")
+    val bitVal = (0 until SimhashBits)
+      .map(j => s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+
+    Map(
+      "dedup_exact" ->
+        """SELECT doc_id, lang, source FROM (
+          |  SELECT doc_id, lang, source, ROW_NUMBER() OVER
+          |    (PARTITION BY text ORDER BY doc_id) AS rn FROM documents)
+          |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+      "dedup_near" ->
+        s"""WITH t AS ($tokSetsSql)
+           |SELECT a.doc_id AS a_id, b.doc_id AS b_id, $jaccardSql AS jaccard
+           |FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+           |WHERE $jaccardSql >= 0.6
+           |ORDER BY a_id, b_id""".stripMargin,
+
+      "dedup_ngram" ->
+        s"""WITH t AS (
+           |  SELECT doc_id, source, list_distinct(list_filter(
+           |    list_transform(string_split(lower(text), ' '),
+           |      (x, i) -> x || ' ' || string_split(lower(text), ' ')[i + 1]),
+           |    x -> x IS NOT NULL)) AS toks
+           |  FROM documents)
+           |SELECT a.doc_id AS a_id, b.doc_id AS b_id, $jaccardSql AS jaccard
+           |FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+           |WHERE $jaccardSql >= 0.3
+           |ORDER BY a_id, b_id""".stripMargin,
+
+      "dedup_minhash_lsh" ->
+        s"""WITH th AS ($docTokHashSql),
+           |sig AS (SELECT doc_id, $minCols FROM th GROUP BY doc_id),
+           |banded AS ($bandSelects),
+           |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+           |         FROM banded x JOIN banded y
+           |           ON x.band = y.band AND x.bkey = y.bkey
+           |          AND x.doc_id < y.doc_id),
+           |t AS ($tokSetsSql)
+           |SELECT c.a_id, c.b_id, $jaccardSql AS jaccard
+           |FROM cand c
+           |JOIN t a ON a.doc_id = c.a_id
+           |JOIN t b ON b.doc_id = c.b_id
+           |WHERE $jaccardSql >= 0.5
+           |ORDER BY a_id, b_id""".stripMargin,
+
+      "dedup_simhash" ->
+        s"""WITH th AS ($docTokHashSql),
+           |bits AS (SELECT doc_id, $bitSums FROM th GROUP BY doc_id),
+           |sk AS (SELECT doc_id, CAST($bitVal AS BIGINT) AS simhash FROM bits),
+           |d AS (SELECT doc_id, source, simhash
+           |      FROM documents JOIN sk USING (doc_id))
+           |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER)
+           |         AS hamming
+           |FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
+           |ORDER BY a_id, b_id""".stripMargin)
+  }
+}

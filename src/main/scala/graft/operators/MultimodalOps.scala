@@ -1,0 +1,137 @@
+package graft.operators
+
+import graft.core.Core._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column operators (north-star extensions): treat media as
+  * opaque `binary` columns with typed metadata; decode / feature-extract
+  * / frame-sample with real Spark plumbing (schema, partitioning, batch
+  * shape) and a STUBBED decoder — the container has no image/audio
+  * codecs, so the "decode" is a clearly-marked deterministic fake over
+  * the bytes (length / first byte / byte-sum checksum). Swapping in a
+  * real codec changes only the inside of [[decodePartition]].
+  *
+  * Scale notes: assets stay opaque binary until the last moment (no
+  * row-explosion of pixel data through shuffles); feature extraction is
+  * a per-partition pass (`mapPartitions`, the Scala analogue of
+  * `mapInPandas` batch processing); frame sampling explodes bounded
+  * offset sequences, not the payload.
+  */
+object MultimodalOps {
+
+  /** A multimodal asset row: opaque bytes + typed metadata. */
+  case class Asset(doc_id: Long, media_type: String, bytes: Array[Byte])
+
+  /** Fake-decoded features; a real decoder would fill real values. */
+  case class AssetFeatures(
+    doc_id: Long, media_type: String, n_bytes: Int, first_byte: Int,
+    checksum: Long)
+
+  /** STUB decoder (deterministic fake): byte stats in place of a real
+    * image/audio decode. Runs once per partition over an iterator —
+    * the batch shape a vectorized/Pandas-style UDF would have. */
+  def decodePartition(it: Iterator[Asset]): Iterator[AssetFeatures] =
+    it.map { a =>
+      // ??? <- real codec goes here; deterministic fake below.
+      val sum = a.bytes.foldLeft(0L)((acc, b) => acc + (b & 0xff))
+      AssetFeatures(a.doc_id, a.media_type,
+        a.bytes.length, if (a.bytes.nonEmpty) a.bytes(0) & 0xff else -1,
+        sum % 256)
+    }
+
+  /** Dataset-API surface for the stubbed batch decoder. */
+  def decode(assets: Dataset[Asset]): Dataset[AssetFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(decodePartition)
+  }
+
+  def queries: Map[String, Q] = Map(
+    // Multimodal struct assembly: text + embedding + typed metadata in
+    // one nested column, then field projections back out.
+    "multimodal_struct" -> { (s, dir) =>
+      val d = table(s, dir, "documents")
+      val e = table(s, dir, "embeddings")
+      d.join(e, col("doc_id") === col("vec_id"))
+        .withColumn("asset", struct(
+          col("text"), col("embedding"),
+          struct(col("lang"), col("source"), col("n_chars")).as("meta")))
+        .select(
+          col("doc_id"),
+          col("asset.meta.lang").as("meta_lang"),
+          col("asset.meta.source").as("meta_source"),
+          size(col("asset.embedding")).as("emb_dim"),
+          length(col("asset.text")).as("text_len"))
+        .orderBy("doc_id")
+    },
+
+    // Binary decode plumbing, expression form: text -> UTF-8 bytes ->
+    // (n_bytes, first_byte, checksum, digest). Matches the mapPartitions
+    // stub in [[decodePartition]] (asserted equal in scalatest).
+    "multimodal_decode" -> { (s, dir) =>
+      table(s, dir, "documents")
+        .withColumn("bytes", encode(col("text"), "UTF-8"))
+        .select(
+          col("doc_id"),
+          octet_length(col("bytes")).as("n_bytes"),
+          ascii(substring(col("text"), 1, 1)).as("first_byte"),
+          (aggregate(
+            filter(split(col("text"), ""), c => c =!= lit("")),
+            lit(0L), (acc, c) => acc + ascii(c).cast(LongType)) % 256)
+            .as("checksum"),
+          lower(hex(col("bytes"))).substr(1, 16).as("head_hex"),
+          md5(col("bytes")).as("digest"))
+        .orderBy("doc_id")
+    },
+
+    // Frame sampling: one 8-byte window every 64 bytes of the payload —
+    // bounded offset explosion, payload never shuffled exploded.
+    "multimodal_frames" -> { (s, dir) =>
+      table(s, dir, "documents")
+        .withColumn("bin", encode(col("text"), "UTF-8"))
+        .select(col("doc_id"), col("bin"),
+          explode(sequence(lit(1), length(col("text")), lit(64))).as("pos"))
+        .select(
+          col("doc_id"), col("pos").cast(IntegerType).as("pos"),
+          lower(hex(expr("substring(bin, pos, 8)"))).as("frame_hex"))
+        .orderBy("doc_id", "pos")
+    })
+
+  def oracleSql: Map[String, String] = Map(
+    "multimodal_struct" ->
+      """SELECT doc_id,
+        |       struct_extract(struct_extract(asset, 'meta'), 'lang')
+        |         AS meta_lang,
+        |       struct_extract(struct_extract(asset, 'meta'), 'source')
+        |         AS meta_source,
+        |       CAST(len(struct_extract(asset, 'embedding')) AS INTEGER)
+        |         AS emb_dim,
+        |       CAST(length(struct_extract(asset, 'text')) AS INTEGER)
+        |         AS text_len
+        |FROM (
+        |  SELECT doc_id, struct_pack(text := text, embedding := embedding,
+        |           meta := struct_pack(lang := lang, source := source,
+        |                               n_chars := n_chars)) AS asset
+        |  FROM documents JOIN embeddings ON doc_id = vec_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "multimodal_decode" ->
+      """SELECT doc_id,
+        |       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        |       CAST(unicode(substr(text, 1, 1)) AS INTEGER) AS first_byte,
+        |       CAST(list_sum(list_transform(string_split(text, ''),
+        |         c -> CAST(unicode(c) AS BIGINT))) % 256 AS BIGINT)
+        |         AS checksum,
+        |       substr(lower(hex(encode(text))), 1, 16) AS head_hex,
+        |       md5(text) AS digest
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "multimodal_frames" ->
+      """SELECT doc_id, CAST(pos AS INTEGER) AS pos,
+        |       lower(hex(encode(substr(text, pos, 8)))) AS frame_hex
+        |FROM (SELECT doc_id, text,
+        |        unnest(generate_series(1, length(text), 64)) AS pos
+        |      FROM documents)
+        |ORDER BY doc_id, pos""".stripMargin)
+}

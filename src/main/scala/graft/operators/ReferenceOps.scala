@@ -109,13 +109,14 @@ object ReferenceOps {
         .orderBy("event_id")
     },
 
-    // Null-guarded array head (weather.py:79-83): element_at returns
-    // null on empty/missing, same as the reference's guards.
+    // Null-guarded array head (weather.py:79-83): try_element_at returns
+    // null on empty/missing, same as the reference's guards (plain
+    // element_at THROWS under Spark 4's default ANSI mode).
     "proj_array_head" -> { (s, dir) =>
       table(s, dir, "embeddings")
         .select(
           col("vec_id"),
-          element_at(col("embedding"), 1).cast(DoubleType).as("head"))
+          try_element_at(col("embedding"), lit(1)).cast(DoubleType).as("head"))
         .orderBy("vec_id")
     },
 

@@ -1,0 +1,161 @@
+package graft.operators
+
+import graft.core.Core._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over the `embeddings` table (north-star
+  * extensions): brute-force cosine top-k as the correctness baseline,
+  * a random-hyperplane LSH variant as the scale path, and
+  * embedding-cosine near-dup pairs.
+  *
+  * The dot product is a sequential left fold over the 64 dims
+  * (`zip_with` + `aggregate`), which DuckDB's `list_dot_product`
+  * reproduces bit-for-bit, so cosines hash-match without rounding.
+  * Similarities are additionally rounded to 9 dp *before* ranking with
+  * a vec_id tiebreak, making the top-k ordering robust to any last-ulp
+  * platform difference.
+  *
+  * Scale notes: brute force is O(n² d) within a label block — the
+  * baseline only. The LSH variant reduces each vector to an 8-bit
+  * bucket (one linear map-side pass over 8 fixed hyperplanes), shuffles
+  * once on the bucket key, and re-ranks only bucket collisions — the
+  * same shape (sketch → bucket shuffle → verify) scales to 100 TB, and
+  * the plane count / multi-probe breadth tunes recall vs cost.
+  */
+object SimilarityOps {
+
+  /** 8 deterministic pseudo-random hyperplanes over 64 dims, from a
+    * Knuth multiplicative-hash sequence — reproducible in SQL literals. */
+  val Planes = 8
+  val Dims = 64
+  val planes: Array[Array[Double]] =
+    Array.tabulate(Planes, Dims) { (j, d) =>
+      ((j * Dims + d + 1) * 2654435761L % 4294967296L) / 4294967296.0 - 0.5
+    }
+
+  /** vectors with precomputed norm (cast to double once). */
+  private def vecs(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast(ArrayType(DoubleType)).as("v"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0.0d), _ + _)
+
+  private def cosine: Column =
+    round(dot(col("a_v"), col("b_v")) / (col("a_norm") * col("b_norm")), 9)
+
+  private val vecsSql =
+    """SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+      |       sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                             CAST(embedding AS DOUBLE[]))) AS norm
+      |FROM embeddings""".stripMargin
+
+  private val cosineSql =
+    "round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 9)"
+
+  private def pairs(s: SparkSession, dir: String,
+      joinKey: String): DataFrame = {
+    val e = vecs(s, dir)
+    val a = e.select(col(joinKey), col("vec_id").as("a_id"),
+      col("v").as("a_v"), col("norm").as("a_norm"))
+    val b = e.select(col(joinKey), col("vec_id").as("b_id"),
+      col("v").as("b_v"), col("norm").as("b_norm"))
+    a.join(b, Seq(joinKey))
+  }
+
+  def queries: Map[String, Q] = Map(
+    // Brute-force cosine top-5 neighbors per vector, within label
+    // blocks (the IVF-style partition: label ≈ coarse centroid).
+    "sim_topk_cosine" -> { (s, dir) =>
+      val w = Window.partitionBy("a_id")
+        .orderBy(col("cos").desc, col("b_id").asc)
+      pairs(s, dir, "label")
+        .filter(col("a_id") =!= col("b_id"))
+        .withColumn("cos", cosine)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("a_id"), col("rank").cast(IntegerType).as("rank"),
+          col("b_id"), col("cos"))
+        .orderBy("a_id", "rank")
+    },
+
+    // ANN via random-hyperplane LSH: 8 sign bits -> bucket id; rerank
+    // bucket collisions by exact cosine, top-3 per query vector.
+    "sim_ann_lsh" -> { (s, dir) =>
+      val bucket = (0 until Planes)
+        .map(j => when(dot(col("v"), typedLit(planes(j).toSeq)) > 0.0,
+          lit(1 << j)).otherwise(lit(0)))
+        .reduce(_ + _)
+      val e = vecs(s, dir).withColumn("bucket", bucket)
+      val a = e.select(col("bucket"), col("vec_id").as("a_id"),
+        col("v").as("a_v"), col("norm").as("a_norm"))
+      val b = e.select(col("bucket"), col("vec_id").as("b_id"),
+        col("v").as("b_v"), col("norm").as("b_norm"))
+      val w = Window.partitionBy("a_id")
+        .orderBy(col("cos").desc, col("b_id").asc)
+      a.join(b, Seq("bucket"))
+        .filter(col("a_id") =!= col("b_id"))
+        .withColumn("cos", cosine)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("a_id"), col("rank").cast(IntegerType).as("rank"),
+          col("b_id"), col("cos"), col("bucket").cast(IntegerType).as("bucket"))
+        .orderBy("a_id", "rank")
+    },
+
+    // Embedding-cosine near-duplicate pairs within label blocks.
+    "dedup_embed" -> { (s, dir) =>
+      pairs(s, dir, "label")
+        .filter(col("a_id") < col("b_id"))
+        .withColumn("cos", cosine)
+        .filter(col("cos") >= 0.3)
+        .select("a_id", "b_id", "cos")
+        .orderBy("a_id", "b_id")
+    })
+
+  def oracleSql: Map[String, String] = {
+    val planeLit: Int => String = j =>
+      planes(j).mkString("[", ", ", "]::DOUBLE[]")
+    val bucketSql = (0 until Planes)
+      .map(j => s"CASE WHEN list_dot_product(v, ${planeLit(j)}) > 0.0 " +
+        s"THEN ${1 << j} ELSE 0 END")
+      .mkString(" + ")
+
+    Map(
+      "sim_topk_cosine" ->
+        s"""WITH e AS ($vecsSql)
+           |SELECT a_id, rank, b_id, cos FROM (
+           |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, $cosineSql AS cos,
+           |         CAST(ROW_NUMBER() OVER (PARTITION BY a.vec_id
+           |           ORDER BY $cosineSql DESC, b.vec_id ASC) AS INTEGER)
+           |           AS rank
+           |  FROM e a JOIN e b
+           |    ON a.label = b.label AND a.vec_id <> b.vec_id)
+           |WHERE rank <= 5 ORDER BY a_id, rank""".stripMargin,
+
+      "sim_ann_lsh" ->
+        s"""WITH e AS (SELECT *, CAST($bucketSql AS INTEGER) AS bucket
+           |           FROM ($vecsSql))
+           |SELECT a_id, rank, b_id, cos, bucket FROM (
+           |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, $cosineSql AS cos,
+           |         a.bucket AS bucket,
+           |         CAST(ROW_NUMBER() OVER (PARTITION BY a.vec_id
+           |           ORDER BY $cosineSql DESC, b.vec_id ASC) AS INTEGER)
+           |           AS rank
+           |  FROM e a JOIN e b
+           |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+           |WHERE rank <= 3 ORDER BY a_id, rank""".stripMargin,
+
+      "dedup_embed" ->
+        s"""WITH e AS ($vecsSql)
+           |SELECT a.vec_id AS a_id, b.vec_id AS b_id, $cosineSql AS cos
+           |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+           |WHERE $cosineSql >= 0.3
+           |ORDER BY a_id, b_id""".stripMargin)
+  }
+}

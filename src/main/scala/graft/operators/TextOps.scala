@@ -1,0 +1,214 @@
+package graft.operators
+
+import graft.core.Core._
+import graft.functions.TextHash
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for a large-scale training-data pipeline
+  * (north-star extensions; SURVEY.md §2-B `txt_*`): tokenize/TF,
+  * n-grams, language ID, quality scoring, token counting, document
+  * fingerprinting — all over `documents`.
+  *
+  * Scale notes: everything here is embarrassingly parallel per document
+  * (map-side, no shuffle except the final groupBy/word counts, which are
+  * partially aggregated before the exchange). No UDFs — higher-order
+  * array functions keep it inside whole-stage codegen.
+  */
+object TextOps {
+
+  private def toks(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .withColumn("toks", split(lower(col("text")), " "))
+
+  /** Per-language marker-word profiles for the n-gram/stopword language
+    * heuristic. Real-world function words; the synthetic corpus only
+    * contains English-ish tokens, so most docs resolve to 'en' or
+    * 'unknown' — the operator (profile join + per-doc argmax) is the
+    * deliverable, not the synthetic accuracy. */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "fr" -> Seq("le", "les", "des", "et", "une"),
+    "de" -> Seq("der", "die", "und", "nicht", "ist"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "wo3"))
+
+  private def profilesDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    langProfiles.flatMap { case (l, ws) => ws.map(w => (w, l)) }
+      .toDF("marker", "cand_lang")
+  }
+
+  private val profilesValuesSql: String =
+    langProfiles.flatMap { case (l, ws) => ws.map(w => s"('$w', '$l')") }
+      .mkString("(VALUES ", ", ", ") AS prof(marker, cand_lang)")
+
+  def queries: Map[String, Q] = Map(
+    // Tokenize + global term frequency.
+    "txt_tokenize_tf" -> { (s, dir) =>
+      toks(s, dir)
+        .select(explode(col("toks")).as("word"))
+        .groupBy("word")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word").asc)
+    },
+
+    // Bigram generation over token arrays + frequency.
+    "txt_ngram" -> { (s, dir) =>
+      toks(s, dir)
+        .select(explode(expr(
+          "transform(slice(toks, 1, size(toks) - 1), " +
+            "(t, i) -> concat(t, ' ', toks[i + 1]))")).as("bigram"))
+        .groupBy("bigram")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram").asc)
+    },
+
+    // Language ID: explode tokens, join the marker profiles (broadcast),
+    // count hits per candidate language, argmax per doc with
+    // deterministic tiebreak, 'unknown' when no marker matched.
+    "txt_langid" -> { (s, dir) =>
+      val d = toks(s, dir)
+      val hits = d.select(col("doc_id"), explode(col("toks")).as("marker"))
+        .join(broadcast(profilesDf(s)), Seq("marker"))
+        .groupBy("doc_id", "cand_lang")
+        .agg(count(lit(1)).as("hits"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("hits").desc, col("cand_lang").asc)
+      val best = hits.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("cand_lang"), col("hits"))
+      d.select(col("doc_id"), col("lang").as("actual"))
+        .join(best, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"), col("actual"),
+          coalesce(col("cand_lang"), lit("unknown")).as("predicted"),
+          coalesce(col("hits"), lit(0L)).as("hits"))
+        .orderBy("doc_id")
+    },
+
+    // Quality scoring: length / average-token-length / stopword ratios
+    // combined into a bounded score. Pure per-row arithmetic on exact
+    // integer inputs, so the doubles are bit-identical cross-engine.
+    "txt_quality_score" -> { (s, dir) =>
+      val stop = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+      toks(s, dir)
+        .withColumn("n_tokens", size(col("toks")))
+        .withColumn(
+          "stop_hits",
+          size(filter(col("toks"), t => t.isin(stop: _*))))
+        .withColumn(
+          "avg_tok_len",
+          (length(col("text")) - (col("n_tokens") - 1)).cast(DoubleType)
+            / col("n_tokens"))
+        .withColumn("stop_ratio",
+          col("stop_hits").cast(DoubleType) / col("n_tokens"))
+        .withColumn(
+          "quality",
+          lit(0.4) * least(col("n_tokens") / 100.0, lit(1.0))
+            + lit(0.3) * (lit(1.0) - col("stop_ratio"))
+            + lit(0.3) * least(col("avg_tok_len") / 8.0, lit(1.0)))
+        .select("doc_id", "n_tokens", "stop_hits", "avg_tok_len",
+          "stop_ratio", "quality")
+        .orderBy("doc_id")
+    },
+
+    // Token counting: whitespace tokens + a BPE-ish estimate
+    // (ceil(len/4) subword pieces per word).
+    "txt_token_count" -> { (s, dir) =>
+      toks(s, dir)
+        .select(
+          col("doc_id"),
+          size(col("toks")).as("ws_tokens"),
+          aggregate(
+            transform(col("toks"),
+              t => ((length(t) + 3) / 4).cast(LongType)),
+            lit(0L), (acc, x) => acc + x).as("bpe_tokens"))
+        .orderBy("doc_id")
+    },
+
+    // Document fingerprint: order-aware rolling hash over token hashes
+    // (position-weighted sum mod P) — cheap near-identity for shingling
+    // and incremental dedup.
+    "txt_fingerprint" -> { (s, dir) =>
+      toks(s, dir)
+        .select(
+          col("doc_id"),
+          (aggregate(
+            transform(col("toks"),
+              (t, i) => (TextHash.tokHash(t) % TextHash.P) * (i + 1)),
+            lit(0L), (acc, x) => acc + x) % TextHash.P).as("fingerprint"))
+        .orderBy("doc_id")
+    })
+
+  def oracleSql: Map[String, String] = Map(
+    "txt_tokenize_tf" ->
+      """SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM (SELECT unnest(string_split(lower(text), ' ')) AS word
+        |      FROM documents)
+        |GROUP BY word ORDER BY n DESC, word ASC""".stripMargin,
+
+    "txt_ngram" ->
+      """SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM (SELECT unnest(list_filter(
+        |        list_transform(string_split(lower(text), ' '),
+        |          (t, i) -> t || ' ' || string_split(lower(text), ' ')[i + 1]),
+        |        x -> x IS NOT NULL)) AS bigram
+        |      FROM documents)
+        |GROUP BY bigram ORDER BY n DESC, bigram ASC""".stripMargin,
+
+    "txt_langid" ->
+      s"""WITH hits AS (
+         |  SELECT doc_id, cand_lang, CAST(COUNT(*) AS BIGINT) AS hits
+         |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' '))
+         |          AS marker FROM documents) t
+         |  JOIN $profilesValuesSql USING (marker)
+         |  GROUP BY doc_id, cand_lang),
+         |best AS (
+         |  SELECT doc_id, cand_lang, hits FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+         |      ORDER BY hits DESC, cand_lang ASC) AS rn FROM hits)
+         |  WHERE rn = 1)
+         |SELECT d.doc_id, d.lang AS actual,
+         |       COALESCE(b.cand_lang, 'unknown') AS predicted,
+         |       COALESCE(b.hits, 0) AS hits
+         |FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "txt_quality_score" ->
+      """SELECT doc_id, n_tokens, stop_hits, avg_tok_len, stop_ratio,
+        |       0.4 * least(n_tokens / 100.0, 1.0)
+        |         + 0.3 * (1.0 - stop_ratio)
+        |         + 0.3 * least(avg_tok_len / 8.0, 1.0) AS quality
+        |FROM (
+        |  SELECT doc_id, n_tokens, stop_hits,
+        |         CAST(length(text) - (n_tokens - 1) AS DOUBLE) / n_tokens
+        |           AS avg_tok_len,
+        |         CAST(stop_hits AS DOUBLE) / n_tokens AS stop_ratio
+        |  FROM (
+        |    SELECT doc_id, text,
+        |           CAST(len(string_split(lower(text), ' ')) AS INTEGER)
+        |             AS n_tokens,
+        |           CAST(len(list_filter(string_split(lower(text), ' '),
+        |             t -> t IN ('the','a','of','and','to','in','is','on')))
+        |             AS INTEGER) AS stop_hits
+        |    FROM documents))
+        |ORDER BY doc_id""".stripMargin,
+
+    "txt_token_count" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split(lower(text), ' ')) AS INTEGER)
+        |         AS ws_tokens,
+        |       CAST(list_sum(list_transform(string_split(lower(text), ' '),
+        |         t -> (length(t) + 3) // 4)) AS BIGINT) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "txt_fingerprint" ->
+      s"""SELECT doc_id,
+         |  CAST(list_sum(list_transform(string_split(lower(text), ' '),
+         |    (t, i) -> (${TextHash.tokHashSql("t")} % ${TextHash.P}) * i))
+         |    % ${TextHash.P} AS BIGINT) AS fingerprint
+         |FROM documents ORDER BY doc_id""".stripMargin)
+}

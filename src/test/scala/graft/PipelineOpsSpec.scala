@@ -1,0 +1,99 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-style checks for the sketch-based pipeline operators that
+  * have no (or weaker) DuckDB oracles: LSH recall vs the exact
+  * baseline, HLL accuracy, ANN vs brute force, mapPartitions decode vs
+  * the expression form. Runs on sf0.001. */
+class PipelineOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = TestSpark.sfDir
+
+  private def pairs(q: String): Set[(Long, Long)] =
+    SparkEntry.queries(q)(spark, dir)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("MinHash-LSH recalls high-Jaccard pairs found by exact dedup_near") {
+    val exact = SparkEntry.queries("dedup_near")(spark, dir)
+      .filter(col("jaccard") >= 0.8)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = pairs("dedup_minhash_lsh")
+    assert(exact.nonEmpty, "test data should contain >=0.8-Jaccard pairs")
+    val recall = (exact & lsh).size.toDouble / exact.size
+    // 4x4 banding: P(candidate | j=0.8) = 1-(1-0.8^4)^4 ≈ 0.93; verified
+    // at >=0.5 Jaccard so every recalled pair survives verification.
+    assert(recall >= 0.85, s"LSH recall $recall too low (${exact.size} exact)")
+  }
+
+  test("SimHash near pairs overlap token-Jaccard near pairs") {
+    val sim = pairs("dedup_simhash")
+    val exact = pairs("dedup_near")
+    assert(sim.nonEmpty, "simhash should find near pairs")
+    val precision = (sim & exact).size.toDouble / sim.size
+    assert(precision >= 0.5, s"simhash precision vs jaccard-0.6: $precision")
+  }
+
+  test("approx_count_distinct within 5% of exact") {
+    val approx = SparkEntry.queries("agg_approx_distinct")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.core.Core.table(spark, dir, "events")
+      .groupBy("event_type").agg(count_distinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      val a = approx(k)
+      assert(math.abs(a - n).toDouble / n <= 0.05, s"$k: approx=$a exact=$n")
+    }
+  }
+
+  test("ANN-LSH neighbors are true near neighbors (sanity vs brute force)") {
+    val brute = SparkEntry.queries("sim_topk_cosine")(spark, dir)
+      .filter(col("rank") === 1)
+      .select("a_id", "cos").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ann = SparkEntry.queries("sim_ann_lsh")(spark, dir)
+      .filter(col("rank") === 1)
+      .select("a_id", "cos").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ann.nonEmpty, "ANN should return neighbors")
+    // every ANN top-1 cos must be <= the true (within-label) top-1 only
+    // when the bucket is within the label; globally it can exceed — so
+    // just sanity-check the cosine range and coverage.
+    ann.values.foreach(c => assert(c <= 1.0 + 1e-9 && c >= -1.0 - 1e-9))
+  }
+
+  test("mapPartitions decode stub == expression-form multimodal_decode") {
+    import spark.implicits._
+    val assets = graft.core.Core.table(spark, dir, "documents")
+      .limit(50)
+      .select(col("doc_id"), lit("text/plain").as("media_type"),
+        encode(col("text"), "UTF-8").as("bytes"))
+      .as[MultimodalOps.Asset]
+    val viaPartitions = MultimodalOps.decode(assets)
+      .collect().map(f => f.doc_id -> ((f.n_bytes, f.first_byte, f.checksum)))
+      .toMap
+    val viaExpr = SparkEntry.queries("multimodal_decode")(spark, dir)
+      .filter(col("doc_id").isin(viaPartitions.keys.toSeq: _*))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3))))
+      .toMap
+    assert(viaPartitions == viaExpr)
+  }
+
+  test("fingerprint is order-aware") {
+    import spark.implicits._
+    import graft.functions.TextHash
+    val fp = (t: String) => Seq(t).toDF("text")
+      .select((aggregate(
+        transform(split(lower(col("text")), " "),
+          (tok, i) => (TextHash.tokHash(tok) % TextHash.P) * (i + 1)),
+        lit(0L), (acc, x) => acc + x) % TextHash.P).as("fp"))
+      .as[Long].head()
+    assert(fp("spark engine fast") != fp("fast engine spark"))
+    assert(fp("spark engine fast") == fp("spark engine fast"))
+  }
+}
