@@ -18,6 +18,24 @@ object Smoke {
     val n = df.count()
     df.show(10, truncate = false)
     println(s"[smoke] entry rows = $n")
+
+    // Drive the weather-json DSv2 source + streaming loop end-to-end
+    // (geocode-once -> per-tick fetch/render -> error fallback).
+    val fx = "src/test/resources/weather"
+    if (new java.io.File(fx).isDirectory) {
+      val geo = graft.streaming.WeatherPipeline.geocodeTop1(
+        spark, s"$fx/geocode_gb.json", "London", "GB")
+      println(s"[smoke] geocode: $geo")
+      val ticks = Seq("forecast_rain", "forecast_error", "forecast_clear")
+        .map(f => s"$fx/$f.json").mkString(",")
+      val ckpt = java.nio.file.Files.createTempDirectory("smoke-ckpt").toString
+      val q = graft.streaming.WeatherPipeline.run(spark, ticks,
+        geo.getAs[String]("name"),
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(), ckpt) {
+        frames => frames.foreach(f => println(s"[smoke] frame: $f"))
+      }
+      q.awaitTermination(120000)
+    }
     spark.stop()
   }
 }

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming-only behaviors of the engine (SURVEY.md §2-B note):
+  * watermarked tumbling windows with late-data drop, session windows,
+  * and keyed state via mapGroupsWithState. Verified with MemoryStream in
+  * scalatest (not DuckDB-oracle-able — a stream can't be replayed there;
+  * the batch-equivalent shapes are in `stream_microbatch` /
+  * `win_lag_sessionize`).
+  *
+  * Scale notes: state is keyed by high-cardinality keys (user_id /
+  * place), partitioned by the state-store shuffle; watermarks bound
+  * state size — without them a 100 TB stream accumulates unbounded
+  * window state.
+  */
+object StreamingOps {
+
+  /** A weather observation tick keyed by place (the reference is a
+    * single-place loop; the engine generalizes to many keys). */
+  case class Obs(place: String, ts: java.sql.Timestamp,
+    temperature: Option[Double], code: Option[Int])
+
+  case class PlaceFrame(place: String, temp_text: String, n_obs: Long)
+
+  /** Tumbling refresh-window counts with late-data drop: events older
+    * than the watermark relative to max seen ts never update a window. */
+  def tumblingCounts(obs: DataFrame, watermark: String): DataFrame =
+    obs.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "10 minutes").as("w"), col("place"))
+      .agg(count(lit(1)).as("n"), max(col("temperature")).as("max_temp"))
+      .select(col("w.start").as("window_start"), col("place"), col("n"),
+        col("max_temp"))
+
+  /** Session windows: activity bursts separated by `gap` of silence. */
+  def sessionCounts(obs: DataFrame, gap: String): DataFrame =
+    obs.withWatermark("ts", gap)
+      .groupBy(session_window(col("ts"), gap).as("s"), col("place"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("s.start").as("session_start"),
+        col("s.end").as("session_end"), col("place"), col("n"))
+
+  /** Keyed running state (mapGroupsWithState): latest rendered frame per
+    * place plus how many observations contributed. The reference's
+    * display shows only the latest frame (weather.py:329); this is that
+    * semantics, generalized per key and kept in managed state. */
+  def latestFrame(obs: Dataset[Obs]): Dataset[PlaceFrame] = {
+    import obs.sparkSession.implicits._
+    obs.groupByKey(_.place)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (place: String, ticks: Iterator[Obs], state: GroupState[(String, Long)]) =>
+          val sorted = ticks.toSeq.sortBy(_.ts.getTime)
+          val prev = state.getOption.getOrElse(("--", 0L))
+          val latest = sorted.lastOption
+          // math.rint = round-half-even, matching Python "{:.0f}"
+          // (JVM %.0f alone would HALF_UP)
+          val text = latest.flatMap(_.temperature)
+            .map(t => s"${math.rint(t).toLong}°").getOrElse(prev._1)
+          val n = prev._2 + sorted.size
+          state.update((text, n))
+          PlaceFrame(place, text, n)
+      }
+  }
+}

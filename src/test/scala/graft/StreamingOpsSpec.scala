@@ -1,0 +1,91 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.Obs
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** MemoryStream-driven tests for watermark late-drop, session windows,
+  * and keyed running state. */
+class StreamingOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def ts(min: Int): Timestamp =
+    Timestamp.valueOf(f"2026-08-12 10:$min%02d:00")
+
+  test("watermarked tumbling window drops late data (append mode)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Obs]
+    val q = StreamingOps.tumblingCounts(in.toDF(), "20 minutes")
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode(OutputMode.Append()).start()
+
+    in.addData(Obs("London", ts(5), Some(12.0), Some(63)),
+      Obs("London", ts(15), Some(13.0), Some(63)))
+    q.processAllAvailable()
+    // advance watermark far: max ts 11:30 => watermark 11:10 closes
+    // both earlier windows
+    in.addData(Obs("London", Timestamp.valueOf("2026-08-12 11:30:00"),
+      Some(20.0), Some(0)))
+    q.processAllAvailable()
+    // this event is behind the watermark -> dropped, never emitted
+    in.addData(Obs("London", ts(7), Some(99.0), Some(0)))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("tumbling")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(rows.contains(("2026-08-12 10:00:00.0", 1L, 12.0)))
+    assert(rows.contains(("2026-08-12 10:10:00.0", 1L, 13.0)))
+    // the late 99.0 must not appear anywhere
+    assert(!rows.exists(_._3 == 99.0), rows)
+  }
+
+  test("session windows split on gap of inactivity") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Obs]
+    val q = StreamingOps.sessionCounts(in.toDF(), "30 minutes")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    in.addData(
+      Obs("London", ts(0), Some(1.0), None),
+      Obs("London", ts(10), Some(2.0), None),  // same session
+      Obs("London", Timestamp.valueOf("2026-08-12 12:00:00"), Some(3.0), None))
+    q.processAllAvailable()
+    // push watermark forward to close the first session
+    in.addData(Obs("London", Timestamp.valueOf("2026-08-12 14:00:00"),
+      Some(4.0), None))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sessions")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getLong(3))).toSet
+    assert(rows.contains(("2026-08-12 10:00:00.0", 2L)), rows)
+    assert(rows.contains(("2026-08-12 12:00:00.0", 1L)), rows)
+  }
+
+  test("mapGroupsWithState keeps the latest frame per place across batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Obs]
+    val q = StreamingOps.latestFrame(in.toDS())
+      .writeStream.format("memory").queryName("frames")
+      .outputMode(OutputMode.Update()).start()
+    in.addData(Obs("London", ts(0), Some(12.4), Some(63)),
+      Obs("Paris", ts(0), Some(2.5), Some(0)))
+    q.processAllAvailable()
+    in.addData(Obs("London", ts(10), None, Some(63))) // no temp: keep last
+    q.processAllAvailable()
+    q.stop()
+    val byPlace = spark.table("frames").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1).map { case (k, v) => k -> v.maxBy(_._3) }
+    assert(byPlace("London") == (("London", "12°", 2L)))
+    assert(byPlace("Paris") == (("Paris", "2°", 1L))) // %.0f half-even: 2.5 -> "2"
+  }
+}
