@@ -37,14 +37,18 @@ object SimilarityOps {
     }
 
   /** vectors with precomputed norm (cast to double once). */
-  private def vecs(s: SparkSession, dir: String): DataFrame =
+  private def vecs(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
     table(s, dir, "embeddings")
       .select(col("vec_id"), col("label"),
         col("embedding").cast(ArrayType(DoubleType)).as("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+  }
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, _ * _), lit(0.0d), _ + _)
+  /** Sequential-fold dot product via the native codegen'd expression
+    * (graft.plans.DotProduct); bit-identical to the higher-order-
+    * function fold and to DuckDB's list_dot_product. */
+  private def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
   private def cosine: Column =
     round(dot(col("a_v"), col("b_v")) / (col("a_norm") * col("b_norm")), 9)
