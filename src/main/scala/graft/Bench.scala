@@ -10,11 +10,21 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Warm the JVM/session once (codegen, parquet reader, shuffle paths)
+    // so the first measured query isn't charged Spark's startup cost.
+    try {
+      spark.range(1000000).selectExpr("sum(id)").collect()
+      spark.read.parquet(s"$sfDir/region.parquet").count()
+    } catch { case _: Throwable => }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // per-query isolation: drop caches and collect garbage so one
+      // allocation-heavy query can't tax its successors' timings
+      spark.catalog.clearCache()
+      System.gc()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
-    }
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

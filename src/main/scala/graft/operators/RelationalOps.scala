@@ -189,6 +189,61 @@ object RelationalOps {
           col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
     },
 
+    // FULL OUTER join: every customer and every event user, matched
+    // where possible (null-extended otherwise).
+    "join_outer_full" -> { (s, dir) =>
+      val users = table(s, dir, "events")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+      table(s, dir, "customer")
+        .join(users, col("c_custkey") === col("user_id"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), lit(-1L)).as("custkey"),
+          coalesce(col("user_id"), lit(-1L)).as("user_id"),
+          coalesce(col("c_mktsegment"), lit("none")).as("segment"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"))
+        .orderBy("custkey", "user_id")
+    },
+
+    // Sliding-frame window: 4-row moving average of order totals per
+    // customer (exact: integer cents, one final division).
+    "win_moving_avg" -> { (s, dir) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(-3, 0)
+      table(s, dir, "orders")
+        .withColumn("cents", cents(col("o_totalprice")))
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          (sum(col("cents")).over(w)
+            / (count(lit(1)).over(w) * 100.0)).as("moving_avg"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // Pivot: event counts per user pivoted to one column per type
+    // (portable oracle via conditional aggregation).
+    "agg_pivot" -> { (s, dir) =>
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      table(s, dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .na.fill(0L, types)
+        .orderBy("user_id")
+    },
+
+    // Exact median over integer cents (percentile with linear
+    // interpolation — both engines interpolate identically on exact
+    // integer inputs).
+    "agg_median" -> { (s, dir) =>
+      table(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          (expr("percentile(CAST(round(o_totalprice * 100) AS BIGINT), 0.5)")
+            / 100.0).as("median_price"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    },
+
     // Tumbling-window aggregate keyed by event_type — the batch-checkable
     // shape of a streaming 10-minute windowed groupBy (the streaming form
     // itself is StreamingOps.tumblingCounts, MemoryStream-tested).
@@ -333,6 +388,45 @@ object RelationalOps {
         |ORDER BY l_returnflag DESC, l_shipdate ASC, l_orderkey ASC,
         |         l_linenumber ASC
         |LIMIT 100""".stripMargin,
+
+    "join_outer_full" ->
+      """SELECT COALESCE(c_custkey, -1) AS custkey,
+        |       COALESCE(user_id, -1) AS user_id,
+        |       COALESCE(c_mktsegment, 'none') AS segment,
+        |       COALESCE(n_events, 0) AS n_events
+        |FROM customer
+        |FULL OUTER JOIN (SELECT user_id, CAST(COUNT(*) AS BIGINT)
+        |                   AS n_events FROM events GROUP BY user_id) u
+        |  ON c_custkey = user_id
+        |ORDER BY custkey, user_id""".stripMargin,
+
+    "win_moving_avg" ->
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(SUM(cents) OVER w AS BIGINT)
+        |         / (COUNT(*) OVER w * 100.0) AS moving_avg
+        |FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+        |        CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |      FROM orders)
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate ASC, o_orderkey ASC
+        |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "agg_pivot" ->
+      """SELECT user_id,
+        |  CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+        |  CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+        |  CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+        |  CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+        |  CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS "view"
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "agg_median" ->
+      """SELECT o_orderpriority,
+        |       quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.5)
+        |         / 100.0 AS median_price,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "stream_tumbling" ->
       """SELECT strftime(time_bucket(INTERVAL '10 minutes', ts),
