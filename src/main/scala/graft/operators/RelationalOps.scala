@@ -189,6 +189,20 @@ object RelationalOps {
           col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
     },
 
+    // SQL surface + correlated scalar subquery (Catalyst decorrelates
+    // it into an aggregate + join): orders priced above 2x their
+    // customer's average. Average runs over integer cents so both
+    // engines divide the same exact sum.
+    "sql_correlated_subquery" -> { (s, dir) =>
+      table(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT o_orderkey, o_custkey, o_totalprice FROM orders_v o
+          |WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 2 * (
+          |  SELECT AVG(CAST(round(o2.o_totalprice * 100) AS BIGINT))
+          |  FROM orders_v o2 WHERE o2.o_custkey = o.o_custkey)
+          |ORDER BY o_orderkey""".stripMargin)
+    },
+
     // FULL OUTER join: every customer and every event user, matched
     // where possible (null-extended otherwise).
     "join_outer_full" -> { (s, dir) =>
@@ -388,6 +402,13 @@ object RelationalOps {
         |ORDER BY l_returnflag DESC, l_shipdate ASC, l_orderkey ASC,
         |         l_linenumber ASC
         |LIMIT 100""".stripMargin,
+
+    "sql_correlated_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+        |WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 2 * (
+        |  SELECT AVG(CAST(round(o2.o_totalprice * 100) AS BIGINT))
+        |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "join_outer_full" ->
       """SELECT COALESCE(c_custkey, -1) AS custkey,

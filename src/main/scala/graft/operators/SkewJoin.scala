@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Manual skew mitigation for hot join keys: salt the skewed (large)
+  * side into `salt` sub-keys and replicate the build (small) side once
+  * per sub-key, so one hot key's rows spread over `salt` reducers
+  * instead of one straggler.
+  *
+  * AQE's skew-join split (on by default) handles sort-merge skew at
+  * runtime; this utility is for the cases AQE can't re-plan — e.g. a
+  * skewed shuffle feeding an aggregation, or deliberate pre-salting of
+  * a known-pathological key — and documents the technique the engine
+  * would deploy on 100 TB inputs. The join result is provably identical
+  * to the unsalted equi-join (asserted in SkewJoinSpec).
+  */
+object SkewJoin {
+
+  /** Equi-join `big ⋈ small` on big(bigKey) == small(smallKey), with the
+    * big side salted into `salt` sub-partitions. `small` rows replicate
+    * `salt` times (keep it the dimension side). */
+  def saltedEquiJoin(big: DataFrame, small: DataFrame, bigKey: String,
+      smallKey: String, salt: Int, joinType: String = "inner"): DataFrame = {
+    require(salt > 0, "salt must be positive")
+    // distribution-only randomness: any stable per-row value works;
+    // the salt never affects which rows match, only where they land.
+    val saltedBig = big.withColumn("__salt",
+      pmod(hash(monotonically_increasing_id()), lit(salt)))
+    val replicatedSmall = small.withColumn("__salt",
+      explode(array((0 until salt).map(lit): _*)))
+    saltedBig
+      .join(replicatedSmall,
+        saltedBig(bigKey) === replicatedSmall(smallKey)
+          && saltedBig("__salt") === replicatedSmall("__salt"),
+        joinType)
+      .drop("__salt")
+  }
+}

@@ -74,9 +74,16 @@ object WeatherPipeline {
         concat(lit("Updated "), substring(col("updated"), -5, 5)))
         .otherwise(lit(null).cast("string")).as("footer"))
 
-  /** Error frame of weather.py:331: null temp, Error text, unknown icon. */
-  def errorFrame(title: String, e: Throwable): Frame =
-    Frame(title, "--", s"Error: ${e.getMessage}", "unknown", null, null)
+  /** Error frame of weather.py:331: null temp, Error text, unknown icon.
+    * Unwraps Spark's task-failure layers to the root cause so the frame
+    * reads like the reference's "Error: {e}" (e.g. "Error: HTTP 503:
+    * service unavailable"), not a stage-failure stack preamble. */
+  def errorFrame(title: String, e: Throwable): Frame = {
+    @annotation.tailrec
+    def root(t: Throwable): Throwable =
+      if (t.getCause == null || t.getCause == t) t else root(t.getCause)
+    Frame(title, "--", s"Error: ${root(e).getMessage}", "unknown", null, null)
+  }
 
   /** Run the loop: each micro-batch renders one frame to `sink`; any
     * tick failure emits the degraded frame and the query keeps running. */
