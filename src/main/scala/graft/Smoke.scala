@@ -36,6 +36,16 @@ object Smoke {
       }
       q.awaitTermination(120000)
     }
+
+    // Partitioned display sink: frames routed by icon category
+    // (the draw_icon dispatch, weather.py:205-219, as partitioned parquet).
+    val sinkDir = java.nio.file.Files.createTempDirectory("frames").toString
+    graft.sources.DisplaySink.writeFrames(
+      SparkEntry.queries("sink_display")(spark, "/root/testdata/sf0.001"),
+      sinkDir)
+    val parts = new java.io.File(sinkDir).listFiles()
+      .map(_.getName).filter(_.startsWith("icon=")).sorted
+    println(s"[smoke] display sink partitions: ${parts.mkString(", ")}")
     spark.stop()
   }
 }
