@@ -45,6 +45,26 @@ object TextOps {
     langProfiles.flatMap { case (l, ws) => ws.map(w => s"('$w', '$l')") }
       .mkString("(VALUES ", ", ", ") AS prof(marker, cand_lang)")
 
+  /** Characteristic character bigrams per language (n-gram profile
+    * method); the synthetic corpus is English-ish ASCII, so this mostly
+    * resolves to 'en'/'unknown' — the operator shape is the point. */
+  val charProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("th", "he", "er", "in", "re"),
+    "es" -> Seq("ll", "rr", "ci", "os", "ar"),
+    "fr" -> Seq("ou", "le", "es", "ai", "qu"),
+    "de" -> Seq("ch", "ei", "en", "sc", "un"),
+    "zh" -> Seq("zh", "ng", "sh", "xi", "ao"))
+
+  private def charProfilesDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    charProfiles.flatMap { case (l, gs) => gs.map(g => (g, l)) }
+      .toDF("gram", "cand_lang")
+  }
+
+  private val charProfilesValuesSql: String =
+    charProfiles.flatMap { case (l, gs) => gs.map(g => s"('$g', '$l')") }
+      .mkString("(VALUES ", ", ", ") AS prof(gram, cand_lang)")
+
   def queries: Map[String, Q] = Map(
     // Tokenize + global term frequency.
     "txt_tokenize_tf" -> { (s, dir) =>
@@ -73,6 +93,38 @@ object TextOps {
       val d = toks(s, dir)
       val hits = d.select(col("doc_id"), explode(col("toks")).as("marker"))
         .join(broadcast(profilesDf(s)), Seq("marker"))
+        .groupBy("doc_id", "cand_lang")
+        .agg(count(lit(1)).as("hits"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("hits").desc, col("cand_lang").asc)
+      val best = hits.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("cand_lang"), col("hits"))
+      d.select(col("doc_id"), col("lang").as("actual"))
+        .join(best, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"), col("actual"),
+          coalesce(col("cand_lang"), lit("unknown")).as("predicted"),
+          coalesce(col("hits"), lit(0L)).as("hits"))
+        .orderBy("doc_id")
+    },
+
+    // Language ID, character-n-gram variant: score each candidate
+    // language by occurrences of its characteristic char-bigrams over
+    // the raw text (classic n-gram profile method; the word-marker
+    // variant is txt_langid). Bigrams come from a positional substring
+    // transform — no char-split arrays materialize.
+    "txt_langid_ngram" -> { (s, dir) =>
+      val d = table(s, dir, "documents")
+      val grams = d.select(col("doc_id"),
+        // greatest(...,1): Spark's sequence(1,0) would run DESCENDING
+        // (DuckDB's generate_series(1,0) is empty) — pin both to [1]
+        // for single-char texts, whose 1-char "gram" matches no profile.
+        explode(expr(
+          "transform(sequence(1, greatest(length(text) - 1, 1)), " +
+            "i -> substring(text, i, 2))")).as("gram"))
+      val hits = grams
+        .join(broadcast(charProfilesDf(s)), Seq("gram"))
         .groupBy("doc_id", "cand_lang")
         .agg(count(lit(1)).as("hits"))
       val w = Window.partitionBy("doc_id")
@@ -165,6 +217,25 @@ object TextOps {
          |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' '))
          |          AS marker FROM documents) t
          |  JOIN $profilesValuesSql USING (marker)
+         |  GROUP BY doc_id, cand_lang),
+         |best AS (
+         |  SELECT doc_id, cand_lang, hits FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+         |      ORDER BY hits DESC, cand_lang ASC) AS rn FROM hits)
+         |  WHERE rn = 1)
+         |SELECT d.doc_id, d.lang AS actual,
+         |       COALESCE(b.cand_lang, 'unknown') AS predicted,
+         |       COALESCE(b.hits, 0) AS hits
+         |FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "txt_langid_ngram" ->
+      s"""WITH hits AS (
+         |  SELECT doc_id, cand_lang, CAST(COUNT(*) AS BIGINT) AS hits
+         |  FROM (SELECT doc_id, unnest(list_transform(
+         |          generate_series(1, greatest(length(text) - 1, 1)),
+         |          i -> substr(text, i, 2))) AS gram FROM documents) t
+         |  JOIN $charProfilesValuesSql USING (gram)
          |  GROUP BY doc_id, cand_lang),
          |best AS (
          |  SELECT doc_id, cand_lang, hits FROM (
