@@ -241,6 +241,39 @@ object ReferenceOps {
         .orderBy("p_partkey")
     },
 
+    // String-function breadth beyond the reference's literal usage:
+    // pad / translate / repeat / reverse / edit distance (all with
+    // identical semantics in DuckDB).
+    "str_suite" -> { (s, dir) =>
+      table(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          lpad(col("p_brand"), 12, "*").as("padded"),
+          translate(col("p_name"), " aeiou", "_AEIOU").as("translated"),
+          concat(repeat(lit("-"), 3), reverse(col("p_type"))).as("revtype"),
+          levenshtein(col("p_name"), col("p_type")).as("edit_dist"),
+          length(col("p_name")).as("name_len"))
+        .orderBy("p_partkey")
+    },
+
+    // Date-part extraction from the shipdate timestamp; day-of-week via
+    // an epoch-days formula (portable: Spark dayofweek is 1=Sunday,
+    // DuckDB dayofweek is 0=Sunday — the arithmetic sidesteps both).
+    "date_extract" -> { (s, dir) =>
+      table(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 500 === 0)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          year(col("l_shipdate")).as("y"),
+          month(col("l_shipdate")).as("m"),
+          dayofmonth(col("l_shipdate")).as("d"),
+          // 1970-01-01 was a Thursday: (days+4)%7 -> 0=Sunday
+          ((datediff(to_date(col("l_shipdate")), lit("1970-01-01")) + 4) % 7)
+            .cast(IntegerType).as("dow"),
+          quarter(col("l_shipdate")).as("q"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
     // Casts (weather.py:55-56,145-148): double->int truncates toward
     // zero (Python int() semantics; DuckDB oracle uses trunc()).
     "cast_numeric" -> { (s, dir) =>
@@ -454,6 +487,26 @@ object ReferenceOps {
       "str_replace_urlenc" ->
         """SELECT p_partkey, replace(p_name, ' ', '%20') AS url_name
           |FROM part ORDER BY p_partkey""".stripMargin,
+
+      "str_suite" ->
+        """SELECT p_partkey,
+          |       lpad(p_brand, 12, '*') AS padded,
+          |       translate(p_name, ' aeiou', '_AEIOU') AS translated,
+          |       repeat('-', 3) || reverse(p_type) AS revtype,
+          |       CAST(levenshtein(p_name, p_type) AS INTEGER) AS edit_dist,
+          |       CAST(length(p_name) AS INTEGER) AS name_len
+          |FROM part ORDER BY p_partkey""".stripMargin,
+
+      "date_extract" ->
+        """SELECT l_orderkey, l_linenumber,
+          |       CAST(year(l_shipdate) AS INTEGER) AS y,
+          |       CAST(month(l_shipdate) AS INTEGER) AS m,
+          |       CAST(day(l_shipdate) AS INTEGER) AS d,
+          |       CAST(((CAST(l_shipdate AS DATE) - DATE '1970-01-01') + 4) % 7
+          |         AS INTEGER) AS dow,
+          |       CAST(quarter(l_shipdate) AS INTEGER) AS q
+          |FROM lineitem WHERE l_orderkey % 500 = 0
+          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
       "cast_numeric" ->
         """SELECT l_orderkey, l_linenumber,

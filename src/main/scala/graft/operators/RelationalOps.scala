@@ -143,6 +143,23 @@ object RelationalOps {
         .orderBy("o_custkey", "rnk")
     },
 
+    // Ranking-function suite: rank / dense_rank / ntile / percent_rank /
+    // cume_dist over one window (exact formulas, identical both engines).
+    "win_rank_suite" -> { (s, dir) =>
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      table(s, dir, "orders")
+        .filter(col("o_custkey") % 100 === 0)
+        .select(
+          col("o_orderpriority"), col("o_orderkey"),
+          rank().over(w).cast(IntegerType).as("rnk"),
+          dense_rank().over(w).cast(IntegerType).as("drnk"),
+          ntile(4).over(w).cast(IntegerType).as("quartile"),
+          percent_rank().over(w).as("prank"),
+          cume_dist().over(w).as("cdist"))
+        .orderBy("o_orderpriority", "o_orderkey")
+    },
+
     // Gaps-and-islands sessionization: 30-min inactivity gap per user,
     // session id = running count of session starts (lag + cumulative sum).
     "win_lag_sessionize" -> { (s, dir) =>
@@ -364,6 +381,18 @@ object RelationalOps {
         |           AS rnk
         |  FROM orders)
         |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin,
+
+    "win_rank_suite" ->
+      """SELECT o_orderpriority, o_orderkey,
+        |  CAST(RANK() OVER w AS INTEGER) AS rnk,
+        |  CAST(DENSE_RANK() OVER w AS INTEGER) AS drnk,
+        |  CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+        |  PERCENT_RANK() OVER w AS prank,
+        |  CUME_DIST() OVER w AS cdist
+        |FROM orders WHERE o_custkey % 100 = 0
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice DESC, o_orderkey ASC)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
 
     "win_lag_sessionize" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events),

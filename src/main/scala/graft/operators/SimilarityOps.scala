@@ -112,6 +112,42 @@ object SimilarityOps {
         .orderBy("a_id", "rank")
     },
 
+    // IVF-style ANN with data-derived centroids: the 10 lowest-id
+    // vectors act as the coarse quantizer (deterministic "k-means init"
+    // — at scale these would be trained centroids); every vector joins
+    // its nearest centroid's inverted list; queries probe their top-2
+    // centroid lists and rerank only those candidates by exact cosine,
+    // keeping top-3. Work scales with nprobe/k, not n².
+    "sim_ivf_knn" -> { (s, dir) =>
+      val e = vecs(s, dir)
+      val cents = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("cid"), col("v").as("cv"),
+          col("norm").as("cnorm"))
+      val affinity = e.select(col("vec_id"), col("v"), col("norm"))
+        .crossJoin(broadcast(cents))
+        .withColumn("ccos",
+          round(dot(col("v"), col("cv")) / (col("norm") * col("cnorm")), 9))
+      val byVec = Window.partitionBy("vec_id")
+        .orderBy(col("ccos").desc, col("cid").asc)
+      val ranked = affinity.withColumn("crn", row_number().over(byVec))
+      val lists = ranked.filter(col("crn") === 1)   // inverted lists
+        .select(col("cid"), col("vec_id").as("b_id"),
+          col("v").as("b_v"), col("norm").as("b_norm"))
+      val probes = ranked.filter(col("crn") <= 2)   // 2-probe queries
+        .select(col("cid"), col("vec_id").as("a_id"),
+          col("v").as("a_v"), col("norm").as("a_norm"))
+      val byQuery = Window.partitionBy("a_id")
+        .orderBy(col("cos").desc, col("b_id").asc)
+      probes.join(lists, Seq("cid"))
+        .filter(col("a_id") =!= col("b_id"))
+        .withColumn("cos", cosine)
+        .withColumn("rank", row_number().over(byQuery))
+        .filter(col("rank") <= 3)
+        .select(col("a_id"), col("rank").cast(IntegerType).as("rank"),
+          col("b_id"), col("cos"))
+        .orderBy("a_id", "rank")
+    },
+
     // Embedding-cosine near-duplicate pairs within label blocks.
     "dedup_embed" -> { (s, dir) =>
       pairs(s, dir, "label")
@@ -153,6 +189,32 @@ object SimilarityOps {
            |           AS rank
            |  FROM e a JOIN e b
            |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+           |WHERE rank <= 3 ORDER BY a_id, rank""".stripMargin,
+
+      "sim_ivf_knn" ->
+        s"""WITH e AS ($vecsSql),
+           |cents AS (SELECT vec_id AS cid, v AS cv, norm AS cnorm
+           |          FROM e WHERE vec_id < 10),
+           |aff AS (SELECT e.vec_id, e.v, e.norm, c.cid,
+           |          round(list_dot_product(e.v, c.cv)
+           |                / (e.norm * c.cnorm), 9) AS ccos
+           |        FROM e CROSS JOIN cents c),
+           |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+           |             ORDER BY ccos DESC, cid ASC) AS crn FROM aff),
+           |lists AS (SELECT cid, vec_id AS b_id, v AS b_v, norm AS b_norm
+           |          FROM ranked WHERE crn = 1),
+           |probes AS (SELECT cid, vec_id AS a_id, v AS a_v, norm AS a_norm
+           |           FROM ranked WHERE crn <= 2),
+           |cand AS (SELECT a_id, b_id,
+           |           round(list_dot_product(a_v, b_v)
+           |                 / (a_norm * b_norm), 9) AS cos
+           |         FROM probes JOIN lists USING (cid)
+           |         WHERE a_id <> b_id)
+           |SELECT a_id, rank, b_id, cos FROM (
+           |  SELECT a_id, b_id, cos,
+           |         CAST(ROW_NUMBER() OVER (PARTITION BY a_id
+           |           ORDER BY cos DESC, b_id ASC) AS INTEGER) AS rank
+           |  FROM cand)
            |WHERE rank <= 3 ORDER BY a_id, rank""".stripMargin,
 
       "dedup_embed" ->
