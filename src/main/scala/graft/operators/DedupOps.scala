@@ -45,11 +45,18 @@ object DedupOps {
     "CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) " +
       "/ len(list_distinct(a.toks || b.toks))"
 
-  /** doc_id -> base token hash rows (distinct tokens, mod P). */
-  private def docTokHash(s: SparkSession, dir: String): DataFrame =
-    tokSets(s, dir)
+  /** doc_id -> base token hash rows (distinct tokens, mod P).
+    * The fold-based token hash evaluates once per DISTINCT token (tiny
+    * dictionary), then broadcast-joins back onto the (doc, token) rows —
+    * not once per occurrence. Same values as hashing in place, so the
+    * DuckDB oracle (which hashes in place) is unaffected. */
+  private def docTokHash(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokSets(s, dir)
       .select(col("doc_id"), explode(col("toks")).as("tok"))
+    val hashed = toks.select("tok").distinct()
       .withColumn("base", TextHash.tokHash(col("tok")) % P)
+    toks.join(broadcast(hashed), "tok").select("doc_id", "base")
+  }
 
   private val docTokHashSql =
     s"""SELECT doc_id, ${tokHashSql("tok")} % $P AS base

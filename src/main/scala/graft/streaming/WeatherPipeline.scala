@@ -25,6 +25,23 @@ object WeatherPipeline {
   case class Frame(title: String, temp_text: String, description: String,
     icon: String, rain_line: String, footer: String)
 
+  /** The reference's 4-tuple fetch result (weather.py:85), as the typed
+    * Dataset facade promised by SURVEY §1.3. */
+  case class CurrentWeather(temperature: Option[Double], code: Option[Int],
+    time: String, rain_prob: Option[Int])
+
+  /** Typed view of a forecast batch: the fetch_current_weather shape. */
+  def currentWeather(obs: DataFrame): org.apache.spark.sql.Dataset[CurrentWeather] = {
+    import obs.sparkSession.implicits._
+    obs.select(
+        col("current.temperature_2m").as("temperature"),
+        col("current.weather_code").as("code"),
+        coalesce(col("current.time"), lit("")).as("time"),
+        try_element_at(col("daily.precipitation_probability_max"), lit(1))
+          .as("rain_prob"))
+      .as[CurrentWeather]
+  }
+
   /** Geocode lookup, hoisted out of the loop (weather.py:42-59,321):
     * filter + limit(1) push down to the source; empty => error, mirroring
     * the RuntimeError at weather.py:49-51. */

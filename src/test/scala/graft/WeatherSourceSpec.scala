@@ -62,6 +62,16 @@ class WeatherSourceSpec extends AnyFunSuite {
       (None, Some(99), "Code 99", "unknown", None)))      // missing temp, unknown code
   }
 
+  test("typed Dataset facade mirrors the fetch_current_weather tuple (weather.py:85)") {
+    val df = spark.read.format("weather-json")
+      .option("endpoint", "forecast")
+      .option("path", s"$fx/forecast_missing.json")
+      .load()
+    val cw = WeatherPipeline.currentWeather(df).collect().head
+    assert(cw == WeatherPipeline.CurrentWeather(
+      None, Some(99), "2026-08-12T14:50", None))
+  }
+
   test("HTTP-error payload raises like weather.py:34-35") {
     val e = intercept[Exception] {
       spark.read.format("weather-json")
