@@ -123,6 +123,77 @@ object RelationalOps {
         .orderBy("flag", "status")
     },
 
+    // GROUPING SETS through the SQL surface (beyond rollup/cube).
+    "agg_grouping_sets" -> { (s, dir) =>
+      table(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+      s.sql(
+        """SELECT COALESCE(l_returnflag, '(all)') AS flag,
+          |       COALESCE(l_linestatus, '(all)') AS status,
+          |       CAST(COUNT(*) AS BIGINT) AS n,
+          |       CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+          |         / CAST(100.0 AS DOUBLE) AS sum_qty
+          |FROM lineitem_v
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY flag, status""".stripMargin)
+    },
+
+    // Null-handling semantics: nullif / ifnull / nvl2 / coalesce chain
+    // (the .get(..., default) idioms of the reference, relationally).
+    "null_semantics" -> { (s, dir) =>
+      table(s, dir, "events")
+        .select(
+          col("event_id"),
+          nullif(col("value"), lit(0.0)).as("value_or_null"),
+          ifnull(nullif(col("value"), lit(0.0)), lit(-1.0)).as("filled"),
+          nvl2(nullif(col("value"), lit(0.0)), lit("has"), lit("zero"))
+            .as("tag"),
+          coalesce(nullif(col("event_type"), lit("error")), lit("degraded"))
+            .as("kind"))
+        .orderBy("event_id")
+    },
+
+    // Array-function suite: sort, slice, join, distinct sizes.
+    "array_suite" -> { (s, dir) =>
+      table(s, dir, "documents")
+        .withColumn("toks", split(lower(col("text")), " "))
+        .select(
+          col("doc_id"),
+          array_join(slice(sort_array(col("toks")), 1, 5), ",")
+            .as("first5_sorted"),
+          size(array_distinct(col("toks"))).as("n_distinct"),
+          size(col("toks")).as("n_tokens"))
+        .orderBy("doc_id")
+    },
+
+    // explode_outer: empty arrays keep their parent row (null-extended),
+    // unlike plain explode which drops it.
+    "explode_outer_keep" -> { (s, dir) =>
+      val d = table(s, dir, "documents")
+        .withColumn("toks", split(lower(col("text")), " "))
+        .withColumn("l",
+          when(col("doc_id") % 50 === 0,
+            array().cast("array<string>"))
+            .otherwise(slice(col("toks"), 1, 3)))
+      d.select(col("doc_id"), posexplode_outer(col("l")).as(Seq("pos", "tok")))
+        .select(col("doc_id"), (col("pos") + 1).cast(IntegerType).as("pos"),
+          col("tok"))
+        .orderBy(col("doc_id").asc, col("pos").asc_nulls_first)
+    },
+
+    // Approximate quantiles (sketch-based; no oracle — rows-only check,
+    // accuracy asserted vs exact percentile in scalatest).
+    "agg_approx_quantile" -> { (s, dir) =>
+      table(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(percentile_approx(col("o_totalprice"),
+          array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("qs"))
+        .select(col("o_orderpriority"),
+          round(element_at(col("qs"), 1), 2).as("p25"),
+          round(element_at(col("qs"), 2), 2).as("p50"),
+          round(element_at(col("qs"), 3), 2).as("p75"))
+        .orderBy("o_orderpriority")
+    },
+
     // HLL++ approximate distinct — no DuckDB oracle (approximate);
     // rows-only check, exactness asserted ±5% in scalatest.
     "agg_approx_distinct" -> { (s, dir) =>
@@ -381,6 +452,52 @@ object RelationalOps {
         |           AS rnk
         |  FROM orders)
         |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin,
+
+    "agg_grouping_sets" ->
+      """SELECT COALESCE(l_returnflag, '(all)') AS flag,
+        |       COALESCE(l_linestatus, '(all)') AS status,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+        |         / 100.0 AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY flag, status""".stripMargin,
+
+    "null_semantics" ->
+      """SELECT event_id,
+        |       nullif(value, 0.0) AS value_or_null,
+        |       ifnull(nullif(value, 0.0), -1.0) AS filled,
+        |       CASE WHEN nullif(value, 0.0) IS NOT NULL
+        |            THEN 'has' ELSE 'zero' END AS tag,
+        |       COALESCE(nullif(event_type, 'error'), 'degraded') AS kind
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "array_suite" ->
+      """SELECT doc_id,
+        |       array_to_string(list_sort(string_split(lower(text), ' '))[1:5],
+        |                       ',') AS first5_sorted,
+        |       CAST(len(list_distinct(string_split(lower(text), ' ')))
+        |         AS INTEGER) AS n_distinct,
+        |       CAST(len(string_split(lower(text), ' ')) AS INTEGER)
+        |         AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "explode_outer_keep" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 50 = 0 THEN CAST([] AS VARCHAR[])
+        |              ELSE string_split(lower(text), ' ')[1:3] END AS l
+        |  FROM documents),
+        |x AS (SELECT doc_id,
+        |        unnest(CASE WHEN len(l) = 0 THEN [NULL] ELSE l END) AS tok,
+        |        generate_subscripts(
+        |          CASE WHEN len(l) = 0 THEN [NULL] ELSE l END, 1) AS p
+        |      FROM d)
+        |SELECT doc_id,
+        |       CAST(CASE WHEN tok IS NULL THEN NULL ELSE p END AS INTEGER)
+        |         AS pos,
+        |       tok
+        |FROM x ORDER BY doc_id ASC, pos ASC NULLS FIRST""".stripMargin,
 
     "win_rank_suite" ->
       """SELECT o_orderpriority, o_orderkey,

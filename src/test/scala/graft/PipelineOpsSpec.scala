@@ -58,6 +58,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("approx quantiles within 2% of exact percentiles") {
+    val approx = SparkEntry.queries("agg_approx_quantile")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap // p50
+    val exact = graft.core.Core.table(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(expr("percentile(o_totalprice, 0.5)").as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    exact.foreach { case (k, m) =>
+      assert(math.abs(approx(k) - m) / m <= 0.02, s"$k: ${approx(k)} vs $m")
+    }
+  }
+
   test("ANN-LSH neighbors are true near neighbors (sanity vs brute force)") {
     val brute = SparkEntry.queries("sim_topk_cosine")(spark, dir)
       .filter(col("rank") === 1)
