@@ -123,6 +123,20 @@ object RelationalOps {
         .orderBy("flag", "status")
     },
 
+    // Custom typed Aggregator (UDAF surface): exact per-group
+    // min/max/count/cents-total via graft.functions.RangeStats,
+    // applied to an untyped DataFrame through functions.udaf.
+    "agg_typed_custom" -> { (s, dir) =>
+      val stats = udaf(graft.functions.RangeStats.aggregator)
+      table(s, dir, "events")
+        .groupBy("event_type")
+        .agg(stats(col("value")).as("st"))
+        .select(col("event_type"),
+          col("st.min_v").as("min_v"), col("st.max_v").as("max_v"),
+          col("st.n").as("n"), col("st.total").as("total"))
+        .orderBy("event_type")
+    },
+
     // GROUPING SETS through the SQL surface (beyond rollup/cube).
     "agg_grouping_sets" -> { (s, dir) =>
       table(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
@@ -452,6 +466,14 @@ object RelationalOps {
         |           AS rnk
         |  FROM orders)
         |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin,
+
+    "agg_typed_custom" ->
+      """SELECT event_type,
+        |       min(value) AS min_v, max(value) AS max_v,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |         / 100.0 AS total
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "agg_grouping_sets" ->
       """SELECT COALESCE(l_returnflag, '(all)') AS flag,
