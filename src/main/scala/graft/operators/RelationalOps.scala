@@ -123,6 +123,64 @@ object RelationalOps {
         .orderBy("flag", "status")
     },
 
+    // Regex functions with dialect-safe patterns (plain digit classes
+    // behave identically in Java regex and RE2): extract / replace /
+    // match-flag over the JSON props string.
+    "regex_extract" -> { (s, dir) =>
+      table(s, dir, "events")
+        .select(
+          col("event_id"),
+          regexp_extract(col("props"), "([0-9]+)", 1).as("digits"),
+          regexp_replace(col("props"), "[0-9]", "#").as("masked"),
+          col("props").rlike("[0-9][0-9]").as("has_2digits"))
+        .orderBy("event_id")
+    },
+
+    // unionByName with missing columns: schema-mediated union where
+    // position doesn't matter and absent columns null-fill.
+    "union_by_name" -> { (s, dir) =>
+      val a = table(s, dir, "customer")
+        .select(col("c_custkey").as("id"), col("c_name").as("name"),
+          col("c_acctbal").as("balance"))
+      val b = table(s, dir, "supplier")
+        .select(col("s_name").as("name"), col("s_suppkey").as("id"))
+      a.withColumn("kind", lit("customer"))
+        .unionByName(
+          b.withColumn("kind", lit("supplier")), allowMissingColumns = true)
+        .select(col("kind"), col("id"), col("name"),
+          coalesce(col("balance"), lit(-1.0)).as("balance"))
+        .orderBy("kind", "id")
+    },
+
+    // Interval arithmetic + calendar truncation on event time.
+    "date_arith" -> { (s, dir) =>
+      table(s, dir, "events")
+        .select(
+          col("event_id"),
+          date_format(col("ts") + expr("INTERVAL 10 MINUTES"),
+            "yyyy-MM-dd HH:mm:ss").as("plus_10m"),
+          date_format(col("ts") - expr("INTERVAL 1 DAY"),
+            "yyyy-MM-dd HH:mm:ss").as("minus_1d"),
+          date_format(date_trunc("hour", col("ts")),
+            "yyyy-MM-dd HH:mm:ss").as("hour_start"))
+        .orderBy("event_id")
+    },
+
+    // Conditional aggregation: count_if / bool_or / bool_and / filtered
+    // cents-sum per group.
+    "agg_conditional" -> { (s, dir) =>
+      table(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          count_if(col("l_quantity") > 25).as("n_bulk"),
+          bool_or(col("l_discount") > 0.05).as("any_deep_discount"),
+          bool_and(col("l_tax") >= 0.0).as("all_taxed"),
+          (sum(when(col("l_discount") === 0.0,
+            cents(col("l_extendedprice"))).otherwise(lit(0L))) / 100.0)
+            .as("full_price_revenue"))
+        .orderBy("l_returnflag")
+    },
+
     // Custom typed Aggregator (UDAF surface): exact per-group
     // min/max/count/cents-total via graft.functions.RangeStats,
     // applied to an untyped DataFrame through functions.udaf.
@@ -466,6 +524,41 @@ object RelationalOps {
         |           AS rnk
         |  FROM orders)
         |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin,
+
+    "regex_extract" ->
+      """SELECT event_id,
+        |       regexp_extract(props, '([0-9]+)', 1) AS digits,
+        |       regexp_replace(props, '[0-9]', '#', 'g') AS masked,
+        |       regexp_matches(props, '[0-9][0-9]') AS has_2digits
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "union_by_name" ->
+      """SELECT kind, id, name, COALESCE(balance, -1.0) AS balance FROM (
+        |  SELECT 'customer' AS kind, c_custkey AS id, c_name AS name,
+        |         c_acctbal AS balance FROM customer
+        |  UNION ALL
+        |  SELECT 'supplier', s_suppkey, s_name, NULL FROM supplier)
+        |ORDER BY kind, id""".stripMargin,
+
+    "date_arith" ->
+      """SELECT event_id,
+        |       strftime(ts + INTERVAL 10 MINUTE, '%Y-%m-%d %H:%M:%S')
+        |         AS plus_10m,
+        |       strftime(ts - INTERVAL 1 DAY, '%Y-%m-%d %H:%M:%S')
+        |         AS minus_1d,
+        |       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+        |         AS hour_start
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "agg_conditional" ->
+      """SELECT l_returnflag,
+        |       CAST(COUNT(*) FILTER (l_quantity > 25) AS BIGINT) AS n_bulk,
+        |       bool_or(l_discount > 0.05) AS any_deep_discount,
+        |       bool_and(l_tax >= 0.0) AS all_taxed,
+        |       CAST(SUM(CASE WHEN l_discount = 0.0
+        |           THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+        |           ELSE 0 END) AS BIGINT) / 100.0 AS full_price_revenue
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "agg_typed_custom" ->
       """SELECT event_type,
