@@ -123,6 +123,66 @@ object RelationalOps {
         .orderBy("flag", "status")
     },
 
+    // Deterministic collect: collect_set is unordered, so sort the
+    // array before emitting (the only hash-stable way to ship a
+    // collected group).
+    "agg_collect_sorted" -> { (s, dir) =>
+      table(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          array_join(sort_array(collect_set(col("l_linestatus"))), ",")
+            .as("statuses"),
+          array_join(sort_array(collect_set(col("l_suppkey"))), ",")
+            .as("suppliers"))
+        .orderBy("l_returnflag")
+    },
+
+    // Explicit cartesian product (crossJoin must be asked for by name).
+    "join_cross" -> { (s, dir) =>
+      val r1 = table(s, dir, "region")
+        .select(col("r_regionkey").as("a"), col("r_name").as("a_name"))
+      val r2 = table(s, dir, "region")
+        .select(col("r_regionkey").as("b"), col("r_name").as("b_name"))
+      r1.crossJoin(r2)
+        .select(col("a"), col("b"),
+          concat(col("a_name"), lit("-"), col("b_name")).as("pair"))
+        .orderBy("a", "b")
+    },
+
+    // first_value / last_value / nth_value over an explicit full frame
+    // (default frames make last_value a footgun — pin the frame).
+    "win_first_last" -> { (s, dir) =>
+      val full = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      table(s, dir, "orders")
+        .filter(col("o_custkey") % 200 === 0)
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          first(col("o_totalprice")).over(full).as("first_price"),
+          last(col("o_totalprice")).over(full).as("last_price"),
+          nth_value(col("o_totalprice"), 2).over(full).as("second_price"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // Math-function suite: exact ops raw; transcendentals rounded to
+    // 9 dp (libm last-ulp variance across engines).
+    "math_suite" -> { (s, dir) =>
+      table(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 1000 === 0)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          abs(col("l_quantity") - 25).as("abs_dev"),
+          signum(col("l_discount") - 0.05).as("sign_disc"),
+          pmod(col("l_linenumber"), lit(3)).as("mod3"),
+          ceil(col("l_quantity") / 7.0).as("ceil7"),
+          floor(col("l_quantity") / 7.0).as("floor7"),
+          round(sqrt(col("l_quantity")), 9).as("sqrt_qty"),
+          round(exp(col("l_discount")), 9).as("exp_disc"),
+          round(log(col("l_quantity") + 1.0), 9).as("ln_qty"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
     // Regex functions with dialect-safe patterns (plain digit classes
     // behave identically in Java regex and RE2): extract / replace /
     // match-flag over the JSON props string.
@@ -524,6 +584,44 @@ object RelationalOps {
         |           AS rnk
         |  FROM orders)
         |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin,
+
+    "agg_collect_sorted" ->
+      """SELECT l_returnflag,
+        |       array_to_string(list_sort(list(DISTINCT l_linestatus)), ',')
+        |         AS statuses,
+        |       array_to_string(list_sort(list(DISTINCT l_suppkey)), ',')
+        |         AS suppliers
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "join_cross" ->
+      """SELECT r1.r_regionkey AS a, r2.r_regionkey AS b,
+        |       r1.r_name || '-' || r2.r_name AS pair
+        |FROM region r1 CROSS JOIN region r2
+        |ORDER BY a, b""".stripMargin,
+
+    "win_first_last" ->
+      """SELECT o_custkey, o_orderkey,
+        |       first_value(o_totalprice) OVER w AS first_price,
+        |       last_value(o_totalprice) OVER w AS last_price,
+        |       nth_value(o_totalprice, 2) OVER w AS second_price
+        |FROM orders WHERE o_custkey % 200 = 0
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey ASC
+        |             ROWS BETWEEN UNBOUNDED PRECEDING
+        |               AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "math_suite" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       abs(l_quantity - 25) AS abs_dev,
+        |       CAST(sign(l_discount - 0.05) AS DOUBLE) AS sign_disc,
+        |       CAST(l_linenumber % 3 AS INTEGER) AS mod3,
+        |       CAST(ceil(l_quantity / 7.0) AS BIGINT) AS ceil7,
+        |       CAST(floor(l_quantity / 7.0) AS BIGINT) AS floor7,
+        |       round(sqrt(l_quantity), 9) AS sqrt_qty,
+        |       round(exp(l_discount), 9) AS exp_disc,
+        |       round(ln(l_quantity + 1.0), 9) AS ln_qty
+        |FROM lineitem WHERE l_orderkey % 1000 = 0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "regex_extract" ->
       """SELECT event_id,
