@@ -123,6 +123,16 @@ object RelationalOps {
         .orderBy("flag", "status")
     },
 
+    // Unpivot wide measures to long (measure, value) format via stack.
+    "unpivot_stack" -> { (s, dir) =>
+      table(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 1000 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          expr("stack(3, 'discount', l_discount, 'extendedprice', " +
+            "l_extendedprice, 'quantity', l_quantity) AS (measure, value)"))
+        .orderBy("l_orderkey", "l_linenumber", "measure")
+    },
+
     // Deterministic collect: collect_set is unordered, so sort the
     // array before emitting (the only hash-stable way to ship a
     // collected group).
@@ -584,6 +594,19 @@ object RelationalOps {
         |           AS rnk
         |  FROM orders)
         |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin,
+
+    "unpivot_stack" ->
+      """SELECT l_orderkey, l_linenumber, measure, value FROM (
+        |  SELECT l_orderkey, l_linenumber, 'discount' AS measure,
+        |         l_discount AS value FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'quantity', l_quantity
+        |  FROM lineitem)
+        |WHERE l_orderkey % 1000 = 0
+        |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
 
     "agg_collect_sorted" ->
       """SELECT l_returnflag,

@@ -1,0 +1,55 @@
+package graft
+
+import graft.core.Core
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bucketing: the pre-shuffle co-location story. Writing both join
+  * sides bucketed by the join key lets the sort-merge join read
+  * bucket-aligned files with NO Exchange on either side — at 100 TB
+  * this converts every recurring fact-fact join on that key from a
+  * full shuffle into a local merge. */
+class BucketedJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("bucketed-by-key tables join without a shuffle exchange") {
+    val dir = TestSpark.sfDir
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS ord_b")
+    Core.table(spark, dir, "lineitem")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("li_b")
+    Core.table(spark, dir, "orders")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("ord_b")
+
+    val joined = spark.table("li_b")
+      .join(spark.table("ord_b"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"))
+
+    val plan = joined.queryExecution.executedPlan.toString
+    // the join itself must run on bucket-aligned reads: no shuffle
+    // between the scans and the SortMergeJoin
+    assert(plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin"),
+      plan)
+    if (plan.contains("SortMergeJoin")) {
+      val beforeAgg = plan.substring(plan.indexOf("SortMergeJoin"))
+      assert(!beforeAgg.contains("Exchange hashpartitioning(l_orderkey"),
+        s"unexpected shuffle on bucketed side:\n$plan")
+      assert(!beforeAgg.contains("Exchange hashpartitioning(o_orderkey"),
+        s"unexpected shuffle on bucketed side:\n$plan")
+    }
+    // and it computes the right answer
+    val expected = Core.table(spark, dir, "lineitem")
+      .join(Core.table(spark, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = joined.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS ord_b")
+  }
+}
