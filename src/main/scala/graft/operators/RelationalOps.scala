@@ -123,6 +123,24 @@ object RelationalOps {
         .orderBy("flag", "status")
     },
 
+    // Map-typed columns used internally (scalar projections out — map
+    // column order/hashing is not a stable wire format).
+    "map_suite" -> { (s, dir) =>
+      val m = map_from_arrays(
+        array(lit("type"), lit("k")),
+        array(col("event_type"),
+          get_json_object(col("props"), "$.k")))
+      table(s, dir, "events")
+        .withColumn("m", m)
+        .select(
+          col("event_id"),
+          element_at(col("m"), "type").as("typ"),
+          element_at(col("m"), "k").as("k_str"),
+          size(col("m")).as("n_entries"),
+          array_join(map_keys(col("m")), ",").as("keys"))
+        .orderBy("event_id")
+    },
+
     // Unpivot wide measures to long (measure, value) format via stack.
     "unpivot_stack" -> { (s, dir) =>
       table(s, dir, "lineitem")
@@ -594,6 +612,18 @@ object RelationalOps {
         |           AS rnk
         |  FROM orders)
         |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin,
+
+    "map_suite" ->
+      """SELECT event_id,
+        |       m['type'][1] AS typ,
+        |       m['k'][1] AS k_str,
+        |       CAST(cardinality(m) AS INTEGER) AS n_entries,
+        |       array_to_string(map_keys(m), ',') AS keys
+        |FROM (SELECT event_id,
+        |        map(['type', 'k'],
+        |            [event_type, json_extract_string(props, '$.k')]) AS m
+        |      FROM events)
+        |ORDER BY event_id""".stripMargin,
 
     "unpivot_stack" ->
       """SELECT l_orderkey, l_linenumber, measure, value FROM (
