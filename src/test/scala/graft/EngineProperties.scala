@@ -1,0 +1,61 @@
+package graft
+
+import graft.functions.TextHash
+import org.scalacheck.{Gen, Prop, Properties}
+
+/** scalacheck properties for the pure arithmetic the engine's
+  * cross-engine determinism rests on (SURVEY §5.3). */
+object EngineProperties extends Properties("engine") {
+
+  /** Pure-Scala mirror of TextHash.tokHash (the Spark expression and
+    * DuckDB SQL are asserted against this in HashParitySpec). */
+  def tokHashRef(tok: String): Long =
+    tok.take(8).foldLeft(0L)((acc, c) => acc * 31 + c.toInt) + tok.length
+
+  val token: Gen[String] =
+    Gen.chooseNum(1, 14).flatMap(n =>
+      Gen.stringOfN(n, Gen.alphaLowerChar))
+
+  property("tokHash is positive and bounded below 2^50") =
+    Prop.forAll(token) { t =>
+      val h = tokHashRef(t)
+      h > 0 && h < (1L << 50)
+    }
+
+  /** For lowercase tokens of <= 8 chars the fold is injective (digit
+    * range 97..122 spans < base 31, and the +length term separates
+    * lengths), so distinct tokens must hash distinctly. */
+  property("tokHash is injective on short lowercase tokens") =
+    Prop.forAll(Gen.chooseNum(1, 8).flatMap(n =>
+      Gen.stringOfN(n, Gen.alphaLowerChar)), token) { (a, b) =>
+      a == b || b.length > 8 || tokHashRef(a) != tokHashRef(b)
+    }
+
+  property("minhash permutations stay in [0, P) for any base") =
+    Prop.forAll(Gen.chooseNum(0L, TextHash.P - 1),
+      Gen.chooseNum(0, TextHash.MinhashK - 1)) { (base, j) =>
+      val (a, b) = TextHash.perms(j)
+      val h = (a * base + b) % TextHash.P
+      h >= 0 && h < TextHash.P
+    }
+
+  property("cents round-trip is exact for 2-decimal values") =
+    Prop.forAll(Gen.chooseNum(0, 99999999), Gen.chooseNum(0, 99)) {
+      (units, c) =>
+        val x = units + c / 100.0
+        math.round(x * 100) == units.toLong * 100 + c
+    }
+
+  /** measure_text_spaced (weather.py:226-231) fencepost invariant:
+    * width(s) == sum(widths) + (len-1)*spacing for non-empty s. */
+  property("text width fold fencepost") =
+    Prop.forAll(Gen.alphaNumStr) { s =>
+      def w(c: Char) = c.toInt % 7 + 3
+      var width = 0
+      for (c <- s) width += w(c) + 1
+      val folded = if (width > 0) width - 1 else 0
+      val direct =
+        if (s.isEmpty) 0 else s.map(w).sum + (s.length - 1)
+      folded == direct
+    }
+}
