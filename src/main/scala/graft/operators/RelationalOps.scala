@@ -123,6 +123,15 @@ object RelationalOps {
         .orderBy("flag", "status")
     },
 
+    // Pagination: offset + limit over a total order.
+    "sort_paginate" -> { (s, dir) =>
+      table(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .offset(100)
+        .limit(20)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    },
+
     // Map-typed columns used internally (scalar projections out — map
     // column order/hashing is not a stable wire format).
     "map_suite" -> { (s, dir) =>
@@ -612,6 +621,11 @@ object RelationalOps {
         |           AS rnk
         |  FROM orders)
         |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin,
+
+    "sort_paginate" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC
+        |LIMIT 20 OFFSET 100""".stripMargin,
 
     "map_suite" ->
       """SELECT event_id,
