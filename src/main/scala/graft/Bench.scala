@@ -7,6 +7,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -16,19 +17,35 @@ object Bench {
       spark.range(1000000).selectExpr("sum(id)").collect()
       spark.read.parquet(s"$sfDir/region.parquet").count()
     } catch { case _: Throwable => }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Evaluate to a noop sink, not .count(): under count() Catalyst
+    // prunes every unreferenced projection (formatting, hashing, HOFs)
+    // and EliminateSorts drops the contract's total-order sorts, so
+    // count-based timings understate expression-heavy queries. The noop
+    // sink forces full evaluation of every output column — the same
+    // work Verify's parquet dump pays, minus the IO.
+    val timed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // per-query isolation: drop caches and collect garbage so one
       // allocation-heavy query can't tax its successors' timings
       spark.catalog.clearCache()
       System.gc()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          false
+        }
+      val sec = (System.nanoTime() - t0) / 1e9
+      // a failed query must never read as a fast one: record -1, not
+      // its time-to-failure, and list it under "errors"
+      (name, if (ok) sec else -1.0, ok)
+    }
+    val qs = timed.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errors = timed.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = timed.collect { case (_, v, true) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

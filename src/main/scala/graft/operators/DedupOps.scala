@@ -63,6 +63,110 @@ object DedupOps {
        |FROM (SELECT doc_id, unnest(list_distinct(
        |        string_split(lower(text), ' '))) AS tok FROM documents)""".stripMargin
 
+  /** Token-set Jaccard >= 0.6 near-dup pairs within `source` blocks,
+    * as a lazy relational set-similarity join (see the `dedup_near`
+    * entry in [[queries]]). */
+  def dedupNearRelational(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokSets(s, dir)
+      .select(col("doc_id"), col("source"), explode(col("toks")).as("tok"))
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    toks.select(col("source"), col("doc_id").as("a_id"), col("tok"))
+      .join(toks.select(col("source"), col("doc_id").as("b_id"), col("tok")),
+        Seq("source", "tok"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("a_sz")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("b_sz")), "b_id")
+      .withColumn("jaccard",
+        col("inter").cast(DoubleType)
+          / (col("a_sz") + col("b_sz") - col("inter")))
+      .filter(col("jaccard") >= 0.6)
+      .select("a_id", "b_id", "jaccard")
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Bitmask fast path for dedup_near: dictionary-encode each token set
+    * into ONE long and compute Jaccard as bit_count(a&b)/bit_count(a|b)
+    * — codegen'd integer ops, no per-pair set allocation. ONLY valid
+    * when the caller knows the vocabulary fits 63 bits (a table
+    * statistic, supplied explicitly rather than discovered by an eager
+    * driver-side count — plan construction must stay lazy). Results are
+    * bit-identical to [[dedupNearRelational]] on such corpora
+    * (asserted by DedupOpsSpec). */
+  def dedupNearBitmask(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokSets(s, dir)
+      .select(col("doc_id"), col("source"), explode(col("toks")).as("tok"))
+    val vocab = toks.select("tok").distinct()
+      .withColumn("idx", row_number().over(Window.orderBy("tok")) - 1)
+    val masks = toks.join(broadcast(vocab), "tok")
+      .groupBy("doc_id", "source")
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), idx)")).as("mask"))
+    val a = masks.select(col("source"), col("doc_id").as("a_id"),
+      col("mask").as("a_mask"))
+    val b = masks.select(col("source"), col("doc_id").as("b_id"),
+      col("mask").as("b_mask"))
+    a.join(b, Seq("source"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("jaccard",
+        bit_count(col("a_mask").bitwiseAND(col("b_mask"))).cast(DoubleType)
+          / bit_count(col("a_mask").bitwiseOR(col("b_mask"))))
+      .filter(col("jaccard") >= 0.6)
+      .select("a_id", "b_id", "jaccard")
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Bigram-shingle Jaccard >= 0.3 near-dup pairs within `source`
+    * blocks, as a relational set-similarity join: explode distinct
+    * shingles, equi-join on (source, shingle) to count the intersection
+    * per candidate pair, derive |A∪B| = |A|+|B|−|A∩B|. No arrays cross
+    * a shuffle, everything codegen's, and work is proportional to Σk²
+    * over shingle document frequencies k.
+    *
+    * The Σk² bound needs a guard: ONE shingle occurring in 1M docs
+    * would alone contribute 10¹² join rows. `maxDfFrac` drops shingles
+    * whose document frequency exceeds that fraction of the corpus
+    * (stop-shingle removal — ubiquitous shingles carry no near-dup
+    * signal anyway) from BOTH the intersection and the set sizes, so
+    * the Jaccard stays a true Jaccard over the kept-shingle universe.
+    * Both engines apply the identical cap (mirrored in the oracle SQL),
+    * and the default 0.1 lies above this corpus's max df (9.2% at
+    * sf0.01, 6.8% at sf0.1) so current results are unchanged. The hot
+    * set is computed lazily inside the plan (one agg, broadcast
+    * left_anti) — no driver-side action at build time. */
+  def dedupNgram(s: SparkSession, dir: String,
+      maxDfFrac: Double = 0.1): DataFrame = {
+    val ex = table(s, dir, "documents")
+      .withColumn("t", split(lower(col("text")), " "))
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(expr(
+          "transform(slice(t, 1, size(t) - 1), " +
+            "(x, i) -> concat(x, ' ', t[i + 1]))"))).as("g"))
+    val ndocs = table(s, dir, "documents").agg(count(lit(1)).as("ndocs"))
+    // shingles are distinct per doc, so count(*) == document frequency
+    val hot = ex.groupBy("g").agg(count(lit(1)).as("df"))
+      .crossJoin(ndocs)
+      .filter(col("df") > col("ndocs") * maxDfFrac)
+      .select("g")
+    val kept = ex.join(broadcast(hot), Seq("g"), "left_anti")
+    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = kept.select(col("source"), col("doc_id").as("a_id"), col("g"))
+      .join(kept.select(col("source"), col("doc_id").as("b_id"), col("g")),
+        Seq("source", "g"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("a_sz")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("b_sz")), "b_id")
+      .withColumn("jaccard",
+        col("inter").cast(DoubleType)
+          / (col("a_sz") + col("b_sz") - col("inter")))
+      .filter(col("jaccard") >= 0.3)
+      .select("a_id", "b_id", "jaccard")
+      .orderBy("a_id", "b_id")
+  }
+
   def queries: Map[String, Q] = Map(
     // Exact duplicate removal: keep-first by doc_id within identical
     // text (deterministic row_number, not dropDuplicates — SURVEY §7.3).
@@ -78,85 +182,21 @@ object DedupOps {
     // Near-dup pairs: token-set Jaccard >= 0.6, pairwise within source
     // blocks (exact baseline for the LSH variant).
     //
-    // Fast path: when the dictionary fits 64 bits (this corpus has ~31
-    // distinct words) each token set dictionary-encodes to one long and
-    // Jaccard becomes bit_count(a&b)/bit_count(a|b) — codegen'd integer
-    // ops, no per-pair array allocation. Falls back to array set-ops for
-    // larger vocabularies. Results are bit-identical either way, so the
-    // (array-based) DuckDB oracle covers both paths.
-    "dedup_near" -> { (s, dir) =>
-      val docs = tokSets(s, dir)
-      val toks = docs.select(col("doc_id"), col("source"),
-        explode(col("toks")).as("tok"))
-      val nVocab = toks.select("tok").distinct().count()
-      if (nVocab <= 63) {
-        val vocab = toks.select("tok").distinct()
-          .withColumn("idx",
-            row_number().over(Window.orderBy("tok")) - 1)
-        // cache: the self-join would otherwise recompute the whole
-        // scan->explode->encode subplan for each side (one long per doc)
-        val masks = toks.join(broadcast(vocab), "tok")
-          .groupBy("doc_id", "source")
-          .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), idx)")).as("mask"))
-          .cache()
-        val a = masks.select(col("source"), col("doc_id").as("a_id"),
-          col("mask").as("a_mask"))
-        val b = masks.select(col("source"), col("doc_id").as("b_id"),
-          col("mask").as("b_mask"))
-        a.join(b, Seq("source"))
-          .filter(col("a_id") < col("b_id"))
-          .withColumn("jaccard",
-            bit_count(col("a_mask").bitwiseAND(col("b_mask")))
-              .cast(DoubleType)
-              / bit_count(col("a_mask").bitwiseOR(col("b_mask"))))
-          .filter(col("jaccard") >= 0.6)
-          .select("a_id", "b_id", "jaccard")
-          .orderBy("a_id", "b_id")
-      } else {
-        val a = docs.select(col("source"), col("doc_id").as("a_id"),
-          col("toks").as("a_toks"))
-        val b = docs.select(col("source"), col("doc_id").as("b_id"),
-          col("toks").as("b_toks"))
-        a.join(b, Seq("source"))
-          .filter(col("a_id") < col("b_id"))
-          .withColumn("jaccard", jaccard(col("a_toks"), col("b_toks")))
-          .filter(col("jaccard") >= 0.6)
-          .select("a_id", "b_id", "jaccard")
-          .orderBy("a_id", "b_id")
-      }
-    },
+    // Expressed as a relational set-similarity join: explode distinct
+    // tokens, equi-join on (source, token) to count each candidate
+    // pair's intersection, derive |A∪B| = |A|+|B|−|A∩B|. Fully lazy
+    // (no driver-side action at plan-construction time — building the
+    // DataFrame runs ZERO Spark jobs, asserted by DedupOpsSpec), no
+    // arrays cross the shuffle, and work is ∝ Σk² over token document
+    // frequencies rather than block² — pairs sharing no token are never
+    // materialized. A pair with Jaccard >= 0.6 necessarily shares a
+    // token, so skipping empty intersections loses nothing.
+    "dedup_near" -> { (s, dir) => dedupNearRelational(s, dir) },
 
     // Near-dup pairs on bigram shingles (order-sensitive n-gram
-    // Jaccard), as a relational set-similarity join: explode distinct
-    // shingles, equi-join on (source, shingle) to count the
-    // intersection per candidate pair, derive |A∪B| = |A|+|B|-|A∩B|.
-    // No arrays cross a shuffle, everything codegen's, and work is
-    // proportional to Σ k² over shingle frequencies k (selective
-    // shingles => near-linear) — the shape that scales.
-    "dedup_ngram" -> { (s, dir) =>
-      val ex = table(s, dir, "documents")
-        .withColumn("t", split(lower(col("text")), " "))
-        .select(col("doc_id"), col("source"),
-          explode(array_distinct(expr(
-            "transform(slice(t, 1, size(t) - 1), " +
-              "(x, i) -> concat(x, ' ', t[i + 1]))"))).as("g"))
-      val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val inter = ex.select(col("source"), col("doc_id").as("a_id"), col("g"))
-        .join(ex.select(col("source"), col("doc_id").as("b_id"), col("g")),
-          Seq("source", "g"))
-        .filter(col("a_id") < col("b_id"))
-        .groupBy("a_id", "b_id")
-        .agg(count(lit(1)).as("inter"))
-      inter
-        .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("a_sz")), "a_id")
-        .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("b_sz")), "b_id")
-        .withColumn("jaccard",
-          col("inter").cast(DoubleType)
-            / (col("a_sz") + col("b_sz") - col("inter")))
-        .filter(col("jaccard") >= 0.3)
-        .select("a_id", "b_id", "jaccard")
-        .orderBy("a_id", "b_id")
-    },
+    // Jaccard), as a relational set-similarity join with a
+    // document-frequency cap (stop-shingle guard). See [[dedupNgram]].
+    "dedup_ngram" -> { (s, dir) => dedupNgram(s, dir) },
 
     // MinHash + LSH dedup: 16 permuted min-hashes per doc -> 4 bands of
     // 4 -> per-bucket keep-min canonical -> each doc's canonical = min
@@ -172,11 +212,17 @@ object DedupOps {
       val sig = docTokHash(s, dir)
         .groupBy("doc_id")
         .agg(minExprs.head, minExprs.tail: _*)
-      val banded = (0 until Bands).map { b =>
+      // single-pass banding: one inline-explode of (band, bkey) structs
+      // per signature row — the signature relation is read once, not
+      // re-scanned per band by a unionAll
+      val bandStructs = array((0 until Bands).map { b =>
         val ms = (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}"))
-        sig.select(col("doc_id"), lit(b).as("band"),
-          concat_ws("-", ms: _*).as("bkey"))
-      }.reduce(_ unionAll _)
+        struct(lit(b).as("band"), concat_ws("-", ms: _*).as("bkey"))
+      }: _*)
+      val banded = sig
+        .select(col("doc_id"), explode(bandStructs).as("bs"))
+        .select(col("doc_id"), col("bs.band").as("band"),
+          col("bs.bkey").as("bkey"))
       val bucketMin = banded.groupBy("band", "bkey")
         .agg(min(col("doc_id")).as("bmin"))
       val canon = banded.join(bucketMin, Seq("band", "bkey"))
@@ -201,6 +247,18 @@ object DedupOps {
 
     // SimHash: 31-bit sign-aggregated sketch per doc; near-dup pairs =
     // same-source pairs with Hamming distance <= 10.
+    //
+    // Candidate generation is banded LSH over the sketch bits, not
+    // all-pairs: split the 31 bits into 11 disjoint bands (10×3 bits +
+    // 1×1 bit). Pigeonhole: a pair with <= 10 differing bits leaves at
+    // least one of the 11 bands untouched, so it ALWAYS collides in
+    // some band — recall is exactly 1.0 and the pair set is identical
+    // to the all-pairs formulation (which remains the DuckDB oracle).
+    // Exact Hamming on the colliding candidates then removes false
+    // positives, and groupBy(a,b) dedupes multi-band collisions.
+    // (At this loose 10/31 threshold the bands are necessarily narrow;
+    // a production 64-bit/k<=3 config gets 4×16-bit bands and far more
+    // selective buckets — the shape is what matters here.)
     "dedup_simhash" -> { (s, dir) =>
       val bitSums = (0 until SimhashBits).map { j =>
         sum(when(shiftright(col("base"), j).bitwiseAND(lit(1L)) === 1L,
@@ -213,18 +271,28 @@ object DedupOps {
           (0 until SimhashBits)
             .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
             .reduce(_ + _).as("simhash"))
+      val nBands = 11
+      val bandStructs = array((0 until nBands).map { j =>
+        struct(lit(j).as("band"),
+          shiftright(col("simhash"), j * 3).bitwiseAND(lit(7L)).as("bbits"))
+      }: _*)
       val d = table(s, dir, "documents").select("doc_id", "source")
         .join(sketch, "doc_id")
-      val a = d.select(col("source"), col("doc_id").as("a_id"),
-        col("simhash").as("a_sh"))
-      val b = d.select(col("source"), col("doc_id").as("b_id"),
-        col("simhash").as("b_sh"))
-      a.join(b, Seq("source"))
+        .select(col("source"), col("doc_id"), col("simhash"),
+          explode(bandStructs).as("bs"))
+        .select(col("source"), col("doc_id"), col("simhash"),
+          col("bs.band").as("band"), col("bs.bbits").as("bbits"))
+      val a = d.select(col("source"), col("band"), col("bbits"),
+        col("doc_id").as("a_id"), col("simhash").as("a_sh"))
+      val b = d.select(col("source"), col("band"), col("bbits"),
+        col("doc_id").as("b_id"), col("simhash").as("b_sh"))
+      a.join(b, Seq("source", "band", "bbits"))
         .filter(col("a_id") < col("b_id"))
         .withColumn("hamming",
           bit_count(col("a_sh").bitwiseXOR(col("b_sh"))).cast(IntegerType))
         .filter(col("hamming") <= 10)
-        .select("a_id", "b_id", "hamming")
+        .groupBy("a_id", "b_id")
+        .agg(min(col("hamming")).as("hamming"))
         .orderBy("a_id", "b_id")
     })
 
@@ -258,16 +326,29 @@ object DedupOps {
            |ORDER BY a_id, b_id""".stripMargin,
 
       "dedup_ngram" ->
-        s"""WITH t AS (
-           |  SELECT doc_id, source, list_distinct(list_filter(
-           |    list_transform(string_split(lower(text), ' '),
-           |      (x, i) -> x || ' ' || string_split(lower(text), ' ')[i + 1]),
-           |    x -> x IS NOT NULL)) AS toks
-           |  FROM documents)
-           |SELECT a.doc_id AS a_id, b.doc_id AS b_id, $jaccardSql AS jaccard
-           |FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
-           |WHERE $jaccardSql >= 0.3
-           |ORDER BY a_id, b_id""".stripMargin,
+        """WITH ex AS (
+          |  SELECT doc_id, source, unnest(list_distinct(list_filter(
+          |    list_transform(string_split(lower(text), ' '),
+          |      (x, i) -> x || ' ' || string_split(lower(text), ' ')[i + 1]),
+          |    x -> x IS NOT NULL))) AS g
+          |  FROM documents),
+          |hot AS (SELECT g FROM (SELECT g, count(*) AS df FROM ex GROUP BY g)
+          |        WHERE df > (SELECT count(*) FROM documents) * 0.1),
+          |kept AS (SELECT * FROM ex WHERE g NOT IN (SELECT g FROM hot)),
+          |sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id),
+          |inter AS (
+          |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+          |  FROM kept a JOIN kept b
+          |    ON a.source = b.source AND a.g = b.g AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2)
+          |SELECT a_id, b_id, jaccard FROM (
+          |  SELECT a_id, b_id,
+          |         CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+          |  FROM inter
+          |  JOIN sizes sa ON sa.doc_id = a_id
+          |  JOIN sizes sb ON sb.doc_id = b_id)
+          |WHERE jaccard >= 0.3
+          |ORDER BY a_id, b_id""".stripMargin,
 
       "dedup_minhash_lsh" ->
         s"""WITH th AS ($docTokHashSql),

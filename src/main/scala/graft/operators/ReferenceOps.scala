@@ -83,8 +83,7 @@ object ReferenceOps {
       obs.select(
           col("event_id"),
           upper(col("event_type")).as("title"),
-          concat(format_string("%.0f", bround(col("value"))), lit("°"))
-            .as("temp_text"),
+          concat(pyFmt0f(col("value")), lit("°")).as("temp_text"),
           col("description"),
           WeatherDims.iconCol(col("code")).as("icon"),
           format_string("Chance of rain: %d%%", col("code")).as("rain_line"),
@@ -138,9 +137,8 @@ object ReferenceOps {
       obs.select(
           col("event_id"),
           when(col("temperature").isNull, lit("--"))
-            .otherwise(
-              concat(format_string("%.0f", bround(col("temperature"))),
-                lit("°"))).as("temp_text"))
+            .otherwise(concat(pyFmt0f(col("temperature")), lit("°")))
+            .as("temp_text"))
         .orderBy("event_id")
     },
 
@@ -207,8 +205,7 @@ object ReferenceOps {
           col("event_id"),
           format_string("HTTP %d: %s", col("code"), col("event_type"))
             .as("http_msg"),
-          concat(format_string("%.0f", bround(col("value"))), lit("°"))
-            .as("temp_str"),
+          concat(pyFmt0f(col("value")), lit("°")).as("temp_str"),
           format_string("Chance of rain: %d%%", col("code")).as("rain_msg"))
         .orderBy("event_id")
     },
@@ -366,9 +363,8 @@ object ReferenceOps {
       obs.select(
           col("event_id"),
           when(isErr, lit("--"))
-            .otherwise(
-              concat(format_string("%.0f", bround(col("value"))),
-                lit("°"))).as("temp_text"),
+            .otherwise(concat(pyFmt0f(col("value")), lit("°")))
+            .as("temp_text"),
           when(isErr, lit("Error: tick failed")).otherwise(col("description"))
             .as("description"),
           when(isErr, lit("unknown"))

@@ -58,24 +58,38 @@ object RelationalOps {
     },
 
     // As-of join: latest click at-or-before each purchase, per user.
-    // Equi-join on user_id + range filter + keep-latest row_number.
+    // The scale-safe as-of-without-join rewrite: union clicks+purchases
+    // into ONE stream of tagged events and take last(click, ignoreNulls)
+    // over an ordered per-user window. Linear, a single shuffle on
+    // user_id, no per-key fanout — the join formulation materializes
+    // clicks×purchases rows per user before pruning, which is quadratic
+    // on skewed human-behavior keys (a power user with 1e5 clicks and
+    // 1e3 purchases would emit 1e8 intermediate rows).
     "join_range_asof" -> { (s, dir) =>
       val e = table(s, dir, "events")
+        .filter(col("event_type").isin("click", "purchase"))
         .withColumn("us", unix_micros(col("ts")))
-      val p = e.filter(col("event_type") === "purchase")
-        .select(col("event_id").as("purchase_id"), col("user_id"),
-          col("us").as("purchase_us"))
-      val c = e.filter(col("event_type") === "click")
-        .select(col("event_id").as("click_id"),
-          col("user_id").as("c_user_id"), col("us").as("click_us"))
-      val w = Window.partitionBy("purchase_id")
-        .orderBy(col("click_us").desc, col("click_id").desc)
-      p.join(c,
-          col("user_id") === col("c_user_id") &&
-            col("click_us") <= col("purchase_us"), "left")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select("purchase_id", "purchase_us", "click_id", "click_us")
+      // kind=0 clicks, kind=1 purchases: at equal timestamps the click
+      // sorts first, so it is visible to the purchase's window frame
+      // (the original range predicate was click_us <= purchase_us,
+      // inclusive). event_id asc makes ties pick the max click_id, the
+      // same row the (click_us DESC, click_id DESC) row_number kept.
+      val tagged = e.select(
+        col("user_id"),
+        col("us"),
+        when(col("event_type") === "purchase", 1).otherwise(0).as("kind"),
+        col("event_id"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("us"), col("kind"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val clickId = when(col("kind") === 0, col("event_id"))
+      val clickUs = when(col("kind") === 0, col("us"))
+      tagged
+        .withColumn("click_id", last(clickId, ignoreNulls = true).over(w))
+        .withColumn("click_us", last(clickUs, ignoreNulls = true).over(w))
+        .filter(col("kind") === 1)
+        .select(col("event_id").as("purchase_id"),
+          col("us").as("purchase_us"), col("click_id"), col("click_us"))
         .orderBy("purchase_id")
     },
 

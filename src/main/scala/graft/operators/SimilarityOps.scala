@@ -62,6 +62,79 @@ object SimilarityOps {
   private val cosineSql =
     "round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 9)"
 
+  /** Deterministic k-means (Lloyd) coarse quantizer for IVF: k seed
+    * centroids = the k lowest-id vectors (seeded init), then `iters`
+    * fixed assign/recompute rounds. Every step is cross-engine exact:
+    * assignment uses the 9-dp-rounded cosine with a cid tiebreak (the
+    * scheme that already hash-matches DuckDB), and the centroid mean is
+    * computed from integer-quantized components (round(x*1e6) summed as
+    * longs — exact and shuffle-order independent, unlike a double sum —
+    * divided once back to double). The DuckDB oracle repeats the same
+    * algebra, so trained centroids are bitwise identical in both
+    * engines. At 100 TB the crossJoin stays n×k with broadcast
+    * centroids, and the component mean is a (cid, dim)-keyed partial
+    * agg — linear per iteration, no all-pairs anywhere. */
+  private[operators] def kmeansCentroids(e: DataFrame, k: Int,
+      iters: Int): DataFrame = {
+    var cents = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("v").as("cv"),
+        col("norm").as("cnorm"))
+    for (_ <- 0 until iters) {
+      val byVec = Window.partitionBy("vec_id")
+        .orderBy(col("ccos").desc, col("cid").asc)
+      val assign = e.select(col("vec_id"), col("v"), col("norm"))
+        .crossJoin(broadcast(cents))
+        .withColumn("ccos",
+          round(dot(col("v"), col("cv")) / (col("norm") * col("cnorm")), 9))
+        .withColumn("crn", row_number().over(byVec))
+        .filter(col("crn") === 1)
+        .select(col("cid"), col("v"))
+      val comps = assign
+        .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+        .withColumn("ec", round(col("x") * 1e6).cast(LongType))
+        .groupBy("cid", "dim")
+        .agg((sum(col("ec")) / (count(lit(1)) * 1e6)).as("comp"))
+      cents = comps.groupBy("cid")
+        .agg(array_sort(collect_list(struct(col("dim"), col("comp"))))
+          .as("dc"))
+        .select(col("cid"), expr("transform(dc, s -> s.comp)").as("cv"))
+        .withColumn("cnorm", sqrt(dot(col("cv"), col("cv"))))
+    }
+    cents
+  }
+
+  /** DuckDB mirror of [[kmeansCentroids]]: CTE chain c0 -> a1/m1/c1 ->
+    * ... -> c`iters`, ending in a CTE named `cents(cid, cv, cnorm)`.
+    * Assumes a prior CTE `e` with (vec_id, v, norm). */
+  private def kmeansSql(k: Int, iters: Int): String = {
+    val c0 =
+      s"""cents0 AS (SELECT vec_id AS cid, v AS cv, norm AS cnorm
+         |           FROM e WHERE vec_id < $k)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""assign$i AS (
+         |  SELECT cid, v FROM (
+         |    SELECT e.vec_id, e.v, c.cid,
+         |           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |             round(list_dot_product(e.v, c.cv)
+         |                   / (e.norm * c.cnorm), 9) DESC, c.cid ASC)
+         |             AS crn
+         |    FROM e CROSS JOIN cents${i - 1} c)
+         |  WHERE crn = 1),
+         |mean$i AS (
+         |  SELECT cid, dim, SUM(ec) / (COUNT(*) * 1000000.0) AS comp
+         |  FROM (SELECT cid, generate_subscripts(v, 1) AS dim,
+         |               CAST(round(unnest(v) * 1000000.0) AS BIGINT) AS ec
+         |        FROM assign$i)
+         |  GROUP BY cid, dim),
+         |cents$i AS (
+         |  SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cnorm
+         |  FROM (SELECT cid, list(comp ORDER BY dim) AS cv
+         |        FROM mean$i GROUP BY cid))""".stripMargin
+    }
+    (c0 +: steps).mkString(",\n") +
+      s",\ncents AS (SELECT * FROM cents$iters)"
+  }
+
   private def pairs(s: SparkSession, dir: String,
       joinKey: String): DataFrame = {
     val e = vecs(s, dir)
@@ -112,17 +185,15 @@ object SimilarityOps {
         .orderBy("a_id", "rank")
     },
 
-    // IVF-style ANN with data-derived centroids: the 10 lowest-id
-    // vectors act as the coarse quantizer (deterministic "k-means init"
-    // — at scale these would be trained centroids); every vector joins
-    // its nearest centroid's inverted list; queries probe their top-2
-    // centroid lists and rerank only those candidates by exact cosine,
-    // keeping top-3. Work scales with nprobe/k, not n².
+    // IVF-style ANN with TRAINED centroids: a deterministic seeded
+    // k-means (k=10, 2 Lloyd iterations — see [[kmeansCentroids]])
+    // builds the coarse quantizer; every vector joins its nearest
+    // centroid's inverted list; queries probe their top-2 centroid
+    // lists and rerank only those candidates by exact cosine, keeping
+    // top-3. Work scales with nprobe/k, not n².
     "sim_ivf_knn" -> { (s, dir) =>
       val e = vecs(s, dir)
-      val cents = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("cid"), col("v").as("cv"),
-          col("norm").as("cnorm"))
+      val cents = kmeansCentroids(e, k = 10, iters = 2)
       val affinity = e.select(col("vec_id"), col("v"), col("norm"))
         .crossJoin(broadcast(cents))
         .withColumn("ccos",
@@ -193,8 +264,7 @@ object SimilarityOps {
 
       "sim_ivf_knn" ->
         s"""WITH e AS ($vecsSql),
-           |cents AS (SELECT vec_id AS cid, v AS cv, norm AS cnorm
-           |          FROM e WHERE vec_id < 10),
+           |${kmeansSql(k = 10, iters = 2)},
            |aff AS (SELECT e.vec_id, e.v, e.norm, c.cid,
            |          round(list_dot_product(e.v, c.cv)
            |                / (e.norm * c.cnorm), 9) AS ccos

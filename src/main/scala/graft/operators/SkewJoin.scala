@@ -19,10 +19,21 @@ object SkewJoin {
 
   /** Equi-join `big ⋈ small` on big(bigKey) == small(smallKey), with the
     * big side salted into `salt` sub-partitions. `small` rows replicate
-    * `salt` times (keep it the dimension side). */
+    * `salt` times (keep it the dimension side).
+    *
+    * Only join types whose output rows are driven by the (unsalted) big
+    * side are allowed: inner, left/left_outer, left_semi, left_anti.
+    * A right/full outer join would emit each unmatched small-side row
+    * once PER SALT REPLICA, diverging from the unsalted join. */
   def saltedEquiJoin(big: DataFrame, small: DataFrame, bigKey: String,
       smallKey: String, salt: Int, joinType: String = "inner"): DataFrame = {
     require(salt > 0, "salt must be positive")
+    require(
+      Set("inner", "left", "left_outer", "leftouter", "left_semi",
+        "leftsemi", "left_anti", "leftanti")
+        .contains(joinType.toLowerCase.replace(" ", "")),
+      s"saltedEquiJoin does not preserve $joinType semantics: unmatched " +
+        "small-side rows would be duplicated once per salt replica")
     // distribution-only randomness: any stable per-row value works;
     // the salt never affects which rows match, only where they land.
     val saltedBig = big.withColumn("__salt",

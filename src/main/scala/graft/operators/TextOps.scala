@@ -183,15 +183,18 @@ object TextOps {
 
     // Document fingerprint: order-aware rolling hash over token hashes
     // (position-weighted sum mod P) — cheap near-identity for shingling
-    // and incremental dedup.
+    // and incremental dedup. The mod is applied INSIDE the fold so the
+    // accumulator stays < P + max_term: an end-only mod would overflow
+    // int64 past ~1e5 tokens, where DuckDB's list_sum promotes to
+    // HUGEINT but Spark's long wraps (or throws under ANSI).
     "txt_fingerprint" -> { (s, dir) =>
       toks(s, dir)
         .select(
           col("doc_id"),
-          (aggregate(
+          aggregate(
             transform(col("toks"),
               (t, i) => (TextHash.tokHash(t) % TextHash.P) * (i + 1)),
-            lit(0L), (acc, x) => acc + x) % TextHash.P).as("fingerprint"))
+            lit(0L), (acc, x) => (acc + x) % TextHash.P).as("fingerprint"))
         .orderBy("doc_id")
     })
 
@@ -276,10 +279,15 @@ object TextOps {
         |         t -> (length(t) + 3) // 4)) AS BIGINT) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // list_reduce folds left with the FIRST element as the initial
+    // accumulator; that matches Spark's 0-init fold because the first
+    // term (position weight 1) is already < P, so x1 ≡ (0+x1) % P.
+    // string_split never yields an empty list ('' -> ['']), so the
+    // empty-list error case of list_reduce cannot occur.
     "txt_fingerprint" ->
       s"""SELECT doc_id,
-         |  CAST(list_sum(list_transform(string_split(lower(text), ' '),
-         |    (t, i) -> (${TextHash.tokHashSql("t")} % ${TextHash.P}) * i))
-         |    % ${TextHash.P} AS BIGINT) AS fingerprint
+         |  CAST(list_reduce(list_transform(string_split(lower(text), ' '),
+         |    (t, i) -> (${TextHash.tokHashSql("t")} % ${TextHash.P}) * i),
+         |    (acc, x) -> (acc + x) % ${TextHash.P}) AS BIGINT) AS fingerprint
          |FROM documents ORDER BY doc_id""".stripMargin)
 }

@@ -154,7 +154,8 @@ class WeatherScan(schema: StructType, options: Map[String, String],
     new WeatherReaderFactory
 
   override def toMicroBatchStream(checkpoint: String): MicroBatchStream =
-    new WeatherMicroBatchStream(files, endpoint, schema, eqFilters, limit)
+    new WeatherMicroBatchStream(files, endpoint, schema, eqFilters,
+      notNullCols, limit)
 }
 
 case class WeatherPartition(path: String, endpoint: String,
@@ -249,7 +250,8 @@ case class WeatherOffset(index: Long) extends Offset {
 }
 
 class WeatherMicroBatchStream(files: Seq[String], endpoint: String,
-    schema: StructType, eqFilters: Map[String, String], limit: Int)
+    schema: StructType, eqFilters: Map[String, String],
+    notNullCols: Seq[String], limit: Int)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   override def prepareForTriggerAvailableNow(): Unit = ()
@@ -270,8 +272,11 @@ class WeatherMicroBatchStream(files: Seq[String], endpoint: String,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[WeatherOffset].index.toInt
     val e = end.asInstanceOf[WeatherOffset].index.toInt
+    // accepted pushdowns (eq AND not-null) apply to streaming reads the
+    // same as batch: pushFilters consumed them, so nothing else will
+    // re-check them post-scan
     files.slice(s, e).map(f =>
-      WeatherPartition(f, endpoint, schema.json, eqFilters, Seq.empty,
+      WeatherPartition(f, endpoint, schema.json, eqFilters, notNullCols,
         limit): InputPartition)
       .toArray
   }
