@@ -167,6 +167,22 @@ object DedupOps {
       .orderBy("a_id", "b_id")
   }
 
+  /** 31-bit sign-aggregated SimHash sketch per doc (doc_id, simhash);
+    * shared by the dedup_simhash query and its banding-exactness spec. */
+  private[graft] def simhashSketches(s: SparkSession, dir: String): DataFrame = {
+    val bitSums = (0 until SimhashBits).map { j =>
+      sum(when(shiftright(col("base"), j).bitwiseAND(lit(1L)) === 1L,
+        lit(1L)).otherwise(lit(-1L))).as(s"s$j")
+    }
+    docTokHash(s, dir)
+      .groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until SimhashBits)
+          .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+
   def queries: Map[String, Q] = Map(
     // Exact duplicate removal: keep-first by doc_id within identical
     // text (deterministic row_number, not dropDuplicates — SURVEY §7.3).
@@ -260,17 +276,7 @@ object DedupOps {
     // a production 64-bit/k<=3 config gets 4×16-bit bands and far more
     // selective buckets — the shape is what matters here.)
     "dedup_simhash" -> { (s, dir) =>
-      val bitSums = (0 until SimhashBits).map { j =>
-        sum(when(shiftright(col("base"), j).bitwiseAND(lit(1L)) === 1L,
-          lit(1L)).otherwise(lit(-1L))).as(s"s$j")
-      }
-      val sketch = docTokHash(s, dir)
-        .groupBy("doc_id")
-        .agg(bitSums.head, bitSums.tail: _*)
-        .select(col("doc_id"),
-          (0 until SimhashBits)
-            .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-            .reduce(_ + _).as("simhash"))
+      val sketch = simhashSketches(s, dir)
       val nBands = 11
       val bandStructs = array((0 until nBands).map { j =>
         struct(lit(j).as("band"),

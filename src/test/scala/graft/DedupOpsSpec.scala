@@ -1,0 +1,154 @@
+package graft
+
+import graft.operators.{DedupOps, RelationalOps}
+import org.apache.spark.sql.catalyst.plans.logical.Join
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-2 guarantees for the dedup family and the as-of join:
+  * lazy plan construction, bitmask/relational parity, the stop-shingle
+  * document-frequency cap, banded-SimHash exactness, and the
+  * join-free as-of plan. */
+class DedupOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("dedup_near/dedup_ngram plan construction runs no data-scan jobs") {
+    // spark.read.parquet launches one footer-read job per table() call
+    // for schema inference — the unavoidable cost of ANY lazy builder.
+    // The round-1 defect was a full scan+explode+shuffle count() at
+    // build time; assert build cost is now exactly the footer reads of
+    // a trivially-lazy plan over the same table.
+    def jobsDuring(f: => Unit): Int = {
+      val t = spark.sparkContext.statusTracker
+      val before = t.getJobIdsForGroup(null).length
+      f
+      t.getJobIdsForGroup(null).length - before
+    }
+    val perTable = jobsDuring {
+      graft.core.Core.table(spark, TestSpark.sfDir, "documents")
+        .select("doc_id")
+    }
+    val near = jobsDuring {
+      DedupOps.queries("dedup_near")(spark, TestSpark.sfDir)
+    }
+    val ngram = jobsDuring {
+      DedupOps.queries("dedup_ngram")(spark, TestSpark.sfDir)
+    }
+    assert(near <= perTable,
+      s"dedup_near build ran $near jobs vs $perTable for a bare read")
+    assert(ngram <= 2 * perTable, // reads documents twice (shingles+count)
+      s"dedup_ngram build ran $ngram jobs vs $perTable for a bare read")
+  }
+
+  test("bitmask fast path == relational dedup_near on a small-vocab corpus") {
+    val rel = DedupOps.dedupNearRelational(spark, TestSpark.sfDir)
+      .collect().map(_.toSeq).toSeq
+    val bit = DedupOps.dedupNearBitmask(spark, TestSpark.sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(rel.nonEmpty, "corpus should contain near-dup pairs")
+    assert(rel == bit)
+  }
+
+  test("dedup_ngram df cap: default does not bind on this corpus") {
+    val capped = DedupOps.dedupNgram(spark, TestSpark.sfDir)
+      .collect().map(_.toSeq).toSeq
+    val uncapped = DedupOps.dedupNgram(spark, TestSpark.sfDir, maxDfFrac = 1.0)
+      .collect().map(_.toSeq).toSeq
+    assert(capped.nonEmpty)
+    assert(capped == uncapped)
+  }
+
+  test("dedup_ngram df cap drops a synthetic ubiquitous shingle") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_hot").toString
+    // every doc ends with the hot shingle "the end"; otherwise unique
+    val docs = (0 until 40).map { i =>
+      (i.toLong, s"u$i v$i w$i the end", "en", "web", 0L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // uncapped: every pair shares {"the end"}; jaccard = 1/7 < 0.3 for
+    // these 4-shingle docs, so raise the shared signal: make 2 docs
+    // real near-dups too
+    val uncapped = DedupOps.dedupNgram(spark, dir, maxDfFrac = 1.0).count()
+    val capped = DedupOps.dedupNgram(spark, dir, maxDfFrac = 0.5).count()
+    // with the cap the df=40/40 shingle is dropped -> no candidate rows
+    // at all; without it the equi-join materializes all C(40,2) pairs
+    assert(capped == 0)
+    assert(uncapped == 0, "sub-threshold pairs must also be filtered")
+    // bounded join size is observable on the candidate relation itself:
+    // rebuild the pair-count stage with and without the cap
+    def candidateRows(frac: Double): Long = {
+      val ex = graft.core.Core.table(spark, dir, "documents")
+        .withColumn("t", split(lower(col("text")), " "))
+        .select(col("doc_id"), col("source"),
+          explode(array_distinct(expr(
+            "transform(slice(t, 1, size(t) - 1), " +
+              "(x, i) -> concat(x, ' ', t[i + 1]))"))).as("g"))
+      val ndocs = graft.core.Core.table(spark, dir, "documents")
+        .agg(count(lit(1)).as("ndocs"))
+      val hot = ex.groupBy("g").agg(count(lit(1)).as("df"))
+        .crossJoin(ndocs).filter(col("df") > col("ndocs") * frac).select("g")
+      val kept = ex.join(broadcast(hot), Seq("g"), "left_anti")
+      kept.select(col("source"), col("doc_id").as("a_id"), col("g"))
+        .join(kept.select(col("source"), col("doc_id").as("b_id"), col("g")),
+          Seq("source", "g"))
+        .filter(col("a_id") < col("b_id"))
+        .count()
+    }
+    assert(candidateRows(1.0) == 40L * 39 / 2) // hot shingle: all pairs
+    assert(candidateRows(0.5) == 0)            // cap: join bounded
+  }
+
+  test("banded SimHash emits the identical pair set as all-pairs") {
+    val banded = DedupOps.queries("dedup_simhash")(spark, TestSpark.sfDir)
+      .collect().map(_.toSeq).toSeq
+    // reference: all-pairs join over the same sketches
+    val d = graft.core.Core.table(spark, TestSpark.sfDir, "documents")
+      .select("doc_id", "source")
+      .join(DedupOps.simhashSketches(spark, TestSpark.sfDir), "doc_id")
+    val a = d.select(col("source"), col("doc_id").as("a_id"),
+      col("simhash").as("a_sh"))
+    val b = d.select(col("source"), col("doc_id").as("b_id"),
+      col("simhash").as("b_sh"))
+    val allPairs = a.join(b, Seq("source"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("hamming", bit_count(col("a_sh").bitwiseXOR(col("b_sh")))
+        .cast("int"))
+      .filter(col("hamming") <= 10)
+      .select("a_id", "b_id", "hamming")
+      .orderBy("a_id", "b_id")
+      .collect().map(_.toSeq).toSeq
+    assert(banded.nonEmpty)
+    assert(banded == allPairs)
+  }
+
+  test("as-of join: no Join node, single window, parity with join form") {
+    val df = RelationalOps.queries("join_range_asof")(spark, TestSpark.sfDir)
+    val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+    assert(joins.isEmpty, "as-of rewrite must not contain a join")
+
+    // parity vs the classic join+row_number formulation
+    val e = graft.core.Core.table(spark, TestSpark.sfDir, "events")
+      .withColumn("us", unix_micros(col("ts")))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("us").as("purchase_us"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"),
+        col("user_id").as("c_user_id"), col("us").as("click_us"))
+    val w = Window.partitionBy("purchase_id")
+      .orderBy(col("click_us").desc, col("click_id").desc)
+    val joined = p.join(c,
+        col("user_id") === col("c_user_id") &&
+          col("click_us") <= col("purchase_us"), "left")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("purchase_id", "purchase_us", "click_id", "click_us")
+      .orderBy("purchase_id")
+      .collect().map(_.toSeq).toSeq
+    val unioned = df.collect().map(_.toSeq).toSeq
+    assert(unioned.nonEmpty)
+    assert(unioned == joined)
+  }
+}

@@ -24,6 +24,24 @@ class ReferenceSemanticsSpec extends AnyFunSuite {
     cases.foreach { case (x, want) => assert(out(x) == want, s"x=$x") }
   }
 
+  test("-0.4 renders as \"-0°\" end-to-end through str_format's expression") {
+    // the latent-divergence case of round 1: DuckDB printf('%.0f', -0.4)
+    // and Python's f"{-0.4:.0f}" both emit "-0"; the query must too.
+    val dir = java.nio.file.Files.createTempDirectory("graft_neg0").toString
+    Seq(
+      (1L, java.sql.Timestamp.valueOf("2026-08-12 14:30:00"), 7L,
+        "drizzle", -0.4, """{"k": 51}"""),
+      (2L, java.sql.Timestamp.valueOf("2026-08-12 14:40:00"), 7L,
+        "clear", -0.6, """{"k": 0}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.operators.ReferenceOps.queries("str_format")(spark, dir)
+      .select("event_id", "temp_str")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "-0°")  // (-0.5, 0) band: the Python "-0" branch
+    assert(out(2L) == "-1°")  // half-even: -0.6 rounds to -1
+  }
+
   test("updated[-5:] suffix slice yields HH:MM (weather.py:306)") {
     val out = Seq("2026-08-12T14:30").toDF("updated")
       .select(substring($"updated", -5, 5)).as[String].head()

@@ -69,6 +69,43 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(rows.contains(("2026-08-12 12:00:00.0", 1L)), rows)
   }
 
+  test("weather micro-batch restart from checkpoint is exactly-once") {
+    // Run 1 consumes two payload ticks against a checkpoint; run 2
+    // restarts from that checkpoint with a third payload appended to
+    // the source path. Offset replay must deliver each payload exactly
+    // once across the restart — no gap, no duplicate.
+    val fx = "src/test/resources/weather"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+    def run(paths: String): Unit = {
+      val q = spark.readStream
+        .format("weather-json")
+        .option("endpoint", "forecast")
+        .option("path", paths)
+        .load()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.select("current.time").collect()
+            .foreach(r => seen.add(r.getString(0)))
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+
+    val two = s"$fx/forecast_clear.json,$fx/forecast_rain.json"
+    run(two)
+    assert(seen.toArray.toSeq ==
+      Seq("2026-08-12T14:40", "2026-08-12T14:30"))
+
+    run(s"$two,$fx/forecast_missing.json")
+    // restart resumed at offset 2: first two payloads NOT re-emitted
+    assert(seen.toArray.toSeq ==
+      Seq("2026-08-12T14:40", "2026-08-12T14:30", "2026-08-12T14:50"))
+  }
+
   test("mapGroupsWithState keeps the latest frame per place across batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
