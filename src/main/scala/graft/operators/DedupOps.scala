@@ -276,31 +276,98 @@ object DedupOps {
     // a production 64-bit/k<=3 config gets 4×16-bit bands and far more
     // selective buckets — the shape is what matters here.)
     "dedup_simhash" -> { (s, dir) =>
-      val sketch = simhashSketches(s, dir)
-      val nBands = 11
-      val bandStructs = array((0 until nBands).map { j =>
-        struct(lit(j).as("band"),
-          shiftright(col("simhash"), j * 3).bitwiseAND(lit(7L)).as("bbits"))
-      }: _*)
-      val d = table(s, dir, "documents").select("doc_id", "source")
-        .join(sketch, "doc_id")
-        .select(col("source"), col("doc_id"), col("simhash"),
-          explode(bandStructs).as("bs"))
-        .select(col("source"), col("doc_id"), col("simhash"),
-          col("bs.band").as("band"), col("bs.bbits").as("bbits"))
-      val a = d.select(col("source"), col("band"), col("bbits"),
-        col("doc_id").as("a_id"), col("simhash").as("a_sh"))
-      val b = d.select(col("source"), col("band"), col("bbits"),
-        col("doc_id").as("b_id"), col("simhash").as("b_sh"))
-      a.join(b, Seq("source", "band", "bbits"))
-        .filter(col("a_id") < col("b_id"))
-        .withColumn("hamming",
-          bit_count(col("a_sh").bitwiseXOR(col("b_sh"))).cast(IntegerType))
-        .filter(col("hamming") <= 10)
+      simhashPairs(s, dir).orderBy("a_id", "b_id")
+    },
+
+    // Near-dup cluster canonicalization: connected components over the
+    // SimHash near-dup edge set via bounded label propagation — each
+    // round every doc takes the min cluster label among itself and its
+    // neighbors (3 unrolled rounds; exact for components of diameter
+    // <= 3, and this corpus's near-dup clusters are dense so 3 rounds
+    // converge — asserted in DedupOpsSpec by round-4 idempotence). The
+    // decision output a real pipeline needs: doc -> canonical cluster,
+    // one row per doc, no pair listing. Each round is two equi-joins +
+    // a min agg on the (sparse) edge list — linear in |E| per round,
+    // and min-label propagation is exact associative integer work, so
+    // the DuckDB oracle reproduces it bit-for-bit.
+    "dedup_cluster_cc" -> { (s, dir) => dedupClusterCC(s, dir) },
+
+    // Directional token containment |A∩B|/|A| >= 0.9 within source
+    // blocks: catches subset/boilerplate duplication (doc A nearly
+    // contained in B) that symmetric Jaccard misses — e.g. a page vs
+    // the page plus navigation chrome. Same lazy relational
+    // set-similarity shape as dedup_near; both (a,b) and (b,a) emit
+    // when containment holds in that direction.
+    "txt_containment" -> { (s, dir) =>
+      val toks = tokSets(s, dir)
+        .select(col("doc_id"), col("source"), explode(col("toks")).as("tok"))
+      val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      toks.select(col("source"), col("doc_id").as("a_id"), col("tok"))
+        .join(toks.select(col("source"), col("doc_id").as("b_id"), col("tok")),
+          Seq("source", "tok"))
+        .filter(col("a_id") =!= col("b_id"))
         .groupBy("a_id", "b_id")
-        .agg(min(col("hamming")).as("hamming"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("a_sz")),
+          "a_id")
+        .withColumn("containment",
+          col("inter").cast(DoubleType) / col("a_sz"))
+        .filter(col("containment") >= 0.9)
+        .select("a_id", "b_id", "containment")
         .orderBy("a_id", "b_id")
     })
+
+  /** Banded-LSH SimHash near-dup pairs (a_id < b_id, hamming <= 10);
+    * shared by dedup_simhash and the cluster operator. */
+  private def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val sketch = simhashSketches(s, dir)
+    val nBands = 11
+    val bandStructs = array((0 until nBands).map { j =>
+      struct(lit(j).as("band"),
+        shiftright(col("simhash"), j * 3).bitwiseAND(lit(7L)).as("bbits"))
+    }: _*)
+    val d = table(s, dir, "documents").select("doc_id", "source")
+      .join(sketch, "doc_id")
+      .select(col("source"), col("doc_id"), col("simhash"),
+        explode(bandStructs).as("bs"))
+      .select(col("source"), col("doc_id"), col("simhash"),
+        col("bs.band").as("band"), col("bs.bbits").as("bbits"))
+    val a = d.select(col("source"), col("band"), col("bbits"),
+      col("doc_id").as("a_id"), col("simhash").as("a_sh"))
+    val b = d.select(col("source"), col("band"), col("bbits"),
+      col("doc_id").as("b_id"), col("simhash").as("b_sh"))
+    a.join(b, Seq("source", "band", "bbits"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("hamming",
+        bit_count(col("a_sh").bitwiseXOR(col("b_sh"))).cast(IntegerType))
+      .filter(col("hamming") <= 10)
+      .groupBy("a_id", "b_id")
+      .agg(min(col("hamming")).as("hamming"))
+  }
+
+  /** Bounded-diameter connected components over the SimHash edge set
+    * (see the `dedup_cluster_cc` entry in [[queries]]). */
+  def dedupClusterCC(s: SparkSession, dir: String,
+      rounds: Int = 3): DataFrame = {
+    val p = simhashPairs(s, dir)
+    val edges = p.select(col("a_id").as("n"), col("b_id").as("m"))
+      .unionAll(p.select(col("b_id").as("n"), col("a_id").as("m")))
+    var labels = table(s, dir, "documents")
+      .select(col("doc_id"), col("doc_id").as("cluster"))
+    for (_ <- 0 until rounds) {
+      val nbr = edges
+        .join(labels.select(col("doc_id").as("m"), col("cluster").as("mc")),
+          "m")
+        .groupBy("n").agg(min(col("mc")).as("nbr_min"))
+      labels = labels
+        .join(nbr.select(col("n").as("doc_id"), col("nbr_min")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
+            .as("cluster"))
+    }
+    labels.orderBy("doc_id")
+  }
 
   def oracleSql: Map[String, String] = {
     val minCols = (0 until MinhashK)
@@ -316,6 +383,20 @@ object DedupOps {
     val bitVal = (0 until SimhashBits)
       .map(j => s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END")
       .mkString(" + ")
+    // all-pairs formulation (banded Spark plan proven identical in
+    // DedupOpsSpec); shared by dedup_simhash and dedup_cluster_cc
+    val simhashPairsCte =
+      s"""th AS ($docTokHashSql),
+         |bits AS (SELECT doc_id, $bitSums FROM th GROUP BY doc_id),
+         |sk AS (SELECT doc_id, CAST($bitVal AS BIGINT) AS simhash FROM bits),
+         |d AS (SELECT doc_id, source, simhash
+         |      FROM documents JOIN sk USING (doc_id)),
+         |pairs AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |         CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER)
+         |           AS hamming
+         |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 10)""".stripMargin
 
     Map(
       "dedup_exact" ->
@@ -378,16 +459,44 @@ object DedupOps {
            |ORDER BY c.doc_id""".stripMargin,
 
       "dedup_simhash" ->
-        s"""WITH th AS ($docTokHashSql),
-           |bits AS (SELECT doc_id, $bitSums FROM th GROUP BY doc_id),
-           |sk AS (SELECT doc_id, CAST($bitVal AS BIGINT) AS simhash FROM bits),
-           |d AS (SELECT doc_id, source, simhash
-           |      FROM documents JOIN sk USING (doc_id))
-           |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-           |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER)
-           |         AS hamming
-           |FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
-           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
+        s"""WITH $simhashPairsCte
+           |SELECT a_id, b_id, hamming FROM pairs
+           |ORDER BY a_id, b_id""".stripMargin,
+
+      "dedup_cluster_cc" -> {
+        // 3 unrolled min-label-propagation rounds over the pair CTE
+        val rounds = (1 to 3).map { i =>
+          s"""nbr$i AS (SELECT e.n, min(x.cluster) AS nbr_min
+             |  FROM edges e JOIN l${i - 1} x ON x.doc_id = e.m GROUP BY e.n),
+             |l$i AS (SELECT l.doc_id,
+             |  least(l.cluster, coalesce(nb.nbr_min, l.cluster)) AS cluster
+             |  FROM l${i - 1} l LEFT JOIN nbr$i nb ON nb.n = l.doc_id)"""
+            .stripMargin
+        }.mkString(",\n")
+        s"""WITH $simhashPairsCte,
+           |edges AS (SELECT a_id AS n, b_id AS m FROM pairs
+           |          UNION ALL SELECT b_id, a_id FROM pairs),
+           |l0 AS (SELECT doc_id, doc_id AS cluster FROM documents),
+           |$rounds
+           |SELECT doc_id, cluster FROM l3 ORDER BY doc_id""".stripMargin
+      },
+
+      "txt_containment" ->
+        s"""WITH ex AS (
+           |  SELECT doc_id, source, unnest(list_distinct(
+           |    string_split(lower(text), ' '))) AS tok
+           |  FROM documents),
+           |sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id),
+           |inter AS (
+           |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+           |  FROM ex a JOIN ex b
+           |    ON a.source = b.source AND a.tok = b.tok
+           |       AND a.doc_id <> b.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT a_id, b_id, containment FROM (
+           |  SELECT a_id, b_id, CAST(inter AS DOUBLE) / sa.sz AS containment
+           |  FROM inter JOIN sizes sa ON sa.doc_id = a_id)
+           |WHERE containment >= 0.9
            |ORDER BY a_id, b_id""".stripMargin)
   }
 }

@@ -85,8 +85,10 @@ object RelationalOps {
       val clickId = when(col("kind") === 0, col("event_id"))
       val clickUs = when(col("kind") === 0, col("us"))
       tagged
-        .withColumn("click_id", last(clickId, ignoreNulls = true).over(w))
-        .withColumn("click_us", last(clickUs, ignoreNulls = true).over(w))
+        // both window expressions in ONE select -> one Window operator
+        .select(col("*"),
+          last(clickId, ignoreNulls = true).over(w).as("click_id"),
+          last(clickUs, ignoreNulls = true).over(w).as("click_us"))
         .filter(col("kind") === 1)
         .select(col("event_id").as("purchase_id"),
           col("us").as("purchase_us"), col("click_id"), col("click_us"))
@@ -544,6 +546,23 @@ object RelationalOps {
         .orderBy("window_start", "event_type")
     },
 
+    // Sliding (hopping) window aggregate: 10-minute windows every 5
+    // minutes — each event lands in exactly two overlapping windows.
+    // The batch-checkable shape of a streaming hopping-window groupBy;
+    // the oracle reproduces Spark's epoch-aligned window starts by
+    // unnesting the two 5-minute buckets each event belongs to.
+    "stream_sliding" -> { (s, dir) =>
+      table(s, dir, "events")
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"))
+        .agg(count(lit(1)).as("n"),
+          (sum(cents(col("value"))) / 100.0).as("sum_value"))
+        .select(
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("window_start"),
+          col("n"), col("sum_value"))
+        .orderBy("window_start")
+    },
+
     // JSON path extraction from a string column (get_json_object path;
     // src_http_json covers the schema'd from_json path).
     "json_extract" -> { (s, dir) =>
@@ -896,6 +915,18 @@ object RelationalOps {
         |       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
         |         / 100.0 AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "stream_sliding" ->
+      """SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |         / 100.0 AS sum_value
+        |FROM (SELECT unnest([
+        |        time_bucket(INTERVAL '5 minutes', ts),
+        |        time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes'
+        |      ]) AS wstart, value
+        |      FROM events)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "json_extract" ->
       """SELECT event_id,

@@ -219,6 +219,26 @@ object SimilarityOps {
         .orderBy("a_id", "rank")
     },
 
+    // K-means cluster assignment as a first-class operator: each vector
+    // with its trained centroid id and affinity — the embedding-space
+    // partitioning step of a curation pipeline (cluster-balanced
+    // sampling, per-cluster quotas, topic pruning). Reuses the same
+    // deterministic quantizer as sim_ivf_knn; linear n×k work.
+    "sim_centroid_assign" -> { (s, dir) =>
+      val e = vecs(s, dir)
+      val cents = kmeansCentroids(e, k = 10, iters = 2)
+      val byVec = Window.partitionBy("vec_id")
+        .orderBy(col("ccos").desc, col("cid").asc)
+      e.select(col("vec_id"), col("v"), col("norm"))
+        .crossJoin(broadcast(cents))
+        .withColumn("ccos",
+          round(dot(col("v"), col("cv")) / (col("norm") * col("cnorm")), 9))
+        .withColumn("crn", row_number().over(byVec))
+        .filter(col("crn") === 1)
+        .select(col("vec_id"), col("cid"), col("ccos"))
+        .orderBy("vec_id")
+    },
+
     // Embedding-cosine near-duplicate pairs within label blocks.
     "dedup_embed" -> { (s, dir) =>
       pairs(s, dir, "label")
@@ -286,6 +306,18 @@ object SimilarityOps {
            |           ORDER BY cos DESC, b_id ASC) AS INTEGER) AS rank
            |  FROM cand)
            |WHERE rank <= 3 ORDER BY a_id, rank""".stripMargin,
+
+      "sim_centroid_assign" ->
+        s"""WITH e AS ($vecsSql),
+           |${kmeansSql(k = 10, iters = 2)},
+           |aff AS (SELECT e.vec_id, c.cid,
+           |          round(list_dot_product(e.v, c.cv)
+           |                / (e.norm * c.cnorm), 9) AS ccos
+           |        FROM e CROSS JOIN cents c)
+           |SELECT vec_id, cid, ccos FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+           |    ORDER BY ccos DESC, cid ASC) AS crn FROM aff)
+           |WHERE crn = 1 ORDER BY vec_id""".stripMargin,
 
       "dedup_embed" ->
         s"""WITH e AS ($vecsSql)

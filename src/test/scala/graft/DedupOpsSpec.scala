@@ -123,6 +123,18 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(banded == allPairs)
   }
 
+  test("cluster label propagation converges in 3 rounds on this corpus") {
+    val r3 = DedupOps.dedupClusterCC(spark, TestSpark.sfDir, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val r4 = DedupOps.dedupClusterCC(spark, TestSpark.sfDir, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r3 == r4, "round 4 changed labels: diameter > 3, raise rounds")
+    // a real clustering: at least one non-singleton cluster, and every
+    // cluster id is a member doc's id (the component minimum)
+    assert(r3.values.toSet.size < r3.size)
+    assert(r3.values.forall(c => r3.contains(c) && r3(c) == c))
+  }
+
   test("as-of join: no Join node, single window, parity with join form") {
     val df = RelationalOps.queries("join_range_asof")(spark, TestSpark.sfDir)
     val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
