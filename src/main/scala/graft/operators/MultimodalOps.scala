@@ -85,6 +85,26 @@ object MultimodalOps {
         .orderBy("doc_id")
     },
 
+    // Audio-style OVERLAPPING frame windows: 16-byte frames every 8
+    // bytes (50% overlap — the STFT framing an audio pipeline applies
+    // before spectral features), with a per-frame byte-sum "energy" in
+    // place of the codec'd spectrum. Offsets explode, payload doesn't.
+    "multimodal_audio_hop" -> { (s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(1), length(col("text")), lit(8))).as("pos"))
+        .withColumn("frame", expr("substring(text, pos, 16)"))
+        .select(
+          col("doc_id"), col("pos").cast(IntegerType).as("pos"),
+          octet_length(encode(col("frame"), "UTF-8")).as("frame_len"),
+          aggregate(
+            filter(split(col("frame"), ""), c => c =!= lit("")),
+            lit(0L), (acc, c) => acc + ascii(c).cast(LongType))
+            .as("energy"),
+          lower(hex(encode(col("frame"), "UTF-8"))).as("frame_hex"))
+        .orderBy("doc_id", "pos")
+    },
+
     // Frame sampling: one 8-byte window every 64 bytes of the payload —
     // bounded offset explosion, payload never shuffled exploded.
     "multimodal_frames" -> { (s, dir) =>
@@ -126,6 +146,19 @@ object MultimodalOps {
         |       substr(lower(hex(encode(text))), 1, 16) AS head_hex,
         |       md5(text) AS digest
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "multimodal_audio_hop" ->
+      """SELECT doc_id, CAST(pos AS INTEGER) AS pos,
+        |       CAST(octet_length(encode(substr(text, pos, 16))) AS INTEGER)
+        |         AS frame_len,
+        |       CAST(COALESCE(list_sum(list_transform(
+        |         string_split(substr(text, pos, 16), ''),
+        |         c -> CAST(unicode(c) AS BIGINT))), 0) AS BIGINT) AS energy,
+        |       lower(hex(encode(substr(text, pos, 16)))) AS frame_hex
+        |FROM (SELECT doc_id, text,
+        |        unnest(generate_series(1, length(text), 8)) AS pos
+        |      FROM documents)
+        |ORDER BY doc_id, pos""".stripMargin,
 
     "multimodal_frames" ->
       """SELECT doc_id, CAST(pos AS INTEGER) AS pos,
