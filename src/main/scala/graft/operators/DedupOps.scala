@@ -317,9 +317,11 @@ object DedupOps {
         .orderBy("a_id", "b_id")
     })
 
-  /** Banded-LSH SimHash near-dup pairs (a_id < b_id, hamming <= 10);
-    * shared by dedup_simhash and the cluster operator. */
-  private def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+  /** Banded bucket join over SimHash sketches: verified near-dup pairs
+    * with `pred` deciding the id predicate (a<b for the pair listing,
+    * a≠b for the symmetric edge list). */
+  private def simhashJoin(s: SparkSession, dir: String,
+      pred: (Column, Column) => Column): DataFrame = {
     val sketch = simhashSketches(s, dir)
     val nBands = 11
     val bandStructs = array((0 until nBands).map { j =>
@@ -337,7 +339,7 @@ object DedupOps {
     val b = d.select(col("source"), col("band"), col("bbits"),
       col("doc_id").as("b_id"), col("simhash").as("b_sh"))
     a.join(b, Seq("source", "band", "bbits"))
-      .filter(col("a_id") < col("b_id"))
+      .filter(pred(col("a_id"), col("b_id")))
       .withColumn("hamming",
         bit_count(col("a_sh").bitwiseXOR(col("b_sh"))).cast(IntegerType))
       .filter(col("hamming") <= 10)
@@ -345,13 +347,23 @@ object DedupOps {
       .agg(min(col("hamming")).as("hamming"))
   }
 
+  /** Near-dup pairs (a_id < b_id, hamming <= 10). */
+  private def simhashPairs(s: SparkSession, dir: String): DataFrame =
+    simhashJoin(s, dir, _ < _)
+
+  /** Symmetric near-dup edges (n, m): both directions in one pass. */
+  private def simhashEdges(s: SparkSession, dir: String): DataFrame =
+    simhashJoin(s, dir, _ =!= _)
+      .select(col("a_id").as("n"), col("b_id").as("m"))
+
   /** Bounded-diameter connected components over the SimHash edge set
-    * (see the `dedup_cluster_cc` entry in [[queries]]). */
+    * (see the `dedup_cluster_cc` entry in [[queries]]). The symmetric
+    * edge list comes from ONE pass of the bucket join (filter a≠b
+    * instead of a&lt;b then union-swap), so the sketch/bucket subplan is
+    * referenced once per propagation round, not twice. */
   def dedupClusterCC(s: SparkSession, dir: String,
       rounds: Int = 3): DataFrame = {
-    val p = simhashPairs(s, dir)
-    val edges = p.select(col("a_id").as("n"), col("b_id").as("m"))
-      .unionAll(p.select(col("b_id").as("n"), col("a_id").as("m")))
+    val edges = simhashEdges(s, dir)
     var labels = table(s, dir, "documents")
       .select(col("doc_id"), col("doc_id").as("cluster"))
     for (_ <- 0 until rounds) {
