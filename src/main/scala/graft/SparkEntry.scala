@@ -30,8 +30,7 @@ object SparkEntry {
       .select(
         date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("icon"), col("n_obs"),
-        concat(format_string("%.0f", bround(col("sum_temp"))), lit("°"))
-          .as("sum_temp_text"),
+        concat(pyFmt0f(col("sum_temp")), lit("°")).as("sum_temp_text"),
         col("max_description"))
       .orderBy("window_start", "icon")
   }
