@@ -29,22 +29,41 @@ object MultimodalOps {
     doc_id: Long, media_type: String, n_bytes: Int, first_byte: Int,
     checksum: Long)
 
-  /** STUB decoder (deterministic fake): byte stats in place of a real
-    * image/audio decode. Runs once per partition over an iterator —
-    * the batch shape a vectorized/Pandas-style UDF would have. */
-  def decodePartition(it: Iterator[Asset]): Iterator[AssetFeatures] =
-    it.map { a =>
-      // ??? <- real codec goes here; deterministic fake below.
-      val sum = a.bytes.foldLeft(0L)((acc, b) => acc + (b & 0xff))
-      AssetFeatures(a.doc_id, a.media_type,
-        a.bytes.length, if (a.bytes.nonEmpty) a.bytes(0) & 0xff else -1,
-        sum % 256)
-    }
+  /** The codec seam: a real deployment implements this with an actual
+    * image/audio library (per-partition so the codec initializes once
+    * per task, not once per row — the batch shape a vectorized/Pandas
+    * style UDF would have). Must be Serializable: instances ship to
+    * executors inside the mapPartitions closure. */
+  trait AssetDecoder extends Serializable {
+    def decodeBatch(assets: Iterator[Asset]): Iterator[AssetFeatures]
+  }
 
-  /** Dataset-API surface for the stubbed batch decoder. */
-  def decode(assets: Dataset[Asset]): Dataset[AssetFeatures] = {
+  /** STUB decoder (deterministic fake): byte stats in place of a real
+    * image/audio decode — the container has no codecs. Swapping in a
+    * real codec means providing another [[AssetDecoder]]; none of the
+    * Spark plumbing changes (asserted with a second fake codec in
+    * scalatest). */
+  object StubDecoder extends AssetDecoder {
+    def decodeBatch(it: Iterator[Asset]): Iterator[AssetFeatures] =
+      it.map { a =>
+        // ??? <- real codec goes here; deterministic fake below.
+        val sum = a.bytes.foldLeft(0L)((acc, b) => acc + (b & 0xff))
+        AssetFeatures(a.doc_id, a.media_type,
+          a.bytes.length, if (a.bytes.nonEmpty) a.bytes(0) & 0xff else -1,
+          sum % 256)
+      }
+  }
+
+  /** Backwards-compatible alias for the stub (used by the contract
+    * query's scalatest equivalence check). */
+  def decodePartition(it: Iterator[Asset]): Iterator[AssetFeatures] =
+    StubDecoder.decodeBatch(it)
+
+  /** Dataset-API surface: decode with any pluggable codec. */
+  def decode(assets: Dataset[Asset],
+      decoder: AssetDecoder = StubDecoder): Dataset[AssetFeatures] = {
     import assets.sparkSession.implicits._
-    assets.mapPartitions(decodePartition)
+    assets.mapPartitions(decoder.decodeBatch _)
   }
 
   def queries: Map[String, Q] = Map(

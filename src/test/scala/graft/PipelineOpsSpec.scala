@@ -104,6 +104,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(viaPartitions == viaExpr)
   }
 
+  test("decode plumbing is codec-agnostic: a second decoder plugs in") {
+    import spark.implicits._
+    // a different fake codec: "decodes" to byte-xor instead of byte-sum
+    object XorDecoder extends MultimodalOps.AssetDecoder {
+      def decodeBatch(it: Iterator[MultimodalOps.Asset])
+          : Iterator[MultimodalOps.AssetFeatures] =
+        it.map { a =>
+          val x = a.bytes.foldLeft(0L)((acc, b) => acc ^ (b & 0xff))
+          MultimodalOps.AssetFeatures(a.doc_id, a.media_type,
+            a.bytes.length, -2, x)
+        }
+    }
+    val assets = graft.core.Core.table(spark, dir, "documents")
+      .limit(10)
+      .select(col("doc_id"), lit("text/plain").as("media_type"),
+        encode(col("text"), "UTF-8").as("bytes"))
+      .as[MultimodalOps.Asset]
+    val out = MultimodalOps.decode(assets, XorDecoder).collect()
+    assert(out.length == 10)
+    assert(out.forall(_.first_byte == -2)) // the new codec's signature
+  }
+
   test("fingerprint is order-aware") {
     import spark.implicits._
     import graft.functions.TextHash
