@@ -218,6 +218,21 @@ object RelationalOps {
         .orderBy("o_custkey", "o_orderkey")
     },
 
+    // Histogram binning for data profiling: l_quantity (1..50) into 10
+    // fixed-width bins, computed in integer cents so bin edges are
+    // exact in both engines (double floor-division at a boundary is a
+    // cross-engine hazard; integer DIV is not).
+    "agg_hist_bins" -> { (s, dir) =>
+      table(s, dir, "lineitem")
+        .withColumn("bin",
+          least(expr("(CAST(round(l_quantity * 100) AS BIGINT) - 100) DIV 500"),
+            lit(9L)))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"),
+          (sum(cents(col("l_quantity"))) / 100.0).as("sum_qty"))
+        .orderBy("bin")
+    },
+
     // Math-function suite: exact ops raw; transcendentals rounded to
     // 9 dp (libm last-ulp variance across engines).
     "math_suite" -> { (s, dir) =>
@@ -709,6 +724,14 @@ object RelationalOps {
         |             ROWS BETWEEN UNBOUNDED PRECEDING
         |               AND UNBOUNDED FOLLOWING)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "agg_hist_bins" ->
+      """SELECT least((CAST(round(l_quantity * 100) AS BIGINT) - 100) // 500,
+        |             9) AS bin,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+        |         / 100.0 AS sum_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "math_suite" ->
       """SELECT l_orderkey, l_linenumber,

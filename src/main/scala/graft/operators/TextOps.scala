@@ -66,6 +66,26 @@ object TextOps {
       .mkString("(VALUES ", ", ", ") AS prof(gram, cand_lang)")
 
   def queries: Map[String, Q] = Map(
+    // Deterministic stratified sampling: per (lang, source) stratum
+    // keep the 10 docs ranking lowest under a fixed multiplicative
+    // hash of doc_id — the per-stratum quota sampling a curation
+    // pipeline uses to balance sources/languages. Integer arithmetic
+    // end to end (Knuth multiplier mod 2³¹−1), so the "random" order
+    // is identical in both engines and across runs/partitionings;
+    // rank ties cannot occur (hash is injective per stratum) but
+    // doc_id tiebreaks anyway.
+    "sample_stratified" -> { (s, dir) =>
+      val w = Window.partitionBy("lang", "source")
+        .orderBy(col("h"), col("doc_id"))
+      table(s, dir, "documents")
+        .withColumn("h", (col("doc_id") * lit(2654435761L)) % lit(2147483647L))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select(col("doc_id"), col("lang"), col("source"), col("h"),
+          col("rn").cast(IntegerType).as("rn"))
+        .orderBy("lang", "source", "rn")
+    },
+
     // Tokenize + global term frequency.
     "txt_tokenize_tf" -> { (s, dir) =>
       toks(s, dir)
@@ -199,6 +219,16 @@ object TextOps {
     })
 
   def oracleSql: Map[String, String] = Map(
+    "sample_stratified" ->
+      """SELECT doc_id, lang, source, h, CAST(rn AS INTEGER) AS rn FROM (
+        |  SELECT doc_id, lang, source,
+        |         (doc_id * 2654435761) % 2147483647 AS h,
+        |         ROW_NUMBER() OVER (PARTITION BY lang, source
+        |           ORDER BY (doc_id * 2654435761) % 2147483647, doc_id)
+        |           AS rn
+        |  FROM documents)
+        |WHERE rn <= 10 ORDER BY lang, source, rn""".stripMargin,
+
     "txt_tokenize_tf" ->
       """SELECT word, CAST(COUNT(*) AS BIGINT) AS n
         |FROM (SELECT unnest(string_split(lower(text), ' ')) AS word
