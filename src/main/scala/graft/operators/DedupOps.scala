@@ -86,6 +86,51 @@ object DedupOps {
       .orderBy("a_id", "b_id")
   }
 
+  /** Prefix-filtered set-similarity join (the AllPairs/PPJoin family,
+    * Bayardo et al., "Scaling Up All Pairs Similarity Search", WWW'07):
+    * for Jaccard >= t, any qualifying pair must share a token within
+    * each side's PREFIX of size |A| − ⌈t·|A|⌉ + 1 when tokens are
+    * ordered globally by ascending document frequency (rarest first).
+    * So the candidate join runs only over prefix tokens — the rare
+    * ones, with small df — collapsing the Σk² candidate work; the full
+    * token sets are consulted only to exact-verify the (few) candidate
+    * pairs. Emits the IDENTICAL result set as [[dedupNearRelational]]
+    * (same oracle), asserted in DedupOpsSpec along with the candidate
+    * reduction. Fully lazy: the df ranking is a window inside the
+    * plan. */
+  def dedupNearPrefix(s: SparkSession, dir: String,
+      threshold: Double = 0.6): DataFrame = {
+    val docs = tokSets(s, dir)
+    val toks = docs
+      .select(col("doc_id"), col("source"), col("toks"),
+        explode(col("toks")).as("tok"))
+    val df_ = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy("doc_id")
+      .orderBy(col("df"), col("tok"))
+    val prefix = toks
+      .join(df_, "tok")
+      .withColumn("sz", size(col("toks")))
+      .withColumn("rk", row_number().over(byRarity))
+      // prefix length |A| - ceil(t*|A|) + 1
+      .filter(col("rk") <= col("sz") - ceil(col("sz") * threshold) + 1)
+      .select(col("source"), col("doc_id"), col("tok"))
+    val cand = prefix.select(col("source"), col("doc_id").as("a_id"), col("tok"))
+      .join(prefix.select(col("source"), col("doc_id").as("b_id"), col("tok")),
+        Seq("source", "tok"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val ts = docs.select(col("doc_id"), col("toks"))
+    cand
+      .join(ts.select(col("doc_id").as("a_id"), col("toks").as("a_toks")),
+        "a_id")
+      .join(ts.select(col("doc_id").as("b_id"), col("toks").as("b_toks")),
+        "b_id")
+      .withColumn("jaccard", jaccard(col("a_toks"), col("b_toks")))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+      .orderBy("a_id", "b_id")
+  }
+
   /** Bitmask fast path for dedup_near: dictionary-encode each token set
     * into ONE long and compute Jaccard as bit_count(a&b)/bit_count(a|b)
     * — codegen'd integer ops, no per-pair set allocation. ONLY valid
@@ -208,6 +253,13 @@ object DedupOps {
     // materialized. A pair with Jaccard >= 0.6 necessarily shares a
     // token, so skipping empty intersections loses nothing.
     "dedup_near" -> { (s, dir) => dedupNearRelational(s, dir) },
+
+    // The same near-dup pair set via prefix filtering (AllPairs/PPJoin)
+    // — candidates only from each doc's rarest-token prefix, exact
+    // verification after. See [[dedupNearPrefix]]; result-identity vs
+    // the unfiltered join is asserted in DedupOpsSpec and the oracle is
+    // the same SQL as dedup_near.
+    "dedup_near_prefix" -> { (s, dir) => dedupNearPrefix(s, dir) },
 
     // Near-dup pairs on bigram shingles (order-sensitive n-gram
     // Jaccard), as a relational set-similarity join with a
@@ -381,6 +433,13 @@ object DedupOps {
     labels.orderBy("doc_id")
   }
 
+  private lazy val dedupNearOracle: String =
+    s"""WITH t AS ($tokSetsSql)
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id, $jaccardSql AS jaccard
+       |FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+       |WHERE $jaccardSql >= 0.6
+       |ORDER BY a_id, b_id""".stripMargin
+
   def oracleSql: Map[String, String] = {
     val minCols = (0 until MinhashK)
       .map(j => s"min(${permuteSql(j, "base")}) AS m$j").mkString(", ")
@@ -417,12 +476,11 @@ object DedupOps {
           |    (PARTITION BY text ORDER BY doc_id) AS rn FROM documents)
           |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
-      "dedup_near" ->
-        s"""WITH t AS ($tokSetsSql)
-           |SELECT a.doc_id AS a_id, b.doc_id AS b_id, $jaccardSql AS jaccard
-           |FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
-           |WHERE $jaccardSql >= 0.6
-           |ORDER BY a_id, b_id""".stripMargin,
+      "dedup_near" -> dedupNearOracle,
+
+      // identical result contract: prefix filtering changes the plan,
+      // not the answer
+      "dedup_near_prefix" -> dedupNearOracle,
 
       "dedup_ngram" ->
         """WITH ex AS (

@@ -51,6 +51,39 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(rel == bit)
   }
 
+  test("prefix-filtered join == unfiltered join, with fewer candidates") {
+    val full = DedupOps.dedupNearRelational(spark, TestSpark.sfDir)
+      .collect().map(_.toSeq).toSeq
+    val pref = DedupOps.dedupNearPrefix(spark, TestSpark.sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(pref == full)
+    // the prefix join touches strictly fewer (source, tok) rows than
+    // the full token join: count candidate rows each way
+    val toks = graft.core.Core.table(spark, TestSpark.sfDir, "documents")
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(split(lower(col("text")), " "))).as("tok"))
+    val fullCand = toks.select(col("source"), col("doc_id").as("a"), col("tok"))
+      .join(toks.select(col("source"), col("doc_id").as("b"), col("tok")),
+        Seq("source", "tok"))
+      .filter(col("a") < col("b")).select("a", "b").distinct().count()
+    val df_ = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("df"), col("tok"))
+    val prefix = toks.join(df_, "tok")
+      .withColumn("sz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= col("sz") - ceil(col("sz") * 0.6) + 1)
+    val prefCand = prefix.select(col("source"), col("doc_id").as("a"), col("tok"))
+      .join(prefix.select(col("source"), col("doc_id").as("b"), col("tok")),
+        Seq("source", "tok"))
+      .filter(col("a") < col("b")).select("a", "b").distinct().count()
+    assert(prefCand < fullCand,
+      s"prefix filter did not reduce candidates: $prefCand vs $fullCand")
+    // and no qualifying pair was lost (already implied by pref == full)
+    assert(pref.nonEmpty)
+  }
+
   test("dedup_ngram df cap: default does not bind on this corpus") {
     val capped = DedupOps.dedupNgram(spark, TestSpark.sfDir)
       .collect().map(_.toSeq).toSeq
