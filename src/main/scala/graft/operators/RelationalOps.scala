@@ -561,6 +561,24 @@ object RelationalOps {
         .orderBy("window_start", "event_type")
     },
 
+    // Session-window aggregate (batch form of the streaming
+    // session_window): per-user sessions closing after 30 min of
+    // inactivity. The oracle reproduces Spark's extend-on-every-event
+    // semantics with the classic gaps-and-islands rewrite (break when
+    // lag(ts) is more than the gap behind, cumulative-sum session ids).
+    "win_session_agg" -> { (s, dir) =>
+      table(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n"),
+          (sum(cents(col("value"))) / 100.0).as("sum_value"))
+        .select(
+          col("user_id"),
+          date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("session_start"),
+          col("n"), col("sum_value"))
+        .orderBy("user_id", "session_start")
+    },
+
     // Sliding (hopping) window aggregate: 10-minute windows every 5
     // minutes — each event lands in exactly two overlapping windows.
     // The batch-checkable shape of a streaming hopping-window groupBy;
@@ -938,6 +956,26 @@ object RelationalOps {
         |       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
         |         / 100.0 AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "win_session_agg" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, value,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (
+        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM e)
+        |SELECT user_id,
+        |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |         / 100.0 AS sum_value
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "stream_sliding" ->
       """SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
