@@ -138,12 +138,19 @@ object DedupOps {
     * statistic, supplied explicitly rather than discovered by an eager
     * driver-side count — plan construction must stay lazy). Results are
     * bit-identical to [[dedupNearRelational]] on such corpora
-    * (asserted by DedupOpsSpec). */
+    * (asserted by DedupOpsSpec). If the vocabulary turns out larger,
+    * the plan FAILS LOUDLY at execution time via an in-plan
+    * raise_error — shiftleft would otherwise wrap mod 64 and the
+    * sum-based mask build would corrupt silently. */
   def dedupNearBitmask(s: SparkSession, dir: String): DataFrame = {
     val toks = tokSets(s, dir)
       .select(col("doc_id"), col("source"), explode(col("toks")).as("tok"))
     val vocab = toks.select("tok").distinct()
       .withColumn("idx", row_number().over(Window.orderBy("tok")) - 1)
+      .withColumn("idx", expr(
+        "CASE WHEN idx > 62 THEN CAST(raise_error(" +
+          "'dedupNearBitmask: vocabulary exceeds 63 distinct tokens; " +
+          "use dedupNearRelational') AS INT) ELSE idx END"))
     val masks = toks.join(broadcast(vocab), "tok")
       .groupBy("doc_id", "source")
       .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), idx)")).as("mask"))
@@ -369,16 +376,25 @@ object DedupOps {
         .orderBy("a_id", "b_id")
     })
 
+  /** Max Hamming distance for a SimHash near-dup pair. */
+  val SimhashHammingMax = 10
+
   /** Banded bucket join over SimHash sketches: verified near-dup pairs
     * with `pred` deciding the id predicate (a<b for the pair listing,
-    * a≠b for the symmetric edge list). */
+    * a≠b for the symmetric edge list). Band count and width DERIVE
+    * from the constants so the pigeonhole guarantee (bands ≥
+    * threshold+1, bands tile every sketch bit) survives any future
+    * change to SimhashBits or the threshold. */
   private def simhashJoin(s: SparkSession, dir: String,
       pred: (Column, Column) => Column): DataFrame = {
     val sketch = simhashSketches(s, dir)
-    val nBands = 11
+    val nBands = SimhashHammingMax + 1                      // pigeonhole
+    val width = (SimhashBits + nBands - 1) / nBands         // tiles all bits
+    val mask = (1L << width) - 1
     val bandStructs = array((0 until nBands).map { j =>
       struct(lit(j).as("band"),
-        shiftright(col("simhash"), j * 3).bitwiseAND(lit(7L)).as("bbits"))
+        shiftright(col("simhash"), j * width).bitwiseAND(lit(mask))
+          .as("bbits"))
     }: _*)
     val d = table(s, dir, "documents").select("doc_id", "source")
       .join(sketch, "doc_id")
@@ -394,7 +410,7 @@ object DedupOps {
       .filter(pred(col("a_id"), col("b_id")))
       .withColumn("hamming",
         bit_count(col("a_sh").bitwiseXOR(col("b_sh"))).cast(IntegerType))
-      .filter(col("hamming") <= 10)
+      .filter(col("hamming") <= SimhashHammingMax)
       .groupBy("a_id", "b_id")
       .agg(min(col("hamming")).as("hamming"))
   }
@@ -467,7 +483,8 @@ object DedupOps {
          |         CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER)
          |           AS hamming
          |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
-         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 10)""".stripMargin
+         |  WHERE bit_count(xor(a.simhash, b.simhash))
+         |          <= $SimhashHammingMax)""".stripMargin
 
     Map(
       "dedup_exact" ->

@@ -110,6 +110,9 @@ object MultimodalOps {
     // place of the codec'd spectrum. Offsets explode, payload doesn't.
     "multimodal_audio_hop" -> { (s, dir) =>
       table(s, dir, "documents")
+        // empty text -> no frames (matches generate_series(1,0)'s empty
+        // set; Spark's sequence(1,0) would THROW under ANSI)
+        .filter(length(col("text")) > 0)
         .select(col("doc_id"), col("text"),
           explode(sequence(lit(1), length(col("text")), lit(8))).as("pos"))
         .withColumn("frame", expr("substring(text, pos, 16)"))
@@ -128,6 +131,8 @@ object MultimodalOps {
     // bounded offset explosion, payload never shuffled exploded.
     "multimodal_frames" -> { (s, dir) =>
       table(s, dir, "documents")
+        // empty text -> no frames (same guard as multimodal_audio_hop)
+        .filter(length(col("text")) > 0)
         .withColumn("bin", encode(col("text"), "UTF-8"))
         .select(col("doc_id"), col("bin"),
           explode(sequence(lit(1), length(col("text")), lit(64))).as("pos"))

@@ -14,8 +14,16 @@ class BloomPruneSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
   test("selective dim filter injects a bloom filter on the fact side") {
-    val prev = spark.conf.getOption(
-      "spark.sql.optimizer.runtime.bloomFilter.enabled")
+    // capture-and-restore EVERY conf this test touches: the session is
+    // JVM-wide shared across suites, and leaked bloom thresholds would
+    // make other suites' plan-shape assertions order-dependent
+    val touched = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val prev: Map[String, Option[String]] =
+      touched.map(k => k -> spark.conf.getOption(k)).toMap
     spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     spark.conf.set(
       "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "1GB")
@@ -41,12 +49,9 @@ class BloomPruneSpec extends AnyFunSuite {
         col("l_orderkey") === col("o_orderkey")).count()
       assert(n == expect)
     } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
-      prev match {
-        case Some(v) => spark.conf.set(
-          "spark.sql.optimizer.runtime.bloomFilter.enabled", v)
-        case None => spark.conf.unset(
-          "spark.sql.optimizer.runtime.bloomFilter.enabled")
+      prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
       }
     }
   }

@@ -84,6 +84,23 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(pref.nonEmpty)
   }
 
+  test("bitmask path fails loudly past 63 distinct tokens") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_wide").toString
+    // 80-token vocabulary: the bitmask encoding cannot hold it
+    (0 until 20).map(i =>
+      (i.toLong, (0 until 4).map(j => s"tok${(i * 4 + j) % 80}")
+        .mkString(" "), "en", "web", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val e = intercept[Exception] {
+      DedupOps.dedupNearBitmask(spark, dir).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("exceeds 63 distinct tokens")), e)
+  }
+
   test("dedup_ngram df cap: default does not bind on this corpus") {
     val capped = DedupOps.dedupNgram(spark, TestSpark.sfDir)
       .collect().map(_.toSeq).toSeq
@@ -95,20 +112,33 @@ class DedupOpsSpec extends AnyFunSuite {
 
   test("dedup_ngram df cap drops a synthetic ubiquitous shingle") {
     val dir = java.nio.file.Files.createTempDirectory("graft_hot").toString
-    // every doc ends with the hot shingle "the end"; otherwise unique
+    // every doc ends with the hot shingle "the end"; docs 0 and 1 are
+    // additionally REAL near-dups (share the rare shingles p-q, q-r,
+    // r-s) so a qualifying pair survives the cap — the cap must change
+    // that pair's jaccard (hot shingle excluded from the universe)
+    // without dropping it, and must not conjure pairs from the hot
+    // shingle alone.
     val docs = (0 until 40).map { i =>
-      (i.toLong, s"u$i v$i w$i the end", "en", "web", 0L)
+      val text =
+        if (i == 0) "p q r s x the end"
+        else if (i == 1) "p q r s y the end"
+        else s"u$i v$i w$i the end"
+      (i.toLong, text, "en", "web", 0L)
     }.toDF("doc_id", "text", "lang", "source", "n_chars")
     docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    // uncapped: every pair shares {"the end"}; jaccard = 1/7 < 0.3 for
-    // these 4-shingle docs, so raise the shared signal: make 2 docs
-    // real near-dups too
-    val uncapped = DedupOps.dedupNgram(spark, dir, maxDfFrac = 1.0).count()
-    val capped = DedupOps.dedupNgram(spark, dir, maxDfFrac = 0.5).count()
-    // with the cap the df=40/40 shingle is dropped -> no candidate rows
-    // at all; without it the equi-join materializes all C(40,2) pairs
-    assert(capped == 0)
-    assert(uncapped == 0, "sub-threshold pairs must also be filtered")
+    def pairs(frac: Double): Map[(Long, Long), Double] =
+      DedupOps.dedupNgram(spark, dir, maxDfFrac = frac).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val uncapped = pairs(1.0)
+    val capped = pairs(0.5)
+    // only the genuine near-dup pair qualifies either way; the hot
+    // shingle alone (jaccard 1/7) never creates a pair
+    assert(uncapped.keySet == Set((0L, 1L)), uncapped)
+    assert(capped.keySet == Set((0L, 1L)), capped)
+    // and the cap visibly binds: 4 shared / (6+6-4) = 0.5 uncapped vs
+    // 3 shared / (5+5-3) ≈ 0.4286 over the capped shingle universe
+    assert(uncapped((0L, 1L)) > capped((0L, 1L)))
+    assert(math.abs(capped((0L, 1L)) - 3.0 / 7.0) < 1e-12)
     // bounded join size is observable on the candidate relation itself:
     // rebuild the pair-count stage with and without the cap
     def candidateRows(frac: Double): Long = {
@@ -129,8 +159,11 @@ class DedupOpsSpec extends AnyFunSuite {
         .filter(col("a_id") < col("b_id"))
         .count()
     }
-    assert(candidateRows(1.0) == 40L * 39 / 2) // hot shingle: all pairs
-    assert(candidateRows(0.5) == 0)            // cap: join bounded
+    // hot shingle alone contributes all C(40,2) join rows; docs 0/1's 3
+    // rare shared shingles add 3 more
+    assert(candidateRows(1.0) == 40L * 39 / 2 + 3)
+    // cap: only the 3 rare shared shingles survive -> join bounded
+    assert(candidateRows(0.5) == 3)
   }
 
   test("banded SimHash emits the identical pair set as all-pairs") {
