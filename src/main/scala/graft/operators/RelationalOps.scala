@@ -218,6 +218,45 @@ object RelationalOps {
         .orderBy("o_custkey", "o_orderkey")
     },
 
+    // Statistical moments for data profiling: per-group mean, population
+    // variance, and Pearson correlation of quantity vs extended price.
+    // Spark's stddev/corr aggregate in doubles (merge-order dependent →
+    // not oracle-exact); here every sum runs over EXACT integers
+    // (cents, cents², decimal-38 accumulators so 100 TB row counts
+    // can't overflow), is cast once to double (deterministic
+    // round-to-nearest of the same exact integer in both engines), and
+    // the closing arithmetic is the identical IEEE expression on both
+    // sides — so even variance and correlation hash-match.
+    "agg_stats_moments" -> { (s, dir) =>
+      val d38 = DecimalType(38, 0)
+      val qc = cents(col("l_quantity"))
+      val pc = cents(col("l_extendedprice"))
+      val g = table(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(qc.cast(d38)).as("sq"),
+          sum(pc.cast(d38)).as("sp"),
+          sum((qc * qc).cast(d38)).as("sqq"),
+          sum((pc * pc).cast(d38)).as("spp"),
+          sum((qc * pc).cast(d38)).as("sqp"))
+      val (n, sq, sp, sqq, spp, sqp) = (
+        col("n").cast(DoubleType), col("sq").cast(DoubleType),
+        col("sp").cast(DoubleType), col("sqq").cast(DoubleType),
+        col("spp").cast(DoubleType), col("sqp").cast(DoubleType))
+      val varQ = (sqq - sq * sq / n) / n
+      val varP = (spp - sp * sp / n) / n
+      val cov = (sqp - sq * sp / n) / n
+      g.select(
+          col("l_returnflag"), col("n"),
+          (sq / n / 100.0).as("mean_qty"),
+          (varQ / 10000.0).as("var_qty"),
+          (sp / n / 100.0).as("mean_price"),
+          (varP / 10000.0).as("var_price"),
+          (cov / sqrt(varQ * varP)).as("corr_qty_price"))
+        .orderBy("l_returnflag")
+    },
+
     // Histogram binning for data profiling: l_quantity (1..50) into 10
     // fixed-width bins, computed in integer cents so bin edges are
     // exact in both engines (double floor-division at a boundary is a
@@ -742,6 +781,41 @@ object RelationalOps {
         |             ROWS BETWEEN UNBOUNDED PRECEDING
         |               AND UNBOUNDED FOLLOWING)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "agg_stats_moments" ->
+      """WITH g AS (
+        |  SELECT l_returnflag,
+        |         CAST(COUNT(*) AS BIGINT) AS n,
+        |         SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS sq,
+        |         SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sp,
+        |         SUM(CAST(round(l_quantity * 100) AS BIGINT)
+        |             * CAST(round(l_quantity * 100) AS BIGINT)) AS sqq,
+        |         SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |             * CAST(round(l_extendedprice * 100) AS BIGINT)) AS spp,
+        |         SUM(CAST(round(l_quantity * 100) AS BIGINT)
+        |             * CAST(round(l_extendedprice * 100) AS BIGINT)) AS sqp
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |       CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean_qty,
+        |       ((CAST(sqq AS DOUBLE)
+        |         - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / CAST(n AS DOUBLE))
+        |        / CAST(n AS DOUBLE)) / 10000.0 AS var_qty,
+        |       CAST(sp AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean_price,
+        |       ((CAST(spp AS DOUBLE)
+        |         - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE) / CAST(n AS DOUBLE))
+        |        / CAST(n AS DOUBLE)) / 10000.0 AS var_price,
+        |       ((CAST(sqp AS DOUBLE)
+        |         - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE) / CAST(n AS DOUBLE))
+        |        / CAST(n AS DOUBLE))
+        |       / sqrt(
+        |           ((CAST(sqq AS DOUBLE)
+        |             - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)
+        |               / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+        |         * ((CAST(spp AS DOUBLE)
+        |             - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)
+        |               / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)))
+        |         AS corr_qty_price
+        |FROM g ORDER BY l_returnflag""".stripMargin,
 
     "agg_hist_bins" ->
       """SELECT least((CAST(round(l_quantity * 100) AS BIGINT) - 100) // 500,
