@@ -218,6 +218,24 @@ object RelationalOps {
         .orderBy("o_custkey", "o_orderkey")
     },
 
+    // Cohort retention: users grouped by first-activity week, counted
+    // per subsequent activity week — the classic retention matrix.
+    // Weeks are epoch-days DIV 7 (integer, portable: week-of-year
+    // dialects disagree across engines); the cohort assignment is a
+    // per-user min window, the matrix a distinct-count per cell.
+    "win_retention_cohort" -> { (s, dir) =>
+      val wk = (datediff(to_date(col("ts")), lit("1970-01-01")) / 7)
+        .cast(IntegerType)
+      val byUser = Window.partitionBy("user_id")
+      table(s, dir, "events")
+        .withColumn("wk", wk)
+        .withColumn("cohort_wk", min(col("wk")).over(byUser))
+        .groupBy("cohort_wk", "wk")
+        .agg(count_distinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy("cohort_wk", "wk")
+    },
+
     // Statistical moments for data profiling: per-group mean, population
     // variance, and Pearson correlation of quantity vs extended price.
     // Spark's stddev/corr aggregate in doubles (merge-order dependent →
@@ -781,6 +799,20 @@ object RelationalOps {
         |             ROWS BETWEEN UNBOUNDED PRECEDING
         |               AND UNBOUNDED FOLLOWING)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "win_retention_cohort" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |         CAST((CAST(ts AS DATE) - DATE '1970-01-01') // 7 AS INTEGER)
+        |           AS wk
+        |  FROM events),
+        |c AS (SELECT *, min(wk) OVER (PARTITION BY user_id) AS cohort_wk
+        |      FROM e)
+        |SELECT cohort_wk, wk,
+        |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM c GROUP BY cohort_wk, wk
+        |ORDER BY cohort_wk, wk""".stripMargin,
 
     "agg_stats_moments" ->
       """WITH g AS (
