@@ -271,7 +271,11 @@ object RelationalOps {
           (varQ / 10000.0).as("var_qty"),
           (sp / n / 100.0).as("mean_price"),
           (varP / 10000.0).as("var_price"),
-          (cov / sqrt(varQ * varP)).as("corr_qty_price"))
+          // zero-variance group: correlation is undefined — NULL in
+          // both engines (Spark would give NaN, DuckDB NULL, breaking
+          // parity without this guard)
+          when(varQ * varP > 0, cov / sqrt(varQ * varP))
+            .otherwise(lit(null).cast(DoubleType)).as("corr_qty_price"))
         .orderBy("l_returnflag")
     },
 
@@ -836,17 +840,25 @@ object RelationalOps {
         |       ((CAST(spp AS DOUBLE)
         |         - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE) / CAST(n AS DOUBLE))
         |        / CAST(n AS DOUBLE)) / 10000.0 AS var_price,
-        |       ((CAST(sqp AS DOUBLE)
-        |         - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE) / CAST(n AS DOUBLE))
-        |        / CAST(n AS DOUBLE))
-        |       / sqrt(
+        |       CASE WHEN
         |           ((CAST(sqq AS DOUBLE)
         |             - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)
         |               / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
         |         * ((CAST(spp AS DOUBLE)
         |             - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)
-        |               / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)))
-        |         AS corr_qty_price
+        |               / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)) > 0
+        |       THEN
+        |         ((CAST(sqp AS DOUBLE)
+        |           - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE)
+        |             / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+        |         / sqrt(
+        |             ((CAST(sqq AS DOUBLE)
+        |               - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)
+        |                 / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+        |           * ((CAST(spp AS DOUBLE)
+        |               - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)
+        |                 / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)))
+        |       ELSE NULL END AS corr_qty_price
         |FROM g ORDER BY l_returnflag""".stripMargin,
 
     "agg_hist_bins" ->

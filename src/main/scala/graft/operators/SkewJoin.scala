@@ -28,12 +28,14 @@ object SkewJoin {
   def saltedEquiJoin(big: DataFrame, small: DataFrame, bigKey: String,
       smallKey: String, salt: Int, joinType: String = "inner"): DataFrame = {
     require(salt > 0, "salt must be positive")
-    // Spark's JoinType aliases, normalized: inner, left/left_outer,
-    // left_semi/semi, left_anti/anti are all big-side-driven.
+    // Spark's JoinType aliases (JoinType.apply strips underscores, NOT
+    // spaces — mirror it exactly so everything this guard accepts the
+    // join itself accepts): inner, left/left_outer, left_semi/semi,
+    // left_anti/anti are all big-side-driven.
     require(
       Set("inner", "left", "leftouter", "leftsemi", "semi", "leftanti",
         "anti").contains(
-        joinType.toLowerCase.replaceAll("[ _]", "")),
+        joinType.toLowerCase.replaceAll("_", "")),
       s"saltedEquiJoin does not preserve $joinType semantics: unmatched " +
         "small-side rows would be duplicated once per salt replica")
     // distribution-only randomness: any stable per-row value works;
