@@ -42,6 +42,15 @@ object StreamingOps {
       .select(col("s.start").as("session_start"),
         col("s.end").as("session_end"), col("place"), col("n"))
 
+  /** Streaming ingest dedup: drop repeated observation keys within the
+    * watermark horizon — the stream-side analogue of `dedup_exact` for
+    * an ingestion pipeline (at-least-once sources redeliver; this
+    * bounds the dedup state by event time instead of keeping every key
+    * forever, which a 100 TB/day stream cannot). */
+  def dedupWithinWatermark(obs: DataFrame, watermark: String): DataFrame =
+    obs.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("place", "ts")
+
   /** Keyed running state (mapGroupsWithState): latest rendered frame per
     * place plus how many observations contributed. The reference's
     * display shows only the latest frame (weather.py:329); this is that

@@ -69,6 +69,26 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(rows.contains(("2026-08-12 12:00:00.0", 1L)), rows)
   }
 
+  test("dropDuplicatesWithinWatermark suppresses redelivered events") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Obs]
+    val q = StreamingOps.dedupWithinWatermark(in.toDF(), "30 minutes")
+      .writeStream.format("memory").queryName("stream_dedup")
+      .outputMode(OutputMode.Append()).start()
+    in.addData(Obs("London", ts(5), Some(12.0), Some(63)))
+    q.processAllAvailable()
+    // at-least-once redelivery of the same (place, ts) in a later batch
+    in.addData(Obs("London", ts(5), Some(12.0), Some(63)),
+      Obs("London", ts(15), Some(13.0), Some(63)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("stream_dedup")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).toString))
+    assert(rows.length == 2, rows.toSeq) // the duplicate was dropped
+    assert(rows.map(_._2).distinct.length == 2)
+  }
+
   test("weather micro-batch restart from checkpoint is exactly-once") {
     // Run 1 consumes two payload ticks against a checkpoint; run 2
     // restarts from that checkpoint with a third payload appended to
