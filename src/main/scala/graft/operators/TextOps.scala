@@ -86,6 +86,35 @@ object TextOps {
         .orderBy("lang", "source", "rn")
     },
 
+    // Character-level Shannon entropy per document — the gibberish /
+    // compression-ratio quality signal curation pipelines threshold on
+    // (low entropy = repeated chars/boilerplate, high = random noise).
+    // Cross-engine determinism: the double sum folds over char counts
+    // in SORTED order (collect_list + sort_array, mirrored by DuckDB's
+    // list(... ORDER BY)), so both engines add terms in the same
+    // sequence; the 9-dp round absorbs libm log2 last-ulp variance
+    // (the proven trig/cosine pattern); `+ 0.0` kills -0.0.
+    "txt_entropy" -> { (s, dir) =>
+      val chars = table(s, dir, "documents")
+        .select(col("doc_id"),
+          length(col("text")).cast(DoubleType).as("n"),
+          explode(split(col("text"), "")).as("c"))
+        .filter(col("c") =!= "")
+      val freq = chars.groupBy("doc_id", "n", "c")
+        .agg(count(lit(1)).cast(DoubleType).as("cnt"))
+      val ent = freq.groupBy("doc_id", "n")
+        .agg(sort_array(collect_list(col("cnt"))).as("cnts"))
+        .select(col("doc_id"),
+          (round(-aggregate(col("cnts"), lit(0.0d),
+            (acc, c) => acc + (c / col("n")) * log2(c / col("n"))), 9)
+            + 0.0).as("entropy"))
+      table(s, dir, "documents").select("doc_id")
+        .join(ent, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("entropy"), lit(0.0)).as("entropy"))
+        .orderBy("doc_id")
+    },
+
     // Tokenize + global term frequency.
     "txt_tokenize_tf" -> { (s, dir) =>
       toks(s, dir)
@@ -219,6 +248,23 @@ object TextOps {
     })
 
   def oracleSql: Map[String, String] = Map(
+    "txt_entropy" ->
+      """WITH chars AS (
+        |  SELECT doc_id, CAST(length(text) AS DOUBLE) AS n,
+        |         unnest(string_split(text, '')) AS c
+        |  FROM documents),
+        |freq AS (SELECT doc_id, n, c, CAST(COUNT(*) AS DOUBLE) AS cnt
+        |         FROM chars WHERE c <> '' GROUP BY doc_id, n, c),
+        |ent AS (
+        |  SELECT doc_id,
+        |         round(-list_reduce(list_transform(list(cnt ORDER BY cnt),
+        |             c -> (c / n) * log2(c / n)), (a, b) -> a + b), 9)
+        |           + 0.0 AS entropy
+        |  FROM freq GROUP BY doc_id, n)
+        |SELECT d.doc_id, COALESCE(e.entropy, 0.0) AS entropy
+        |FROM documents d LEFT JOIN ent e ON d.doc_id = e.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
     "sample_stratified" ->
       """SELECT doc_id, lang, source, h, CAST(rn AS INTEGER) AS rn FROM (
         |  SELECT doc_id, lang, source,
