@@ -351,6 +351,38 @@ object DedupOps {
     // the DuckDB oracle reproduces it bit-for-bit.
     "dedup_cluster_cc" -> { (s, dir) => dedupClusterCC(s, dir) },
 
+    // The end product of the dedup pipeline: per near-dup cluster,
+    // KEEP exactly the highest-quality member (txt_quality_score's
+    // formula; doc_id tiebreak) and mark the rest dropped — one
+    // decision row per document, the table a curation job feeds to its
+    // filter stage. Quality is a double from identical-order
+    // arithmetic over exact integers, so the cross-engine ranking is
+    // deterministic.
+    "dedup_canonical_pick" -> { (s, dir) =>
+      val q = table(s, dir, "documents")
+        .withColumn("toks", split(lower(col("text")), " "))
+        .withColumn("n_tokens", size(col("toks")))
+        .withColumn("stop_hits", size(filter(col("toks"),
+          t => t.isin("the", "a", "of", "and", "to", "in", "is", "on"))))
+        .withColumn("avg_tok_len",
+          (length(col("text")) - (col("n_tokens") - 1)).cast(DoubleType)
+            / col("n_tokens"))
+        .withColumn("stop_ratio",
+          col("stop_hits").cast(DoubleType) / col("n_tokens"))
+        .withColumn("quality",
+          lit(0.4) * least(col("n_tokens") / 100.0, lit(1.0))
+            + lit(0.3) * (lit(1.0) - col("stop_ratio"))
+            + lit(0.3) * least(col("avg_tok_len") / 8.0, lit(1.0)))
+        .select("doc_id", "quality")
+      val w = Window.partitionBy("cluster")
+        .orderBy(col("quality").desc, col("doc_id"))
+      dedupClusterCC(s, dir)
+        .join(q, "doc_id")
+        .withColumn("is_kept", row_number().over(w) === 1)
+        .select("doc_id", "cluster", "quality", "is_kept")
+        .orderBy("doc_id")
+    },
+
     // Directional token containment |A∩B|/|A| >= 0.9 within source
     // blocks: catches subset/boilerplate duplication (doc A nearly
     // contained in B) that symmetric Jaccard misses — e.g. a page vs
@@ -486,6 +518,24 @@ object DedupOps {
          |  WHERE bit_count(xor(a.simhash, b.simhash))
          |          <= $SimhashHammingMax)""".stripMargin
 
+    // 3 unrolled min-label-propagation rounds over the pair CTE,
+    // ending in l3(doc_id, cluster); shared by dedup_cluster_cc and
+    // dedup_canonical_pick
+    val ccRounds = (1 to 3).map { i =>
+      s"""nbr$i AS (SELECT e.n, min(x.cluster) AS nbr_min
+         |  FROM edges e JOIN l${i - 1} x ON x.doc_id = e.m GROUP BY e.n),
+         |l$i AS (SELECT l.doc_id,
+         |  least(l.cluster, coalesce(nb.nbr_min, l.cluster)) AS cluster
+         |  FROM l${i - 1} l LEFT JOIN nbr$i nb ON nb.n = l.doc_id)"""
+        .stripMargin
+    }.mkString(",\n")
+    val ccCte =
+      s"""$simhashPairsCte,
+         |edges AS (SELECT a_id AS n, b_id AS m FROM pairs
+         |          UNION ALL SELECT b_id, a_id FROM pairs),
+         |l0 AS (SELECT doc_id, doc_id AS cluster FROM documents),
+         |$ccRounds""".stripMargin
+
     Map(
       "dedup_exact" ->
         """SELECT doc_id, lang, source FROM (
@@ -550,23 +600,35 @@ object DedupOps {
            |SELECT a_id, b_id, hamming FROM pairs
            |ORDER BY a_id, b_id""".stripMargin,
 
-      "dedup_cluster_cc" -> {
-        // 3 unrolled min-label-propagation rounds over the pair CTE
-        val rounds = (1 to 3).map { i =>
-          s"""nbr$i AS (SELECT e.n, min(x.cluster) AS nbr_min
-             |  FROM edges e JOIN l${i - 1} x ON x.doc_id = e.m GROUP BY e.n),
-             |l$i AS (SELECT l.doc_id,
-             |  least(l.cluster, coalesce(nb.nbr_min, l.cluster)) AS cluster
-             |  FROM l${i - 1} l LEFT JOIN nbr$i nb ON nb.n = l.doc_id)"""
-            .stripMargin
-        }.mkString(",\n")
-        s"""WITH $simhashPairsCte,
-           |edges AS (SELECT a_id AS n, b_id AS m FROM pairs
-           |          UNION ALL SELECT b_id, a_id FROM pairs),
-           |l0 AS (SELECT doc_id, doc_id AS cluster FROM documents),
-           |$rounds
-           |SELECT doc_id, cluster FROM l3 ORDER BY doc_id""".stripMargin
-      },
+      "dedup_cluster_cc" ->
+        s"""WITH $ccCte
+           |SELECT doc_id, cluster FROM l3 ORDER BY doc_id""".stripMargin,
+
+      "dedup_canonical_pick" ->
+        s"""WITH $ccCte,
+           |q AS (
+           |  SELECT doc_id,
+           |         0.4 * least(n_tokens / 100.0, 1.0)
+           |           + 0.3 * (1.0 - stop_ratio)
+           |           + 0.3 * least(avg_tok_len / 8.0, 1.0) AS quality
+           |  FROM (
+           |    SELECT doc_id, n_tokens,
+           |           CAST(length(text) - (n_tokens - 1) AS DOUBLE)
+           |             / n_tokens AS avg_tok_len,
+           |           CAST(stop_hits AS DOUBLE) / n_tokens AS stop_ratio
+           |    FROM (
+           |      SELECT doc_id, text,
+           |             CAST(len(string_split(lower(text), ' ')) AS INTEGER)
+           |               AS n_tokens,
+           |             CAST(len(list_filter(string_split(lower(text), ' '),
+           |               t -> t IN ('the','a','of','and','to','in','is','on')))
+           |               AS INTEGER) AS stop_hits
+           |      FROM documents)))
+           |SELECT doc_id, cluster, quality,
+           |       ROW_NUMBER() OVER (PARTITION BY cluster
+           |         ORDER BY quality DESC, doc_id) = 1 AS is_kept
+           |FROM l3 JOIN q USING (doc_id)
+           |ORDER BY doc_id""".stripMargin,
 
       "txt_containment" ->
         s"""WITH ex AS (
