@@ -359,21 +359,10 @@ object DedupOps {
     // arithmetic over exact integers, so the cross-engine ranking is
     // deterministic.
     "dedup_canonical_pick" -> { (s, dir) =>
-      val q = table(s, dir, "documents")
-        .withColumn("toks", split(lower(col("text")), " "))
-        .withColumn("n_tokens", size(col("toks")))
-        .withColumn("stop_hits", size(filter(col("toks"),
-          t => t.isin("the", "a", "of", "and", "to", "in", "is", "on"))))
-        .withColumn("avg_tok_len",
-          (length(col("text")) - (col("n_tokens") - 1)).cast(DoubleType)
-            / col("n_tokens"))
-        .withColumn("stop_ratio",
-          col("stop_hits").cast(DoubleType) / col("n_tokens"))
-        .withColumn("quality",
-          lit(0.4) * least(col("n_tokens") / 100.0, lit(1.0))
-            + lit(0.3) * (lit(1.0) - col("stop_ratio"))
-            + lit(0.3) * least(col("avg_tok_len") / 8.0, lit(1.0)))
-        .select("doc_id", "quality")
+      // ONE quality definition: TextOps.qualityParts is the same
+      // derivation txt_quality_score ships, so the ranking cannot
+      // drift from the scored operator
+      val q = TextOps.qualityParts(s, dir).select("doc_id", "quality")
       val w = Window.partitionBy("cluster")
         .orderBy(col("quality").desc, col("doc_id"))
       dedupClusterCC(s, dir)
@@ -606,24 +595,7 @@ object DedupOps {
 
       "dedup_canonical_pick" ->
         s"""WITH $ccCte,
-           |q AS (
-           |  SELECT doc_id,
-           |         0.4 * least(n_tokens / 100.0, 1.0)
-           |           + 0.3 * (1.0 - stop_ratio)
-           |           + 0.3 * least(avg_tok_len / 8.0, 1.0) AS quality
-           |  FROM (
-           |    SELECT doc_id, n_tokens,
-           |           CAST(length(text) - (n_tokens - 1) AS DOUBLE)
-           |             / n_tokens AS avg_tok_len,
-           |           CAST(stop_hits AS DOUBLE) / n_tokens AS stop_ratio
-           |    FROM (
-           |      SELECT doc_id, text,
-           |             CAST(len(string_split(lower(text), ' ')) AS INTEGER)
-           |               AS n_tokens,
-           |             CAST(len(list_filter(string_split(lower(text), ' '),
-           |               t -> t IN ('the','a','of','and','to','in','is','on')))
-           |               AS INTEGER) AS stop_hits
-           |      FROM documents)))
+           |q AS (SELECT doc_id, quality FROM (${TextOps.qualityPartsSql}))
            |SELECT doc_id, cluster, quality,
            |       ROW_NUMBER() OVER (PARTITION BY cluster
            |         ORDER BY quality DESC, doc_id) = 1 AS is_kept

@@ -19,6 +19,11 @@ import org.apache.spark.sql.types._
   */
 object TextOps {
 
+  /** ln(2) as its correctly-rounded double literal, shared by the
+    * Spark and DuckDB sides of txt_entropy so the log2 divisor is the
+    * SAME bits in both engines. */
+  private[operators] val Ln2: Double = 0.6931471805599453
+
   private def toks(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "documents")
       .withColumn("toks", split(lower(col("text")), " "))
@@ -65,6 +70,50 @@ object TextOps {
     charProfiles.flatMap { case (l, gs) => gs.map(g => s"('$g', '$l')") }
       .mkString("(VALUES ", ", ", ") AS prof(gram, cand_lang)")
 
+  /** The quality-score derivation (doc_id, n_tokens, stop_hits,
+    * avg_tok_len, stop_ratio, quality) — ONE definition shared by the
+    * txt_quality_score contract query and dedup_canonical_pick's
+    * ranking, so the weights/stoplist cannot drift between operators. */
+  private[operators] def qualityParts(s: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+    toks(s, dir)
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("stop_hits",
+        size(filter(col("toks"), t => t.isin(stop: _*))))
+      .withColumn("avg_tok_len",
+        (length(col("text")) - (col("n_tokens") - 1)).cast(DoubleType)
+          / col("n_tokens"))
+      .withColumn("stop_ratio",
+        col("stop_hits").cast(DoubleType) / col("n_tokens"))
+      .withColumn(
+        "quality",
+        lit(0.4) * least(col("n_tokens") / 100.0, lit(1.0))
+          + lit(0.3) * (lit(1.0) - col("stop_ratio"))
+          + lit(0.3) * least(col("avg_tok_len") / 8.0, lit(1.0)))
+  }
+
+  /** DuckDB twin of [[qualityParts]]: a full SELECT producing
+    * (doc_id, n_tokens, stop_hits, avg_tok_len, stop_ratio, quality),
+    * usable as a CTE body. */
+  private[operators] val qualityPartsSql: String =
+    """SELECT doc_id, n_tokens, stop_hits, avg_tok_len, stop_ratio,
+      |       0.4 * least(n_tokens / 100.0, 1.0)
+      |         + 0.3 * (1.0 - stop_ratio)
+      |         + 0.3 * least(avg_tok_len / 8.0, 1.0) AS quality
+      |FROM (
+      |  SELECT doc_id, n_tokens, stop_hits,
+      |         CAST(length(text) - (n_tokens - 1) AS DOUBLE) / n_tokens
+      |           AS avg_tok_len,
+      |         CAST(stop_hits AS DOUBLE) / n_tokens AS stop_ratio
+      |  FROM (
+      |    SELECT doc_id, text,
+      |           CAST(len(string_split(lower(text), ' ')) AS INTEGER)
+      |             AS n_tokens,
+      |           CAST(len(list_filter(string_split(lower(text), ' '),
+      |             t -> t IN ('the','a','of','and','to','in','is','on')))
+      |             AS INTEGER) AS stop_hits
+      |    FROM documents))""".stripMargin
+
   def queries: Map[String, Q] = Map(
     // Deterministic stratified sampling: per (lang, source) stratum
     // keep the 10 docs ranking lowest under a fixed multiplicative
@@ -92,8 +141,11 @@ object TextOps {
     // Cross-engine determinism: the double sum folds over char counts
     // in SORTED order (collect_list + sort_array, mirrored by DuckDB's
     // list(... ORDER BY)), so both engines add terms in the same
-    // sequence; the 9-dp round absorbs libm log2 last-ulp variance
-    // (the proven trig/cosine pattern); `+ 0.0` kills -0.0.
+    // sequence. log2 is expressed as ln(x) / <ln2 literal> in BOTH
+    // engines — Spark's log2 and DuckDB's std::log2 are different
+    // compositions with a systematic ulp offset, while ln÷literal
+    // leaves only random ln last-ulp variance, which the 9-dp round
+    // absorbs (the proven trig/cosine pattern); `+ 0.0` kills -0.0.
     "txt_entropy" -> { (s, dir) =>
       val chars = table(s, dir, "documents")
         .select(col("doc_id"),
@@ -106,7 +158,8 @@ object TextOps {
         .agg(sort_array(collect_list(col("cnt"))).as("cnts"))
         .select(col("doc_id"),
           (round(-aggregate(col("cnts"), lit(0.0d),
-            (acc, c) => acc + (c / col("n")) * log2(c / col("n"))), 9)
+            (acc, c) => acc + (c / col("n"))
+              * (log(c / col("n")) / lit(Ln2))), 9)
             + 0.0).as("entropy"))
       table(s, dir, "documents").select("doc_id")
         .join(ent, Seq("doc_id"), "left")
@@ -194,23 +247,7 @@ object TextOps {
     // combined into a bounded score. Pure per-row arithmetic on exact
     // integer inputs, so the doubles are bit-identical cross-engine.
     "txt_quality_score" -> { (s, dir) =>
-      val stop = Seq("the", "a", "of", "and", "to", "in", "is", "on")
-      toks(s, dir)
-        .withColumn("n_tokens", size(col("toks")))
-        .withColumn(
-          "stop_hits",
-          size(filter(col("toks"), t => t.isin(stop: _*))))
-        .withColumn(
-          "avg_tok_len",
-          (length(col("text")) - (col("n_tokens") - 1)).cast(DoubleType)
-            / col("n_tokens"))
-        .withColumn("stop_ratio",
-          col("stop_hits").cast(DoubleType) / col("n_tokens"))
-        .withColumn(
-          "quality",
-          lit(0.4) * least(col("n_tokens") / 100.0, lit(1.0))
-            + lit(0.3) * (lit(1.0) - col("stop_ratio"))
-            + lit(0.3) * least(col("avg_tok_len") / 8.0, lit(1.0)))
+      qualityParts(s, dir)
         .select("doc_id", "n_tokens", "stop_hits", "avg_tok_len",
           "stop_ratio", "quality")
         .orderBy("doc_id")
@@ -249,21 +286,22 @@ object TextOps {
 
   def oracleSql: Map[String, String] = Map(
     "txt_entropy" ->
-      """WITH chars AS (
-        |  SELECT doc_id, CAST(length(text) AS DOUBLE) AS n,
-        |         unnest(string_split(text, '')) AS c
-        |  FROM documents),
-        |freq AS (SELECT doc_id, n, c, CAST(COUNT(*) AS DOUBLE) AS cnt
-        |         FROM chars WHERE c <> '' GROUP BY doc_id, n, c),
-        |ent AS (
-        |  SELECT doc_id,
-        |         round(-list_reduce(list_transform(list(cnt ORDER BY cnt),
-        |             c -> (c / n) * log2(c / n)), (a, b) -> a + b), 9)
-        |           + 0.0 AS entropy
-        |  FROM freq GROUP BY doc_id, n)
-        |SELECT d.doc_id, COALESCE(e.entropy, 0.0) AS entropy
-        |FROM documents d LEFT JOIN ent e ON d.doc_id = e.doc_id
-        |ORDER BY d.doc_id""".stripMargin,
+      s"""WITH chars AS (
+         |  SELECT doc_id, CAST(length(text) AS DOUBLE) AS n,
+         |         unnest(string_split(text, '')) AS c
+         |  FROM documents),
+         |freq AS (SELECT doc_id, n, c, CAST(COUNT(*) AS DOUBLE) AS cnt
+         |         FROM chars WHERE c <> '' GROUP BY doc_id, n, c),
+         |ent AS (
+         |  SELECT doc_id,
+         |         round(-list_reduce(list_transform(list(cnt ORDER BY cnt),
+         |             c -> (c / n) * (ln(c / n) / CAST($Ln2 AS DOUBLE))),
+         |           (a, b) -> a + b), 9)
+         |           + 0.0 AS entropy
+         |  FROM freq GROUP BY doc_id, n)
+         |SELECT d.doc_id, COALESCE(e.entropy, 0.0) AS entropy
+         |FROM documents d LEFT JOIN ent e ON d.doc_id = e.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "sample_stratified" ->
       """SELECT doc_id, lang, source, h, CAST(rn AS INTEGER) AS rn FROM (
@@ -328,24 +366,8 @@ object TextOps {
          |ORDER BY d.doc_id""".stripMargin,
 
     "txt_quality_score" ->
-      """SELECT doc_id, n_tokens, stop_hits, avg_tok_len, stop_ratio,
-        |       0.4 * least(n_tokens / 100.0, 1.0)
-        |         + 0.3 * (1.0 - stop_ratio)
-        |         + 0.3 * least(avg_tok_len / 8.0, 1.0) AS quality
-        |FROM (
-        |  SELECT doc_id, n_tokens, stop_hits,
-        |         CAST(length(text) - (n_tokens - 1) AS DOUBLE) / n_tokens
-        |           AS avg_tok_len,
-        |         CAST(stop_hits AS DOUBLE) / n_tokens AS stop_ratio
-        |  FROM (
-        |    SELECT doc_id, text,
-        |           CAST(len(string_split(lower(text), ' ')) AS INTEGER)
-        |             AS n_tokens,
-        |           CAST(len(list_filter(string_split(lower(text), ' '),
-        |             t -> t IN ('the','a','of','and','to','in','is','on')))
-        |             AS INTEGER) AS stop_hits
-        |    FROM documents))
-        |ORDER BY doc_id""".stripMargin,
+      s"""SELECT * FROM ($qualityPartsSql)
+         |ORDER BY doc_id""".stripMargin,
 
     "txt_token_count" ->
       """SELECT doc_id,
