@@ -218,6 +218,28 @@ object RelationalOps {
         .orderBy("o_custkey", "o_orderkey")
     },
 
+    // Ratio-to-report: each nation's share of its region's revenue —
+    // a window sum over the grouped aggregate, one exact-cents division
+    // at the end. The denominator window partitions by region, so the
+    // share column needs no second aggregation pass.
+    "win_share_of_total" -> { (s, dir) =>
+      val byRegion = Window.partitionBy("r_name")
+      table(s, dir, "orders")
+        .join(table(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(table(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(table(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(sum(cents(col("o_totalprice"))).as("rev_cents"))
+        .withColumn("share",
+          col("rev_cents").cast(DoubleType)
+            / sum(col("rev_cents")).over(byRegion))
+        .select(col("r_name"), col("n_name"),
+          (col("rev_cents") / 100.0).as("revenue"), col("share"))
+        .orderBy("r_name", "n_name")
+    },
+
     // Cohort retention: users grouped by first-activity week, counted
     // per subsequent activity week — the classic retention matrix.
     // Weeks are epoch-days DIV 7 (integer, portable: week-of-year
@@ -803,6 +825,22 @@ object RelationalOps {
         |             ROWS BETWEEN UNBOUNDED PRECEDING
         |               AND UNBOUNDED FOLLOWING)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "win_share_of_total" ->
+      """WITH g AS (
+        |  SELECT r_name, n_name,
+        |         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_cents
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY r_name, n_name)
+        |SELECT r_name, n_name,
+        |       CAST(rev_cents AS BIGINT) / 100.0 AS revenue,
+        |       CAST(rev_cents AS DOUBLE)
+        |         / CAST(SUM(rev_cents) OVER (PARTITION BY r_name) AS DOUBLE)
+        |         AS share
+        |FROM g ORDER BY r_name, n_name""".stripMargin,
 
     "win_retention_cohort" ->
       """WITH e AS (

@@ -168,6 +168,34 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // TF-IDF keyword extraction: top-3 terms per document by
+    // tf · ln(N/df) — the classic salience score a curation pipeline
+    // uses for topic tagging and keyword search. All counts are exact
+    // integers; the single ln is the only float op, rounded to 9 dp
+    // before ranking (term-asc tiebreak), so the top-k is
+    // deterministic cross-engine. Work: two integer aggregations and a
+    // broadcast of the term-df dictionary — linear, one shuffle each.
+    "txt_tfidf_topk" -> { (s, dir) =>
+      val terms = toks(s, dir)
+        .select(col("doc_id"), explode(col("toks")).as("term"))
+      val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df_ = terms.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val n = table(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("term"))
+      tf.join(broadcast(df_), "term")
+        .crossJoin(n)
+        .withColumn("score",
+          round(col("tf") * log(col("n_docs").cast(DoubleType) / col("df")),
+            9))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk").cast(IntegerType).as("rk"),
+          col("term"), col("score"))
+        .orderBy("doc_id", "rk")
+    },
+
     // Tokenize + global term frequency.
     "txt_tokenize_tf" -> { (s, dir) =>
       toks(s, dir)
@@ -285,6 +313,24 @@ object TextOps {
     })
 
   def oracleSql: Map[String, String] = Map(
+    "txt_tfidf_topk" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        |       FROM terms GROUP BY 1, 2),
+        |idf AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        |        FROM terms GROUP BY 1),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+        |SELECT doc_id, rk, term, score FROM (
+        |  SELECT doc_id, term,
+        |         round(tf * ln(CAST(n_docs AS DOUBLE) / df), 9) AS score,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+        |           ORDER BY round(tf * ln(CAST(n_docs AS DOUBLE) / df), 9)
+        |             DESC, term) AS INTEGER) AS rk
+        |  FROM tf JOIN idf USING (term) CROSS JOIN n)
+        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+
     "txt_entropy" ->
       s"""WITH chars AS (
          |  SELECT doc_id, CAST(length(text) AS DOUBLE) AS n,
