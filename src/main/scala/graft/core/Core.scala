@@ -3,6 +3,7 @@ package graft.core
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
 
 /** Shared table loaders and oracle-safe expression helpers.
   *
@@ -26,6 +27,19 @@ object Core {
       raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
     else raw
   }
+
+  /** Mark a multiply-referenced subplan as compute-once. Catalyst does
+    * not common-subexpression-eliminate repeated subplans, so an
+    * iterative/unrolled plan (label propagation, Lloyd rounds, prefix
+    * self-joins) re-executes the shared relation through lineage on
+    * every reference — at 100 TB that is re-reading the corpus once per
+    * round. `persist` only MARKS the plan (no job is scheduled, build
+    * stays lazy — LazinessSpec), and the first action materializes the
+    * relation once; every later reference is a cache read. MEMORY_AND_DISK
+    * spills instead of recomputing under pressure, the right level for
+    * executor-sized intermediates.
+    */
+  def shared(df: DataFrame): DataFrame = df.persist(StorageLevel.MEMORY_AND_DISK)
 
   /** Exact money arithmetic: double -> integer cents. Test values carry
     * <= 2 decimals, so x*100 is within ~1e-10 of an integer and rounding

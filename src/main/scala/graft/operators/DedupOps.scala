@@ -67,8 +67,10 @@ object DedupOps {
     * as a lazy relational set-similarity join (see the `dedup_near`
     * entry in [[queries]]). */
   def dedupNearRelational(s: SparkSession, dir: String): DataFrame = {
-    val toks = tokSets(s, dir)
-      .select(col("doc_id"), col("source"), explode(col("toks")).as("tok"))
+    // three references (both join sides + sizes): compute the exploded
+    // token relation once, not once per reference
+    val toks = shared(tokSets(s, dir)
+      .select(col("doc_id"), col("source"), explode(col("toks")).as("tok")))
     val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     toks.select(col("source"), col("doc_id").as("a_id"), col("tok"))
       .join(toks.select(col("source"), col("doc_id").as("b_id"), col("tok")),
@@ -100,20 +102,24 @@ object DedupOps {
     * plan. */
   def dedupNearPrefix(s: SparkSession, dir: String,
       threshold: Double = 0.6): DataFrame = {
-    val docs = tokSets(s, dir)
-    val toks = docs
+    // docs feeds the token explode AND both verify joins; toks feeds the
+    // df agg AND the prefix join; prefix is both sides of the candidate
+    // self-join. Without `shared`, lineage re-derives the token relation
+    // ~4x (the round-2 bench regression); with it each is computed once.
+    val docs = shared(tokSets(s, dir))
+    val toks = shared(docs
       .select(col("doc_id"), col("source"), col("toks"),
-        explode(col("toks")).as("tok"))
+        explode(col("toks")).as("tok")))
     val df_ = toks.groupBy("tok").agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy("doc_id")
       .orderBy(col("df"), col("tok"))
-    val prefix = toks
+    val prefix = shared(toks
       .join(df_, "tok")
       .withColumn("sz", size(col("toks")))
       .withColumn("rk", row_number().over(byRarity))
       // prefix length |A| - ceil(t*|A|) + 1
       .filter(col("rk") <= col("sz") - ceil(col("sz") * threshold) + 1)
-      .select(col("source"), col("doc_id"), col("tok"))
+      .select(col("source"), col("doc_id"), col("tok")))
     val cand = prefix.select(col("source"), col("doc_id").as("a_id"), col("tok"))
       .join(prefix.select(col("source"), col("doc_id").as("b_id"), col("tok")),
         Seq("source", "tok"))
@@ -188,19 +194,20 @@ object DedupOps {
     * left_anti) — no driver-side action at build time. */
   def dedupNgram(s: SparkSession, dir: String,
       maxDfFrac: Double = 0.1): DataFrame = {
-    val ex = table(s, dir, "documents")
+    val ex = shared(table(s, dir, "documents")
       .withColumn("t", split(lower(col("text")), " "))
       .select(col("doc_id"), col("source"),
         explode(array_distinct(expr(
           "transform(slice(t, 1, size(t) - 1), " +
-            "(x, i) -> concat(x, ' ', t[i + 1]))"))).as("g"))
+            "(x, i) -> concat(x, ' ', t[i + 1]))"))).as("g")))
     val ndocs = table(s, dir, "documents").agg(count(lit(1)).as("ndocs"))
     // shingles are distinct per doc, so count(*) == document frequency
     val hot = ex.groupBy("g").agg(count(lit(1)).as("df"))
       .crossJoin(ndocs)
       .filter(col("df") > col("ndocs") * maxDfFrac)
       .select("g")
-    val kept = ex.join(broadcast(hot), Seq("g"), "left_anti")
+    // referenced by sizes + both sides of the intersection join
+    val kept = shared(ex.join(broadcast(hot), Seq("g"), "left_anti"))
     val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = kept.select(col("source"), col("doc_id").as("a_id"), col("g"))
       .join(kept.select(col("source"), col("doc_id").as("b_id"), col("g")),
@@ -294,16 +301,18 @@ object DedupOps {
         val ms = (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}"))
         struct(lit(b).as("band"), concat_ws("-", ms: _*).as("bkey"))
       }: _*)
-      val banded = sig
+      // banded feeds the bucket-min agg and the canonical join; ts both
+      // sides of the verify join — compute each once
+      val banded = shared(sig
         .select(col("doc_id"), explode(bandStructs).as("bs"))
         .select(col("doc_id"), col("bs.band").as("band"),
-          col("bs.bkey").as("bkey"))
+          col("bs.bkey").as("bkey")))
       val bucketMin = banded.groupBy("band", "bkey")
         .agg(min(col("doc_id")).as("bmin"))
       val canon = banded.join(bucketMin, Seq("band", "bkey"))
         .groupBy("doc_id")
         .agg(min(col("bmin")).as("canonical_id"))
-      val ts = tokSets(s, dir).select(col("doc_id"), col("toks"))
+      val ts = shared(tokSets(s, dir).select(col("doc_id"), col("toks")))
       canon
         .join(ts, "doc_id")
         .join(ts.select(col("doc_id").as("canonical_id"),
@@ -379,8 +388,8 @@ object DedupOps {
     // set-similarity shape as dedup_near; both (a,b) and (b,a) emit
     // when containment holds in that direction.
     "txt_containment" -> { (s, dir) =>
-      val toks = tokSets(s, dir)
-        .select(col("doc_id"), col("source"), explode(col("toks")).as("tok"))
+      val toks = shared(tokSets(s, dir)
+        .select(col("doc_id"), col("source"), explode(col("toks")).as("tok")))
       val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       toks.select(col("source"), col("doc_id").as("a_id"), col("tok"))
         .join(toks.select(col("source"), col("doc_id").as("b_id"), col("tok")),
@@ -417,12 +426,13 @@ object DedupOps {
         shiftright(col("simhash"), j * width).bitwiseAND(lit(mask))
           .as("bbits"))
     }: _*)
-    val d = table(s, dir, "documents").select("doc_id", "source")
+    // both join sides scan the banded sketch relation: sketch it once
+    val d = shared(table(s, dir, "documents").select("doc_id", "source")
       .join(sketch, "doc_id")
       .select(col("source"), col("doc_id"), col("simhash"),
         explode(bandStructs).as("bs"))
       .select(col("source"), col("doc_id"), col("simhash"),
-        col("bs.band").as("band"), col("bs.bbits").as("bbits"))
+        col("bs.band").as("band"), col("bs.bbits").as("bbits")))
     val a = d.select(col("source"), col("band"), col("bbits"),
       col("doc_id").as("a_id"), col("simhash").as("a_sh"))
     val b = d.select(col("source"), col("band"), col("bbits"),
@@ -452,7 +462,13 @@ object DedupOps {
     * referenced once per propagation round, not twice. */
   def dedupClusterCC(s: SparkSession, dir: String,
       rounds: Int = 3): DataFrame = {
-    val edges = simhashEdges(s, dir)
+    // The edge list is referenced once per round and each round's labels
+    // twice (neighbor join + carry-forward): without `shared`, the final
+    // plan re-derives the whole SimHash edge pipeline per round and the
+    // label chain branches double per round (~100 parquet scans at 3
+    // rounds). With it, edges materialize once and each round reads the
+    // previous round's cached labels.
+    val edges = shared(simhashEdges(s, dir))
     var labels = table(s, dir, "documents")
       .select(col("doc_id"), col("doc_id").as("cluster"))
     for (_ <- 0 until rounds) {
@@ -460,12 +476,12 @@ object DedupOps {
         .join(labels.select(col("doc_id").as("m"), col("cluster").as("mc")),
           "m")
         .groupBy("n").agg(min(col("mc")).as("nbr_min"))
-      labels = labels
+      labels = shared(labels
         .join(nbr.select(col("n").as("doc_id"), col("nbr_min")),
           Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
-            .as("cluster"))
+            .as("cluster")))
     }
     labels.orderBy("doc_id")
   }

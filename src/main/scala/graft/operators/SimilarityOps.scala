@@ -36,13 +36,16 @@ object SimilarityOps {
       ((j * Dims + d + 1) * 2654435761L % 4294967296L) / 4294967296.0 - 0.5
     }
 
-  /** vectors with precomputed norm (cast to double once). */
+  /** vectors with precomputed norm (cast to double once). Every caller
+    * references this relation at least twice (self-join sides, Lloyd
+    * rounds, probe/list splits), so it is marked compute-once: the
+    * parquet scan + cast + norm run a single time per action. */
   private def vecs(s: SparkSession, dir: String): DataFrame = {
     graft.plans.GraftFunctions.register(s)
-    table(s, dir, "embeddings")
+    shared(table(s, dir, "embeddings")
       .select(col("vec_id"), col("label"),
         col("embedding").cast(ArrayType(DoubleType)).as("v"))
-      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+      .withColumn("norm", sqrt(dot(col("v"), col("v")))))
   }
 
   /** Sequential-fold dot product via the native codegen'd expression
@@ -94,11 +97,14 @@ object SimilarityOps {
         .withColumn("ec", round(col("x") * 1e6).cast(LongType))
         .groupBy("cid", "dim")
         .agg((sum(col("ec")) / (count(lit(1)) * 1e6)).as("comp"))
-      cents = comps.groupBy("cid")
+      // each Lloyd round reads the previous round's centroids (and the
+      // final centroids are broadcast by several consumers): cache the
+      // k-row relation so training doesn't re-run through lineage
+      cents = shared(comps.groupBy("cid")
         .agg(array_sort(collect_list(struct(col("dim"), col("comp"))))
           .as("dc"))
         .select(col("cid"), expr("transform(dc, s -> s.comp)").as("cv"))
-        .withColumn("cnorm", sqrt(dot(col("cv"), col("cv"))))
+        .withColumn("cnorm", sqrt(dot(col("cv"), col("cv")))))
     }
     cents
   }
@@ -200,7 +206,8 @@ object SimilarityOps {
           round(dot(col("v"), col("cv")) / (col("norm") * col("cnorm")), 9))
       val byVec = Window.partitionBy("vec_id")
         .orderBy(col("ccos").desc, col("cid").asc)
-      val ranked = affinity.withColumn("crn", row_number().over(byVec))
+      // probe and list sides both read the ranked affinity: compute once
+      val ranked = shared(affinity.withColumn("crn", row_number().over(byVec)))
       val lists = ranked.filter(col("crn") === 1)   // inverted lists
         .select(col("cid"), col("vec_id").as("b_id"),
           col("v").as("b_v"), col("norm").as("b_norm"))
