@@ -64,4 +64,23 @@ object TextHash {
 
   /** SimHash bit width (base hash is mod 2^31-1 => 31 usable bits). */
   val SimhashBits = 31
+
+  /** Production-width SimHash: 62 usable bits — the 31-bit base in the
+    * low half and an independent second permutation of it in the high
+    * half. Both halves stay < P, so the combine h2·2^31 + base stays
+    * < 2^62 (no signed-64 overflow in either engine). */
+  val Simhash64Bits = 62
+
+  /** Knuth multiplicative constant mod P / Numerical Recipes LCG
+    * increment: the second permutation (a·base + b) mod P. */
+  val SH64A = 2654435761L % P
+  val SH64B = 1013904223L
+
+  /** Spark: 62-bit extension of a base-hash column (base in [0, P)). */
+  def base62(base: Column): Column =
+    ((lit(SH64A) * base + lit(SH64B)) % P) * lit(1L << 31) + base
+
+  /** DuckDB: same 62-bit extension of base expression. */
+  def base62Sql(base: String): String =
+    s"(($SH64A * $base + $SH64B) % $P) * ${1L << 31} + $base"
 }

@@ -226,21 +226,35 @@ object DedupOps {
       .orderBy("a_id", "b_id")
   }
 
-  /** 31-bit sign-aggregated SimHash sketch per doc (doc_id, simhash);
-    * shared by the dedup_simhash query and its banding-exactness spec. */
-  private[graft] def simhashSketches(s: SparkSession, dir: String): DataFrame = {
-    val bitSums = (0 until SimhashBits).map { j =>
-      sum(when(shiftright(col("base"), j).bitwiseAND(lit(1L)) === 1L,
+  /** Sign-aggregated SimHash sketch per doc (doc_id, simhash) at any
+    * bit width: `widen` lifts the 31-bit token base hash to the sketch's
+    * bit domain (identity for the 31-bit contract sketch,
+    * [[TextHash.base62]] for the production 62-bit one). One linear
+    * pass: per-token bit contributions ±1, summed map-side. */
+  private def sketchFrom(s: SparkSession, dir: String,
+      widen: Column => Column, bits: Int): DataFrame = {
+    val bitSums = (0 until bits).map { j =>
+      sum(when(shiftright(col("b"), j).bitwiseAND(lit(1L)) === 1L,
         lit(1L)).otherwise(lit(-1L))).as(s"s$j")
     }
     docTokHash(s, dir)
+      .withColumn("b", widen(col("base")))
       .groupBy("doc_id")
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"),
-        (0 until SimhashBits)
+        (0 until bits)
           .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
           .reduce(_ + _).as("simhash"))
   }
+
+  /** 31-bit sketch; shared by the dedup_simhash query and its
+    * banding-exactness spec. */
+  private[graft] def simhashSketches(s: SparkSession, dir: String): DataFrame =
+    sketchFrom(s, dir, identity, SimhashBits)
+
+  /** 62-bit production-width sketch ([[TextHash.base62]] high half). */
+  private[graft] def simhash64Sketches(s: SparkSession, dir: String): DataFrame =
+    sketchFrom(s, dir, TextHash.base62, Simhash64Bits)
 
   def queries: Map[String, Q] = Map(
     // Exact duplicate removal: keep-first by doc_id within identical
@@ -347,12 +361,23 @@ object DedupOps {
       simhashPairs(s, dir).orderBy("a_id", "b_id")
     },
 
+    // Production-width SimHash: 62-bit sketch (TextHash.base62), pairs
+    // at Hamming <= 3 via 4 pigeonhole-exact 16-bit bands. The tight
+    // threshold over a wide sketch is what a real corpus runs — each
+    // band is a selective bucket key, so candidate generation stays
+    // near-linear even when the corpus is near-dup-dense. See
+    // [[simhash64Pairs]].
+    "dedup_simhash64" -> { (s, dir) =>
+      simhash64Pairs(s, dir).orderBy("a_id", "b_id")
+    },
+
     // Near-dup cluster canonicalization: connected components over the
     // SimHash near-dup edge set via bounded label propagation — each
     // round every doc takes the min cluster label among itself and its
-    // neighbors (3 unrolled rounds; exact for components of diameter
-    // <= 3, and this corpus's near-dup clusters are dense so 3 rounds
-    // converge — asserted in DedupOpsSpec by round-4 idempotence). The
+    // neighbors (CcRounds unrolled rounds; exact for components of
+    // diameter <= CcRounds, and this corpus's near-dup clusters are
+    // dense so they converge much earlier — asserted in DedupOpsSpec by
+    // extra-round idempotence; ccFixpoint covers unbounded chains). The
     // decision output a real pipeline needs: doc -> canonical cluster,
     // one row per doc, no pair listing. Each round is two equi-joins +
     // a min agg on the (sparse) edge list — linear in |E| per round,
@@ -387,27 +412,72 @@ object DedupOps {
     // the page plus navigation chrome. Same lazy relational
     // set-similarity shape as dedup_near; both (a,b) and (b,a) emit
     // when containment holds in that direction.
-    "txt_containment" -> { (s, dir) =>
-      val toks = shared(tokSets(s, dir)
-        .select(col("doc_id"), col("source"), explode(col("toks")).as("tok")))
-      val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      toks.select(col("source"), col("doc_id").as("a_id"), col("tok"))
-        .join(toks.select(col("source"), col("doc_id").as("b_id"), col("tok")),
-          Seq("source", "tok"))
-        .filter(col("a_id") =!= col("b_id"))
-        .groupBy("a_id", "b_id")
-        .agg(count(lit(1)).as("inter"))
-        .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("a_sz")),
-          "a_id")
-        .withColumn("containment",
-          col("inter").cast(DoubleType) / col("a_sz"))
-        .filter(col("containment") >= 0.9)
-        .select("a_id", "b_id", "containment")
-        .orderBy("a_id", "b_id")
-    })
+    // Directional token containment |A∩B|/|A| >= 0.9, prefix-filtered:
+    // see [[txtContainmentPrefix]]. Result-identical to the unguarded
+    // Σk² join (which remains the oracle), asserted in DedupOpsSpec.
+    "txt_containment" -> { (s, dir) => txtContainmentPrefix(s, dir) })
+
+  /** Directional token containment |A∩B|/|A| >= `threshold` within
+    * `source` blocks, with an A-side prefix filter: order tokens
+    * globally by ascending document frequency; if NONE of A's first
+    * |A| − ⌈t·|A|⌉ + 1 tokens (rarest first) occur in B, then
+    * |A∩B| <= ⌈t·|A|⌉ − 1 < t·|A| and the pair cannot qualify — so
+    * candidates come from A-prefix tokens only. Unlike the symmetric
+    * Jaccard case the B side must stay unfiltered (the shared token may
+    * sit anywhere in B), but the A-side explode shrinks ~10x at t=0.9,
+    * which is what bounds the Σk² candidate work. Exact verification
+    * (array_intersect over the full token sets) then decides each
+    * candidate. Same lazy relational shape as [[dedupNearPrefix]];
+    * catches subset/boilerplate duplication (a page vs the page plus
+    * navigation chrome) that symmetric Jaccard misses; both (a,b) and
+    * (b,a) emit when containment holds in that direction. */
+  def txtContainmentPrefix(s: SparkSession, dir: String,
+      threshold: Double = 0.9): DataFrame = {
+    val docs = shared(tokSets(s, dir))
+    val toks = shared(docs
+      .select(col("doc_id"), col("source"), col("toks"),
+        explode(col("toks")).as("tok")))
+    val df_ = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy("doc_id")
+      .orderBy(col("df"), col("tok"))
+    val prefix = toks
+      .join(df_, "tok")
+      .withColumn("sz", size(col("toks")))
+      .withColumn("rk", row_number().over(byRarity))
+      .filter(col("rk") <= col("sz") - ceil(col("sz") * threshold) + 1)
+      .select(col("source"), col("doc_id"), col("tok"))
+    val cand = prefix.select(col("source"), col("doc_id").as("a_id"), col("tok"))
+      .join(toks.select(col("source"), col("doc_id").as("b_id"), col("tok")),
+        Seq("source", "tok"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val ts = docs.select(col("doc_id"), col("toks"))
+    cand
+      .join(ts.select(col("doc_id").as("a_id"), col("toks").as("a_toks")),
+        "a_id")
+      .join(ts.select(col("doc_id").as("b_id"), col("toks").as("b_toks")),
+        "b_id")
+      .withColumn("containment",
+        size(array_intersect(col("a_toks"), col("b_toks"))).cast(DoubleType)
+          / size(col("a_toks")))
+      .filter(col("containment") >= threshold)
+      .select("a_id", "b_id", "containment")
+      .orderBy("a_id", "b_id")
+  }
 
   /** Max Hamming distance for a SimHash near-dup pair. */
   val SimhashHammingMax = 10
+
+  /** Max Hamming distance for the production-width 62-bit sketch:
+    * <= 3 differing bits over 62 — the selectivity a real corpus needs
+    * (4 bands of 16 bits, each a strong bucket key). */
+  val Simhash64HammingMax = 3
+
+  /** Unrolled propagation rounds in the contract CC query — exact for
+    * component diameter <= CcRounds. Bounded by the oracle contract
+    * (DuckDB mirrors the same unrolled CTE chain); [[ccFixpoint]] is
+    * the unbounded-diameter path. */
+  val CcRounds = 5
 
   /** Banded bucket join over SimHash sketches: verified near-dup pairs
     * with `pred` deciding the id predicate (a<b for the pair listing,
@@ -415,11 +485,11 @@ object DedupOps {
     * from the constants so the pigeonhole guarantee (bands ≥
     * threshold+1, bands tile every sketch bit) survives any future
     * change to SimhashBits or the threshold. */
-  private def simhashJoin(s: SparkSession, dir: String,
+  private def bandedJoin(s: SparkSession, dir: String, sketch: DataFrame,
+      bits: Int, hammingMax: Int,
       pred: (Column, Column) => Column): DataFrame = {
-    val sketch = simhashSketches(s, dir)
-    val nBands = SimhashHammingMax + 1                      // pigeonhole
-    val width = (SimhashBits + nBands - 1) / nBands         // tiles all bits
+    val nBands = hammingMax + 1                             // pigeonhole
+    val width = (bits + nBands - 1) / nBands                // tiles all bits
     val mask = (1L << width) - 1
     val bandStructs = array((0 until nBands).map { j =>
       struct(lit(j).as("band"),
@@ -441,14 +511,29 @@ object DedupOps {
       .filter(pred(col("a_id"), col("b_id")))
       .withColumn("hamming",
         bit_count(col("a_sh").bitwiseXOR(col("b_sh"))).cast(IntegerType))
-      .filter(col("hamming") <= SimhashHammingMax)
+      .filter(col("hamming") <= hammingMax)
       .groupBy("a_id", "b_id")
       .agg(min(col("hamming")).as("hamming"))
   }
 
+  private def simhashJoin(s: SparkSession, dir: String,
+      pred: (Column, Column) => Column): DataFrame =
+    bandedJoin(s, dir, simhashSketches(s, dir), SimhashBits,
+      SimhashHammingMax, pred)
+
   /** Near-dup pairs (a_id < b_id, hamming <= 10). */
   private def simhashPairs(s: SparkSession, dir: String): DataFrame =
     simhashJoin(s, dir, _ < _)
+
+  /** Production-width pairs: 62-bit sketch, 4 bands of 16 bits,
+    * Hamming <= [[Simhash64HammingMax]] — the selective configuration a
+    * real corpus runs ([[SimhashHammingMax]]=10/31 needs 11 one-to-
+    * three-bit bands, which bucket weakly; 3/62 gets 16-bit bands).
+    * Same pigeonhole-exact banding, asserted vs all-pairs in
+    * DedupOpsSpec. */
+  private[graft] def simhash64Pairs(s: SparkSession, dir: String): DataFrame =
+    bandedJoin(s, dir, simhash64Sketches(s, dir), Simhash64Bits,
+      Simhash64HammingMax, _ < _)
 
   /** Symmetric near-dup edges (n, m): both directions in one pass. */
   private def simhashEdges(s: SparkSession, dir: String): DataFrame =
@@ -460,30 +545,94 @@ object DedupOps {
     * edge list comes from ONE pass of the bucket join (filter a≠b
     * instead of a&lt;b then union-swap), so the sketch/bucket subplan is
     * referenced once per propagation round, not twice. */
+  /** One synchronous min-label-propagation pass over a self-looped
+    * symmetric edge relation `selfEdges(n, m)` (every node carries its
+    * (v, v) loop): new_label(v) = min over (v, m) edges of old_label(m)
+    * — the self-loop folds "keep my own label" into the same min, so
+    * the previous labels are referenced exactly ONCE per round and the
+    * unrolled chain stays a linear plan (no per-round branch doubling,
+    * no per-round cache barrier). One equi-join + one min agg — linear
+    * in |E|, no arrays, exact associative integer work. */
+  private def ccRound(labels: DataFrame, selfEdges: DataFrame): DataFrame =
+    selfEdges
+      .join(labels.select(col("doc_id").as("m"), col("cluster").as("mc")),
+        "m")
+      .groupBy("n").agg(min(col("mc")).as("cluster"))
+      .withColumnRenamed("n", "doc_id")
+
+  /** Symmetric edges plus a (v, v) loop per node — the propagation
+    * relation [[ccRound]] consumes. */
+  private def withSelfLoops(nodes: DataFrame, edges: DataFrame): DataFrame =
+    edges.unionByName(
+      nodes.select(col("doc_id").as("n"), col("doc_id").as("m")))
+
   def dedupClusterCC(s: SparkSession, dir: String,
-      rounds: Int = 3): DataFrame = {
-    // The edge list is referenced once per round and each round's labels
-    // twice (neighbor join + carry-forward): without `shared`, the final
-    // plan re-derives the whole SimHash edge pipeline per round and the
-    // label chain branches double per round (~100 parquet scans at 3
-    // rounds). With it, edges materialize once and each round reads the
-    // previous round's cached labels.
-    val edges = shared(simhashEdges(s, dir))
-    var labels = table(s, dir, "documents")
-      .select(col("doc_id"), col("doc_id").as("cluster"))
-    for (_ <- 0 until rounds) {
-      val nbr = edges
-        .join(labels.select(col("doc_id").as("m"), col("cluster").as("mc")),
-          "m")
-        .groupBy("n").agg(min(col("mc")).as("nbr_min"))
-      labels = shared(labels
-        .join(nbr.select(col("n").as("doc_id"), col("nbr_min")),
-          Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
-            .as("cluster")))
-    }
+      rounds: Int = CcRounds): DataFrame = {
+    // The (self-looped) edge list is referenced once per round: without
+    // `shared`, the plan would re-derive the whole SimHash edge
+    // pipeline per round (~100 parquet scans at 3 rounds in round 2).
+    // With it, edges materialize once and the unrolled rounds are a
+    // linear chain of join+agg over the cached relation — which is what
+    // makes 5 rounds affordable.
+    //
+    // k rounds are exact for components of diameter <= k (the min label
+    // travels one hop per round); components of larger diameter
+    // under-merge. For corpora whose duplicate chains may exceed
+    // CcRounds, [[ccFixpoint]] iterates to convergence — the unrolled
+    // form here is the oracle-checkable contract configuration.
+    // (Pointer-jumping/doubling variants were evaluated and rejected:
+    // jumping adds nothing in the worst case — adversarial id layouts
+    // keep every pointer inside already-covered territory — and edge
+    // doubling squares the edge set on dense near-dup clusters, which
+    // is exactly what this corpus has.)
+    val nodes = table(s, dir, "documents").select("doc_id")
+    // hash-partition the cached edges on the join key ONCE: the
+    // InMemoryRelation keeps its partitioning, so every round's join
+    // shuffles only the (node-sized) label relation, never the edges —
+    // the partition-once/join-many shape an iterative algorithm needs
+    // at scale
+    val selfEdges =
+      shared(withSelfLoops(nodes, simhashEdges(s, dir)).repartition(col("m")))
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("cluster"))
+    for (_ <- 0 until rounds)
+      labels = ccRound(labels, selfEdges)
     labels.orderBy("doc_id")
+  }
+
+  /** Exact connected components over an ARBITRARY symmetric edge
+    * relation, iterated to fixpoint — the production path when
+    * duplicate-chain diameter is unbounded (the contract query's
+    * unrolled [[dedupClusterCC]] is exact only to diameter
+    * [[CcRounds]]). `nodes` is one row per node id; `edges(n, m)` must
+    * contain both directions of each edge. Each iteration is one
+    * propagate pass plus one driver-side convergence check (a count —
+    * this is a utility with a loop, deliberately outside the lazy
+    * oracle contract); iterations = component diameter in the worst
+    * case, and each one joins only the cached edge relation, so total
+    * work is O(d·|E|) with the corpus read once. Labels decrease
+    * monotonically, so "no label changed" certifies the true CC
+    * fixpoint regardless of diameter. */
+  def ccFixpoint(nodes: DataFrame, edges: DataFrame,
+      maxRounds: Int = 64): DataFrame = {
+    val e = shared(withSelfLoops(nodes, edges).repartition(col("m")))
+    var labels = shared(nodes.select(col("doc_id"), col("doc_id").as("cluster")))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxRounds) {
+      val next = shared(ccRound(labels, e))
+      // count(), not isEmpty: the full scan materializes EVERY partition
+      // of `next` into the cache, so unpersisting the previous labels
+      // below cannot force a lineage recompute in the following round
+      val changed = next.join(labels.withColumnRenamed("cluster", "prev"),
+        "doc_id")
+        .filter(col("cluster") =!= col("prev"))
+        .count()
+      converged = changed == 0
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    labels
   }
 
   private lazy val dedupNearOracle: String =
@@ -523,10 +672,10 @@ object DedupOps {
          |  WHERE bit_count(xor(a.simhash, b.simhash))
          |          <= $SimhashHammingMax)""".stripMargin
 
-    // 3 unrolled min-label-propagation rounds over the pair CTE,
-    // ending in l3(doc_id, cluster); shared by dedup_cluster_cc and
-    // dedup_canonical_pick
-    val ccRounds = (1 to 3).map { i =>
+    // CcRounds unrolled min-label-propagation rounds over the pair CTE,
+    // ending in l&lt;CcRounds&gt;(doc_id, cluster); shared by
+    // dedup_cluster_cc and dedup_canonical_pick
+    val ccRounds = (1 to CcRounds).map { i =>
       s"""nbr$i AS (SELECT e.n, min(x.cluster) AS nbr_min
          |  FROM edges e JOIN l${i - 1} x ON x.doc_id = e.m GROUP BY e.n),
          |l$i AS (SELECT l.doc_id,
@@ -605,9 +754,34 @@ object DedupOps {
            |SELECT a_id, b_id, hamming FROM pairs
            |ORDER BY a_id, b_id""".stripMargin,
 
+      "dedup_simhash64" -> {
+        val bitSums64 = (0 until Simhash64Bits)
+          .map(j =>
+            s"SUM(CASE WHEN (b >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
+          .mkString(", ")
+        val bitVal64 = (0 until Simhash64Bits)
+          .map(j => s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END")
+          .mkString(" + ")
+        // all-pairs formulation (banded Spark plan proven identical in
+        // DedupOpsSpec)
+        s"""WITH th AS ($docTokHashSql),
+           |th64 AS (SELECT doc_id, ${base62Sql("base")} AS b FROM th),
+           |bits AS (SELECT doc_id, $bitSums64 FROM th64 GROUP BY doc_id),
+           |sk AS (SELECT doc_id, CAST($bitVal64 AS BIGINT) AS simhash
+           |       FROM bits),
+           |d AS (SELECT doc_id, source, simhash
+           |      FROM documents JOIN sk USING (doc_id))
+           |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER)
+           |         AS hamming
+           |FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.simhash, b.simhash)) <= $Simhash64HammingMax
+           |ORDER BY a_id, b_id""".stripMargin
+      },
+
       "dedup_cluster_cc" ->
         s"""WITH $ccCte
-           |SELECT doc_id, cluster FROM l3 ORDER BY doc_id""".stripMargin,
+           |SELECT doc_id, cluster FROM l$CcRounds ORDER BY doc_id""".stripMargin,
 
       "dedup_canonical_pick" ->
         s"""WITH $ccCte,
@@ -615,7 +789,7 @@ object DedupOps {
            |SELECT doc_id, cluster, quality,
            |       ROW_NUMBER() OVER (PARTITION BY cluster
            |         ORDER BY quality DESC, doc_id) = 1 AS is_kept
-           |FROM l3 JOIN q USING (doc_id)
+           |FROM l$CcRounds JOIN q USING (doc_id)
            |ORDER BY doc_id""".stripMargin,
 
       "txt_containment" ->

@@ -27,14 +27,21 @@ import org.apache.spark.sql.types._
   */
 object SimilarityOps {
 
-  /** 8 deterministic pseudo-random hyperplanes over 64 dims, from a
-    * Knuth multiplicative-hash sequence — reproducible in SQL literals. */
+  /** Deterministic pseudo-random hyperplanes over 64 dims, from a
+    * Knuth multiplicative-hash sequence — reproducible in SQL literals
+    * for any plane count. The contract configuration is [[Planes]] = 8
+    * (2^8 buckets — sized to the test corpus so buckets stay populated);
+    * a 100 TB deployment raises the count (16 planes = 65,536 buckets
+    * keeps in-bucket pairing subquadratic at ~10^9 vectors) through the
+    * [[annLsh]] parameter — the plane scheme, probing and oracle algebra
+    * all extend unchanged, asserted in SimilarityOpsSpec. */
   val Planes = 8
   val Dims = 64
-  val planes: Array[Array[Double]] =
-    Array.tabulate(Planes, Dims) { (j, d) =>
+  def planesFor(n: Int): Array[Array[Double]] =
+    Array.tabulate(n, Dims) { (j, d) =>
       ((j * Dims + d + 1) * 2654435761L % 4294967296L) / 4294967296.0 - 0.5
     }
+  val planes: Array[Array[Double]] = planesFor(Planes)
 
   /** vectors with precomputed norm (cast to double once). Every caller
     * references this relation at least twice (self-join sides, Lloyd
@@ -141,6 +148,49 @@ object SimilarityOps {
       s",\ncents AS (SELECT * FROM cents$iters)"
   }
 
+  /** Random-hyperplane LSH ANN with optional 1-bit-flip multiprobe.
+    * One linear map-side pass computes `nPlanes` sign bits per vector
+    * (2^nPlanes buckets); with `multiprobe` each query additionally
+    * probes the nPlanes buckets at Hamming distance 1 — the buckets a
+    * truly-near neighbor most likely fell into when it sat on the other
+    * side of one hyperplane — so recall rises without touching bucket
+    * selectivity (candidates grow by the probe factor, not bucket
+    * occupancy²). One shuffle on the probe key, exact-cosine rerank of
+    * collisions, top-`topK` per query. At 100 TB: raise nPlanes so
+    * n/2^nPlanes stays executor-sized (16 planes ≈ 65k buckets); probe
+    * count scales linearly with nPlanes, the right trade vs the
+    * quadratic in-bucket pairing it prevents. */
+  def annLsh(s: SparkSession, dir: String, nPlanes: Int = Planes,
+      multiprobe: Boolean = true, topK: Int = 3): DataFrame = {
+    val ps = planesFor(nPlanes)
+    val bucketCol = (0 until nPlanes)
+      .map(j => when(dot(col("v"), typedLit(ps(j).toSeq)) > 0.0,
+        lit(1 << j)).otherwise(lit(0)))
+      .reduce(_ + _)
+    // both join sides and every probe row read the bucketed vectors
+    val e = shared(vecs(s, dir).withColumn("bucket", bucketCol))
+    val probeList =
+      if (multiprobe)
+        array(col("bucket") +:
+          (0 until nPlanes).map(j => col("bucket").bitwiseXOR(lit(1 << j))): _*)
+      else array(col("bucket"))
+    val a = e.select(col("vec_id").as("a_id"), col("v").as("a_v"),
+        col("norm").as("a_norm"), col("bucket"))
+      .withColumn("probe", explode(probeList))
+    val b = e.select(col("bucket").as("probe"), col("vec_id").as("b_id"),
+      col("v").as("b_v"), col("norm").as("b_norm"))
+    val w = Window.partitionBy("a_id")
+      .orderBy(col("cos").desc, col("b_id").asc)
+    a.join(b, Seq("probe"))
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("cos", cosine)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("a_id"), col("rank").cast(IntegerType).as("rank"),
+        col("b_id"), col("cos"), col("bucket").cast(IntegerType).as("bucket"))
+      .orderBy("a_id", "rank")
+  }
+
   private def pairs(s: SparkSession, dir: String,
       joinKey: String): DataFrame = {
     val e = vecs(s, dir)
@@ -167,29 +217,12 @@ object SimilarityOps {
         .orderBy("a_id", "rank")
     },
 
-    // ANN via random-hyperplane LSH: 8 sign bits -> bucket id; rerank
-    // bucket collisions by exact cosine, top-3 per query vector.
-    "sim_ann_lsh" -> { (s, dir) =>
-      val bucket = (0 until Planes)
-        .map(j => when(dot(col("v"), typedLit(planes(j).toSeq)) > 0.0,
-          lit(1 << j)).otherwise(lit(0)))
-        .reduce(_ + _)
-      val e = vecs(s, dir).withColumn("bucket", bucket)
-      val a = e.select(col("bucket"), col("vec_id").as("a_id"),
-        col("v").as("a_v"), col("norm").as("a_norm"))
-      val b = e.select(col("bucket"), col("vec_id").as("b_id"),
-        col("v").as("b_v"), col("norm").as("b_norm"))
-      val w = Window.partitionBy("a_id")
-        .orderBy(col("cos").desc, col("b_id").asc)
-      a.join(b, Seq("bucket"))
-        .filter(col("a_id") =!= col("b_id"))
-        .withColumn("cos", cosine)
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
-        .select(col("a_id"), col("rank").cast(IntegerType).as("rank"),
-          col("b_id"), col("cos"), col("bucket").cast(IntegerType).as("bucket"))
-        .orderBy("a_id", "rank")
-    },
+    // ANN via random-hyperplane LSH with 1-bit-flip multiprobe: sign
+    // bits -> bucket id; each query probes its own bucket plus every
+    // Hamming-1 neighbor bucket (the nearest-miss buckets — a vector
+    // near a hyperplane lands across it); rerank all probed collisions
+    // by exact cosine, top-3 per query vector. See [[annLsh]].
+    "sim_ann_lsh" -> { (s, dir) => annLsh(s, dir) },
 
     // IVF-style ANN with TRAINED centroids: a deterministic seeded
     // k-means (k=10, 2 Lloyd iterations — see [[kmeansCentroids]])
@@ -276,18 +309,23 @@ object SimilarityOps {
            |    ON a.label = b.label AND a.vec_id <> b.vec_id)
            |WHERE rank <= 5 ORDER BY a_id, rank""".stripMargin,
 
-      "sim_ann_lsh" ->
+      "sim_ann_lsh" -> {
+        val probeLits = ("bucket" +: (0 until Planes)
+          .map(j => s"xor(bucket, ${1 << j})")).mkString("[", ", ", "]")
         s"""WITH e AS (SELECT *, CAST($bucketSql AS INTEGER) AS bucket
-           |           FROM ($vecsSql))
+           |           FROM ($vecsSql)),
+           |p AS (SELECT vec_id, v, norm, bucket, unnest($probeLits) AS probe
+           |      FROM e)
            |SELECT a_id, rank, b_id, cos, bucket FROM (
            |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, $cosineSql AS cos,
            |         a.bucket AS bucket,
            |         CAST(ROW_NUMBER() OVER (PARTITION BY a.vec_id
            |           ORDER BY $cosineSql DESC, b.vec_id ASC) AS INTEGER)
            |           AS rank
-           |  FROM e a JOIN e b
-           |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
-           |WHERE rank <= 3 ORDER BY a_id, rank""".stripMargin,
+           |  FROM p a JOIN e b
+           |    ON b.bucket = a.probe AND a.vec_id <> b.vec_id)
+           |WHERE rank <= 3 ORDER BY a_id, rank""".stripMargin
+      },
 
       "sim_ivf_knn" ->
         s"""WITH e AS ($vecsSql),

@@ -189,16 +189,110 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(banded == allPairs)
   }
 
-  test("cluster label propagation converges in 3 rounds on this corpus") {
-    val r3 = DedupOps.dedupClusterCC(spark, TestSpark.sfDir, rounds = 3)
+  test("62-bit banded SimHash emits the identical pair set as all-pairs") {
+    val banded = DedupOps.queries("dedup_simhash64")(spark, TestSpark.sfDir)
+      .collect().map(_.toSeq).toSeq
+    val d = graft.core.Core.table(spark, TestSpark.sfDir, "documents")
+      .select("doc_id", "source")
+      .join(DedupOps.simhash64Sketches(spark, TestSpark.sfDir), "doc_id")
+    val a = d.select(col("source"), col("doc_id").as("a_id"),
+      col("simhash").as("a_sh"))
+    val b = d.select(col("source"), col("doc_id").as("b_id"),
+      col("simhash").as("b_sh"))
+    val allPairs = a.join(b, Seq("source"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("hamming", bit_count(col("a_sh").bitwiseXOR(col("b_sh")))
+        .cast("int"))
+      .filter(col("hamming") <= DedupOps.Simhash64HammingMax)
+      .select("a_id", "b_id", "hamming")
+      .orderBy("a_id", "b_id")
+      .collect().map(_.toSeq).toSeq
+    // the tight threshold must be SELECTIVE (strict subset of the loose
+    // 31-bit pair set) yet non-degenerate on this near-dup corpus
+    assert(banded.nonEmpty)
+    assert(banded == allPairs)
+    val loose = DedupOps.queries("dedup_simhash")(spark, TestSpark.sfDir)
+      .count()
+    assert(banded.size < loose)
+  }
+
+  test("cluster label propagation converges within CcRounds on this corpus") {
+    val rK = DedupOps.dedupClusterCC(spark, TestSpark.sfDir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val r4 = DedupOps.dedupClusterCC(spark, TestSpark.sfDir, rounds = 4)
+    val rK1 = DedupOps.dedupClusterCC(spark, TestSpark.sfDir,
+        rounds = DedupOps.CcRounds + 1)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(r3 == r4, "round 4 changed labels: diameter > 3, raise rounds")
+    assert(rK == rK1,
+      s"round ${DedupOps.CcRounds + 1} changed labels: " +
+        s"diameter > ${DedupOps.CcRounds}, raise CcRounds")
     // a real clustering: at least one non-singleton cluster, and every
     // cluster id is a member doc's id (the component minimum)
-    assert(r3.values.toSet.size < r3.size)
-    assert(r3.values.forall(c => r3.contains(c) && r3(c) == c))
+    assert(rK.values.toSet.size < rK.size)
+    assert(rK.values.forall(c => rK.contains(c) && rK(c) == c))
+  }
+
+  test("prefix-filtered containment == unguarded directional join") {
+    import graft.core.Core.table
+    val toks = table(spark, TestSpark.sfDir, "documents")
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(split(lower(col("text")), " "))).as("tok"))
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val unguarded = toks
+      .select(col("source"), col("doc_id").as("a_id"), col("tok"))
+      .join(toks.select(col("source"), col("doc_id").as("b_id"), col("tok")),
+        Seq("source", "tok"))
+      .filter(col("a_id") =!= col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("a_sz")),
+        "a_id")
+      .withColumn("containment", col("inter").cast("double") / col("a_sz"))
+      .filter(col("containment") >= 0.9)
+      .select("a_id", "b_id", "containment")
+      .orderBy("a_id", "b_id")
+      .collect().map(_.toSeq).toSeq
+    val guarded = DedupOps.txtContainmentPrefix(spark, TestSpark.sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(guarded.nonEmpty)
+    assert(guarded == unguarded)
+  }
+
+  test("ccFixpoint is exact on long chains where the bounded unroll is not") {
+    import spark.implicits._
+    def chainEdges(ids: Seq[Long]): Seq[(Long, Long)] =
+      ids.zip(ids.tail).flatMap { case (a, b) => Seq(a -> b, b -> a) }
+
+    // Deterministic worst case: a diameter-8 path with ids ascending
+    // away from the minimum. k propagate rounds move the min label k
+    // hops, so the far end is provably unreached for k < 8.
+    val path = (0L to 8L)
+    val nodes = path.toDF("doc_id")
+    val edges = chainEdges(path).toDF("n", "m")
+    val bounded = DedupOps.ccFixpoint(nodes, edges, maxRounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bounded(8L) != 0L,
+      "3 bounded rounds unexpectedly merged a diameter-8 chain")
+    val exact = DedupOps.ccFixpoint(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact.values.forall(_ == 0L),
+      s"fixpoint under-merged the chain: $exact")
+
+    // Randomized: multi-component corpora of permuted-id chains
+    // (diameter up to 12) must match brute-force union-find exactly.
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { _ =>
+      val comps = (0 until 4).map(_ => rnd.nextInt(12) + 2)
+      val ids = rnd.shuffle((0L until comps.sum.toLong).toList)
+      val chains = comps.foldLeft((List.empty[Seq[Long]], ids)) {
+        case ((acc, rest), n) => (acc :+ rest.take(n), rest.drop(n))
+      }._1
+      val es = chains.flatMap(chainEdges)
+      val ns = chains.flatten.toDF("doc_id")
+      val got = DedupOps.ccFixpoint(ns, es.toDF("n", "m"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = chains.flatMap(c => c.map(_ -> c.min)).toMap
+      assert(got == want, s"fixpoint != union-find on chains $chains")
+    }
   }
 
   test("as-of join: no Join node, single window, parity with join form") {
