@@ -45,7 +45,21 @@ object Bench {
     val errors = timed.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = timed.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
+    println(line)
+    // self-archive: the driver's BENCH_r{N}.json has truncated its tail
+    // both rounds (30+ per-query timings lost each time), so persist
+    // the full line locally — latest snapshot + append-only history.
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SELF.json"),
+        (line + "\n").getBytes("UTF-8"))
+      java.nio.file.Files.write(java.nio.file.Paths.get("docs/bench_history.jsonl"),
+        (s"""{"at":${System.currentTimeMillis / 1000},"bench":$line}""" + "\n")
+          .getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    } catch { case _: Throwable => } // archival must never fail the bench
     spark.stop()
   }
 }

@@ -152,6 +152,10 @@ object DedupOps {
     val toks = tokSets(s, dir)
       .select(col("doc_id"), col("source"), explode(col("toks")).as("tok"))
     val vocab = toks.select("tok").distinct()
+      // the partition-less window funnels the vocabulary through ONE
+      // task — acceptable ONLY because this opt-in helper is contractually
+      // bounded to <= 63 distinct tokens (raise_error below); the general
+      // path (dedupNearRelational/Prefix) never global-sorts a vocabulary
       .withColumn("idx", row_number().over(Window.orderBy("tok")) - 1)
       .withColumn("idx", expr(
         "CASE WHEN idx > 62 THEN CAST(raise_error(" +

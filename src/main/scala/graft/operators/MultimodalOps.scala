@@ -24,10 +24,12 @@ object MultimodalOps {
   /** A multimodal asset row: opaque bytes + typed metadata. */
   case class Asset(doc_id: Long, media_type: String, bytes: Array[Byte])
 
-  /** Fake-decoded features; a real decoder would fill real values. */
+  /** Decoded features. width/height stay -1 for non-image decoders
+    * (the stub among them); [[PngImageDecoder]] fills real pixel
+    * dimensions and a real pixel checksum. */
   case class AssetFeatures(
     doc_id: Long, media_type: String, n_bytes: Int, first_byte: Int,
-    checksum: Long)
+    checksum: Long, width: Int = -1, height: Int = -1)
 
   /** The codec seam: a real deployment implements this with an actual
     * image/audio library (per-partition so the codec initializes once
@@ -51,6 +53,40 @@ object MultimodalOps {
         AssetFeatures(a.doc_id, a.media_type,
           a.bytes.length, if (a.bytes.nonEmpty) a.bytes(0) & 0xff else -1,
           sum % 256)
+      }
+  }
+
+  /** REAL codec through the same seam: pure-JVM PNG (and any other
+    * ImageIO-registered format) decode — proof that [[AssetDecoder]] is
+    * an honest plug point, not plumbing that only fits the fake. Emits
+    * actual pixel dimensions and a checksum over DECODED ARGB pixel
+    * values (so two byte-wise different encodings of the same image
+    * checksum identically — exactly what the byte-stats stub cannot
+    * do). Per-partition batch shape unchanged: ImageIO's reader lookup
+    * happens per element but the JVM codec registry loads once per
+    * executor. Undecodable bytes degrade to the stub's byte stats with
+    * width/height -1 rather than failing the partition — a curation
+    * pipeline records, not throws on, corrupt assets. */
+  object PngImageDecoder extends AssetDecoder {
+    def decodeBatch(it: Iterator[Asset]): Iterator[AssetFeatures] =
+      it.map { a =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a.bytes))
+          catch { case _: java.io.IOException => null }
+        if (img == null) StubDecoder.decodeBatch(Iterator(a)).next()
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { sum += img.getRGB(x, y) & 0xffffffffL; x += 1 }
+            y += 1
+          }
+          AssetFeatures(a.doc_id, a.media_type, a.bytes.length,
+            if (a.bytes.nonEmpty) a.bytes(0) & 0xff else -1,
+            sum % 2147483647L, w, h)
+        }
       }
   }
 
@@ -108,6 +144,11 @@ object MultimodalOps {
     // bytes (50% overlap — the STFT framing an audio pipeline applies
     // before spectral features), with a per-frame byte-sum "energy" in
     // place of the codec'd spectrum. Offsets explode, payload doesn't.
+    // Energy really is a sum over the UTF-8 BYTES of the encoded frame
+    // (folded from the hex encoding both engines already share — two
+    // hex digits per byte), not a codepoint sum, so it is exact for
+    // arbitrary non-ASCII payloads and matches frame_len/frame_hex's
+    // encode() domain.
     "multimodal_audio_hop" -> { (s, dir) =>
       table(s, dir, "documents")
         // empty text -> no frames (matches generate_series(1,0)'s empty
@@ -115,15 +156,19 @@ object MultimodalOps {
         .filter(length(col("text")) > 0)
         .select(col("doc_id"), col("text"),
           explode(sequence(lit(1), length(col("text")), lit(8))).as("pos"))
-        .withColumn("frame", expr("substring(text, pos, 16)"))
+        .withColumn("bf", encode(expr("substring(text, pos, 16)"), "UTF-8"))
+        .withColumn("hx", lower(hex(col("bf"))))
         .select(
           col("doc_id"), col("pos").cast(IntegerType).as("pos"),
-          octet_length(encode(col("frame"), "UTF-8")).as("frame_len"),
+          octet_length(col("bf")).as("frame_len"),
           aggregate(
-            filter(split(col("frame"), ""), c => c =!= lit("")),
-            lit(0L), (acc, c) => acc + ascii(c).cast(LongType))
+            sequence(lit(1), octet_length(col("bf"))),
+            lit(0L),
+            (acc, i) => acc +
+              conv(substr(col("hx"), i * 2 - 1, lit(2)), 16, 10)
+                .cast(LongType))
             .as("energy"),
-          lower(hex(encode(col("frame"), "UTF-8"))).as("frame_hex"))
+          col("hx").as("frame_hex"))
         .orderBy("doc_id", "pos")
     },
 
@@ -173,15 +218,17 @@ object MultimodalOps {
 
     "multimodal_audio_hop" ->
       """SELECT doc_id, CAST(pos AS INTEGER) AS pos,
-        |       CAST(octet_length(encode(substr(text, pos, 16))) AS INTEGER)
-        |         AS frame_len,
+        |       CAST(octet_length(bf) AS INTEGER) AS frame_len,
         |       CAST(COALESCE(list_sum(list_transform(
-        |         string_split(substr(text, pos, 16), ''),
-        |         c -> CAST(unicode(c) AS BIGINT))), 0) AS BIGINT) AS energy,
-        |       lower(hex(encode(substr(text, pos, 16)))) AS frame_hex
-        |FROM (SELECT doc_id, text,
-        |        unnest(generate_series(1, length(text), 8)) AS pos
-        |      FROM documents)
+        |         generate_series(1, CAST(octet_length(bf) AS INTEGER)),
+        |         i -> CAST('0x' || substr(hx, i*2-1, 2) AS BIGINT))), 0)
+        |         AS BIGINT) AS energy,
+        |       hx AS frame_hex
+        |FROM (SELECT doc_id, pos, bf, lower(hex(bf)) AS hx
+        |      FROM (SELECT doc_id, pos, encode(substr(text, pos, 16)) AS bf
+        |            FROM (SELECT doc_id, text,
+        |                    unnest(generate_series(1, length(text), 8)) AS pos
+        |                  FROM documents)))
         |ORDER BY doc_id, pos""".stripMargin,
 
     "multimodal_frames" ->

@@ -246,7 +246,10 @@ object RelationalOps {
     // dialects disagree across engines); the cohort assignment is a
     // per-user min window, the matrix a distinct-count per cell.
     "win_retention_cohort" -> { (s, dir) =>
-      val wk = (datediff(to_date(col("ts")), lit("1970-01-01")) / 7)
+      // floor, not cast-truncation: DuckDB's // floors, so pre-epoch
+      // timestamps (negative day counts) would otherwise land one week
+      // later on the Spark side (-25 days: floor -> -4, truncate -> -3)
+      val wk = floor(datediff(to_date(col("ts")), lit("1970-01-01")) / 7)
         .cast(IntegerType)
       val byUser = Window.partitionBy("user_id")
       table(s, dir, "events")

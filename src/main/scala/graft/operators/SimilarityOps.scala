@@ -37,6 +37,18 @@ object SimilarityOps {
     * all extend unchanged, asserted in SimilarityOpsSpec. */
   val Planes = 8
   val Dims = 64
+
+  /** Contract IVF quantizer configuration. Sizing rule: per-query work
+    * is k centroid comparisons plus ~nprobe·n/k rerank candidates, so
+    * k ≈ √(nprobe·n) minimizes it — ~32 for the sf0.01 corpus (n=500,
+    * nprobe=2), ~45k at 10⁹ vectors. The contract pins the smaller
+    * k=10 / iters=2 because the DuckDB oracle replays every Lloyd
+    * round as an unrolled CTE (oracle cost grows with k·iters), and
+    * the spec holds both engines to THIS configuration; a deployment
+    * sizes k by the rule through the [[kmeansCentroids]] parameters —
+    * the training plan is linear in n·k·iters either way. */
+  val IvfK = 10
+  val IvfIters = 2
   def planesFor(n: Int): Array[Array[Double]] =
     Array.tabulate(n, Dims) { (j, d) =>
       ((j * Dims + d + 1) * 2654435761L % 4294967296L) / 4294967296.0 - 0.5
@@ -232,7 +244,7 @@ object SimilarityOps {
     // top-3. Work scales with nprobe/k, not n².
     "sim_ivf_knn" -> { (s, dir) =>
       val e = vecs(s, dir)
-      val cents = kmeansCentroids(e, k = 10, iters = 2)
+      val cents = kmeansCentroids(e, k = IvfK, iters = IvfIters)
       val affinity = e.select(col("vec_id"), col("v"), col("norm"))
         .crossJoin(broadcast(cents))
         .withColumn("ccos",
@@ -266,7 +278,7 @@ object SimilarityOps {
     // deterministic quantizer as sim_ivf_knn; linear n×k work.
     "sim_centroid_assign" -> { (s, dir) =>
       val e = vecs(s, dir)
-      val cents = kmeansCentroids(e, k = 10, iters = 2)
+      val cents = kmeansCentroids(e, k = IvfK, iters = IvfIters)
       val byVec = Window.partitionBy("vec_id")
         .orderBy(col("ccos").desc, col("cid").asc)
       e.select(col("vec_id"), col("v"), col("norm"))
@@ -329,7 +341,7 @@ object SimilarityOps {
 
       "sim_ivf_knn" ->
         s"""WITH e AS ($vecsSql),
-           |${kmeansSql(k = 10, iters = 2)},
+           |${kmeansSql(k = IvfK, iters = IvfIters)},
            |aff AS (SELECT e.vec_id, e.v, e.norm, c.cid,
            |          round(list_dot_product(e.v, c.cv)
            |                / (e.norm * c.cnorm), 9) AS ccos
@@ -354,7 +366,7 @@ object SimilarityOps {
 
       "sim_centroid_assign" ->
         s"""WITH e AS ($vecsSql),
-           |${kmeansSql(k = 10, iters = 2)},
+           |${kmeansSql(k = IvfK, iters = IvfIters)},
            |aff AS (SELECT e.vec_id, c.cid,
            |          round(list_dot_product(e.v, c.cv)
            |                / (e.norm * c.cnorm), 9) AS ccos

@@ -122,12 +122,19 @@ object TextOps {
     // end to end (Knuth multiplier mod 2³¹−1), so the "random" order
     // is identical in both engines and across runs/partitionings;
     // rank ties cannot occur (hash is injective per stratum) but
-    // doc_id tiebreaks anyway.
+    // doc_id tiebreaks anyway. Both factors are reduced mod P BEFORE
+    // multiplying — identical residues by modular arithmetic, but the
+    // product stays < 2^60 for ARBITRARY int64 doc_id (the unreduced
+    // doc_id * 2654435761 overflows at doc_id ~3.5e9: an ANSI throw in
+    // Spark, an error in DuckDB — unacceptable in a 100 TB curation
+    // primitive).
     "sample_stratified" -> { (s, dir) =>
       val w = Window.partitionBy("lang", "source")
         .orderBy(col("h"), col("doc_id"))
       table(s, dir, "documents")
-        .withColumn("h", (col("doc_id") * lit(2654435761L)) % lit(2147483647L))
+        .withColumn("h",
+          ((col("doc_id") % lit(2147483647L)) * lit(2654435761L % 2147483647L))
+            % lit(2147483647L))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 10)
         .select(col("doc_id"), col("lang"), col("source"), col("h"),
@@ -352,10 +359,10 @@ object TextOps {
     "sample_stratified" ->
       """SELECT doc_id, lang, source, h, CAST(rn AS INTEGER) AS rn FROM (
         |  SELECT doc_id, lang, source,
-        |         (doc_id * 2654435761) % 2147483647 AS h,
+        |         ((doc_id % 2147483647) * 506952114) % 2147483647 AS h,
         |         ROW_NUMBER() OVER (PARTITION BY lang, source
-        |           ORDER BY (doc_id * 2654435761) % 2147483647, doc_id)
-        |           AS rn
+        |           ORDER BY ((doc_id % 2147483647) * 506952114) % 2147483647,
+        |             doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 10 ORDER BY lang, source, rn""".stripMargin,
 

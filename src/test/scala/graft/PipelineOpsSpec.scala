@@ -126,6 +126,40 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.forall(_.first_byte == -2)) // the new codec's signature
   }
 
+  test("real PNG codec decodes actual pixels through the same seam") {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    // real PNGs rendered in-JVM and round-tripped through the codec
+    def png(w: Int, h: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val gradient = png(3, 2, (x, y) => (x * 40 << 16) | (y * 90 << 8) | 17)
+    val solid = png(5, 4, (_, _) => 0xCAFE42)
+    val textBytes = "not a png".getBytes("UTF-8")
+    val assets = Seq(
+      MultimodalOps.Asset(1L, "image/png", gradient),
+      MultimodalOps.Asset(2L, "image/png", solid),
+      MultimodalOps.Asset(3L, "text/plain", textBytes)).toDS()
+    val out = MultimodalOps.decode(assets, MultimodalOps.PngImageDecoder)
+      .collect().map(f => f.doc_id -> f).toMap
+    // real pixel dimensions out of a real decode
+    assert(out(1L).width == 3 && out(1L).height == 2)
+    assert(out(2L).width == 5 && out(2L).height == 4)
+    // checksum over DECODED ARGB pixels, independently computable
+    val argb = (0xFF000000L | 0xCAFE42L) & 0xffffffffL
+    assert(out(2L).checksum == argb * 20 % 2147483647L)
+    // every PNG byte stream opens with the 0x89 signature byte
+    assert(out(1L).first_byte == 0x89)
+    // non-image bytes degrade to the stub's byte stats, never throw
+    assert(out(3L).width == -1)
+    assert(out(3L).checksum ==
+      textBytes.foldLeft(0L)((a, b) => a + (b & 0xff)) % 256)
+  }
+
   test("fingerprint is order-aware") {
     import spark.implicits._
     import graft.functions.TextHash

@@ -75,4 +75,15 @@ class SimilarityOpsSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSeq
     assert(p16 == p16b)
   }
+
+  test("IVF contract configuration stays k=10 / iters=2 (oracle-pinned)") {
+    // the DuckDB oracle unrolls exactly IvfIters Lloyd rounds with
+    // IvfK seed centroids; changing either without regenerating the
+    // oracle would silently diverge the engines
+    assert(SimilarityOps.IvfK == 10 && SimilarityOps.IvfIters == 2)
+    val sql = SimilarityOps.oracleSql("sim_ivf_knn")
+    assert(sql.contains(s"vec_id < ${SimilarityOps.IvfK}"))
+    assert(sql.contains(s"cents${SimilarityOps.IvfIters} "))
+    assert(!sql.contains(s"cents${SimilarityOps.IvfIters + 1}"))
+  }
 }
