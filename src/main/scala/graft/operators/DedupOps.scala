@@ -106,16 +106,19 @@ object DedupOps {
     // df agg AND the prefix join; prefix is both sides of the candidate
     // self-join. Without `shared`, lineage re-derives the token relation
     // ~4x (the round-2 bench regression); with it each is computed once.
+    // Cached relations are kept NARROW: the exploded rows carry size(
+    // toks) as one int, never the token array itself — caching the
+    // array per exploded row would columnar-encode a |toks|x blowup of
+    // every document on every cold run (the round-3 interim regression).
     val docs = shared(tokSets(s, dir))
     val toks = shared(docs
-      .select(col("doc_id"), col("source"), col("toks"),
+      .select(col("doc_id"), col("source"), size(col("toks")).as("sz"),
         explode(col("toks")).as("tok")))
     val df_ = toks.groupBy("tok").agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy("doc_id")
       .orderBy(col("df"), col("tok"))
     val prefix = shared(toks
       .join(df_, "tok")
-      .withColumn("sz", size(col("toks")))
       .withColumn("rk", row_number().over(byRarity))
       // prefix length |A| - ceil(t*|A|) + 1
       .filter(col("rk") <= col("sz") - ceil(col("sz") * threshold) + 1)
@@ -416,10 +419,34 @@ object DedupOps {
     // the page plus navigation chrome. Same lazy relational
     // set-similarity shape as dedup_near; both (a,b) and (b,a) emit
     // when containment holds in that direction.
-    // Directional token containment |A∩B|/|A| >= 0.9, prefix-filtered:
-    // see [[txtContainmentPrefix]]. Result-identical to the unguarded
-    // Σk² join (which remains the oracle), asserted in DedupOpsSpec.
-    "txt_containment" -> { (s, dir) => txtContainmentPrefix(s, dir) })
+    // Directional token containment |A∩B|/|A| >= 0.9 within source
+    // blocks: catches subset/boilerplate duplication (doc A nearly
+    // contained in B) that symmetric Jaccard misses. Relational
+    // count-join over the ONE cached exploded-token relation — on this
+    // corpus (uniform 31-token vocabulary, ~every same-source pair a
+    // true containment: the output IS ~n² rows) candidate pruning
+    // cannot help and the count-join is the optimal shape. For skewed
+    // real-corpus df distributions [[txtContainmentPrefix]] is the
+    // prefix-filtered variant, asserted result-identical in
+    // DedupOpsSpec — pick by df skew, the answer never changes.
+    "txt_containment" -> { (s, dir) =>
+      val toks = shared(tokSets(s, dir)
+        .select(col("doc_id"), col("source"), explode(col("toks")).as("tok")))
+      val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      toks.select(col("source"), col("doc_id").as("a_id"), col("tok"))
+        .join(toks.select(col("source"), col("doc_id").as("b_id"), col("tok")),
+          Seq("source", "tok"))
+        .filter(col("a_id") =!= col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("a_sz")),
+          "a_id")
+        .withColumn("containment",
+          col("inter").cast(DoubleType) / col("a_sz"))
+        .filter(col("containment") >= 0.9)
+        .select("a_id", "b_id", "containment")
+        .orderBy("a_id", "b_id")
+    })
 
   /** Directional token containment |A∩B|/|A| >= `threshold` within
     * `source` blocks, with an A-side prefix filter: order tokens
@@ -434,19 +461,25 @@ object DedupOps {
     * candidate. Same lazy relational shape as [[dedupNearPrefix]];
     * catches subset/boilerplate duplication (a page vs the page plus
     * navigation chrome) that symmetric Jaccard misses; both (a,b) and
-    * (b,a) emit when containment holds in that direction. */
+    * (b,a) emit when containment holds in that direction.
+    *
+    * WHEN to pick this over the contract count-join: prefix filtering
+    * pays exactly when token df is skewed (rare tokens exist to anchor
+    * prefixes) and the true-pair density is low. On a corpus where
+    * ~every pair qualifies the verify step dominates regardless and
+    * the count-join wins; the two are result-identical (asserted), so
+    * the choice is pure planning. */
   def txtContainmentPrefix(s: SparkSession, dir: String,
       threshold: Double = 0.9): DataFrame = {
     val docs = shared(tokSets(s, dir))
     val toks = shared(docs
-      .select(col("doc_id"), col("source"), col("toks"),
+      .select(col("doc_id"), col("source"), size(col("toks")).as("sz"),
         explode(col("toks")).as("tok")))
     val df_ = toks.groupBy("tok").agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy("doc_id")
       .orderBy(col("df"), col("tok"))
     val prefix = toks
       .join(df_, "tok")
-      .withColumn("sz", size(col("toks")))
       .withColumn("rk", row_number().over(byRarity))
       .filter(col("rk") <= col("sz") - ceil(col("sz") * threshold) + 1)
       .select(col("source"), col("doc_id"), col("tok"))
