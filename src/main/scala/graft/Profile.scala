@@ -3,11 +3,23 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Ad-hoc profiler: run named queries (or all) twice, print cold/warm
-  * timings; with -e also print the formatted physical plan. */
+  * timings; with -e also print the formatted physical plan; with -noop
+  * evaluate via the noop sink (exactly what Bench measures — full
+  * output columns + contract sorts) instead of count(). */
 object Profile {
   def main(args: Array[String]): Unit = {
     val explain = args.contains("-e")
-    val names = args.filterNot(_ == "-e")
+    val noop = args.contains("-noop")
+    // -c key=value pairs become session confs (e.g. -c
+    // spark.sql.autoBroadcastJoinThreshold=-1) for plan experiments
+    val (confArgs, rest) = args.toSeq.filterNot(a => a == "-e" || a == "-noop")
+      .foldLeft((Seq.empty[(String, String)], Seq.empty[String], false)) {
+        case ((cs, ns, true), kv) =>
+          val Array(k, v) = kv.split("=", 2); (cs :+ (k -> v), ns, false)
+        case ((cs, ns, false), "-c") => (cs, ns, true)
+        case ((cs, ns, false), a)    => (cs, ns :+ a, false)
+      } match { case (cs, ns, _) => (cs, ns) }
+    val names = rest
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
@@ -16,13 +28,20 @@ object Profile {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    confArgs.foreach { case (k, v) => spark.conf.set(k, v) }
     spark.sparkContext.setLogLevel("WARN")
     val sel = if (names.isEmpty) SparkEntry.queries.keys.toSeq.sorted else names.toSeq
+    def eval(df: org.apache.spark.sql.DataFrame): Long =
+      if (noop) { df.write.format("noop").mode("overwrite").save(); -1L }
+      else df.count()
     sel.foreach { name =>
       val fn = SparkEntry.queries(name)
       if (explain) fn(spark, sfDir).explain("formatted")
-      val t0 = System.nanoTime(); val n1 = fn(spark, sfDir).count()
-      val t1 = System.nanoTime(); val n2 = fn(spark, sfDir).count()
+      val t0 = System.nanoTime(); val n1 = eval(fn(spark, sfDir))
+      val t1 = System.nanoTime()
+      // the warm plan can differ: materialized caches carry real stats
+      if (explain) fn(spark, sfDir).explain("formatted")
+      eval(fn(spark, sfDir))
       val t2 = System.nanoTime()
       println(f"[profile] $name%-22s cold=${(t1 - t0) / 1e9}%7.2fs " +
         f"warm=${(t2 - t1) / 1e9}%7.2fs rows=$n1")

@@ -73,7 +73,9 @@ object DedupOps {
       .select(col("doc_id"), col("source"), explode(col("toks")).as("tok")))
     val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     toks.select(col("source"), col("doc_id").as("a_id"), col("tok"))
-      .join(toks.select(col("source"), col("doc_id").as("b_id"), col("tok")),
+      .hint("shuffle_hash")
+      .join(toks.select(col("source"), col("doc_id").as("b_id"), col("tok"))
+          .hint("shuffle_hash"),
         Seq("source", "tok"))
       .filter(col("a_id") < col("b_id"))
       .groupBy("a_id", "b_id")
@@ -123,8 +125,16 @@ object DedupOps {
       // prefix length |A| - ceil(t*|A|) + 1
       .filter(col("rk") <= col("sz") - ceil(col("sz") * threshold) + 1)
       .select(col("source"), col("doc_id"), col("tok")))
+    // The candidate self-join must NEVER broadcast: the prefix relation
+    // grows with the corpus (broadcasting it is a driver OOM at scale),
+    // and its join keys are low-distinct (vocabulary-bounded), so a
+    // broadcast hash relation degenerates into long duplicate chains —
+    // measured 12x slower than the shuffle join when AQE flipped it on
+    // materialized-cache stats. shuffle_hash pins the scale-safe plan.
     val cand = prefix.select(col("source"), col("doc_id").as("a_id"), col("tok"))
-      .join(prefix.select(col("source"), col("doc_id").as("b_id"), col("tok")),
+      .hint("shuffle_hash")
+      .join(prefix.select(col("source"), col("doc_id").as("b_id"), col("tok"))
+          .hint("shuffle_hash"),
         Seq("source", "tok"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
@@ -217,7 +227,9 @@ object DedupOps {
     val kept = shared(ex.join(broadcast(hot), Seq("g"), "left_anti"))
     val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = kept.select(col("source"), col("doc_id").as("a_id"), col("g"))
-      .join(kept.select(col("source"), col("doc_id").as("b_id"), col("g")),
+      .hint("shuffle_hash")
+      .join(kept.select(col("source"), col("doc_id").as("b_id"), col("g"))
+          .hint("shuffle_hash"),
         Seq("source", "g"))
       .filter(col("a_id") < col("b_id"))
       .groupBy("a_id", "b_id")
@@ -330,7 +342,11 @@ object DedupOps {
           col("bs.bkey").as("bkey")))
       val bucketMin = banded.groupBy("band", "bkey")
         .agg(min(col("doc_id")).as("bmin"))
-      val canon = banded.join(bucketMin, Seq("band", "bkey"))
+      // bucket keys are duplicate-heavy on dup-dense corpora and both
+      // sides scale with the corpus — pin the shuffle join (see
+      // dedupNearPrefix's broadcast-flip note)
+      val canon = banded.hint("shuffle_hash")
+        .join(bucketMin.hint("shuffle_hash"), Seq("band", "bkey"))
         .groupBy("doc_id")
         .agg(min(col("bmin")).as("canonical_id"))
       val ts = shared(tokSets(s, dir).select(col("doc_id"), col("toks")))
@@ -416,12 +432,7 @@ object DedupOps {
     // Directional token containment |A∩B|/|A| >= 0.9 within source
     // blocks: catches subset/boilerplate duplication (doc A nearly
     // contained in B) that symmetric Jaccard misses — e.g. a page vs
-    // the page plus navigation chrome. Same lazy relational
-    // set-similarity shape as dedup_near; both (a,b) and (b,a) emit
-    // when containment holds in that direction.
-    // Directional token containment |A∩B|/|A| >= 0.9 within source
-    // blocks: catches subset/boilerplate duplication (doc A nearly
-    // contained in B) that symmetric Jaccard misses. Relational
+    // the page plus navigation chrome. Relational
     // count-join over the ONE cached exploded-token relation — on this
     // corpus (uniform 31-token vocabulary, ~every same-source pair a
     // true containment: the output IS ~n² rows) candidate pruning
@@ -434,7 +445,9 @@ object DedupOps {
         .select(col("doc_id"), col("source"), explode(col("toks")).as("tok")))
       val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       toks.select(col("source"), col("doc_id").as("a_id"), col("tok"))
-        .join(toks.select(col("source"), col("doc_id").as("b_id"), col("tok")),
+        .hint("shuffle_hash")
+        .join(toks.select(col("source"), col("doc_id").as("b_id"), col("tok"))
+            .hint("shuffle_hash"),
           Seq("source", "tok"))
         .filter(col("a_id") =!= col("b_id"))
         .groupBy("a_id", "b_id")
@@ -483,8 +496,12 @@ object DedupOps {
       .withColumn("rk", row_number().over(byRarity))
       .filter(col("rk") <= col("sz") - ceil(col("sz") * threshold) + 1)
       .select(col("source"), col("doc_id"), col("tok"))
+    // same no-broadcast rule as [[dedupNearPrefix]]'s candidate join:
+    // both sides grow with the corpus and the keys are vocabulary-bounded
     val cand = prefix.select(col("source"), col("doc_id").as("a_id"), col("tok"))
-      .join(toks.select(col("source"), col("doc_id").as("b_id"), col("tok")),
+      .hint("shuffle_hash")
+      .join(toks.select(col("source"), col("doc_id").as("b_id"), col("tok"))
+          .hint("shuffle_hash"),
         Seq("source", "tok"))
       .filter(col("a_id") =!= col("b_id"))
       .select("a_id", "b_id").distinct()
@@ -544,7 +561,11 @@ object DedupOps {
       col("doc_id").as("a_id"), col("simhash").as("a_sh"))
     val b = d.select(col("source"), col("band"), col("bbits"),
       col("doc_id").as("b_id"), col("simhash").as("b_sh"))
-    a.join(b, Seq("source", "band", "bbits"))
+    // corpus-scaled self-join: never let small-corpus stats flip it to
+    // broadcast (driver-bound at scale; see dedupNearPrefix's note).
+    // A/B-profiled neutral-to-positive at sf0.1 vs the AQE default.
+    a.hint("shuffle_hash").join(b.hint("shuffle_hash"),
+        Seq("source", "band", "bbits"))
       .filter(pred(col("a_id"), col("b_id")))
       .withColumn("hamming",
         bit_count(col("a_sh").bitwiseXOR(col("b_sh"))).cast(IntegerType))

@@ -193,7 +193,11 @@ object SimilarityOps {
       col("v").as("b_v"), col("norm").as("b_norm"))
     val w = Window.partitionBy("a_id")
       .orderBy(col("cos").desc, col("b_id").asc)
-    a.join(b, Seq("probe"))
+    // corpus-scaled, array-carrying self-join on low-distinct bucket
+    // keys: pin the shuffle join — broadcasting the bucketed vector
+    // relation is driver-bound at scale and degenerates into long
+    // duplicate chains on dense buckets
+    a.hint("shuffle_hash").join(b.hint("shuffle_hash"), Seq("probe"))
       .filter(col("a_id") =!= col("b_id"))
       .withColumn("cos", cosine)
       .withColumn("rank", row_number().over(w))
@@ -210,7 +214,9 @@ object SimilarityOps {
       col("v").as("a_v"), col("norm").as("a_norm"))
     val b = e.select(col(joinKey), col("vec_id").as("b_id"),
       col("v").as("b_v"), col("norm").as("b_norm"))
-    a.join(b, Seq(joinKey))
+    // blocked all-pairs over corpus-scaled array rows: same no-broadcast
+    // rule as [[annLsh]]'s bucket join
+    a.hint("shuffle_hash").join(b.hint("shuffle_hash"), Seq(joinKey))
   }
 
   def queries: Map[String, Q] = Map(
@@ -261,7 +267,10 @@ object SimilarityOps {
           col("v").as("a_v"), col("norm").as("a_norm"))
       val byQuery = Window.partitionBy("a_id")
         .orderBy(col("cos").desc, col("b_id").asc)
-      probes.join(lists, Seq("cid"))
+      // inverted lists are corpus-scaled array rows on k distinct keys —
+      // the canonical duplicate-heavy join; never broadcast
+      probes.hint("shuffle_hash")
+        .join(lists.hint("shuffle_hash"), Seq("cid"))
         .filter(col("a_id") =!= col("b_id"))
         .withColumn("cos", cosine)
         .withColumn("rank", row_number().over(byQuery))
