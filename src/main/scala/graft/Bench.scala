@@ -11,11 +11,35 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the JVM/session once (codegen, parquet reader, shuffle paths)
-    // so the first measured query isn't charged Spark's startup cost.
+    // Warm the JVM/session once so no measured query is charged Spark's
+    // startup cost. A trivial range-sum is NOT enough: profiling showed
+    // the first query in a fresh JVM runs its stages 3-20x slow
+    // (interpreter/C1 execution of the whole SQL runtime — UnsafeRow,
+    // shuffle writers, codegen infra), and under the alphabetical bench
+    // that tax lands on whichever queries run first. Exercise the paths
+    // the contract queries live on — parquet scan, string split +
+    // explode, shuffle join, hash aggregate, window, global sort, noop
+    // sink — over synthetic data, then drop all state.
     try {
-      spark.range(1000000).selectExpr("sum(id)").collect()
       spark.read.parquet(s"$sfDir/region.parquet").count()
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val w = spark.range(200000).selectExpr(
+        "id % 20011 AS k",
+        "concat('tok', id % 31, ' tok', (id + 7) % 31) AS t",
+        "CAST(id AS DOUBLE) AS x")
+      val e = w.select(col("k"), col("x"),
+        explode(array_distinct(split(col("t"), " "))).as("tok"))
+      e.join(e.select(col("k"), col("tok"), col("x").as("y")),
+          Seq("k", "tok"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("c"), sum(col("x") * col("y")).as("s"))
+        .withColumn("r",
+          row_number().over(Window.partitionBy(col("k") % 13)
+            .orderBy(col("s").desc)))
+        .orderBy("k")
+        .write.format("noop").mode("overwrite").save()
+      spark.catalog.clearCache()
     } catch { case _: Throwable => }
     // Evaluate to a noop sink, not .count(): under count() Catalyst
     // prunes every unreferenced projection (formatting, hashing, HOFs)
@@ -24,8 +48,10 @@ object Bench {
     // sink forces full evaluation of every output column — the same
     // work Verify's parquet dump pays, minus the IO.
     val timed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // per-query isolation: drop caches and collect garbage so one
+      // per-query isolation: drop graft-registered persists, then any
+      // remaining cache entries, and collect garbage so one
       // allocation-heavy query can't tax its successors' timings
+      graft.core.Core.releaseShared()
       spark.catalog.clearCache()
       System.gc()
       val t0 = System.nanoTime()

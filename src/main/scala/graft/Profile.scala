@@ -5,14 +5,18 @@ import org.apache.spark.sql.SparkSession
 /** Ad-hoc profiler: run named queries (or all) twice, print cold/warm
   * timings; with -e also print the formatted physical plan; with -noop
   * evaluate via the noop sink (exactly what Bench measures — full
-  * output columns + contract sorts) instead of count(). */
+  * output columns + contract sorts) instead of count(); with -stages
+  * print every completed stage's duration/task-count/IO so slow plans
+  * decompose without the (disabled) UI. */
 object Profile {
   def main(args: Array[String]): Unit = {
     val explain = args.contains("-e")
     val noop = args.contains("-noop")
+    val stages = args.contains("-stages")
     // -c key=value pairs become session confs (e.g. -c
     // spark.sql.autoBroadcastJoinThreshold=-1) for plan experiments
-    val (confArgs, rest) = args.toSeq.filterNot(a => a == "-e" || a == "-noop")
+    val (confArgs, rest) = args.toSeq
+      .filterNot(a => a == "-e" || a == "-noop" || a == "-stages")
       .foldLeft((Seq.empty[(String, String)], Seq.empty[String], false)) {
         case ((cs, ns, true), kv) =>
           val Array(k, v) = kv.split("=", 2); (cs :+ (k -> v), ns, false)
@@ -30,6 +34,24 @@ object Profile {
       .getOrCreate()
     confArgs.foreach { case (k, v) => spark.conf.set(k, v) }
     spark.sparkContext.setLogLevel("WARN")
+    if (stages)
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
+              : Unit = {
+            val i = sc.stageInfo
+            val m = i.taskMetrics
+            println(f"[stage] ${i.stageId}%4d ${i.numTasks}%4d tasks " +
+              f"${(i.completionTime.getOrElse(0L) - i.submissionTime.getOrElse(0L)) / 1e3}%8.2fs " +
+              f"exec=${m.executorRunTime / 1e3}%8.1fs " +
+              f"gc=${m.jvmGCTime / 1e3}%6.1fs " +
+              f"in=${m.inputMetrics.recordsRead}%11d " +
+              f"sh_r=${m.shuffleReadMetrics.recordsRead}%11d " +
+              f"sh_w=${m.shuffleWriteMetrics.recordsWritten}%11d  " +
+              i.name.takeWhile(_ != '\n').take(60))
+          }
+        })
     val sel = if (names.isEmpty) SparkEntry.queries.keys.toSeq.sorted else names.toSeq
     def eval(df: org.apache.spark.sql.DataFrame): Long =
       if (noop) { df.write.format("noop").mode("overwrite").save(); -1L }
@@ -45,6 +67,11 @@ object Profile {
       val t2 = System.nanoTime()
       println(f"[profile] $name%-22s cold=${(t1 - t0) / 1e9}%7.2fs " +
         f"warm=${(t2 - t1) / 1e9}%7.2fs rows=$n1")
+      // per-query cache scope (after the warm rerun, so warm still
+      // measures cache-reuse): a multi-query sweep must not accumulate
+      // every query's persisted subplans in one JVM
+      graft.core.Core.releaseShared()
+      spark.catalog.clearCache()
     }
     spark.stop()
   }

@@ -38,8 +38,39 @@ object Core {
     * relation once; every later reference is a cache read. MEMORY_AND_DISK
     * spills instead of recomputing under pressure, the right level for
     * executor-sized intermediates.
+    *
+    * Every `shared` relation is also registered so [[releaseShared]]
+    * can drop them after the consuming action: a persisted plan that is
+    * never unpersisted outlives its query, and a session composing many
+    * queries (a library user, the Verify/Bench harnesses, a Profile
+    * sweep) would otherwise accumulate dead cached relations until
+    * memory pressure degrades every later plan.
     */
-  def shared(df: DataFrame): DataFrame = df.persist(StorageLevel.MEMORY_AND_DISK)
+  def shared(df: DataFrame): DataFrame = {
+    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+    sharedRegistry.add(p)
+    p
+  }
+
+  private val sharedRegistry =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Unpersist every relation [[shared]] has registered since the last
+    * release — the per-query cache scope. Call after the action that
+    * consumes a query's result (Verify's write, Bench/Profile's sink);
+    * between queries the cache manager is then empty of graft-created
+    * entries. Unpersisting an already-unpersisted plan is a no-op, so
+    * utilities that manage their own lifecycle (ccFixpoint's round
+    * labels) compose safely. Non-blocking: eviction proceeds while the
+    * next query plans.
+    */
+  def releaseShared(): Unit = {
+    var df = sharedRegistry.poll()
+    while (df != null) {
+      df.unpersist(blocking = false)
+      df = sharedRegistry.poll()
+    }
+  }
 
   /** Exact money arithmetic: double -> integer cents. Test values carry
     * <= 2 decimals, so x*100 is within ~1e-10 of an integer and rounding

@@ -72,11 +72,10 @@ object DedupOps {
     val toks = shared(tokSets(s, dir)
       .select(col("doc_id"), col("source"), explode(col("toks")).as("tok")))
     val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    toks.select(col("source"), col("doc_id").as("a_id"), col("tok"))
-      .hint("shuffle_hash")
-      .join(toks.select(col("source"), col("doc_id").as("b_id"), col("tok"))
-          .hint("shuffle_hash"),
-        Seq("source", "tok"))
+    SkewJoin.saltedCandidateJoin(
+        toks.select(col("source"), col("doc_id").as("a_id"), col("tok")),
+        toks.select(col("source"), col("doc_id").as("b_id"), col("tok")),
+        Seq("source", "tok"), leftSaltBy = col("a_id"))
       .filter(col("a_id") < col("b_id"))
       .groupBy("a_id", "b_id")
       .agg(count(lit(1)).as("inter"))
@@ -125,17 +124,17 @@ object DedupOps {
       // prefix length |A| - ceil(t*|A|) + 1
       .filter(col("rk") <= col("sz") - ceil(col("sz") * threshold) + 1)
       .select(col("source"), col("doc_id"), col("tok")))
-    // The candidate self-join must NEVER broadcast: the prefix relation
-    // grows with the corpus (broadcasting it is a driver OOM at scale),
-    // and its join keys are low-distinct (vocabulary-bounded), so a
-    // broadcast hash relation degenerates into long duplicate chains —
-    // measured 12x slower than the shuffle join when AQE flipped it on
-    // materialized-cache stats. shuffle_hash pins the scale-safe plan.
-    val cand = prefix.select(col("source"), col("doc_id").as("a_id"), col("tok"))
-      .hint("shuffle_hash")
-      .join(prefix.select(col("source"), col("doc_id").as("b_id"), col("tok"))
-          .hint("shuffle_hash"),
-        Seq("source", "tok"))
+    // The candidate self-join must NEVER broadcast (the prefix relation
+    // grows with the corpus — a driver OOM at scale) and must never let
+    // AQE coalesce its input shuffles: the shuffle is input-byte-small
+    // (rare-token prefixes) while the probe OUTPUT is Σk² — coalescing
+    // legally serialized the probe stage onto 1-2 tasks, the round-3
+    // 453 s driver bench. The salted, explicitly-partitioned join pins
+    // layout as well as strategy (SkewJoin.saltedCandidateJoin).
+    val cand = SkewJoin.saltedCandidateJoin(
+        prefix.select(col("source"), col("doc_id").as("a_id"), col("tok")),
+        prefix.select(col("source"), col("doc_id").as("b_id"), col("tok")),
+        Seq("source", "tok"), leftSaltBy = col("a_id"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
     val ts = docs.select(col("doc_id"), col("toks"))
@@ -148,6 +147,49 @@ object DedupOps {
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
       .orderBy("a_id", "b_id")
+  }
+
+  /** Near-dup pairs with the count-join vs prefix-join choice CODIFIED
+    * (the BENCH_NOTES round-3 prose rule as code).
+    *
+    * Decision rule: prefix filtering (AllPairs/PPJoin) pays exactly
+    * when token document frequency is SKEWED — rare tokens then anchor
+    * selective prefixes and the candidate join shrinks superlinearly.
+    * On a dense corpus where every token is ubiquitous (df uniform and
+    * high) the prefix keeps a constant fraction of every doc, pruning
+    * little, and the plain count-join avoids the df-ranking window,
+    * candidate distinct and verify passes it would pay for nothing.
+    *
+    * The statistic: median(df) / max(df) over a bounded corpus sample
+    * (`sampleDocs` docs, default 2048) — a plan-choice statistic in the
+    * spirit of AQE's runtime stats: one tiny bounded job at build time,
+    * never corpus-scaled. Zipf-like vocabularies score near 0, uniform
+    * ones near 1; below `skewBelow` the prefix branch is chosen. Both
+    * branches emit the IDENTICAL result set (same oracle SQL; asserted
+    * in DedupOpsSpec on a uniform AND a skewed corpus), so the choice
+    * is pure planning.
+    */
+  def dedupNearAuto(s: SparkSession, dir: String, sampleDocs: Int = 2048,
+      skewBelow: Double = 0.2): DataFrame =
+    dedupNearAutoChoice(s, dir, sampleDocs, skewBelow)._2
+
+  /** [[dedupNearAuto]] plus which branch it picked — for specs and
+    * plan debugging. */
+  private[graft] def dedupNearAutoChoice(s: SparkSession, dir: String,
+      sampleDocs: Int = 2048,
+      skewBelow: Double = 0.2): (String, DataFrame) = {
+    val stat = table(s, dir, "documents")
+      .select("text").limit(sampleDocs)
+      .select(explode(array_distinct(split(lower(col("text")), " ")))
+        .as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+      .agg(expr("percentile_approx(df, 0.5, 10000)")
+        .cast(DoubleType).as("med"),
+        max(col("df")).cast(DoubleType).as("mx"))
+      .head()
+    val skew = stat.getDouble(0) / stat.getDouble(1)
+    if (skew < skewBelow) ("prefix", dedupNearPrefix(s, dir))
+    else ("count", dedupNearRelational(s, dir))
   }
 
   /** Bitmask fast path for dedup_near: dictionary-encode each token set
@@ -226,11 +268,10 @@ object DedupOps {
     // referenced by sizes + both sides of the intersection join
     val kept = shared(ex.join(broadcast(hot), Seq("g"), "left_anti"))
     val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = kept.select(col("source"), col("doc_id").as("a_id"), col("g"))
-      .hint("shuffle_hash")
-      .join(kept.select(col("source"), col("doc_id").as("b_id"), col("g"))
-          .hint("shuffle_hash"),
-        Seq("source", "g"))
+    val inter = SkewJoin.saltedCandidateJoin(
+        kept.select(col("source"), col("doc_id").as("a_id"), col("g")),
+        kept.select(col("source"), col("doc_id").as("b_id"), col("g")),
+        Seq("source", "g"), leftSaltBy = col("a_id"))
       .filter(col("a_id") < col("b_id"))
       .groupBy("a_id", "b_id")
       .agg(count(lit(1)).as("inter"))
@@ -343,10 +384,10 @@ object DedupOps {
       val bucketMin = banded.groupBy("band", "bkey")
         .agg(min(col("doc_id")).as("bmin"))
       // bucket keys are duplicate-heavy on dup-dense corpora and both
-      // sides scale with the corpus — pin the shuffle join (see
-      // dedupNearPrefix's broadcast-flip note)
-      val canon = banded.hint("shuffle_hash")
-        .join(bucketMin.hint("shuffle_hash"), Seq("band", "bkey"))
+      // sides scale with the corpus — salted, explicitly-partitioned
+      // join (see dedupNearPrefix's coalesce/broadcast note)
+      val canon = SkewJoin.saltedCandidateJoin(banded, bucketMin,
+          Seq("band", "bkey"), leftSaltBy = col("doc_id"))
         .groupBy("doc_id")
         .agg(min(col("bmin")).as("canonical_id"))
       val ts = shared(tokSets(s, dir).select(col("doc_id"), col("toks")))
@@ -444,11 +485,10 @@ object DedupOps {
       val toks = shared(tokSets(s, dir)
         .select(col("doc_id"), col("source"), explode(col("toks")).as("tok")))
       val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      toks.select(col("source"), col("doc_id").as("a_id"), col("tok"))
-        .hint("shuffle_hash")
-        .join(toks.select(col("source"), col("doc_id").as("b_id"), col("tok"))
-            .hint("shuffle_hash"),
-          Seq("source", "tok"))
+      SkewJoin.saltedCandidateJoin(
+          toks.select(col("source"), col("doc_id").as("a_id"), col("tok")),
+          toks.select(col("source"), col("doc_id").as("b_id"), col("tok")),
+          Seq("source", "tok"), leftSaltBy = col("a_id"))
         .filter(col("a_id") =!= col("b_id"))
         .groupBy("a_id", "b_id")
         .agg(count(lit(1)).as("inter"))
@@ -496,13 +536,13 @@ object DedupOps {
       .withColumn("rk", row_number().over(byRarity))
       .filter(col("rk") <= col("sz") - ceil(col("sz") * threshold) + 1)
       .select(col("source"), col("doc_id"), col("tok"))
-    // same no-broadcast rule as [[dedupNearPrefix]]'s candidate join:
-    // both sides grow with the corpus and the keys are vocabulary-bounded
-    val cand = prefix.select(col("source"), col("doc_id").as("a_id"), col("tok"))
-      .hint("shuffle_hash")
-      .join(toks.select(col("source"), col("doc_id").as("b_id"), col("tok"))
-          .hint("shuffle_hash"),
-        Seq("source", "tok"))
+    // same no-broadcast/no-coalesce rule as [[dedupNearPrefix]]'s
+    // candidate join: both sides grow with the corpus and the keys are
+    // vocabulary-bounded
+    val cand = SkewJoin.saltedCandidateJoin(
+        prefix.select(col("source"), col("doc_id").as("a_id"), col("tok")),
+        toks.select(col("source"), col("doc_id").as("b_id"), col("tok")),
+        Seq("source", "tok"), leftSaltBy = col("a_id"))
       .filter(col("a_id") =!= col("b_id"))
       .select("a_id", "b_id").distinct()
     val ts = docs.select(col("doc_id"), col("toks"))
@@ -561,11 +601,13 @@ object DedupOps {
       col("doc_id").as("a_id"), col("simhash").as("a_sh"))
     val b = d.select(col("source"), col("band"), col("bbits"),
       col("doc_id").as("b_id"), col("simhash").as("b_sh"))
-    // corpus-scaled self-join: never let small-corpus stats flip it to
-    // broadcast (driver-bound at scale; see dedupNearPrefix's note).
-    // A/B-profiled neutral-to-positive at sf0.1 vs the AQE default.
-    a.hint("shuffle_hash").join(b.hint("shuffle_hash"),
-        Seq("source", "band", "bbits"))
+    // corpus-scaled self-join over band-bounded bucket keys: salted +
+    // explicitly partitioned so neither a stats-driven broadcast (a
+    // driver OOM at scale) nor AQE input-byte coalescing (which
+    // serialized the Σk² probe stages feeding dedup_cluster_cc /
+    // dedup_canonical_pick in round 3) can reshape it.
+    SkewJoin.saltedCandidateJoin(a, b, Seq("source", "band", "bbits"),
+        leftSaltBy = col("a_id"))
       .filter(pred(col("a_id"), col("b_id")))
       .withColumn("hamming",
         bit_count(col("a_sh").bitwiseXOR(col("b_sh"))).cast(IntegerType))
@@ -613,7 +655,12 @@ object DedupOps {
     * in |E|, no arrays, exact associative integer work. */
   private def ccRound(labels: DataFrame, selfEdges: DataFrame): DataFrame =
     selfEdges
-      .join(labels.select(col("doc_id").as("m"), col("cluster").as("mc")),
+      // build side = the node-sized label relation, pinned: a broadcast
+      // of labels is corpus-sized at scale (one row per doc), and the
+      // pin also keeps every round's plan identical regardless of
+      // which caches have materialized (round-3 warm-plan flips)
+      .join(labels.select(col("doc_id").as("m"), col("cluster").as("mc"))
+          .hint("shuffle_hash"),
         "m")
       .groupBy("n").agg(min(col("mc")).as("cluster"))
       .withColumnRenamed("n", "doc_id")
@@ -644,13 +691,15 @@ object DedupOps {
     // doubling squares the edge set on dense near-dup clusters, which
     // is exactly what this corpus has.)
     val nodes = table(s, dir, "documents").select("doc_id")
-    // hash-partition the cached edges on the join key ONCE: the
-    // InMemoryRelation keeps its partitioning, so every round's join
-    // shuffles only the (node-sized) label relation, never the edges —
-    // the partition-once/join-many shape an iterative algorithm needs
-    // at scale
-    val selfEdges =
-      shared(withSelfLoops(nodes, simhashEdges(s, dir)).repartition(col("m")))
+    // hash-partition the cached edges on the join key ONCE, with an
+    // EXPLICIT partition count (a user-specified exchange AQE never
+    // coalesces — the cached layout must not depend on runtime stats):
+    // the InMemoryRelation keeps its partitioning, so every round's
+    // join shuffles only the (node-sized) label relation, never the
+    // edges — the partition-once/join-many shape an iterative
+    // algorithm needs at scale
+    val selfEdges = shared(withSelfLoops(nodes, simhashEdges(s, dir))
+      .repartition(SkewJoin.defaultParts(s), col("m")))
     var labels = nodes.select(col("doc_id"), col("doc_id").as("cluster"))
     for (_ <- 0 until rounds)
       labels = ccRound(labels, selfEdges)
@@ -672,7 +721,8 @@ object DedupOps {
     * fixpoint regardless of diameter. */
   def ccFixpoint(nodes: DataFrame, edges: DataFrame,
       maxRounds: Int = 64): DataFrame = {
-    val e = shared(withSelfLoops(nodes, edges).repartition(col("m")))
+    val e = shared(withSelfLoops(nodes, edges)
+      .repartition(SkewJoin.defaultParts(nodes.sparkSession), col("m")))
     var labels = shared(nodes.select(col("doc_id"), col("doc_id").as("cluster")))
     var converged = false
     var i = 0

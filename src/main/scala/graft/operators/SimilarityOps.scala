@@ -194,10 +194,12 @@ object SimilarityOps {
     val w = Window.partitionBy("a_id")
       .orderBy(col("cos").desc, col("b_id").asc)
     // corpus-scaled, array-carrying self-join on low-distinct bucket
-    // keys: pin the shuffle join — broadcasting the bucketed vector
-    // relation is driver-bound at scale and degenerates into long
-    // duplicate chains on dense buckets
-    a.hint("shuffle_hash").join(b.hint("shuffle_hash"), Seq("probe"))
+    // keys: salted + explicitly partitioned — broadcasting the bucketed
+    // vector relation is driver-bound at scale, and an input-byte-sized
+    // AQE coalesce would serialize the in-bucket pairing (see
+    // SkewJoin.saltedCandidateJoin)
+    SkewJoin.saltedCandidateJoin(a, b, Seq("probe"),
+        leftSaltBy = col("a_id"))
       .filter(col("a_id") =!= col("b_id"))
       .withColumn("cos", cosine)
       .withColumn("rank", row_number().over(w))
@@ -214,9 +216,10 @@ object SimilarityOps {
       col("v").as("a_v"), col("norm").as("a_norm"))
     val b = e.select(col(joinKey), col("vec_id").as("b_id"),
       col("v").as("b_v"), col("norm").as("b_norm"))
-    // blocked all-pairs over corpus-scaled array rows: same no-broadcast
-    // rule as [[annLsh]]'s bucket join
-    a.hint("shuffle_hash").join(b.hint("shuffle_hash"), Seq(joinKey))
+    // blocked all-pairs over corpus-scaled array rows: same
+    // no-broadcast/no-coalesce rule as [[annLsh]]'s bucket join
+    SkewJoin.saltedCandidateJoin(a, b, Seq(joinKey),
+      leftSaltBy = col("a_id"))
   }
 
   def queries: Map[String, Q] = Map(
@@ -268,9 +271,10 @@ object SimilarityOps {
       val byQuery = Window.partitionBy("a_id")
         .orderBy(col("cos").desc, col("b_id").asc)
       // inverted lists are corpus-scaled array rows on k distinct keys —
-      // the canonical duplicate-heavy join; never broadcast
-      probes.hint("shuffle_hash")
-        .join(lists.hint("shuffle_hash"), Seq("cid"))
+      // the canonical duplicate-heavy join; never broadcast, never let
+      // the k-key shuffle coalesce below the probe parallelism
+      SkewJoin.saltedCandidateJoin(probes, lists, Seq("cid"),
+          leftSaltBy = col("a_id"))
         .filter(col("a_id") =!= col("b_id"))
         .withColumn("cos", cosine)
         .withColumn("rank", row_number().over(byQuery))

@@ -323,4 +323,62 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(unioned.nonEmpty)
     assert(unioned == joined)
   }
+
+  test("dedupNearAuto: df-skew rule picks count on uniform, prefix on " +
+    "skewed; branches result-identical on both corpora") {
+    // Uniform contract corpus: every token is vocabulary-frequent, so
+    // median(df)/max(df) ~ 1 and the count-join branch wins.
+    val (uniformBranch, uniformDf) =
+      DedupOps.dedupNearAutoChoice(spark, TestSpark.sfDir)
+    assert(uniformBranch == "count", s"uniform corpus chose $uniformBranch")
+    val uniformRows = uniformDf.collect().map(_.toSeq).toSeq
+    assert(uniformRows ==
+      DedupOps.dedupNearPrefix(spark, TestSpark.sfDir)
+        .collect().map(_.toSeq).toSeq)
+    assert(uniformRows.nonEmpty)
+
+    // Skewed corpus: one hot token in EVERY doc, rare tokens anchoring
+    // the one true near-dup pair — the prefix filter's home turf.
+    val dir = java.nio.file.Files.createTempDirectory("graft_skew").toString
+    val docs = (0 until 80).map { i =>
+      val text =
+        if (i == 0) "hot a0 b0 c0 d0"
+        else if (i == 1) "hot a0 b0 c0 e0"
+        else s"hot u$i v$i w$i x$i"
+      (i.toLong, text, "en", "web", 0L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val (skewBranch, skewDf) = DedupOps.dedupNearAutoChoice(spark, dir)
+    assert(skewBranch == "prefix", s"skewed corpus chose $skewBranch")
+    val skewRows = skewDf.collect().map(_.toSeq).toSeq
+    assert(skewRows ==
+      DedupOps.dedupNearRelational(spark, dir).collect().map(_.toSeq).toSeq)
+    // only the genuinely-similar pair qualifies (jaccard 4/6)
+    assert(skewRows.map(r => (r.head, r(1))) == Seq((0L, 1L)))
+
+    // and on THIS corpus the prefix actually prunes: the hot token
+    // (most frequent, so never in any rarest-token prefix) would alone
+    // contribute all-pairs 80*79/2 candidate pairs to the full join;
+    // the prefix join's candidates collapse to the rare-token matches.
+    val toks = graft.core.Core.table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(split(lower(col("text")), " "))).as("tok"))
+    val fullCand = toks.select(col("source"), col("doc_id").as("a"), col("tok"))
+      .join(toks.select(col("source"), col("doc_id").as("b"), col("tok")),
+        Seq("source", "tok"))
+      .filter(col("a") < col("b")).select("a", "b").distinct().count()
+    val df_ = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val w2 = Window.partitionBy("doc_id").orderBy(col("df"), col("tok"))
+    val prefix = toks.join(df_, "tok")
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .withColumn("rk", row_number().over(w2))
+      .filter(col("rk") <= col("sz") - ceil(col("sz") * 0.6) + 1)
+    val prefCand = prefix
+      .select(col("source"), col("doc_id").as("a"), col("tok"))
+      .join(prefix.select(col("source"), col("doc_id").as("b"), col("tok")),
+        Seq("source", "tok"))
+      .filter(col("a") < col("b")).select("a", "b").distinct().count()
+    assert(fullCand == 80L * 79 / 2, s"hot token should pair everyone: $fullCand")
+    assert(prefCand == 1L, s"prefix candidates should collapse: $prefCand")
+  }
 }
