@@ -31,4 +31,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 128 GiB machine). Sized so execution+storage memory per task is
   // executor-realistic.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // A 97-query session generates a unique whole-stage-codegen class set
+  // per query; the default 240 MB code cache fills mid-run, the JIT
+  // stops compiling (or flush-churns), and later CPU-heavy stages run
+  // INTERPRETED at 4-5x cost. Measured: identical stages on identical
+  // data burned 31 s vs 166 s of pure CPU (no GC, no spill) depending
+  // on compile state — the round-3/4 bimodal dedup-family timings.
+  // A real cluster sizes this the same way (executor JVMs serving many
+  // query shapes); 1g removes the ceiling at ~0.4% of machine RAM.
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -46,6 +46,8 @@ object Profile {
               f"${(i.completionTime.getOrElse(0L) - i.submissionTime.getOrElse(0L)) / 1e3}%8.2fs " +
               f"exec=${m.executorRunTime / 1e3}%8.1fs " +
               f"gc=${m.jvmGCTime / 1e3}%6.1fs " +
+              f"cpu=${m.executorCpuTime / 1e9}%8.1fs " +
+              f"spill=${m.memoryBytesSpilled / 1e6}%7.0fM " +
               f"in=${m.inputMetrics.recordsRead}%11d " +
               f"sh_r=${m.shuffleReadMetrics.recordsRead}%11d " +
               f"sh_w=${m.shuffleWriteMetrics.recordsWritten}%11d  " +
