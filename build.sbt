@@ -40,4 +40,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // A real cluster sizes this the same way (executor JVMs serving many
   // query shapes); 1g removes the ceiling at ~0.4% of machine RAM.
   "-XX:ReservedCodeCacheSize=1g",
-)
+  // Second JIT mechanism, measured after the cache fix: a freshly
+  // codegen'd heavy stage can run INTERPRETED for its whole lifetime if
+  // the compile queue drains late — the same stage on the same data
+  // burned 516 s vs 20 s of CPU depending on whether C1/C2 output
+  // landed before or during execution (a per-run coin flip). Reaching
+  // compile thresholds sooner shrinks that window; plenty of cores are
+  // available for compiler threads in local[32].
+  "-XX:CompileThresholdScaling=0.25",
+) ++ sys.env.get("SPARK_GRAFT_JVM_EXTRA").toSeq.flatMap(_.split("\\s+"))

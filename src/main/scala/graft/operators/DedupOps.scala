@@ -131,12 +131,20 @@ object DedupOps {
     // legally serialized the probe stage onto 1-2 tasks, the round-3
     // 453 s driver bench. The salted, explicitly-partitioned join pins
     // layout as well as strategy (SkewJoin.saltedCandidateJoin).
-    val cand = SkewJoin.saltedCandidateJoin(
+    // The distinct candidate set is persisted: (1) the physical plan
+    // otherwise consumes the (multi-million-row) partial-distinct
+    // exchange TWICE; (2) the cache boundary splits what would be the
+    // repo's largest fused codegen pipeline (final distinct + both
+    // verify joins + array Jaccard) into two small stages — generated
+    // methods the JIT compiles before the stage ends, where the fused
+    // giant measurably ran interpreted (docs/BENCH_NOTES.md round 4b).
+    // The cached rows are two longs per candidate pair.
+    val cand = shared(SkewJoin.saltedCandidateJoin(
         prefix.select(col("source"), col("doc_id").as("a_id"), col("tok")),
         prefix.select(col("source"), col("doc_id").as("b_id"), col("tok")),
         Seq("source", "tok"), leftSaltBy = col("a_id"))
       .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
+      .select("a_id", "b_id").distinct())
     val ts = docs.select(col("doc_id"), col("toks"))
     cand
       .join(ts.select(col("doc_id").as("a_id"), col("toks").as("a_toks")),
@@ -348,6 +356,14 @@ object DedupOps {
     // the unfiltered join is asserted in DedupOpsSpec and the oracle is
     // the same SQL as dedup_near.
     "dedup_near_prefix" -> { (s, dir) => dedupNearPrefix(s, dir) },
+
+    // Adaptive plan choice: a bounded-sample df-skew statistic picks
+    // count-join (dense vocabularies — this corpus) or prefix-join
+    // (skewed df), result-identical either way, so the oracle is the
+    // same SQL as dedup_near. See [[dedupNearAuto]] — the
+    // BENCH_NOTES prose rule as code, exercised on both corpus shapes
+    // in DedupOpsSpec.
+    "dedup_near_auto" -> { (s, dir) => dedupNearAuto(s, dir) },
 
     // Near-dup pairs on bigram shingles (order-sensitive n-gram
     // Jaccard), as a relational set-similarity join with a
@@ -810,6 +826,10 @@ object DedupOps {
       // identical result contract: prefix filtering changes the plan,
       // not the answer
       "dedup_near_prefix" -> dedupNearOracle,
+
+      // identical result contract: the sampled-statistic plan choice
+      // never changes the answer
+      "dedup_near_auto" -> dedupNearOracle,
 
       "dedup_ngram" ->
         """WITH ex AS (
