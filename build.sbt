@@ -46,6 +46,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // burned 516 s vs 20 s of CPU depending on whether C1/C2 output
   // landed before or during execution (a per-run coin flip). Reaching
   // compile thresholds sooner shrinks that window; plenty of cores are
-  // available for compiler threads in local[32].
+  // available for compiler threads in local[32], and more of them
+  // drain the post-codegen compile burst before the stage ends
+  // (A/B'd: dedup_near_prefix in-bench 14-25 s -> 7-11 s at equal
+  // host load).
   "-XX:CompileThresholdScaling=0.25",
+  "-XX:CICompilerCount=18",
 ) ++ sys.env.get("SPARK_GRAFT_JVM_EXTRA").toSeq.flatMap(_.split("\\s+"))

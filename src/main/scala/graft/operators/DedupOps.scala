@@ -617,6 +617,25 @@ object DedupOps {
       col("doc_id").as("a_id"), col("simhash").as("a_sh"))
     val b = d.select(col("source"), col("band"), col("bbits"),
       col("doc_id").as("b_id"), col("simhash").as("b_sh"))
+    // A qualifying pair collides in every band where its sketch bits
+    // agree, so the raw bucket join emits it once PER colliding band —
+    // ~nBands× duplication on a near-dup-dense corpus (measured 8.4M
+    // rows for ~0.7M distinct edges at sf0.1). Deduplicate WITHOUT an
+    // aggregation: both full sketches ride along in the join, so "is
+    // this the pair's FIRST colliding band" is pure bit arithmetic —
+    // keep the row only when no earlier band's bits also agree. Every
+    // surviving row is then globally unique (pigeonhole guarantees ≥1
+    // colliding band; exactly one is first), which deletes the
+    // 8.4M-row partial agg + exchange + final agg the groupBy(min)
+    // needed. The clause chain is static (nBands is a constant), all
+    // shifts/masks — stays inside whole-stage codegen, unlike an
+    // exists() HOF which would drop the probe loop to CodegenFallback.
+    def bandBits(c: Column, j: Int): Column =
+      shiftright(c, j * width).bitwiseAND(lit(mask))
+    val earlierBandCollides = (0 until nBands - 1)
+      .map(j => col("band") > j &&
+        bandBits(col("a_sh"), j) === bandBits(col("b_sh"), j))
+      .reduce(_ || _)
     // corpus-scaled self-join over band-bounded bucket keys: salted +
     // explicitly partitioned so neither a stats-driven broadcast (a
     // driver OOM at scale) nor AQE input-byte coalescing (which
@@ -628,8 +647,8 @@ object DedupOps {
       .withColumn("hamming",
         bit_count(col("a_sh").bitwiseXOR(col("b_sh"))).cast(IntegerType))
       .filter(col("hamming") <= hammingMax)
-      .groupBy("a_id", "b_id")
-      .agg(min(col("hamming")).as("hamming"))
+      .filter(!earlierBandCollides)
+      .select(col("a_id"), col("b_id"), col("hamming"))
   }
 
   private def simhashJoin(s: SparkSession, dir: String,

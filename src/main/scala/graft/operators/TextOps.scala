@@ -114,7 +114,90 @@ object TextOps {
       |             AS INTEGER) AS stop_hits
       |    FROM documents))""".stripMargin
 
+  /** txt_repetition flag thresholds (fractions of the doc): chosen so a
+    * meaningful minority (~13%) of the synthetic corpus flags; the
+    * operator shape — per-doc repetition fractions thresholded into a
+    * keep/drop signal — is the Gopher-style repetition filter (Rae et
+    * al. 2021, "Scaling Language Models", §A.1.1 repetition rules)
+    * every LLM curation pipeline runs. */
+  val RepTopTokFrac = 0.15
+  val RepDupBigramFrac = 0.08
+
+  /** txt_decontaminate n-gram width. Production decontamination uses
+    * 8-13-token grams (GPT-3 appendix C methodology); this corpus's
+    * 31-word vocabulary makes exact long grams vanishingly rare outside
+    * true near-dups, so the contract pins 4 — the relational shape
+    * (bounded benchmark gram set, broadcast, distinct-overlap count) is
+    * identical at any width. */
+  val DecontaminateGram = 4
+
+  /** Benchmark set for txt_decontaminate: the bounded doc_id prefix
+    * standing in for an eval suite's documents. */
+  val DecontaminateBenchDocs = 10
+
   def queries: Map[String, Q] = Map(
+    // Repetition filtering (Gopher-style quality signal): fraction of
+    // the doc taken by its most frequent token, and the duplicate
+    // fraction of its token bigrams; docs over either threshold flag
+    // `repetitive`. Entirely map-side higher-order-function arithmetic
+    // (no explode, no shuffle except the contract sort): per-row cost
+    // is O(n_tokens · n_distinct), bounded for natural documents —
+    // the embarrassingly-parallel shape a 100 TB filter pass needs.
+    // Exact integer counts; one rounded division per fraction.
+    "txt_repetition" -> { (s, dir) =>
+      toks(s, dir)
+        .withColumn("n", size(col("toks")))
+        .withColumn("top_cnt",
+          array_max(transform(array_distinct(col("toks")),
+            t => size(filter(col("toks"), x => x === t)))))
+        .withColumn("bg", expr(
+          "transform(slice(toks, 1, greatest(size(toks) - 1, 0)), " +
+            "(t, i) -> concat(t, ' ', toks[i + 1]))"))
+        .withColumn("top_tok_frac",
+          round(col("top_cnt").cast(DoubleType) / col("n"), 9))
+        .withColumn("dup_bigram_frac",
+          when(col("n") > 1,
+            round(lit(1.0)
+              - size(array_distinct(col("bg"))).cast(DoubleType)
+                / size(col("bg")), 9))
+            .otherwise(lit(0.0)))
+        .select(col("doc_id"), col("n").cast(IntegerType).as("n_tokens"),
+          col("top_tok_frac"), col("dup_bigram_frac"),
+          (col("top_tok_frac") >= RepTopTokFrac
+            || col("dup_bigram_frac") >= RepDupBigramFrac).as("repetitive"))
+        .orderBy("doc_id")
+    },
+
+    // Benchmark decontamination: flag any document sharing a token
+    // n-gram with the (bounded) benchmark document set — the GPT-3-
+    // style eval-overlap removal a training pipeline must run. The
+    // benchmark gram relation is bounded by the benchmark size, never
+    // the corpus, so it BROADCASTS at any corpus scale and the pass
+    // stays one linear map-side join; n_shared counts the doc's
+    // distinct grams that any OTHER benchmark doc contains.
+    "txt_decontaminate" -> { (s, dir) =>
+      val g = DecontaminateGram
+      val lastStart = s"greatest(size(toks) - ${g - 1}, 0)"
+      val gramExprs = (1 until g).map(k => s"toks[i + $k]").mkString(", ")
+      // doc-distinct grams; referenced as both join sides
+      val grams = shared(toks(s, dir)
+        .select(col("doc_id"), explode(array_distinct(expr(
+          s"transform(slice(toks, 1, $lastStart), " +
+            s"(t, i) -> concat_ws(' ', t, $gramExprs))"))).as("g")))
+      val bench = grams.filter(col("doc_id") < DecontaminateBenchDocs)
+        .select(col("doc_id").as("bench_id"), col("g"))
+      val sharedGrams = grams.join(broadcast(bench), Seq("g"))
+        .filter(col("bench_id") =!= col("doc_id"))
+        .groupBy("doc_id")
+        .agg(countDistinct(col("g")).as("n_shared"))
+      table(s, dir, "documents").select("doc_id")
+        .join(sharedGrams, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+          (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+        .orderBy("doc_id")
+    },
+
     // Deterministic stratified sampling: per (lang, source) stratum
     // keep the 10 docs ranking lowest under a fixed multiplicative
     // hash of doc_id — the per-stratum quota sampling a curation
@@ -320,6 +403,65 @@ object TextOps {
     })
 
   def oracleSql: Map[String, String] = Map(
+    // list_slice(l, 1, k) is end-INDEX based (Spark's slice is
+    // length-based) — identical here because begin is 1; greatest(k, 0)
+    // keeps the end non-negative (a negative end would flip DuckDB into
+    // from-the-back indexing). DuckDB lambdas index 1-based, so
+    // x = toks[i] and the following tokens are toks[i+1..].
+    "txt_repetition" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, CAST(len(toks) AS INTEGER) AS n,
+         |         list_max(list_transform(list_distinct(toks),
+         |           u -> len(list_filter(toks, x -> x = u)))) AS top_cnt,
+         |         list_transform(
+         |           list_slice(toks, 1, greatest(len(toks) - 1, 0)),
+         |           (x, i) -> x || ' ' || toks[i + 1]) AS bg
+         |  FROM t)
+         |SELECT doc_id, n AS n_tokens,
+         |       round(CAST(top_cnt AS DOUBLE) / n, 9) AS top_tok_frac,
+         |       CASE WHEN n > 1 THEN
+         |         round(CAST(1 AS DOUBLE)
+         |           - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg), 9)
+         |       ELSE CAST(0 AS DOUBLE) END AS dup_bigram_frac,
+         |       round(CAST(top_cnt AS DOUBLE) / n, 9)
+         |           >= CAST($RepTopTokFrac AS DOUBLE)
+         |         OR (CASE WHEN n > 1 THEN
+         |               round(CAST(1 AS DOUBLE)
+         |                 - CAST(len(list_distinct(bg)) AS DOUBLE)
+         |                   / len(bg), 9)
+         |             ELSE CAST(0 AS DOUBLE) END)
+         |           >= CAST($RepDupBigramFrac AS DOUBLE) AS repetitive
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "txt_decontaminate" -> {
+      val g = DecontaminateGram
+      val gramConcat = (1 until g).map(k => s"toks[i + $k]")
+        .mkString(" || ' ' || ")
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+         |  FROM documents),
+         |dg AS (
+         |  SELECT DISTINCT doc_id, unnest(list_distinct(list_transform(
+         |    list_slice(toks, 1, greatest(len(toks) - ${g - 1}, 0)),
+         |    (x, i) -> x || ' ' || $gramConcat))) AS g
+         |  FROM t),
+         |bench AS (SELECT doc_id AS bench_id, g FROM dg
+         |          WHERE doc_id < $DecontaminateBenchDocs),
+         |sh AS (
+         |  SELECT dg.doc_id, CAST(COUNT(DISTINCT dg.g) AS BIGINT)
+         |           AS n_shared
+         |  FROM dg JOIN bench USING (g)
+         |  WHERE bench.bench_id <> dg.doc_id
+         |  GROUP BY dg.doc_id)
+         |SELECT d.doc_id, COALESCE(sh.n_shared, 0) AS n_shared,
+         |       COALESCE(sh.n_shared, 0) > 0 AS contaminated
+         |FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    },
+
     "txt_tfidf_topk" ->
       """WITH terms AS (
         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term

@@ -172,4 +172,56 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(fp("spark engine fast") != fp("fast engine spark"))
     assert(fp("spark engine fast") == fp("spark engine fast"))
   }
+
+  test("txt_repetition: fractions match a hand fold; pathological docs " +
+    "flag, varied docs don't") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_rep").toString
+    Seq(
+      (0L, "spam spam spam spam ham", "en", "web", 0L),      // top 4/5
+      (1L, "a b a b a b a b", "en", "web", 0L),              // dup bigrams
+      (2L, "one two three four five six seven", "en", "web", 0L),
+      (3L, "solo", "en", "web", 0L))                          // 1 token
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("txt_repetition")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(out(0L)._1 == 0.8 && out(0L)._3)
+    // "a b a b a b a b": 7 bigrams, 2 distinct -> dup frac 5/7
+    assert(math.abs(out(1L)._2 - 5.0 / 7) < 1e-9 && out(1L)._3)
+    assert(!out(2L)._3, "all-distinct doc must not flag")
+    assert(out(3L)._1 == 1.0 && out(3L)._2 == 0.0,
+      "single-token doc: top frac 1, bigram frac defined as 0")
+    // and on the real corpus a nonempty strict minority flags
+    val real = SparkEntry.queries("txt_repetition")(spark, TestSpark.sfDir)
+    val n = real.count()
+    val flagged = real.filter(col("repetitive")).count()
+    assert(flagged > 0 && flagged < n / 2, s"$flagged/$n flagged")
+  }
+
+  test("txt_decontaminate: exact shared-gram counting vs a hand-built " +
+    "contamination") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dec").toString
+    // doc 0 is benchmark; doc 20 copies one of its 4-gram runs, doc 21
+    // shares only a 3-gram run (must NOT flag), doc 5 is benchmark and
+    // identical to doc 0 (bench-vs-bench contamination counts too)
+    Seq(
+      (0L, "alpha beta gamma delta epsilon", "en", "web", 0L),
+      (5L, "alpha beta gamma delta epsilon", "en", "web", 0L),
+      (20L, "x alpha beta gamma delta y", "en", "web", 0L),
+      (21L, "x beta gamma delta y z", "en", "web", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("txt_decontaminate")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .toSeq.sortBy(_._1)
+    // doc 0/5: each shares both its 4-grams with the other benchmark doc
+    assert(out(0) == ((0L, 2L, true)) && out(1) == ((5L, 2L, true)))
+    // doc 20 carries exactly "alpha beta gamma delta"
+    assert(out(2) == ((20L, 1L, true)))
+    // 3-token overlap is below the gram width: clean
+    assert(out(3) == ((21L, 0L, false)))
+  }
 }
