@@ -135,6 +135,15 @@ object TextOps {
     * standing in for an eval suite's documents. */
   val DecontaminateBenchDocs = 10
 
+  /** txt_chunk window geometry: 16-token windows, stride 8 (50%
+    * overlap) — real pipelines use e.g. 2048/1024; the relational
+    * shape is width-independent. */
+  val ChunkWidth = 16
+  val ChunkStride = 8
+
+  /** txt_pack training-sequence token budget. */
+  val PackBudget = 256
+
   def queries: Map[String, Q] = Map(
     // Repetition filtering (Gopher-style quality signal): fraction of
     // the doc taken by its most frequent token, and the duplicate
@@ -166,6 +175,58 @@ object TextOps {
           (col("top_tok_frac") >= RepTopTokFrac
             || col("dup_bigram_frac") >= RepDupBigramFrac).as("repetitive"))
         .orderBy("doc_id")
+    },
+
+    // Context-window chunking: split each document into fixed-width
+    // token windows with 50% stride overlap — the training-prep step
+    // that turns variable-length documents into model-sized pieces.
+    // One map-side transform + explode per doc (window starts are a
+    // generated integer sequence; slice truncates at the tail in both
+    // engines), so the pass is linear and shuffle-free bar the
+    // contract sort. Short docs (< width tokens) emit exactly one
+    // chunk.
+    "txt_chunk" -> { (s, dir) =>
+      val (w0, st) = (ChunkWidth, ChunkStride)
+      toks(s, dir)
+        .withColumn("n", size(col("toks")))
+        // last window start index i (0-based): ceil((n - W)/S), >= 0
+        .withColumn("last_i", greatest(
+          expr(s"CAST(ceil((n - $w0) / CAST($st AS DOUBLE)) AS INT)"),
+          lit(0)))
+        .select(col("doc_id"),
+          explode(expr(
+            s"transform(sequence(0, last_i), i -> struct(" +
+              s"i AS chunk_id, " +
+              s"size(slice(toks, i * $st + 1, $w0)) AS chunk_tokens, " +
+              s"concat_ws(' ', slice(toks, i * $st + 1, $w0)) AS chunk_text))"))
+            .as("c"))
+        .select(col("doc_id"), col("c.chunk_id").as("chunk_id"),
+          col("c.chunk_tokens").as("chunk_tokens"),
+          col("c.chunk_text").as("chunk_text"))
+        .orderBy("doc_id", "chunk_id")
+    },
+
+    // Sequence-packing manifest (concat-and-cut): documents are
+    // concatenated in (source, doc_id) order and the token stream cut
+    // into fixed-budget training sequences — this computes where each
+    // document lands: its start offset in the stream, the sequence id
+    // it starts in, and its offset within that sequence. One window
+    // cumulative sum over exact integer token counts (partitioned by
+    // source — the shard key — so state is bounded per partition);
+    // every output column is an integer, so the manifest is
+    // hash-exact cross-engine.
+    "txt_pack" -> { (s, dir) =>
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      toks(s, dir)
+        .withColumn("n_tokens", size(col("toks")).cast(LongType))
+        .withColumn("start_offset",
+          sum(col("n_tokens")).over(w) - col("n_tokens"))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("start_offset"),
+          expr(s"start_offset DIV $PackBudget").as("seq_id"),
+          expr(s"start_offset % $PackBudget").as("offset_in_seq"))
+        .orderBy("source", "doc_id")
     },
 
     // Benchmark decontamination: flag any document sharing a token
@@ -435,6 +496,45 @@ object TextOps {
          |             ELSE CAST(0 AS DOUBLE) END)
          |           >= CAST($RepDupBigramFrac AS DOUBLE) AS repetitive
          |FROM s ORDER BY doc_id""".stripMargin,
+
+    "txt_chunk" -> {
+      val (w0, st) = (ChunkWidth, ChunkStride)
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS toks,
+         |         CAST(len(string_split(lower(text), ' ')) AS INTEGER)
+         |           AS n
+         |  FROM documents),
+         |u AS (
+         |  SELECT doc_id, toks, unnest(generate_series(0, greatest(
+         |    CAST(ceil((n - $w0) / CAST($st AS DOUBLE)) AS INTEGER), 0)))
+         |    AS i
+         |  FROM t)
+         |SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+         |       CAST(len(list_slice(toks, i * $st + 1, i * $st + $w0))
+         |         AS INTEGER) AS chunk_tokens,
+         |       array_to_string(
+         |         list_slice(toks, i * $st + 1, i * $st + $w0), ' ')
+         |         AS chunk_text
+         |FROM u ORDER BY doc_id, chunk_id""".stripMargin
+    },
+
+    // SUM() OVER on BIGINT yields HUGEINT in DuckDB — cast back so the
+    // offset columns stay int64 like Spark's
+    "txt_pack" ->
+      s"""SELECT doc_id, source, n_tokens, start_offset,
+         |       start_offset // $PackBudget AS seq_id,
+         |       start_offset % $PackBudget AS offset_in_seq
+         |FROM (
+         |  SELECT doc_id, source, n_tokens,
+         |         CAST(SUM(n_tokens) OVER (PARTITION BY source
+         |           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+         |           AND CURRENT ROW) AS BIGINT) - n_tokens
+         |           AS start_offset
+         |  FROM (SELECT doc_id, source,
+         |          CAST(len(string_split(lower(text), ' ')) AS BIGINT)
+         |            AS n_tokens
+         |        FROM documents))
+         |ORDER BY source, doc_id""".stripMargin,
 
     "txt_decontaminate" -> {
       val g = DecontaminateGram

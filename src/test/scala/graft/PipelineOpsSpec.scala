@@ -200,6 +200,58 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(flagged > 0 && flagged < n / 2, s"$flagged/$n flagged")
   }
 
+  test("txt_chunk: window geometry and full-coverage reconstruction") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_chunk").toString
+    val twenty = (1 to 20).map(i => s"w$i").mkString(" ")
+    Seq((0L, twenty, "en", "web", 0L), (1L, "tiny doc", "en", "web", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("txt_chunk")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getString(3)))
+    // 20 tokens, width 16 stride 8 -> windows at 0 (16 toks) and 8 (12)
+    val d0 = out.filter(_._1 == 0L)
+    assert(d0.map(c => (c._2, c._3)).toSeq == Seq((0, 16), (1, 12)))
+    assert(d0(0)._4.startsWith("w1 w2 ") && d0(1)._4.startsWith("w9 "))
+    // short doc: exactly one chunk, the doc itself
+    assert(out.filter(_._1 == 1L).toSeq == Seq((1L, 0, 2, "tiny doc")))
+    // coverage on the real corpus: stride-sized prefixes of each doc's
+    // chunks plus the last chunk reconstruct the document exactly
+    val real = SparkEntry.queries("txt_chunk")(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(3)))
+      .groupBy(_._1)
+    val docs = graft.core.Core.table(spark, TestSpark.sfDir, "documents")
+      .selectExpr("doc_id", "lower(text) AS text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    docs.foreach { case (id, text) =>
+      val cs = real(id).sortBy(_._2).map(_._3)
+      val rebuilt = (cs.init.map(_.split(" ").take(TextOps.ChunkStride)
+        .mkString(" ")) :+ cs.last).mkString(" ")
+      assert(rebuilt == text, s"doc $id chunk reconstruction")
+    }
+  }
+
+  test("txt_pack: offsets are contiguous per source and bin math holds") {
+    val rows = SparkEntry.queries("txt_pack")(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val seq = rs.sortBy(_._2)
+      assert(seq.head._4 == 0L, "first doc starts the stream")
+      seq.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._4 == a._4 + a._3, "concat stream has no gaps")
+        case _ =>
+      }
+    }
+    rows.foreach { case (_, _, _, off, seqId, inSeq) =>
+      assert(seqId == off / TextOps.PackBudget
+        && inSeq == off % TextOps.PackBudget)
+    }
+  }
+
   test("txt_decontaminate: exact shared-gram counting vs a hand-built " +
     "contamination") {
     import spark.implicits._
