@@ -118,12 +118,15 @@ object DedupOps {
     val df_ = toks.groupBy("tok").agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy("doc_id")
       .orderBy(col("df"), col("tok"))
+    // rk/sz ride along (two ints, cache stays narrow) to power the
+    // positional filter below
     val prefix = shared(toks
       .join(df_, "tok")
       .withColumn("rk", row_number().over(byRarity))
       // prefix length |A| - ceil(t*|A|) + 1
       .filter(col("rk") <= col("sz") - ceil(col("sz") * threshold) + 1)
-      .select(col("source"), col("doc_id"), col("tok")))
+      .select(col("source"), col("doc_id"), col("tok"), col("rk"),
+        col("sz")))
     // The candidate self-join must NEVER broadcast (the prefix relation
     // grows with the corpus — a driver OOM at scale) and must never let
     // AQE coalesce its input shuffles: the shuffle is input-byte-small
@@ -139,11 +142,29 @@ object DedupOps {
     // methods the JIT compiles before the stage ends, where the fused
     // giant measurably ran interpreted (docs/BENCH_NOTES.md round 4b).
     // The cached rows are two longs per candidate pair.
+    // POSITIONAL filter (the PPJoin companion to the prefix filter,
+    // Xiao et al., "Efficient Similarity Joins for Near Duplicate
+    // Detection"): a collision at ranks (rk_a, rk_b) under the same
+    // global token order admits at most min(|A|−rk_a, |B|−rk_b)+1
+    // common tokens, and Jaccard ≥ t needs O·(1+t) ≥ t·(|A|+|B|) —
+    // rows violating the bound are dropped INSIDE the probe stage,
+    // before the distinct maps and exchange. Exact: the pair's rarest
+    // common token carries the loosest bound, so every qualifying
+    // pair keeps ≥ 1 collision row (the 1e-6 slack only loosens the
+    // bound — float noise can keep a doomed candidate for the verify
+    // step to kill, never drop a qualifying one). Result identity vs
+    // the unfiltered join is asserted on randomized corpora.
+    val overlapUpperBound =
+      least(col("a_sz") - col("a_rk"), col("b_sz") - col("b_rk")) + 1
+    val positionalOk = overlapUpperBound * (1 + threshold) >=
+      (col("a_sz") + col("b_sz")) * threshold - 1e-6
     val cand = shared(SkewJoin.saltedCandidateJoin(
-        prefix.select(col("source"), col("doc_id").as("a_id"), col("tok")),
-        prefix.select(col("source"), col("doc_id").as("b_id"), col("tok")),
+        prefix.select(col("source"), col("doc_id").as("a_id"), col("tok"),
+          col("rk").as("a_rk"), col("sz").as("a_sz")),
+        prefix.select(col("source"), col("doc_id").as("b_id"), col("tok"),
+          col("rk").as("b_rk"), col("sz").as("b_sz")),
         Seq("source", "tok"), leftSaltBy = col("a_id"))
-      .filter(col("a_id") < col("b_id"))
+      .filter(col("a_id") < col("b_id") && positionalOk)
       .select("a_id", "b_id").distinct())
     val ts = docs.select(col("doc_id"), col("toks"))
     cand
