@@ -27,6 +27,10 @@ import org.apache.spark.sql.types._
   */
 object DedupOps {
 
+  /** dedup_incremental corpus/batch boundary: sources src0..src9 are
+    * the existing corpus, src10+ the arriving batch. */
+  val IncrementalCorpusSrcs = 10
+
   /** doc_id, source, distinct lowercase token set. */
   private def tokSets(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "documents")
@@ -536,6 +540,55 @@ object DedupOps {
         .filter(col("containment") >= 0.9)
         .select("a_id", "b_id", "containment")
         .orderBy("a_id", "b_id")
+    },
+
+    // Incremental (new-batch vs existing-corpus) near-dup dedup — the
+    // daily-ingest shape of a production pipeline: the corpus is
+    // already deduped, only the arriving delta needs checking, and
+    // nothing ever re-scans corpus×corpus. Batch = sources src10+,
+    // corpus = src0–src9 (standing in for today's crawl vs
+    // yesterday's shards); blocking is per `lang` — the language-shard
+    // boundary a real pipeline dedups within. Each batch doc gets ONE
+    // decision row: dup_of = the lowest corpus doc_id whose token-set
+    // Jaccard reaches 0.6, or null (is_new). Same lazy set-similarity
+    // count-join as dedup_near, but STRICTLY batch×corpus (never
+    // corpus×corpus — the incremental saving), salted and explicitly
+    // partitioned like every corpus-scaled candidate join here. At
+    // 100 TB the corpus-side token relation is a pre-built inverted
+    // index read bucketed from storage, so only the delta explodes
+    // and shuffles per ingest.
+    "dedup_incremental" -> { (s, dir) =>
+      val d = tokSets(s, dir)
+        .join(table(s, dir, "documents").select("doc_id", "lang"), "doc_id")
+        .withColumn("src_idx",
+          substring(col("source"), 4, 10).cast(IntegerType))
+      val toks = shared(d
+        .select(col("doc_id"), col("lang"), col("src_idx"),
+          explode(col("toks")).as("tok")))
+      val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val dupOf = SkewJoin.saltedCandidateJoin(
+          toks.filter(col("src_idx") >= IncrementalCorpusSrcs)
+            .select(col("lang"), col("doc_id").as("b_id"), col("tok")),
+          toks.filter(col("src_idx") < IncrementalCorpusSrcs)
+            .select(col("lang"), col("doc_id").as("c_id"), col("tok")),
+          Seq("lang", "tok"), leftSaltBy = col("b_id"))
+        .groupBy("b_id", "c_id")
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("b_sz")),
+          "b_id")
+        .join(sizes.select(col("doc_id").as("c_id"), col("sz").as("c_sz")),
+          "c_id")
+        .filter(col("inter").cast(DoubleType)
+          / (col("b_sz") + col("c_sz") - col("inter")) >= 0.6)
+        .groupBy("b_id")
+        .agg(min(col("c_id")).as("dup_of"))
+        .withColumnRenamed("b_id", "doc_id")
+      d.filter(col("src_idx") >= IncrementalCorpusSrcs)
+        .select("doc_id", "source")
+        .join(dupOf, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"), col("dup_of"),
+          col("dup_of").isNull.as("is_new"))
+        .orderBy("doc_id")
     })
 
   /** Directional token containment |A∩B|/|A| >= `threshold` within
@@ -976,6 +1029,23 @@ object DedupOps {
            |  SELECT a_id, b_id, CAST(inter AS DOUBLE) / sa.sz AS containment
            |  FROM inter JOIN sizes sa ON sa.doc_id = a_id)
            |WHERE containment >= 0.9
-           |ORDER BY a_id, b_id""".stripMargin)
+           |ORDER BY a_id, b_id""".stripMargin,
+
+      "dedup_incremental" ->
+        s"""WITH t AS (SELECT doc_id, lang, source,
+           |             CAST(substr(source, 4) AS INTEGER) AS src_idx,
+           |             list_distinct(string_split(lower(text), ' ')) AS toks
+           |           FROM documents),
+           |m AS (SELECT b.doc_id, min(c.doc_id) AS dup_of
+           |      FROM t b JOIN t c ON b.lang = c.lang
+           |       AND b.src_idx >= $IncrementalCorpusSrcs
+           |       AND c.src_idx < $IncrementalCorpusSrcs
+           |       AND CAST(len(list_intersect(b.toks, c.toks)) AS DOUBLE)
+           |           / len(list_distinct(b.toks || c.toks)) >= 0.6
+           |      GROUP BY b.doc_id)
+           |SELECT b.doc_id, b.source, m.dup_of, m.dup_of IS NULL AS is_new
+           |FROM t b LEFT JOIN m ON m.doc_id = b.doc_id
+           |WHERE b.src_idx >= $IncrementalCorpusSrcs
+           |ORDER BY b.doc_id""".stripMargin)
   }
 }

@@ -27,6 +27,11 @@ object RelationalOps {
   private def pct(c: org.apache.spark.sql.Column) =
     round(c * 100).cast(LongType)
 
+  /** join_interval window: pairs within 10 minutes, in µs (also the
+    * time-bucket width — the bin-join adjacency argument needs
+    * bucket width >= window). */
+  val IntervalJoinUs: Long = 600000000L
+
   def queries: Map[String, Q] = Map(
     // Multi-table equi join: orders ⋈ customer ⋈ nation ⋈ region,
     // revenue per nation. nation/region broadcast; orders⋈customer
@@ -691,6 +696,46 @@ object RelationalOps {
           get_json_object(col("props"), "$.k").cast(IntegerType).as("k"),
           length(col("props")).as("props_len"))
         .orderBy("event_id")
+    },
+
+    // Interval (range) join via time-bucket binning: all same-user
+    // event pairs within IntervalJoinUs of each other. The naive
+    // |a.ts − b.ts| ≤ w predicate is a per-user cartesian for a
+    // relational planner; bucketing time into w-wide cells turns it
+    // into an EQUI-join — one side joins at its own cell, the other is
+    // emitted into its cell and the next, and a pair within w always
+    // spans same-or-adjacent cells. Each qualifying pair survives in
+    // EXACTLY one orientation (same cell → the id-ordered one;
+    // adjacent cells → the one probing from the later cell), so no
+    // distinct is needed; the exact |Δ| ≤ w filter then removes cell
+    // false positives. Work ∝ Σ per-(user, cell) density² — never
+    // user² — and the join shuffles on high-cardinality (user_id,
+    // cell) keys with bounded per-key chains: the salted candidate
+    // join keeps the layout stats-independent and broadcast-free
+    // (both sides are corpus-sized at 100 TB).
+    "join_interval" -> { (s, dir) =>
+      val w = IntervalJoinUs
+      val e = table(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("cell", expr(s"us DIV $w"))
+      val a = e.select(col("user_id"), col("cell"),
+        col("event_id").as("x_id"), col("us").as("x_us"),
+        col("cell").as("x_cell"))
+      val b = e.select(col("user_id"),
+        col("event_id").as("y_id"), col("us").as("y_us"),
+        col("cell").as("y_cell"),
+        explode(array(col("cell"), col("cell") + 1)).as("cell"))
+      SkewJoin.saltedCandidateJoin(a, b, Seq("user_id", "cell"),
+          leftSaltBy = col("x_id"))
+        .filter(abs(col("x_us") - col("y_us")) <= w)
+        .filter(col("x_cell") > col("y_cell")
+          || (col("x_cell") === col("y_cell") && col("x_id") < col("y_id")))
+        .select(
+          least(col("x_id"), col("y_id")).as("a_id"),
+          greatest(col("x_id"), col("y_id")).as("b_id"),
+          abs(col("x_us") - col("y_us")).as("gap_us"))
+        .orderBy("a_id", "b_id")
     })
 
   def oracleSql: Map[String, String] = Map(
@@ -1152,5 +1197,15 @@ object RelationalOps {
       """SELECT event_id,
         |       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
         |       CAST(length(props) AS INTEGER) AS props_len
-        |FROM events ORDER BY event_id""".stripMargin)
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    // the all-pairs inequality formulation the binned equi-join is
+    // proven identical to (also asserted on-corpus in RangeJoinSpec)
+    "join_interval" ->
+      s"""SELECT a.event_id AS a_id, b.event_id AS b_id,
+         |       abs(epoch_us(a.ts) - epoch_us(b.ts)) AS gap_us
+         |FROM events a JOIN events b
+         |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+         | AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= $IntervalJoinUs
+         |ORDER BY a_id, b_id""".stripMargin)
 }

@@ -144,6 +144,17 @@ object TextOps {
   /** txt_pack training-sequence token budget. */
   val PackBudget = 256
 
+  /** txt_split_assign percent boundaries: bucket < 90 → train,
+    * < 95 → val, else test. */
+  val SplitTrainPct = 90
+  val SplitValPct = 95
+
+  /** txt_split_assign hash multiplier: MINSTD / Park–Miller 48271 — a
+    * public full-period multiplier mod 2³¹−1, deliberately different
+    * from sample_stratified's Knuth constant so split assignment and
+    * sampling are independent hash streams. */
+  val SplitHashMul = 48271L
+
   def queries: Map[String, Q] = Map(
     // Repetition filtering (Gopher-style quality signal): fraction of
     // the doc taken by its most frequent token, and the duplicate
@@ -461,6 +472,31 @@ object TextOps {
               (t, i) => (TextHash.tokHash(t) % TextHash.P) * (i + 1)),
             lit(0L), (acc, x) => (acc + x) % TextHash.P).as("fingerprint"))
         .orderBy("doc_id")
+    },
+
+    // Deterministic train/val/test split assignment: multiplicative
+    // hash of doc_id mod 100 against fixed 90/5/5 quota boundaries.
+    // Same overflow-safe scheme as sample_stratified (both factors
+    // reduced mod P BEFORE multiplying — safe for arbitrary int64
+    // doc_id) with an independent public multiplier, so the split
+    // never correlates with the sampling hash. Pure map-side integer
+    // arithmetic: the one-pass, shuffle-free, rerun-stable assignment
+    // a 100 TB corpus split needs — membership depends only on the
+    // row, never on partitioning, row order, or corpus size (docs
+    // added later cannot move existing docs between splits, unlike
+    // randomSplit/rand()). Production pipelines hash a stable content
+    // key to survive re-crawls; doc_id is this corpus's stable key.
+    "txt_split_assign" -> { (s, dir) =>
+      table(s, dir, "documents")
+        .withColumn("h",
+          ((col("doc_id") % lit(TextHash.P)) * lit(SplitHashMul))
+            % lit(TextHash.P))
+        .withColumn("bucket", (col("h") % 100).cast(IntegerType))
+        .select(col("doc_id"), col("bucket"),
+          when(col("bucket") < SplitTrainPct, "train")
+            .when(col("bucket") < SplitValPct, "val")
+            .otherwise("test").as("split"))
+        .orderBy("doc_id")
     })
 
   def oracleSql: Map[String, String] = Map(
@@ -682,5 +718,16 @@ object TextOps {
          |  CAST(list_reduce(list_transform(string_split(lower(text), ' '),
          |    (t, i) -> (${TextHash.tokHashSql("t")} % ${TextHash.P}) * i),
          |    (acc, x) -> (acc + x) % ${TextHash.P}) AS BIGINT) AS fingerprint
-         |FROM documents ORDER BY doc_id""".stripMargin)
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "txt_split_assign" ->
+      s"""SELECT doc_id, bucket,
+         |  CASE WHEN bucket < $SplitTrainPct THEN 'train'
+         |       WHEN bucket < $SplitValPct THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM (SELECT doc_id,
+         |        CAST(((doc_id % ${TextHash.P}) * $SplitHashMul)
+         |          % ${TextHash.P} % 100 AS INTEGER) AS bucket
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin)
 }
