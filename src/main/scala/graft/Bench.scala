@@ -54,6 +54,27 @@ object Bench {
       graft.core.Core.releaseShared()
       spark.catalog.clearCache()
       System.gc()
+      // Drain the JIT compile queue before timing: each query's
+      // codegen classes are compiled ASYNCHRONOUSLY, so a query that
+      // finishes while C1/C2 are still churning leaves a backlog that
+      // steals compiler/CPU time from its successor — and, worse, the
+      // successor's own hot stage then starts INTERPRETED because its
+      // compiles sit behind the backlog (the documented 4-5x
+      // interpreted-codegen mechanism, docs/BENCH_NOTES.md round 4b).
+      // Alphabetical neighbors made this composition-dependent:
+      // adding one heavy query measurably inflated the NEXT dedup
+      // query's time. Waiting until cumulative compilation time is
+      // quiet (200 ms unchanged, 10 s cap) isolates each query's
+      // measurement from its predecessor's compile debt — the same
+      // per-query isolation the cache clear + GC above provide.
+      val jit = java.lang.management.ManagementFactory.getCompilationMXBean
+      var lastCt = -1L
+      var spins = 0
+      while (jit.getTotalCompilationTime != lastCt && spins < 50) {
+        lastCt = jit.getTotalCompilationTime
+        Thread.sleep(200)
+        spins += 1
+      }
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }

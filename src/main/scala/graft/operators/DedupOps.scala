@@ -106,7 +106,7 @@ object DedupOps {
     * reduction. Fully lazy: the df ranking is a window inside the
     * plan. */
   def dedupNearPrefix(s: SparkSession, dir: String,
-      threshold: Double = 0.6): DataFrame = {
+      threshold: Double = 0.6, positional: Boolean = false): DataFrame = {
     // docs feeds the token explode AND both verify joins; toks feeds the
     // df agg AND the prefix join; prefix is both sides of the candidate
     // self-join. Without `shared`, lineage re-derives the token relation
@@ -122,15 +122,18 @@ object DedupOps {
     val df_ = toks.groupBy("tok").agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy("doc_id")
       .orderBy(col("df"), col("tok"))
-    // rk/sz ride along (two ints, cache stays narrow) to power the
-    // positional filter below
+    // under the positional variant rk/sz ride along (two ints) to
+    // power the rank-bound filter; otherwise the cache stays minimal
+    val prefixCols =
+      if (positional)
+        Seq(col("source"), col("doc_id"), col("tok"), col("rk"), col("sz"))
+      else Seq(col("source"), col("doc_id"), col("tok"))
     val prefix = shared(toks
       .join(df_, "tok")
       .withColumn("rk", row_number().over(byRarity))
       // prefix length |A| - ceil(t*|A|) + 1
       .filter(col("rk") <= col("sz") - ceil(col("sz") * threshold) + 1)
-      .select(col("source"), col("doc_id"), col("tok"), col("rk"),
-        col("sz")))
+      .select(prefixCols: _*))
     // The candidate self-join must NEVER broadcast (the prefix relation
     // grows with the corpus — a driver OOM at scale) and must never let
     // AQE coalesce its input shuffles: the shuffle is input-byte-small
@@ -146,29 +149,42 @@ object DedupOps {
     // methods the JIT compiles before the stage ends, where the fused
     // giant measurably ran interpreted (docs/BENCH_NOTES.md round 4b).
     // The cached rows are two longs per candidate pair.
-    // POSITIONAL filter (the PPJoin companion to the prefix filter,
-    // Xiao et al., "Efficient Similarity Joins for Near Duplicate
-    // Detection"): a collision at ranks (rk_a, rk_b) under the same
-    // global token order admits at most min(|A|−rk_a, |B|−rk_b)+1
-    // common tokens, and Jaccard ≥ t needs O·(1+t) ≥ t·(|A|+|B|) —
-    // rows violating the bound are dropped INSIDE the probe stage,
-    // before the distinct maps and exchange. Exact: the pair's rarest
-    // common token carries the loosest bound, so every qualifying
-    // pair keeps ≥ 1 collision row (the 1e-6 slack only loosens the
-    // bound — float noise can keep a doomed candidate for the verify
-    // step to kill, never drop a qualifying one). Result identity vs
-    // the unfiltered join is asserted on randomized corpora.
-    val overlapUpperBound =
-      least(col("a_sz") - col("a_rk"), col("b_sz") - col("b_rk")) + 1
-    val positionalOk = overlapUpperBound * (1 + threshold) >=
-      (col("a_sz") + col("b_sz")) * threshold - 1e-6
+    // POSITIONAL filter (opt-in; the PPJoin companion to the prefix
+    // filter, Xiao et al., "Efficient Similarity Joins for Near
+    // Duplicate Detection"): a collision at ranks (rk_a, rk_b) under
+    // the same global token order admits at most
+    // min(|A|−rk_a, |B|−rk_b)+1 common tokens, and Jaccard ≥ t needs
+    // O·(1+t) ≥ t·(|A|+|B|) — rows violating the bound are dropped
+    // INSIDE the probe stage, before the distinct maps and exchange.
+    // Exact: the pair's rarest common token carries the loosest bound,
+    // so every qualifying pair keeps ≥ 1 collision row (the 1e-6 slack
+    // only loosens the bound — float noise can keep a doomed candidate
+    // for the verify step to kill, never drop a qualifying one).
+    // Result identity vs the rank-free join is asserted on randomized
+    // corpora (DedupOpsSpec). OPT-IN because its economics mirror the
+    // prefix filter's: on a skewed-df corpus it prunes candidates
+    // superlinearly, while on this dense benchmark corpus (~every
+    // collision a true candidate) it prunes almost nothing and pays
+    // two extra ints per prefix row through the cache and candidate
+    // shuffle — measured ~+30% on dedup_near_prefix at sf0.1. The
+    // contract query runs rank-free; dedupNearAuto's skew-triggered
+    // branch (the shape that benefits) enables it.
+    def sided(side: String, idAs: String) = {
+      val base = Seq(col("source"), col("doc_id").as(idAs), col("tok"))
+      val ranks = Seq(col("rk").as(s"${side}_rk"), col("sz").as(s"${side}_sz"))
+      prefix.select((if (positional) base ++ ranks else base): _*)
+    }
+    val pairFilter = if (positional) {
+      val overlapUpperBound =
+        least(col("a_sz") - col("a_rk"), col("b_sz") - col("b_rk")) + 1
+      col("a_id") < col("b_id") &&
+        (overlapUpperBound * (1 + threshold) >=
+          (col("a_sz") + col("b_sz")) * threshold - 1e-6)
+    } else col("a_id") < col("b_id")
     val cand = shared(SkewJoin.saltedCandidateJoin(
-        prefix.select(col("source"), col("doc_id").as("a_id"), col("tok"),
-          col("rk").as("a_rk"), col("sz").as("a_sz")),
-        prefix.select(col("source"), col("doc_id").as("b_id"), col("tok"),
-          col("rk").as("b_rk"), col("sz").as("b_sz")),
+        sided("a", "a_id"), sided("b", "b_id"),
         Seq("source", "tok"), leftSaltBy = col("a_id"))
-      .filter(col("a_id") < col("b_id") && positionalOk)
+      .filter(pairFilter)
       .select("a_id", "b_id").distinct())
     val ts = docs.select(col("doc_id"), col("toks"))
     cand
@@ -221,7 +237,9 @@ object DedupOps {
         max(col("df")).cast(DoubleType).as("mx"))
       .head()
     val skew = stat.getDouble(0) / stat.getDouble(1)
-    if (skew < skewBelow) ("prefix", dedupNearPrefix(s, dir))
+    // the skewed-df regime is exactly where the PPJoin rank bound
+    // prunes superlinearly, so the prefix branch enables it
+    if (skew < skewBelow) ("prefix", dedupNearPrefix(s, dir, positional = true))
     else ("count", dedupNearRelational(s, dir))
   }
 

@@ -44,7 +44,8 @@ class RandomizedParitySpec extends AnyFunSuite {
     dir
   }
 
-  test("prefix-filtered join == unfiltered join on random corpora") {
+  test("prefix-filtered join == unfiltered join on random corpora " +
+    "(with and without the positional rank bound)") {
     for (seed <- Seq(1, 2, 3)) {
       val dir = corpus(seed, n = 60, vocab = 40)
       val full = DedupOps.dedupNearRelational(spark, dir)
@@ -52,6 +53,9 @@ class RandomizedParitySpec extends AnyFunSuite {
       val pref = DedupOps.dedupNearPrefix(spark, dir)
         .collect().map(_.toSeq).toSeq
       assert(pref == full, s"seed=$seed")
+      val positional = DedupOps.dedupNearPrefix(spark, dir, positional = true)
+        .collect().map(_.toSeq).toSeq
+      assert(positional == full, s"seed=$seed (positional)")
       assert(full.nonEmpty, s"seed=$seed produced no pairs — weak test")
     }
   }
