@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions for the 100 TB properties the prose
+  * (docs/PLANS.md) claims: inequality joins must bin to equi-joins
+  * (no cartesian), corpus-scaled candidate joins must be salted and
+  * pinned shuffle-hash (no stats-driven broadcast), dimension lookups
+  * must broadcast, and stateless per-row operators must not shuffle.
+  * Asserted on the INITIAL physical plan — the shape Catalyst commits
+  * to before AQE sees runtime stats, i.e. the plan that must already
+  * be safe when the stats say "100 TB", not "test corpus".
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = TestSpark.sfDir
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("join_interval bins to an equi-join: no cartesian, no broadcast NL") {
+    val p = plan("join_interval")
+    assert(!p.contains("CartesianProduct"), "interval join went cartesian")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "interval join fell back to broadcast nested-loop")
+    assert(p.contains("ShuffledHashJoin"), "candidate join lost its SHJ pin")
+    assert(p.contains("__salt"), "candidate join lost its salting")
+  }
+
+  test("corpus-scaled candidate self-joins are salted + shuffle-hash pinned") {
+    for (q <- Seq("dedup_near", "dedup_near_prefix", "dedup_ngram",
+        "txt_containment", "dedup_minhash_lsh", "dedup_simhash",
+        "dedup_incremental")) {
+      val p = plan(q)
+      assert(p.contains("ShuffledHashJoin"), s"$q: no pinned SHJ in plan")
+      assert(p.contains("__salt"), s"$q: candidate join not salted")
+      assert(!p.contains("CartesianProduct"), s"$q: cartesian appeared")
+    }
+  }
+
+  test("txt_split_assign never shuffles on a hash key (map-side + sort only)") {
+    val p = plan("txt_split_assign")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"split assignment introduced a shuffle:\n$p")
+  }
+
+  test("dimension lookups broadcast; bounded benchmark set broadcasts") {
+    assert(plan("join_code_dim").contains("BroadcastHashJoin"),
+      "WMO dim lookup should broadcast")
+    assert(plan("txt_decontaminate").contains("Broadcast"),
+      "bounded benchmark gram relation should broadcast")
+  }
+}
