@@ -42,7 +42,10 @@ object DedupOps {
       |       list_distinct(string_split(lower(text), ' ')) AS toks
       |FROM documents""".stripMargin
 
-  private def jaccard(a: Column, b: Column): Column =
+  /** Reference formulation of token-set Jaccard; the hot verify paths
+    * use the codegen'd merge equivalent (plans/SortedJaccard.scala,
+    * parity-spec'd in DotProductSpec) over per-doc-sorted arrays. */
+  private[graft] def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast(DoubleType) / size(array_union(a, b))
 
   private val jaccardSql =
@@ -186,13 +189,21 @@ object DedupOps {
         Seq("source", "tok"), leftSaltBy = col("a_id"))
       .filter(pairFilter)
       .select("a_id", "b_id").distinct())
-    val ts = docs.select(col("doc_id"), col("toks"))
+    // exact verify via the codegen'd merge Jaccard: sort once per DOC
+    // (map-side, before the pair fanout), compare with a zero-
+    // allocation two-pointer loop per candidate PAIR — the built-in
+    // array_intersect/array_union pair builds hash sets per candidate
+    // and was this stage's CPU (plans/SortedJaccard.scala; same
+    // integer counts, bit-identical division, spec'd in DotProductSpec)
+    graft.plans.SortedJaccard.register(s)
+    val ts = docs.select(col("doc_id"), sort_array(col("toks")).as("toks"))
     cand
       .join(ts.select(col("doc_id").as("a_id"), col("toks").as("a_toks")),
         "a_id")
       .join(ts.select(col("doc_id").as("b_id"), col("toks").as("b_toks")),
         "b_id")
-      .withColumn("jaccard", jaccard(col("a_toks"), col("b_toks")))
+      .withColumn("jaccard", graft.plans.SortedJaccard
+        .jaccardSorted(col("a_toks"), col("b_toks")))
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
       .orderBy("a_id", "b_id")
@@ -449,12 +460,15 @@ object DedupOps {
           Seq("band", "bkey"), leftSaltBy = col("doc_id"))
         .groupBy("doc_id")
         .agg(min(col("bmin")).as("canonical_id"))
-      val ts = shared(tokSets(s, dir).select(col("doc_id"), col("toks")))
+      graft.plans.SortedJaccard.register(s)
+      val ts = shared(tokSets(s, dir)
+        .select(col("doc_id"), sort_array(col("toks")).as("toks")))
       canon
         .join(ts, "doc_id")
         .join(ts.select(col("doc_id").as("canonical_id"),
           col("toks").as("c_toks")), "canonical_id")
-        .withColumn("jaccard", jaccard(col("toks"), col("c_toks")))
+        .withColumn("jaccard", graft.plans.SortedJaccard
+          .jaccardSorted(col("toks"), col("c_toks")))
         .select(
           col("doc_id"), col("canonical_id"),
           // verified decision: LSH proposes, exact Jaccard confirms —
@@ -576,8 +590,9 @@ object DedupOps {
     // index read bucketed from storage, so only the delta explodes
     // and shuffles per ingest.
     "dedup_incremental" -> { (s, dir) =>
-      val d = tokSets(s, dir)
-        .join(table(s, dir, "documents").select("doc_id", "lang"), "doc_id")
+      val d = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          array_distinct(split(lower(col("text")), " ")).as("toks"))
         .withColumn("src_idx",
           substring(col("source"), 4, 10).cast(IntegerType))
       val toks = shared(d

@@ -45,4 +45,41 @@ class DotProductSpec extends AnyFunSuite {
       .head().getDouble(0)
     assert(r == 11.0)
   }
+
+  test("graft_jaccard == intersect/union built-ins on random sorted sets") {
+    graft.plans.SortedJaccard.register(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // random distinct token sets incl. empty-overlap, full-overlap,
+    // subset, and single-element shapes
+    val rows = (0 until 500).map { i =>
+      val vocab = (0 until 30).map(j => s"t$j")
+      def set() = rnd.shuffle(vocab).take(1 + rnd.nextInt(12)).toSeq
+      val a = if (i % 17 == 0) Seq("t0") else set()
+      val b = if (i % 13 == 0) a else set()
+      (a, b)
+    }
+    val df = rows.toDF("a", "b")
+      .select(sort_array(col("a")).as("a"), sort_array(col("b")).as("b"))
+    val both = df.select(
+      call_function("graft_jaccard", col("a"), col("b")).as("native"),
+      (size(array_intersect(col("a"), col("b"))).cast("double")
+        / size(array_union(col("a"), col("b")))).as("builtin"))
+    assert(both.filter(col("native") =!= col("builtin")).count() == 0)
+    // literal input constant-folds to a LocalTableScan (the expression
+    // ran interpreted at optimization time — same eval path); the
+    // codegen placement is asserted on the real verify plan instead
+    assert(SparkEntry.queries("dedup_near_prefix")(spark, TestSpark.sfDir)
+      .queryExecution.executedPlan.toString.contains("graft_jaccard"))
+  }
+
+  test("dedup_near_prefix still equals dedup_near after the merge-Jaccard swap") {
+    val dir = TestSpark.sfDir
+    val a = SparkEntry.queries("dedup_near")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val b = SparkEntry.queries("dedup_near_prefix")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
 }
