@@ -150,6 +150,13 @@ object MultimodalOps {
     // arbitrary non-ASCII payloads and matches frame_len/frame_hex's
     // encode() domain.
     "multimodal_audio_hop" -> { (s, dir) =>
+      // per-frame byte-sum energy via the codegen'd graft_bytesum
+      // (plans/ByteSum.scala): one primitive loop over the frame's
+      // bytes, replacing the per-BYTE substr+conv hex fold (two string
+      // allocations and a radix parse per byte, ~5M per run at sf0.1).
+      // Exact same Σ unsigned(byte) integers — the DuckDB oracle keeps
+      // the hex formulation, parity spec'd in DotProductSpec.
+      graft.plans.ByteSum.register(s)
       table(s, dir, "documents")
         // empty text -> no frames (matches generate_series(1,0)'s empty
         // set; Spark's sequence(1,0) would THROW under ANSI)
@@ -157,18 +164,11 @@ object MultimodalOps {
         .select(col("doc_id"), col("text"),
           explode(sequence(lit(1), length(col("text")), lit(8))).as("pos"))
         .withColumn("bf", encode(expr("substring(text, pos, 16)"), "UTF-8"))
-        .withColumn("hx", lower(hex(col("bf"))))
         .select(
           col("doc_id"), col("pos").cast(IntegerType).as("pos"),
           octet_length(col("bf")).as("frame_len"),
-          aggregate(
-            sequence(lit(1), octet_length(col("bf"))),
-            lit(0L),
-            (acc, i) => acc +
-              conv(substr(col("hx"), i * 2 - 1, lit(2)), 16, 10)
-                .cast(LongType))
-            .as("energy"),
-          col("hx").as("frame_hex"))
+          graft.plans.ByteSum.bytesum(col("bf")).as("energy"),
+          lower(hex(col("bf"))).as("frame_hex"))
         .orderBy("doc_id", "pos")
     },
 

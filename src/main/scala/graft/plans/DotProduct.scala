@@ -81,10 +81,15 @@ object GraftFunctions {
 
 /** `spark.sql.extensions=graft.plans.GraftExtensions` — the public
   * extension point; sessions built without it can call
-  * [[GraftFunctions.register]] instead. */
+  * [[GraftFunctions.register]] / [[SortedJaccard.register]] instead. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("graft_dot"),
       GraftFunctions.dotInfo,
       { children: Seq[Expression] => DotProduct(children.head, children(1)) }))
+    ext.injectFunction((FunctionIdentifier("graft_jaccard"),
+      SortedJaccard.info,
+      { children: Seq[Expression] =>
+        SortedJaccard(children.head, children(1)) }))
+  }
 }

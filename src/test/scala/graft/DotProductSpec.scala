@@ -73,6 +73,23 @@ class DotProductSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString.contains("graft_jaccard"))
   }
 
+  test("graft_bytesum == per-byte hex fold on real UTF-8 frames") {
+    graft.plans.ByteSum.register(spark)
+    val d = graft.core.Core.table(spark, TestSpark.sfDir, "documents")
+      .filter(length(col("text")) > 0)
+      .withColumn("bf", encode(substring(col("text"), 1, 16), "UTF-8"))
+      .withColumn("hx", lower(hex(col("bf"))))
+    val both = d.select(
+      call_function("graft_bytesum", col("bf")).as("native"),
+      aggregate(
+        sequence(lit(1), octet_length(col("bf"))), lit(0L),
+        (acc, i) => acc +
+          conv(substr(col("hx"), i * 2 - 1, lit(2)), 16, 10).cast("long"))
+        .as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    assert(both.count() > 0)
+  }
+
   test("dedup_near_prefix still equals dedup_near after the merge-Jaccard swap") {
     val dir = TestSpark.sfDir
     val a = SparkEntry.queries("dedup_near")(spark, dir)

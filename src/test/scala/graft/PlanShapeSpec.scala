@@ -51,4 +51,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan("txt_decontaminate").contains("Broadcast"),
       "bounded benchmark gram relation should broadcast")
   }
+
+  test("partition-keyed writes prune partitions at the scan") {
+    // the storage-layout lever every 100 TB corpus uses: write sharded
+    // by the filter key, and a key predicate must become a partition
+    // filter (directories skipped), never a post-scan filter
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_part").toString
+    graft.core.Core.table(spark, dir, "documents")
+      .write.mode("overwrite").partitionBy("lang")
+      .parquet(s"$out/docs_by_lang")
+    val q = spark.read.parquet(s"$out/docs_by_lang")
+      .filter(org.apache.spark.sql.functions.col("lang") === "en")
+      .groupBy("source").count()
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.replaceAll("\\s", "").contains("PartitionFilters:[isnotnull(lang"),
+      s"lang predicate did not reach the partition filters:\n$scan")
+    assert(q.count() > 0)
+  }
 }
