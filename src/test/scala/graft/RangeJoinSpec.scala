@@ -34,6 +34,54 @@ class RangeJoinSpec extends AnyFunSuite {
         s"missing=${(naive -- binned).take(3)}, extra=${(binned -- naive).take(3)}")
   }
 
+  test("binned interval join == naive join on adversarial random corpora") {
+    // the adjacency/orientation argument (each qualifying pair survives
+    // in EXACTLY one orientation, so no distinct) is subtle — exercise
+    // it on random event sets that concentrate timestamps AROUND CELL
+    // BOUNDARIES, where an off-by-one in the cell arithmetic would
+    // duplicate or drop pairs
+    import spark.implicits._
+    val w = RelationalOps.IntervalJoinUs
+    for (seed <- Seq(11, 12, 13)) {
+      val rnd = new scala.util.Random(seed)
+      val events = (0 until 300).map { i =>
+        val user = rnd.nextInt(6).toLong
+        // cluster at cell edges: k*w ± small jitter, plus some uniform
+        val us =
+          if (i % 3 == 0) rnd.nextInt(5).toLong * w + rnd.nextInt(3) - 1
+          else math.abs(rnd.nextLong()) % (5 * w)
+        (i.toLong, user, us)
+      }
+      val e = events.toDF("event_id", "user_id", "us")
+      val cell = org.apache.spark.sql.functions.expr(s"us DIV $w")
+      val a = e.select(col("user_id"), cell.as("cell"),
+        col("event_id").as("x_id"), col("us").as("x_us"),
+        cell.as("x_cell"))
+      val b = e.select(col("user_id"),
+        col("event_id").as("y_id"), col("us").as("y_us"),
+        cell.as("y_cell"),
+        explode(array(cell, cell + 1)).as("cell"))
+      val binned = a.join(b, Seq("user_id", "cell"))
+        .filter(abs(col("x_us") - col("y_us")) <= w)
+        .filter(col("x_cell") > col("y_cell")
+          || (col("x_cell") === col("y_cell") && col("x_id") < col("y_id")))
+        .select(least(col("x_id"), col("y_id")),
+          greatest(col("x_id"), col("y_id")))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val naive = e.as("p").join(e.as("q"),
+          col("p.user_id") === col("q.user_id")
+            && col("p.event_id") < col("q.event_id")
+            && abs(col("p.us") - col("q.us")) <= w)
+        .select(col("p.event_id"), col("q.event_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(binned.length == naive.length,
+        s"seed=$seed: orientation dedup broke (${binned.length} vs " +
+          s"${naive.length} — duplicates or drops)")
+      assert(binned.toSet == naive.toSet, s"seed=$seed")
+      assert(naive.nonEmpty, s"seed=$seed produced no pairs — weak test")
+    }
+  }
+
   test("txt_split_assign is a stable 90/5/5 partition of the corpus") {
     val rows = SparkEntry.queries("txt_split_assign")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
