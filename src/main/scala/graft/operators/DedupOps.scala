@@ -369,6 +369,21 @@ object DedupOps {
           .reduce(_ + _).as("simhash"))
   }
 
+  /** 16-permutation MinHash signature per doc (columns m0..m15) — one
+    * linear pass, map-side partial min aggregation. Shared by the LSH
+    * dedup decision query and the accuracy estimator. */
+  private def minhashSig(s: SparkSession, dir: String): DataFrame = {
+    val minExprs = (0 until MinhashK)
+      .map(j => min(permute(j, col("base"))).as(s"m$j"))
+    docTokHash(s, dir).groupBy("doc_id").agg(minExprs.head, minExprs.tail: _*)
+  }
+
+  /** One (band, bkey) struct per LSH band of a signature row. */
+  private def minhashBandStructs: Column = array((0 until Bands).map { b =>
+    val ms = (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}"))
+    struct(lit(b).as("band"), concat_ws("-", ms: _*).as("bkey"))
+  }: _*)
+
   /** 31-bit sketch; shared by the dedup_simhash query and its
     * banding-exactness spec. */
   private[graft] def simhashSketches(s: SparkSession, dir: String): DataFrame =
@@ -433,18 +448,11 @@ object DedupOps {
     // decisions. (Pairwise listings are dedup_near / dedup_ngram, which
     // block by source to stay bounded.)
     "dedup_minhash_lsh" -> { (s, dir) =>
-      val minExprs = (0 until MinhashK)
-        .map(j => min(permute(j, col("base"))).as(s"m$j"))
-      val sig = docTokHash(s, dir)
-        .groupBy("doc_id")
-        .agg(minExprs.head, minExprs.tail: _*)
+      val sig = minhashSig(s, dir)
       // single-pass banding: one inline-explode of (band, bkey) structs
       // per signature row — the signature relation is read once, not
       // re-scanned per band by a unionAll
-      val bandStructs = array((0 until Bands).map { b =>
-        val ms = (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}"))
-        struct(lit(b).as("band"), concat_ws("-", ms: _*).as("bkey"))
-      }: _*)
+      val bandStructs = minhashBandStructs
       // banded feeds the bucket-min agg and the canonical join; ts both
       // sides of the verify join — compute each once
       val banded = shared(sig
@@ -478,6 +486,60 @@ object DedupOps {
             .as("is_dup"),
           col("jaccard"))
         .orderBy("doc_id")
+    },
+
+    // MinHash accuracy estimator: for every same-source LSH candidate
+    // pair, the signature-agreement Jaccard estimate (matching
+    // permutations / 16) next to the EXACT Jaccard and the absolute
+    // error — the measurement a pipeline runs to tune its banding
+    // scheme (threshold, bands × rows) before committing a 100 TB
+    // dedup pass to it. Candidates come from the same single-pass
+    // banding as dedup_minhash_lsh (never all-pairs) and the listing
+    // is source-blocked like every pairwise baseline; the exact side
+    // is the codegen'd merge Jaccard. est = k/16 is an exact binary
+    // fraction and the exact-Jaccard division is the proven
+    // bit-identical pattern, so est/err hash-match cross-engine.
+    "dedup_minhash_est" -> { (s, dir) =>
+      graft.plans.SortedJaccard.register(s)
+      val sig = shared(minhashSig(s, dir)
+        .join(table(s, dir, "documents").select("doc_id", "source"),
+          "doc_id"))
+      val banded = sig
+        .select(col("doc_id"), col("source"),
+          explode(minhashBandStructs).as("bs"))
+        .select(col("doc_id"), col("source"), col("bs.band").as("band"),
+          col("bs.bkey").as("bkey"))
+      val cand = SkewJoin.saltedCandidateJoin(
+          banded.select(col("source"), col("band"), col("bkey"),
+            col("doc_id").as("a_id")),
+          banded.select(col("source"), col("band"), col("bkey"),
+            col("doc_id").as("b_id")),
+          Seq("source", "band", "bkey"), leftSaltBy = col("a_id"))
+        .filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id").distinct()
+      val aSig = sig.select(col("doc_id").as("a_id") +:
+        (0 until MinhashK).map(j => col(s"m$j").as(s"a_m$j")): _*)
+      val bSig = sig.select(col("doc_id").as("b_id") +:
+        (0 until MinhashK).map(j => col(s"m$j").as(s"b_m$j")): _*)
+      val agree = (0 until MinhashK)
+        .map(j => when(col(s"a_m$j") === col(s"b_m$j"), 1).otherwise(0))
+        .reduce(_ + _)
+      val ts = shared(tokSets(s, dir)
+        .select(col("doc_id"), sort_array(col("toks")).as("toks")))
+      cand
+        .join(aSig, "a_id")
+        .join(bSig, "b_id")
+        .withColumn("est", round(agree.cast(DoubleType) / MinhashK, 9))
+        .select("a_id", "b_id", "est")
+        .join(ts.select(col("doc_id").as("a_id"), col("toks").as("a_toks")),
+          "a_id")
+        .join(ts.select(col("doc_id").as("b_id"), col("toks").as("b_toks")),
+          "b_id")
+        .withColumn("jaccard", graft.plans.SortedJaccard
+          .jaccardSorted(col("a_toks"), col("b_toks")))
+        .select(col("a_id"), col("b_id"), col("est"), col("jaccard"),
+          round(abs(col("est") - col("jaccard")), 9).as("abs_err"))
+        .orderBy("a_id", "b_id")
     },
 
     // SimHash: 31-bit sign-aggregated sketch per doc; near-dup pairs =
@@ -1002,6 +1064,34 @@ object DedupOps {
            |JOIN t a ON a.doc_id = c.doc_id
            |JOIN t b ON b.doc_id = c.canonical_id
            |ORDER BY c.doc_id""".stripMargin,
+
+      "dedup_minhash_est" -> {
+        val agreeSql = (0 until MinhashK)
+          .map(j => s"(CASE WHEN sa.m$j = sb.m$j THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH th AS ($docTokHashSql),
+           |sig AS (SELECT doc_id, $minCols FROM th GROUP BY doc_id),
+           |banded AS ($bandSelects),
+           |bs AS (SELECT banded.*, d.source
+           |       FROM banded JOIN documents d USING (doc_id)),
+           |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           |         FROM bs a JOIN bs b
+           |           ON a.source = b.source AND a.band = b.band
+           |          AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+           |est AS (SELECT c.a_id, c.b_id,
+           |          round(CAST($agreeSql AS DOUBLE) / $MinhashK, 9) AS est
+           |        FROM cand c
+           |        JOIN sig sa ON sa.doc_id = c.a_id
+           |        JOIN sig sb ON sb.doc_id = c.b_id),
+           |t AS ($tokSetsSql)
+           |SELECT a_id, b_id, est, jaccard,
+           |       round(abs(est - jaccard), 9) AS abs_err
+           |FROM (SELECT e.a_id, e.b_id, e.est, $jaccardSql AS jaccard
+           |      FROM est e
+           |      JOIN t a ON a.doc_id = e.a_id
+           |      JOIN t b ON b.doc_id = e.b_id)
+           |ORDER BY a_id, b_id""".stripMargin
+      },
 
       "dedup_simhash" ->
         s"""WITH $simhashPairsCte

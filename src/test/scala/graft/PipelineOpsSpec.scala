@@ -46,6 +46,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(precision >= 0.5, s"simhash precision vs jaccard-0.6: $precision")
   }
 
+  test("minhash estimator tracks exact Jaccard (unbiased within tolerance)") {
+    val rows = SparkEntry.queries("dedup_minhash_est")(spark, dir)
+      .select("est", "jaccard", "abs_err").collect()
+    assert(rows.length > 100, s"only ${rows.length} candidate pairs")
+    // k=16 permutations: per-pair sd ~ sqrt(j(1-j)/16) <= 0.125, so the
+    // MEAN |err| over thousands of pairs must land well under it, and
+    // the signed mean error near 0 (unbiasedness)
+    val meanAbs = rows.map(_.getDouble(2)).sum / rows.length
+    val meanSigned = rows.map(r => r.getDouble(0) - r.getDouble(1))
+      .sum / rows.length
+    assert(meanAbs < 0.13, s"mean |est - jaccard| = $meanAbs")
+    assert(math.abs(meanSigned) < 0.05, s"estimator biased: $meanSigned")
+  }
+
   test("approx_count_distinct within 5% of exact") {
     val approx = SparkEntry.queries("agg_approx_distinct")(spark, dir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
