@@ -33,9 +33,13 @@ object DedupOps {
 
   /** doc_id, source, distinct lowercase token set. */
   private def tokSets(s: SparkSession, dir: String): DataFrame =
-    table(s, dir, "documents")
-      .select(col("doc_id"), col("source"),
-        array_distinct(split(lower(col("text")), " ")).as("toks"))
+    tokSetsOf(table(s, dir, "documents"))
+
+  /** [[tokSets]] over an explicit documents-shaped relation — lets
+    * [[dedupNearAuto]] feed each branch a guarded source. */
+  private def tokSetsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      array_distinct(split(lower(col("text")), " ")).as("toks"))
 
   private val tokSetsSql =
     """SELECT doc_id, source,
@@ -73,10 +77,11 @@ object DedupOps {
   /** Token-set Jaccard >= 0.6 near-dup pairs within `source` blocks,
     * as a lazy relational set-similarity join (see the `dedup_near`
     * entry in [[queries]]). */
-  def dedupNearRelational(s: SparkSession, dir: String): DataFrame = {
+  def dedupNearRelational(s: SparkSession, dir: String,
+      source: Option[DataFrame] = None): DataFrame = {
     // three references (both join sides + sizes): compute the exploded
     // token relation once, not once per reference
-    val toks = shared(tokSets(s, dir)
+    val toks = shared(tokSetsOf(source.getOrElse(table(s, dir, "documents")))
       .select(col("doc_id"), col("source"), explode(col("toks")).as("tok")))
     val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     SkewJoin.saltedCandidateJoin(
@@ -109,7 +114,8 @@ object DedupOps {
     * reduction. Fully lazy: the df ranking is a window inside the
     * plan. */
   def dedupNearPrefix(s: SparkSession, dir: String,
-      threshold: Double = 0.6, positional: Boolean = false): DataFrame = {
+      threshold: Double = 0.6, positional: Boolean = false,
+      source: Option[DataFrame] = None): DataFrame = {
     // docs feeds the token explode AND both verify joins; toks feeds the
     // df agg AND the prefix join; prefix is both sides of the candidate
     // self-join. Without `shared`, lineage re-derives the token relation
@@ -118,7 +124,7 @@ object DedupOps {
     // toks) as one int, never the token array itself — caching the
     // array per exploded row would columnar-encode a |toks|x blowup of
     // every document on every cold run (the round-3 interim regression).
-    val docs = shared(tokSets(s, dir))
+    val docs = shared(tokSetsOf(source.getOrElse(table(s, dir, "documents"))))
     val toks = shared(docs
       .select(col("doc_id"), col("source"), size(col("toks")).as("sz"),
         explode(col("toks")).as("tok")))
@@ -222,19 +228,60 @@ object DedupOps {
     *
     * The statistic: median(df) / max(df) over a bounded corpus sample
     * (`sampleDocs` docs, default 2048) — a plan-choice statistic in the
-    * spirit of AQE's runtime stats: one tiny bounded job at build time,
-    * never corpus-scaled. Zipf-like vocabularies score near 0, uniform
-    * ones near 1; below `skewBelow` the prefix branch is chosen. Both
-    * branches emit the IDENTICAL result set (same oracle SQL; asserted
-    * in DedupOpsSpec on a uniform AND a skewed corpus), so the choice
-    * is pure planning.
+    * spirit of AQE's runtime stats, never corpus-scaled. Zipf-like
+    * vocabularies score near 0, uniform ones near 1; below `skewBelow`
+    * the prefix branch is chosen. Both branches emit the IDENTICAL
+    * result set (same oracle SQL; asserted in DedupOpsSpec on a uniform
+    * AND a skewed corpus), so the choice is pure planning.
+    *
+    * FULLY LAZY (like every other contract query — LazinessSpec):
+    * instead of running the statistic eagerly at build time, the choice
+    * is deferred INTO the plan. The one-row skew relation guards each
+    * branch's *leaf*: the documents scan is inner-joined against the
+    * broadcast stat filtered to that branch's regime (skew < t vs
+    * skew >= t — exhaustive and exclusive), and the two branches are
+    * unioned. At runtime AQE materializes the tiny broadcast stat stage
+    * FIRST (it is a child dependency of each branch's leaf stage); the
+    * un-chosen branch's guard has 0 rows, so AQE's empty-relation
+    * propagation collapses that branch's join — and everything above
+    * it — to an empty LocalRelation before its corpus scan ever
+    * schedules. Even without AQE the guard empties the branch at its
+    * source, so the dead branch costs empty stages, never Σk² work.
+    * Net: zero jobs at build, one bounded stat stage at execution, one
+    * live branch — the same work the eager form did, minus the
+    * build-time action.
     */
   def dedupNearAuto(s: SparkSession, dir: String, sampleDocs: Int = 2048,
-      skewBelow: Double = 0.2): DataFrame =
-    dedupNearAutoChoice(s, dir, sampleDocs, skewBelow)._2
+      skewBelow: Double = 0.2): DataFrame = {
+    val skewStat = table(s, dir, "documents")
+      .select("text").limit(sampleDocs)
+      .select(explode(array_distinct(split(lower(col("text")), " ")))
+        .as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+      .agg((expr("percentile_approx(df, 0.5, 10000)").cast(DoubleType)
+        / max(col("df")).cast(DoubleType)).as("skew"))
+    def guardedDocs(regime: Column): DataFrame =
+      table(s, dir, "documents")
+        .crossJoin(broadcast(skewStat.filter(regime)
+          .select(lit(1).as("__go"))))
+        .drop("__go")
+    // the skewed-df regime is exactly where the PPJoin rank bound
+    // prunes superlinearly, so that regime routes to the prefix branch;
+    // a null skew (empty corpus sample) routes to the count branch,
+    // whose result is empty there anyway
+    val prefixBranch = dedupNearPrefix(s, dir, positional = true,
+      source = Some(guardedDocs(col("skew") < skewBelow)))
+    val countBranch = dedupNearRelational(s, dir,
+      source = Some(guardedDocs(col("skew") >= skewBelow
+        || col("skew").isNull)))
+    prefixBranch.union(countBranch).orderBy("a_id", "b_id")
+  }
 
-  /** [[dedupNearAuto]] plus which branch it picked — for specs and
-    * plan debugging. */
+  /** Eagerly-decided variant of [[dedupNearAuto]] exposing which branch
+    * the skew statistic picks — for specs and plan debugging only (it
+    * runs the bounded stat job at build time; the contract query uses
+    * the lazy guarded-union form above, which makes the same choice at
+    * execution time). */
   private[graft] def dedupNearAutoChoice(s: SparkSession, dir: String,
       sampleDocs: Int = 2048,
       skewBelow: Double = 0.2): (String, DataFrame) = {
@@ -248,8 +295,6 @@ object DedupOps {
         max(col("df")).cast(DoubleType).as("mx"))
       .head()
     val skew = stat.getDouble(0) / stat.getDouble(1)
-    // the skewed-df regime is exactly where the PPJoin rank bound
-    // prunes superlinearly, so the prefix branch enables it
     if (skew < skewBelow) ("prefix", dedupNearPrefix(s, dir, positional = true))
     else ("count", dedupNearRelational(s, dir))
   }
@@ -429,9 +474,10 @@ object DedupOps {
     // Adaptive plan choice: a bounded-sample df-skew statistic picks
     // count-join (dense vocabularies — this corpus) or prefix-join
     // (skewed df), result-identical either way, so the oracle is the
-    // same SQL as dedup_near. See [[dedupNearAuto]] — the
-    // BENCH_NOTES prose rule as code, exercised on both corpus shapes
-    // in DedupOpsSpec.
+    // same SQL as dedup_near. The choice is deferred INTO the plan
+    // (AQE empty-relation guards — zero jobs at build, LazinessSpec);
+    // see [[dedupNearAuto]], exercised on both corpus shapes in
+    // DedupOpsSpec.
     "dedup_near_auto" -> { (s, dir) => dedupNearAuto(s, dir) },
 
     // Near-dup pairs on bigram shingles (order-sensitive n-gram
@@ -686,6 +732,71 @@ object DedupOps {
         .orderBy("doc_id")
     })
 
+  /** documents with parsed source index and distinct token sets — the
+    * shared shape of the incremental-dedup paths. */
+  private def incrementalDocs(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"),
+        array_distinct(split(lower(col("text")), " ")).as("toks"))
+      .withColumn("src_idx",
+        substring(col("source"), 4, 10).cast(IntegerType))
+
+  /** Build the pre-computed corpus-side inverted index the
+    * `dedup_incremental` scaladoc promises for 100 TB: the corpus token
+    * relation (lang, tok, c_id, c_sz), written ONCE, bucketed + sorted
+    * by the candidate-join key (lang, tok). Every subsequent batch
+    * ingest then sort-merge-joins its exploded delta against
+    * bucket-aligned index files — the corpus never shuffles again
+    * (asserted on the plan in BucketedJoinSpec). `c_sz` (the doc's
+    * distinct-token count) is denormalized into the index so the
+    * Jaccard denominator needs no corpus-side aggregation at ingest
+    * time either. At 100 TB, size `buckets` so one bucket's hot-token
+    * chains stay task-sized, and df-cap ubiquitous tokens before
+    * indexing (the [[dedupNgram]] stop-shingle guard) — bucketing
+    * trades the salt spread for zero recurring corpus shuffle, so
+    * chain skew must be bounded at index-build time. */
+  def buildIncrementalIndex(s: SparkSession, dir: String,
+      tableName: String, buckets: Int = 8): Unit =
+    incrementalDocs(s, dir)
+      .filter(col("src_idx") < IncrementalCorpusSrcs)
+      .select(col("lang"), explode(col("toks")).as("tok"),
+        col("doc_id").as("c_id"), size(col("toks")).as("c_sz"))
+      .write.bucketBy(buckets, "lang", "tok").sortBy("lang", "tok")
+      .mode("overwrite").saveAsTable(tableName)
+
+  /** [[queries]]' `dedup_incremental` semantics over a pre-built
+    * bucketed index ([[buildIncrementalIndex]]): result-identical to
+    * the contract query (asserted in BucketedJoinSpec), but the only
+    * exchanges in the plan belong to the DELTA and its candidate
+    * aggregations — the corpus-side scan is bucket-aligned, exchange-
+    * free. The merge hint pins the bucketed SMJ so table stats can
+    * never flip the corpus side into a broadcast (driver-bound at
+    * scale) and AQE cannot re-shape the aligned read. */
+  def dedupIncrementalIndexed(s: SparkSession, dir: String,
+      indexTable: String): DataFrame = {
+    val batch = shared(incrementalDocs(s, dir)
+      .filter(col("src_idx") >= IncrementalCorpusSrcs))
+    // b_sz rides along map-side (tokens are distinct, so size(toks)
+    // IS the contract's per-doc exploded-token count): the delta needs
+    // no size aggregation, mirroring the denormalized c_sz
+    val delta = batch.select(col("lang"), explode(col("toks")).as("tok"),
+      col("doc_id").as("b_id"), size(col("toks")).as("b_sz"))
+    val dupOf = delta.hint("merge")
+      .join(s.table(indexTable), Seq("lang", "tok"))
+      .groupBy("b_id", "c_id", "b_sz", "c_sz")
+      .agg(count(lit(1)).as("inter"))
+      .filter(col("inter").cast(DoubleType)
+        / (col("b_sz") + col("c_sz") - col("inter")) >= 0.6)
+      .groupBy("b_id")
+      .agg(min(col("c_id")).as("dup_of"))
+      .withColumnRenamed("b_id", "doc_id")
+    batch.select("doc_id", "source")
+      .join(dupOf, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("dup_of"),
+        col("dup_of").isNull.as("is_new"))
+      .orderBy("doc_id")
+  }
+
   /** Directional token containment |A∩B|/|A| >= `threshold` within
     * `source` blocks, with an A-side prefix filter: order tokens
     * globally by ascending document frequency; if NONE of A's first
@@ -801,10 +912,13 @@ object DedupOps {
     // exists() HOF which would drop the probe loop to CodegenFallback.
     def bandBits(c: Column, j: Int): Column =
       shiftright(c, j * width).bitwiseAND(lit(mask))
+    // foldLeft, not reduce: at nBands == 1 (hammingMax = 0) the clause
+    // list is empty and reduce would throw at plan-build time; the
+    // lit(false) seed makes the single-band case a no-op filter
     val earlierBandCollides = (0 until nBands - 1)
       .map(j => col("band") > j &&
         bandBits(col("a_sh"), j) === bandBits(col("b_sh"), j))
-      .reduce(_ || _)
+      .foldLeft(lit(false))(_ || _)
     // corpus-scaled self-join over band-bounded bucket keys: salted +
     // explicitly partitioned so neither a stats-driven broadcast (a
     // driver OOM at scale) nor AQE input-byte coalescing (which

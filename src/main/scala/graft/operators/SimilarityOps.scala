@@ -202,6 +202,14 @@ object SimilarityOps {
         leftSaltBy = col("a_id"))
       .filter(col("a_id") =!= col("b_id"))
       .withColumn("cos", cosine)
+      // drop both 64-dim vectors BEFORE the rank window: its hash
+      // exchange on a_id otherwise shuffles every candidate row with
+      // ~1 KB of arrays aboard (~16x the scored row) — the rerank
+      // needs only ids, cos and the reporting bucket. At 100 TB the
+      // candidate set is the corpus × probe factor; this projection is
+      // the difference between shuffling ids and re-shuffling the
+      // vector corpus.
+      .select(col("a_id"), col("b_id"), col("cos"), col("bucket"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
       .select(col("a_id"), col("rank").cast(IntegerType).as("rank"),
@@ -231,6 +239,10 @@ object SimilarityOps {
       pairs(s, dir, "label")
         .filter(col("a_id") =!= col("b_id"))
         .withColumn("cos", cosine)
+        // arrays dropped before the rank window's exchange (see
+        // [[annLsh]]) — on the blocked all-pairs candidate set the
+        // array-carrying window shuffle is the query's dominant IO
+        .select(col("a_id"), col("b_id"), col("cos"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
         .select(col("a_id"), col("rank").cast(IntegerType).as("rank"),
@@ -277,6 +289,8 @@ object SimilarityOps {
           leftSaltBy = col("a_id"))
         .filter(col("a_id") =!= col("b_id"))
         .withColumn("cos", cosine)
+        // arrays dropped before the rank window's exchange ([[annLsh]])
+        .select(col("a_id"), col("b_id"), col("cos"))
         .withColumn("rank", row_number().over(byQuery))
         .filter(col("rank") <= 3)
         .select(col("a_id"), col("rank").cast(IntegerType).as("rank"),

@@ -300,33 +300,37 @@ object TextOps {
     // Character-level Shannon entropy per document — the gibberish /
     // compression-ratio quality signal curation pipelines threshold on
     // (low entropy = repeated chars/boilerplate, high = random noise).
+    // Entirely map-side: the per-doc char-frequency multiset is built
+    // PER ROW with higher-order functions (distinct chars → count each
+    // via filter+size — the txt_repetition shape) instead of exploding
+    // one row per CHARACTER of the corpus through two hash shuffles.
+    // At 100 TB the explode form shuffles ~corpus-bytes rows to compute
+    // a value derivable per-row; this form shuffles nothing but the
+    // contract sort (PlanShapeSpec asserts no hash exchange). Per-row
+    // cost O(len · distinct-chars), bounded for natural text.
     // Cross-engine determinism: the double sum folds over char counts
-    // in SORTED order (collect_list + sort_array, mirrored by DuckDB's
-    // list(... ORDER BY)), so both engines add terms in the same
-    // sequence. log2 is expressed as ln(x) / <ln2 literal> in BOTH
-    // engines — Spark's log2 and DuckDB's std::log2 are different
-    // compositions with a systematic ulp offset, while ln÷literal
-    // leaves only random ln last-ulp variance, which the 9-dp round
-    // absorbs (the proven trig/cosine pattern); `+ 0.0` kills -0.0.
+    // in SORTED order (sort_array here, DuckDB's list(... ORDER BY) in
+    // the oracle — identical count multiset ⇒ identical sorted
+    // sequence ⇒ identical addition order). log2 is expressed as
+    // ln(x) / <ln2 literal> in BOTH engines — Spark's log2 and DuckDB's
+    // std::log2 are different compositions with a systematic ulp
+    // offset, while ln÷literal leaves only random ln last-ulp variance,
+    // which the 9-dp round absorbs (the proven trig/cosine pattern);
+    // `+ 0.0` kills -0.0 and makes the empty-text fold (-0.0) match the
+    // oracle's COALESCE(…, 0.0).
     "txt_entropy" -> { (s, dir) =>
-      val chars = table(s, dir, "documents")
+      table(s, dir, "documents")
         .select(col("doc_id"),
           length(col("text")).cast(DoubleType).as("n"),
-          explode(split(col("text"), "")).as("c"))
-        .filter(col("c") =!= "")
-      val freq = chars.groupBy("doc_id", "n", "c")
-        .agg(count(lit(1)).cast(DoubleType).as("cnt"))
-      val ent = freq.groupBy("doc_id", "n")
-        .agg(sort_array(collect_list(col("cnt"))).as("cnts"))
+          filter(split(col("text"), ""), c => c =!= "").as("cs"))
+        .withColumn("cnts",
+          sort_array(transform(array_distinct(col("cs")),
+            t => size(filter(col("cs"), x => x === t)).cast(DoubleType))))
         .select(col("doc_id"),
           (round(-aggregate(col("cnts"), lit(0.0d),
             (acc, c) => acc + (c / col("n"))
               * (log(c / col("n")) / lit(Ln2))), 9)
             + 0.0).as("entropy"))
-      table(s, dir, "documents").select("doc_id")
-        .join(ent, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("entropy"), lit(0.0)).as("entropy"))
         .orderBy("doc_id")
     },
 

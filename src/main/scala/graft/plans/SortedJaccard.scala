@@ -28,6 +28,17 @@ import org.apache.spark.sql.types._
   * The intersection/union COUNTS are exact integers, so the closing
   * double division is bit-identical to the built-in formulation and
   * the DuckDB oracle is unaffected (asserted in DotProductSpec).
+  *
+  * CONTRACT DIVERGENCE, empty inputs only: for two EMPTY arrays this
+  * returns 0.0 where the built-in `size(array_intersect)/size(
+  * array_union)` yields null (0/0). Unreachable at every current call
+  * site (`split` always yields >= 1 element, and the verify joins feed
+  * non-empty token sets), and 0.0 is the conventional "no similarity"
+  * reading — but a new caller that needs exact built-in parity on
+  * empty arrays must guard with `when(size(a) + size(b) === 0, ...)`.
+  * Returning null here instead would force `nullable = true` onto
+  * every call site's schema, changing result-schema nullability for a
+  * case that cannot occur.
   */
 case class SortedJaccard(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -52,4 +52,41 @@ class BucketedJoinSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS li_b")
     spark.sql("DROP TABLE IF EXISTS ord_b")
   }
+
+  test("incremental dedup over the pre-built inverted index: batch " +
+    "ingest shuffles only the delta, corpus side reads bucket-aligned") {
+    val dir = TestSpark.sfDir
+    spark.sql("DROP TABLE IF EXISTS dedup_idx")
+    // built ONCE (the recurring 100 TB ingest amortizes this across
+    // every subsequent batch)
+    graft.operators.DedupOps.buildIncrementalIndex(spark, dir, "dedup_idx")
+
+    val indexed =
+      graft.operators.DedupOps.dedupIncrementalIndexed(spark, dir, "dedup_idx")
+    val plan = indexed.queryExecution.executedPlan.toString
+
+    // The candidate join runs on (lang, tok). Exactly ONE exchange on
+    // that key may exist — the DELTA side being shuffled into bucket
+    // alignment. A second one would mean the corpus-side index is being
+    // re-shuffled on every batch, which is the exact recurring cost the
+    // index exists to eliminate.
+    val langTokExchanges =
+      "Exchange hashpartitioning\\(lang".r.findAllIn(plan).size
+    assert(langTokExchanges <= 1,
+      s"corpus-side index re-shuffled on ingest:\n$plan")
+    // and the index really is read through its buckets, not as a plain
+    // file scan that would force the join to re-shuffle both sides
+    assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+      s"index table not read bucket-aligned:\n$plan")
+    assert(plan.contains("SortMergeJoin"),
+      s"candidate join must stay a merge join (broadcast would be " +
+        s"driver-bound at corpus scale):\n$plan")
+
+    // result-identical to the contract query (same corpus, same batch
+    // boundary, same threshold)
+    val contract = SparkEntry.queries("dedup_incremental")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(indexed.collect().map(_.toSeq).toSeq == contract)
+    spark.sql("DROP TABLE IF EXISTS dedup_idx")
+  }
 }

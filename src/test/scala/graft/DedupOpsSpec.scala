@@ -336,6 +336,10 @@ class DedupOpsSpec extends AnyFunSuite {
       DedupOps.dedupNearPrefix(spark, TestSpark.sfDir)
         .collect().map(_.toSeq).toSeq)
     assert(uniformRows.nonEmpty)
+    // the lazy contract form (guarded union, zero jobs at build —
+    // LazinessSpec) makes the same choice at RUNTIME: identical rows
+    assert(DedupOps.dedupNearAuto(spark, TestSpark.sfDir)
+      .collect().map(_.toSeq).toSeq == uniformRows)
 
     // Skewed corpus: one hot token in EVERY doc, rare tokens anchoring
     // the one true near-dup pair — the prefix filter's home turf.
@@ -353,6 +357,9 @@ class DedupOpsSpec extends AnyFunSuite {
     val skewRows = skewDf.collect().map(_.toSeq).toSeq
     assert(skewRows ==
       DedupOps.dedupNearRelational(spark, dir).collect().map(_.toSeq).toSeq)
+    // lazy contract form routes to the prefix regime on this corpus too
+    assert(DedupOps.dedupNearAuto(spark, dir)
+      .collect().map(_.toSeq).toSeq == skewRows)
     // only the genuinely-similar pair qualifies (jaccard 4/6)
     assert(skewRows.map(r => (r.head, r(1))) == Seq((0L, 1L)))
 

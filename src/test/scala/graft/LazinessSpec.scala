@@ -11,14 +11,10 @@ import org.scalatest.funsuite.AnyFunSuite
 class LazinessSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
-  /** The one sanctioned exception: dedup_near_auto's plan choice runs a
-    * single BOUNDED sampled-df statistic job at build time (limit 2048
-    * docs regardless of corpus size — an AQE-style runtime stat,
-    * documented in DedupOps.dedupNearAuto). Everything else stays
-    * zero-job. */
-  private val boundedStatQueries = Set("dedup_near_auto")
-
   test("every contract query builds without a multi-stage job") {
+    // No exceptions: dedup_near_auto's former bounded build-time stat
+    // job is now deferred into the plan (AQE empty-relation guards,
+    // DedupOps.dedupNearAuto), so every query is zero-job at build.
     val tracker = spark.sparkContext.statusTracker
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
@@ -27,8 +23,7 @@ class LazinessSpec extends AnyFunSuite {
         val jobs = tracker.getJobIdsForGroup(null).toSet -- before
         val multiStage = jobs.flatMap(j => tracker.getJobInfo(j))
           .filter(_.stageIds().length > 1)
-        val allowed = if (boundedStatQueries(name)) 1 else 0
-        if (multiStage.size > allowed) Some(name -> multiStage.size)
+        if (multiStage.nonEmpty) Some(name -> multiStage.size)
         else None
     }
     assert(offenders.isEmpty,

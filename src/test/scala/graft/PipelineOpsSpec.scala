@@ -174,6 +174,47 @@ class PipelineOpsSpec extends AnyFunSuite {
       textBytes.foldLeft(0L)((a, b) => a + (b & 0xff)) % 256)
   }
 
+  test("PNG codec on checked-in fixture payloads: dimensions + pixel " +
+    "checksums match independently-computed constants") {
+    import spark.implicits._
+    // Byte payloads checked into src/test/resources/png/, written by a
+    // stdlib-only generator (zlib scanlines, no ImageIO involved on the
+    // encode side — so this is NOT an ImageIO round-trip: the decoder
+    // must parse real externally-produced PNG structure). The expected
+    // constants were computed from the fixture pixel values with the
+    // PngImageDecoder formula: sum of (ARGB & 0xffffffff) over pixels,
+    // mod 2147483647.
+    def fixture(name: String): Array[Byte] = {
+      val in = getClass.getResourceAsStream(s"/png/$name")
+      assert(in != null, s"missing test resource png/$name")
+      try in.readAllBytes() finally in.close()
+    }
+    val assets = Seq(
+      MultimodalOps.Asset(1L, "image/png", fixture("rgb_3x2.png")),
+      MultimodalOps.Asset(2L, "image/png", fixture("rgb_1x1.png")),
+      MultimodalOps.Asset(3L, "image/png", fixture("pal_4x4.png")),
+      MultimodalOps.Asset(4L, "image/png", fixture("corrupt.png"))).toDS()
+    val out = MultimodalOps.decode(assets, MultimodalOps.PngImageDecoder)
+      .collect().map(f => f.doc_id -> f).toMap
+    // 3x2 true-color: six primaries
+    assert(out(1L).width == 3 && out(1L).height == 2)
+    assert(out(1L).checksum == 2097152008L)
+    // 1x1 true-color (128,64,32)
+    assert(out(2L).width == 1 && out(2L).height == 1)
+    assert(out(2L).checksum == 2139111457L)
+    // 4x4 palette (color type 3): indexed decode is exact sRGB
+    // passthrough (a grayscale fixture would NOT be — ImageIO maps
+    // linear-gray through a colorspace transform, so gray g decodes to
+    // something other than (g,g,g))
+    assert(out(3L).width == 4 && out(3L).height == 4)
+    assert(out(3L).checksum == 2013265655L)
+    // all real PNGs lead with the 0x89 signature byte
+    assert(Seq(1L, 2L, 3L).forall(out(_).first_byte == 0x89))
+    // a truncated PNG body degrades to the stub byte stats, never throws
+    assert(out(4L).width == -1 && out(4L).n_bytes == 27)
+    assert(out(4L).checksum == 166L)
+  }
+
   test("fingerprint is order-aware") {
     import spark.implicits._
     import graft.functions.TextHash

@@ -45,6 +45,14 @@ class PlanShapeSpec extends AnyFunSuite {
       s"split assignment introduced a shuffle:\n$p")
   }
 
+  test("txt_entropy is map-side: no hash exchange, only the contract sort") {
+    val p = plan("txt_entropy")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"entropy reintroduced a hash shuffle (char explode shape?):\n$p")
+    assert(!p.contains("Generate"),
+      s"entropy reintroduced a per-character explode:\n$p")
+  }
+
   test("dimension lookups broadcast; bounded benchmark set broadcasts") {
     assert(plan("join_code_dim").contains("BroadcastHashJoin"),
       "WMO dim lookup should broadcast")
