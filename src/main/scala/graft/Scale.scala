@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scale-evidence harness (docs/SCALE.md): measures the dedup family,
+  * the ANN scale path and the interval join at sf0.1 and at 10x, under
+  * the two growth regimes [[ScaleData]] generates (DENSE: same sources,
+  * blocks x10, Sum k^2 model predicts ~100x candidate work; WIDE: 10x
+  * sources, block size constant, model predicts ~10x). Per run it
+  * records wall seconds plus the FINAL adaptive plan's broadcast-join
+  * and broadcast-exchange counts — a strategy flip between sf0.1 and
+  * sf1 (stats-driven broadcast of a corpus-scaled relation, the
+  * round-3 failure mode) would show up as a count change even when the
+  * timing happens to survive it.
+  *
+  * Usage: runMain graft.Scale [gen|sf0.1|dense|wide]...
+  * (no args = gen + all three sweeps; results append to
+  * docs/scale_results.jsonl and print as JSON lines).
+  */
+object Scale {
+
+  private val DenseDir = "target/testdata/sf1dense"
+  private val WideDir = "target/testdata/sf1wide"
+
+  /** The full doc-corpus scale set (everything runs at sf0.1 and WIDE;
+    * DENSE runs the subset below — at blocks x10 the ~100x members cost
+    * minutes each, so DENSE keeps one representative per plan family). */
+  private val docQueries = Seq(
+    "dedup_exact", "txt_repetition", "txt_split_assign",
+    "dedup_near", "dedup_near_prefix", "dedup_near_auto", "dedup_ngram",
+    "txt_containment", "dedup_minhash_lsh", "dedup_minhash_est",
+    "dedup_simhash", "dedup_simhash64",
+    "dedup_cluster_cc", "dedup_canonical_pick", "dedup_incremental")
+
+  /** DENSE subset: dedup_near_auto only re-picks a branch of near/
+    * prefix, dedup_ngram/minhash_est/simhash share their families'
+    * candidate plans, and dedup_canonical_pick is cluster_cc plus a
+    * linear argmax — measuring one member per family bounds the sweep
+    * without losing a growth model. */
+  private val denseDocQueries = Seq(
+    "dedup_exact", "txt_repetition", "txt_split_assign",
+    "dedup_near", "dedup_near_prefix", "txt_containment",
+    "dedup_minhash_lsh", "dedup_simhash64",
+    "dedup_cluster_cc", "dedup_incremental")
+
+  private val extraQueries: Map[String, core.Core.Q] = Map(
+    // the documented bucket-sizing rule applied: at n=8000 vectors the
+    // contract's 8 planes (256 buckets) leave occupancy ~31 and the
+    // in-bucket pairing grows ~n^2/buckets; 12 planes (4096 buckets)
+    // restore sf0.1-level occupancy — near-flat cost at 4x the corpus
+    "sim_ann_lsh_p12" -> ((s, dir) =>
+      operators.SimilarityOps.annLsh(s, dir, nPlanes = 12)))
+
+  private def queriesFor(tag: String): Seq[String] =
+    (if (tag == "sf1dense") denseDocQueries else docQueries) ++
+      Seq("sim_ann_lsh", "sim_ann_lsh_p12", "join_interval")
+
+  def main(args: Array[String]): Unit = {
+    val sel = if (args.isEmpty) Seq("gen", "sf0.1", "dense", "wide")
+      else args.toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val ref = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    // capture each action's FINAL (post-AQE) physical plan
+    val lastPlan = new java.util.concurrent.atomic.AtomicReference[String]("")
+    spark.listenerManager.register(
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(f: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            ns: Long): Unit = lastPlan.set(qe.executedPlan.toString)
+        override def onFailure(f: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            e: Exception): Unit = ()
+      })
+
+    if (sel.contains("gen")) {
+      if (!new java.io.File(s"$DenseDir/documents.parquet").exists()) {
+        println(s"[scale] generating $DenseDir")
+        ScaleData.generateDense(spark, DenseDir, ref)
+      }
+      if (!new java.io.File(s"$WideDir/documents.parquet").exists()) {
+        println(s"[scale] generating $WideDir")
+        ScaleData.generateWide(spark, WideDir, ref)
+      }
+    }
+
+    val jit = java.lang.management.ManagementFactory.getCompilationMXBean
+    val jitOk = jit != null && jit.isCompilationTimeMonitoringSupported
+    def drainJit(): Unit = if (jitOk) {
+      var last = -1L; var spins = 0
+      while (jit.getTotalCompilationTime != last && spins < 50) {
+        last = jit.getTotalCompilationTime; Thread.sleep(200); spins += 1
+      }
+    }
+
+    def count(hay: String, needle: String): Int =
+      hay.sliding(needle.length).count(_ == needle)
+
+    val out = new StringBuilder
+    def sweep(tag: String, dir: String): Unit = queriesFor(tag).foreach {
+      name =>
+        val fn = extraQueries.getOrElse(name, SparkEntry.queries(name))
+        graft.core.Core.releaseShared()
+        spark.catalog.clearCache()
+        System.gc()
+        drainJit()
+        val t0 = System.nanoTime()
+        val ok = try {
+          fn(spark, dir).write.format("noop").mode("overwrite").save(); true
+        } catch { case e: Throwable =>
+          System.err.println(s"[scale] $tag/$name FAILED: ${e.getMessage}")
+          false
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        val plan = lastPlan.get()
+        val line = f"""{"tag":"$tag","query":"$name","sec":${sec}%.2f,""" +
+          s""""ok":$ok,"bhj":${count(plan, "BroadcastHashJoin")},""" +
+          s""""bex":${count(plan, "BroadcastExchange")}}"""
+        println(s"[scale] $line")
+        out.append(line).append('\n')
+    }
+
+    if (sel.contains("sf0.1")) sweep("sf0.1", ref)
+    if (sel.contains("dense")) sweep("sf1dense", DenseDir)
+    if (sel.contains("wide")) sweep("sf1wide", WideDir)
+
+    if (out.nonEmpty)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("docs/scale_results.jsonl"),
+        out.toString.getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    spark.stop()
+  }
+}

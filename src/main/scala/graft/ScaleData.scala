@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+
+/** Deterministic sf1-scale testdata generator for the scale-evidence
+  * harness ([[Scale]], docs/SCALE.md).
+  *
+  * `/root/testdata` is read-only and ships nothing above sf0.1, so the
+  * 10x datapoint the 100 TB argument needs is generated here, under the
+  * repo's own `target/` tree, with the same statistical shape as the
+  * driver's sf0.1 tables (measured from the parquet: 31-word vocabulary
+  * read from the real corpus, uniform 10..100-token documents,
+  * source = doc_id % nSources, 41/15/15/15/15 language mix, uniform
+  * event stream over the same 30 days with constant per-user density,
+  * uniform [-0.5, 0.5) 64-dim float embeddings over 10 labels).
+  *
+  * Two corpus-growth regimes, because they stress DIFFERENT terms of
+  * every candidate-join cost model (work per source block is Sum k^2
+  * over per-(block, key) chain lengths k):
+  *
+  *  - DENSE (the driver's own sf0.01 -> sf0.1 pattern): row count x10,
+  *    source count unchanged, so every block grows 10x and k-chains
+  *    grow 10x => pairwise candidate work must grow ~100x. This regime
+  *    PROVES the Sum k^2 bound: observed growth at or under the model's
+  *    prediction means no superlinear surprise (a broadcast flip, an
+  *    AQE coalesce, a driver-side collect) is hiding in the plan.
+  *  - WIDE (how a real corpus grows): row count x10 spread over 10x
+  *    more sources, block size constant => per-block work constant,
+  *    total work ~10x (linear). This regime proves the engine's scaling
+  *    claim where density is constant — the 100 TB deployment shape.
+  *
+  * Everything is pure-function deterministic per (variant, row id): a
+  * re-run bitwise-reproduces both datasets; no timestamps or global RNG.
+  */
+object ScaleData {
+
+  case class Doc(doc_id: Long, text: String, lang: String, source: String,
+      n_chars: Long)
+  case class Emb(vec_id: Long, embedding: Array[Float], label: Int)
+  case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+
+  /** Split-mix style per-row seed: decorrelates consecutive ids without
+    * java.util.Random's weak low bits. */
+  private def rng(variant: Long, id: Long): scala.util.Random =
+    new scala.util.Random((id * 0x9E3779B97F4A7C15L) ^ (variant * 0xBF58476D1CE4E5B9L))
+
+  private val langs = Array("de", "es", "fr", "zh")
+  private val eventTypes = Array("click", "error", "purchase", "signup", "view")
+
+  /** The real sf0.1 vocabulary (31 words), so token-df shape — the Sum
+    * k^2 driver — matches the corpus every recorded bench number used. */
+  private def vocab(s: SparkSession, refDir: String): Array[String] = {
+    import org.apache.spark.sql.functions._
+    graft.core.Core.table(s, refDir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .distinct().orderBy("tok")
+      .collect().map(_.getString(0))
+  }
+
+  def generate(s: SparkSession, outDir: String, refDir: String,
+      nDocs: Long, nSources: Int, nEmb: Long, nEvents: Long,
+      nUsers: Int, variant: Long): Unit = {
+    import s.implicits._
+    val vw = vocab(s, refDir)
+    val parts = graft.operators.SkewJoin.defaultParts(s)
+
+    s.range(0, nDocs, 1, parts).map { id =>
+      val r = rng(variant, id)
+      val len = 10 + r.nextInt(91)
+      val text = Array.fill(len)(vw(r.nextInt(vw.length))).mkString(" ")
+      val lang = { val d = r.nextDouble()
+        if (d < 0.41) "en" else langs(((d - 0.41) / 0.1475).toInt.min(3)) }
+      Doc(id, text, lang, "src" + (id % nSources), text.length.toLong)
+    }.write.mode(SaveMode.Overwrite).parquet(s"$outDir/documents.parquet")
+
+    s.range(0, nEmb, 1, parts).map { id =>
+      val r = rng(variant + 1, id)
+      Emb(id, Array.fill(64)(r.nextFloat() - 0.5f), r.nextInt(10))
+    }.write.mode(SaveMode.Overwrite).parquet(s"$outDir/embeddings.parquet")
+
+    val t0 = java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli
+    val spanMs = 30L * 24 * 3600 * 1000
+    s.range(0, nEvents, 1, parts).map { id =>
+      val r = rng(variant + 2, id)
+      val ts = new java.sql.Timestamp(t0 + (r.nextDouble() * spanMs).toLong)
+      Ev(id, ts, r.nextInt(nUsers).toLong, eventTypes(r.nextInt(5)),
+        math.round(r.nextDouble() * 60000.0) / 100.0,
+        s"""{"k": ${r.nextInt(100)}}""")
+    }.write.mode(SaveMode.Overwrite).parquet(s"$outDir/events.parquet")
+  }
+
+  /** sf0.1 shape x10 rows, sources UNCHANGED: blocks grow 10x. */
+  def generateDense(s: SparkSession, outDir: String, refDir: String): Unit =
+    generate(s, outDir, refDir, nDocs = 50000, nSources = 20,
+      nEmb = 8000, nEvents = 1000000, nUsers = 15000, variant = 1)
+
+  /** sf0.1 shape x10 rows over 10x sources: blocks stay sf0.1-sized. */
+  def generateWide(s: SparkSession, outDir: String, refDir: String): Unit =
+    generate(s, outDir, refDir, nDocs = 50000, nSources = 200,
+      nEmb = 8000, nEvents = 1000000, nUsers = 15000, variant = 2)
+}
