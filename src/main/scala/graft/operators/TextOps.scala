@@ -302,12 +302,21 @@ object TextOps {
     // (low entropy = repeated chars/boilerplate, high = random noise).
     // Entirely map-side: the per-doc char-frequency multiset is built
     // PER ROW with higher-order functions (distinct chars → count each
-    // via filter+size — the txt_repetition shape) instead of exploding
-    // one row per CHARACTER of the corpus through two hash shuffles.
-    // At 100 TB the explode form shuffles ~corpus-bytes rows to compute
-    // a value derivable per-row; this form shuffles nothing but the
-    // contract sort (PlanShapeSpec asserts no hash exchange). Per-row
-    // cost O(len · distinct-chars), bounded for natural text.
+    // — instead of exploding one row per CHARACTER of the corpus
+    // through two hash shuffles. At 100 TB the explode form shuffles
+    // ~corpus-bytes rows to compute a value derivable per-row; this
+    // form shuffles nothing but the contract sort (PlanShapeSpec
+    // asserts no hash exchange). The count multiset comes from the
+    // codegen'd graft_char_counts expression (plans/CharCounts.scala):
+    // the first map-side form — count via a nested filter+size per
+    // DISTINCT char, O(len·distinct) lambda scans — measured 6× SLOWER
+    // than the explode it replaced (8.4 s vs 1.4 s at sf0.1, caught by
+    // the in-run bench tripwire, round 5), because a shuffle-free plan
+    // also FORFEITS the shuffle's parallelism on a single-split input
+    // and the per-row cost is the whole query. One primitive counting
+    // pass is the fix that survives both regimes; parity with the HOF
+    // forms is asserted in DotProductSpec. Same count multiset, so the
+    // fold and the oracle are untouched.
     // Cross-engine determinism: the double sum folds over char counts
     // in SORTED order (sort_array here, DuckDB's list(... ORDER BY) in
     // the oracle — identical count multiset ⇒ identical sorted
@@ -319,13 +328,11 @@ object TextOps {
     // `+ 0.0` kills -0.0 and makes the empty-text fold (-0.0) match the
     // oracle's COALESCE(…, 0.0).
     "txt_entropy" -> { (s, dir) =>
+      graft.plans.CharCounts.register(s)
       table(s, dir, "documents")
         .select(col("doc_id"),
           length(col("text")).cast(DoubleType).as("n"),
-          filter(split(col("text"), ""), c => c =!= "").as("cs"))
-        .withColumn("cnts",
-          sort_array(transform(array_distinct(col("cs")),
-            t => size(filter(col("cs"), x => x === t)).cast(DoubleType))))
+          call_function("graft_char_counts", col("text")).as("cnts"))
         .select(col("doc_id"),
           (round(-aggregate(col("cnts"), lit(0.0d),
             (acc, c) => acc + (c / col("n"))

@@ -91,5 +91,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       SortedJaccard.info,
       { children: Seq[Expression] =>
         SortedJaccard(children.head, children(1)) }))
+    ext.injectFunction((FunctionIdentifier("graft_char_counts"),
+      CharCounts.info,
+      { children: Seq[Expression] => CharCounts(children.head) }))
   }
 }

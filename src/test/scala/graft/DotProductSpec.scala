@@ -73,6 +73,25 @@ class DotProductSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString.contains("graft_jaccard"))
   }
 
+  test("graft_char_counts == the HOF distinct-count form on real docs + edges") {
+    graft.plans.CharCounts.register(spark)
+    val docs = graft.core.Core.table(spark, TestSpark.sfDir, "documents")
+      .select(col("text"))
+    import spark.implicits._
+    val edges = Seq("", " ", "aaa", "ab ba", "héllo œuvre", "汉字 汉",
+      "a\tb\nc").toDF("text")
+    Seq(docs, edges).foreach { df =>
+      val both = df
+        .withColumn("cs", filter(split(col("text"), ""), c => c =!= ""))
+        .select(
+          call_function("graft_char_counts", col("text")).as("native"),
+          sort_array(transform(array_distinct(col("cs")),
+            t => size(filter(col("cs"), x => x === t)).cast("double")))
+            .as("hof"))
+      assert(both.filter(not(col("native") <=> col("hof"))).count() == 0)
+    }
+  }
+
   test("graft_bytesum == per-byte hex fold on real UTF-8 frames") {
     graft.plans.ByteSum.register(spark)
     val d = graft.core.Core.table(spark, TestSpark.sfDir, "documents")
