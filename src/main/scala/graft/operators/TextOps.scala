@@ -297,6 +297,88 @@ object TextOps {
         .orderBy("lang", "source", "rn")
     },
 
+    // Unigram language-model score per doc (CCNet/Gopher-style LM
+    // quality proxy): mean token log-probability under the corpus's
+    // own unigram model, logprob = (Σ_tok tf_doc·ln(gtf/T)) / n_tok.
+    // Low scores = rare-token-heavy docs (gibberish, OCR noise, wrong
+    // language); curation filters threshold on it. Cross-engine
+    // exactness by the proven recipe: all counts are exact integers
+    // (per-doc tf, global gtf, corpus total T); the only float ops are
+    // ln on integer ratios, folded per doc over the (gtf, tf)-SORTED
+    // pair list (identical addition order in DuckDB's
+    // list(... ORDER BY)), one closing division, one 9-dp round. Work:
+    // two integer aggregations + a broadcast of the vocabulary-bounded
+    // unigram dictionary — linear, the same shape as txt_tfidf_topk.
+    "txt_unigram_logprob" -> { (s, dir) =>
+      val terms = toks(s, dir)
+        .select(col("doc_id"), explode(col("toks")).as("tok"))
+      val tf = terms.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val gtf = terms.groupBy("tok").agg(count(lit(1)).as("gtf"))
+      val tot = gtf.agg(sum(col("gtf")).as("t_toks"))
+      val scored = tf.join(broadcast(gtf), "tok")
+        .crossJoin(broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+          sum(col("tf")).as("n_tokens"),
+          sort_array(collect_list(struct(col("gtf"), col("tf"))))
+            .as("pairs"),
+          first(col("t_toks")).as("t_toks"))
+        .select(col("doc_id"), col("n_tokens"),
+          round(
+            (aggregate(col("pairs"), lit(0.0d),
+              (acc, p) => acc + p.getField("tf").cast(DoubleType)
+                * log(p.getField("gtf").cast(DoubleType)))
+              - col("n_tokens").cast(DoubleType)
+                * log(col("t_toks").cast(DoubleType)))
+              / col("n_tokens").cast(DoubleType), 9)
+            .as("logprob"))
+      table(s, dir, "documents").select(col("doc_id"))
+        .join(scored, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          (coalesce(col("logprob"), lit(0.0d)) + 0.0).as("logprob"))
+        .orderBy("doc_id")
+    },
+
+    // Temperature-scaled source balancing (the multilingual-training
+    // sampler of XLM-R/mT5: p_l ∝ n_l^α with α < 1 — rare languages
+    // oversampled RELATIVE to size, head languages damped): per-lang
+    // quota = target (200) · w_l DIV Σw with w_l = round(n_l^0.3 · 1e6) as
+    // exact integer micro-weights, then the deterministic
+    // multiplicative-hash order picks exactly quota docs per lang —
+    // rerun/partition-stable like txt_split_assign, never rand(). The
+    // single pow lands on an integer after the 1e-6 round (ulp-safe,
+    // the cents pattern); quota arithmetic is pure int64 (product
+    // ≤ target·Σw < 2^60), so both engines cut identical quotas. The
+    // hash multiplier (1103515245, mod-P-reduced) is a third
+    // independent stream — disjoint from the stratified-sampling and
+    // split-assignment constants, so composed pipelines don't
+    // correlate their selections. Map-side except two tiny aggs and
+    // the per-lang rank — the one-pass 100 TB sampling shape.
+    "sample_temperature" -> { (s, dir) =>
+      val target = 200L
+      val byLang = table(s, dir, "documents")
+        .groupBy("lang").agg(count(lit(1)).as("n_l"))
+        .withColumn("w",
+          round(pow(col("n_l").cast(DoubleType), 0.3) * 1e6)
+            .cast(LongType))
+      val quotas = byLang
+        .crossJoin(broadcast(byLang.agg(sum(col("w")).as("tw"))))
+        .withColumn("quota", expr(s"CAST(($target * w) DIV tw AS INT)"))
+        .select(col("lang"), col("n_l"), col("quota"))
+      val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+      table(s, dir, "documents")
+        .withColumn("h",
+          ((col("doc_id") % lit(2147483647L)) * lit(1103515245L % 2147483647L))
+            % lit(2147483647L))
+        .join(broadcast(quotas), "lang")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= col("quota"))
+        .select(col("doc_id"), col("lang"), col("n_l"), col("quota"),
+          col("h"), col("rn").cast(IntegerType).as("rn"))
+        .orderBy("lang", "rn")
+    },
+
     // Character-level Shannon entropy per document — the gibberish /
     // compression-ratio quality signal curation pipelines threshold on
     // (low entropy = repeated chars/boilerplate, high = random noise).
@@ -511,6 +593,56 @@ object TextOps {
     })
 
   def oracleSql: Map[String, String] = Map(
+    "txt_unigram_logprob" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+        |       FROM terms GROUP BY 1, 2),
+        |gtf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS gtf
+        |        FROM terms GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(gtf) AS BIGINT) AS t_toks FROM gtf),
+        |sc AS (
+        |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        |         list(struct_pack(gtf := gtf, tf := tf)
+        |           ORDER BY gtf, tf) AS pairs,
+        |         any_value(t_toks) AS t_toks
+        |  FROM tf JOIN gtf USING (tok) CROSS JOIN tot
+        |  GROUP BY doc_id),
+        |s2 AS (
+        |  SELECT doc_id, n_tokens,
+        |         round((list_reduce(list_transform(pairs,
+        |               p -> CAST(p.tf AS DOUBLE)
+        |                 * ln(CAST(p.gtf AS DOUBLE))),
+        |             (a, b) -> a + b)
+        |           - CAST(n_tokens AS DOUBLE)
+        |             * ln(CAST(t_toks AS DOUBLE)))
+        |           / CAST(n_tokens AS DOUBLE), 9) AS logprob
+        |  FROM sc)
+        |SELECT d.doc_id, COALESCE(s2.n_tokens, 0) AS n_tokens,
+        |       COALESCE(s2.logprob, 0.0) + 0.0 AS logprob
+        |FROM documents d LEFT JOIN s2 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "sample_temperature" ->
+      """WITH bylang AS (
+        |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_l,
+        |         CAST(round(pow(CAST(COUNT(*) AS DOUBLE), 0.3)
+        |           * 1000000.0) AS BIGINT) AS w
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM bylang),
+        |q AS (SELECT lang, n_l, CAST((200 * w) // tw AS INTEGER) AS quota
+        |      FROM bylang CROSS JOIN tot)
+        |SELECT doc_id, lang, n_l, quota, h, CAST(rn AS INTEGER) AS rn
+        |FROM (
+        |  SELECT d.doc_id, d.lang, q.n_l, q.quota,
+        |         ((d.doc_id % 2147483647) * 1103515245) % 2147483647 AS h,
+        |         ROW_NUMBER() OVER (PARTITION BY d.lang
+        |           ORDER BY ((d.doc_id % 2147483647) * 1103515245)
+        |             % 2147483647, d.doc_id) AS rn
+        |  FROM documents d JOIN q USING (lang))
+        |WHERE rn <= quota ORDER BY lang, rn""".stripMargin,
+
     // list_slice(l, 1, k) is end-INDEX based (Spark's slice is
     // length-based) — identical here because begin is 1; greatest(k, 0)
     // keeps the end non-negative (a negative end would flip DuckDB into

@@ -17,6 +17,66 @@ class PipelineOpsSpec extends AnyFunSuite {
       .select("a_id", "b_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("txt_unigram_logprob matches an independent fold; scores are proper logprobs") {
+    val rows = SparkEntry.queries("txt_unigram_logprob")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    // every score is a mean ln-probability: strictly negative (no token
+    // has probability 1 in a multi-token corpus) and bounded below by
+    // ln(min_gtf / T)
+    val docs = graft.core.Core.table(spark, dir, "documents")
+      .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val gtf = docs.values.flatten.groupBy(identity).map { case (t, o) =>
+      t -> o.size.toLong }
+    val t = gtf.values.sum.toDouble
+    val floor = math.log(gtf.values.min / t)
+    assert(rows.forall { case (_, _, lp) => lp < 0.0 && lp >= floor - 1e-9 })
+    // independent per-doc fold (same sorted-pair order as the engine)
+    rows.take(25).foreach { case (id, n, lp) =>
+      val ts = docs(id)
+      assert(n == ts.size)
+      val pairsSorted = ts.groupBy(identity).toSeq.map { case (tok, o) =>
+        (gtf(tok), o.size.toLong) }.sorted
+      val sum = pairsSorted.foldLeft(0.0) { case (acc, (g, tfv)) =>
+        acc + tfv * math.log(g.toDouble) }
+      val expect = BigDecimal((sum - n * math.log(t)) / n)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(expect - lp) <= 1e-9, s"doc $id: $expect vs $lp")
+    }
+  }
+
+  test("sample_temperature damps head languages and fills quotas exactly") {
+    val kept = SparkEntry.queries("sample_temperature")(spark, dir).collect()
+    val perLang = kept.groupBy(_.getString(1)).map { case (l, rs) =>
+      l -> (rs.head.getLong(2), rs.head.getInt(3), rs.length) }
+    val langs = graft.core.Core.table(spark, dir, "documents")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perLang.keySet == langs.keySet)
+    perLang.foreach { case (l, (nl, quota, n)) =>
+      assert(nl == langs(l))
+      // rn <= quota picks exactly min(n_l, quota) docs — a quota above
+      // the corpus slice caps at the slice (the oversample-by-epochs
+      // case at real scale)
+      assert(n == math.min(nl, quota.toLong))
+    }
+    // the POINT of alpha < 1: bigger languages get bigger quotas but
+    // strictly lower sampling RATES (quota_a/n_a <= quota_b/n_b when
+    // n_a > n_b) — integer cross-multiplication, no float compare
+    val qs = perLang.values.toSeq
+    for (Seq((na, qa, _), (nb, qb, _)) <- qs.combinations(2).map(_.sortBy(-_._1)))
+      if (na > nb) {
+        assert(qa >= qb, s"quota must grow with corpus size: $qa < $qb")
+        assert(qa.toLong * nb <= qb.toLong * na,
+          s"rate must shrink with corpus size: $qa/$na vs $qb/$nb")
+      }
+    // deterministic: a rebuild selects the identical doc set
+    val again = SparkEntry.queries("sample_temperature")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == kept.map(_.getLong(0)).toSet)
+  }
+
   test("MinHash-LSH dedup flags the younger doc of high-Jaccard pairs") {
     val exact = SparkEntry.queries("dedup_near")(spark, dir)
       .filter(col("jaccard") >= 0.9)
