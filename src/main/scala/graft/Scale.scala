@@ -27,6 +27,7 @@ object Scale {
     * minutes each, so DENSE keeps one representative per plan family). */
   private val docQueries = Seq(
     "dedup_exact", "txt_repetition", "txt_split_assign",
+    "txt_unigram_logprob", "sample_temperature",
     "dedup_near", "dedup_near_prefix", "dedup_near_auto", "dedup_ngram",
     "txt_containment", "dedup_minhash_lsh", "dedup_minhash_est",
     "dedup_simhash", "dedup_simhash64",
