@@ -172,6 +172,33 @@ object MultimodalOps {
         .orderBy("doc_id", "pos")
     },
 
+    // Nearest-neighbor RESIZE of the payload grid (the north-star
+    // "resize" verb under the stub-decode convention: pixel = payload
+    // char, grid width 16, H = ceil(len/16) rows): sample a fixed 4x4
+    // thumbnail, out(i, j) <- src((i*H) DIV 4, j*4), indices clamped
+    // to the payload. Pure integer index arithmetic plus ONE substring
+    // per output cell — the payload is never exploded or shuffled, and
+    // the output is constant-size per asset regardless of input size
+    // (the property a 100 TB thumbnailing pass needs). With a real
+    // codec the same sampling runs over decoded pixels through the
+    // AssetDecoder seam (PngImageDecoder proves the seam).
+    "multimodal_resize" -> { (s, dir) =>
+      table(s, dir, "documents")
+        .filter(length(col("text")) > 0)
+        .withColumn("n", length(col("text")))
+        .withColumn("src_h", expr("CAST((n + 15) DIV 16 AS INT)"))
+        .withColumn("thumb", expr(
+          """array_join(transform(sequence(0, 15), k ->
+            |  substring(text,
+            |    CAST(least(((k DIV 4) * src_h) DIV 4 * 16
+            |               + (k % 4) * 4 + 1, n) AS INT), 1)), '')"""
+            .stripMargin))
+        .select(col("doc_id"), col("n").cast(IntegerType).as("n_chars_in"),
+          col("src_h"), lit(4).as("out_w"), lit(4).as("out_h"),
+          col("thumb"), md5(col("thumb")).as("thumb_digest"))
+        .orderBy("doc_id")
+    },
+
     // Frame sampling: one 8-byte window every 64 bytes of the payload —
     // bounded offset explosion, payload never shuffled exploded.
     "multimodal_frames" -> { (s, dir) =>
@@ -230,6 +257,22 @@ object MultimodalOps {
         |                    unnest(generate_series(1, length(text), 8)) AS pos
         |                  FROM documents)))
         |ORDER BY doc_id, pos""".stripMargin,
+
+    "multimodal_resize" ->
+      """SELECT doc_id, CAST(n AS INTEGER) AS n_chars_in,
+        |       CAST(src_h AS INTEGER) AS src_h,
+        |       4 AS out_w, 4 AS out_h, thumb, md5(thumb) AS thumb_digest
+        |FROM (
+        |  SELECT doc_id, n, src_h,
+        |         list_aggregate(list_transform(generate_series(0, 15),
+        |           k -> substr(text,
+        |             CAST(least(((k // 4) * src_h) // 4 * 16
+        |                        + (k % 4) * 4 + 1, n) AS INTEGER), 1)),
+        |           'string_agg', '') AS thumb
+        |  FROM (SELECT doc_id, text, length(text) AS n,
+        |               (length(text) + 15) // 16 AS src_h
+        |        FROM documents WHERE length(text) > 0))
+        |ORDER BY doc_id""".stripMargin,
 
     "multimodal_frames" ->
       """SELECT doc_id, CAST(pos AS INTEGER) AS pos,

@@ -17,6 +17,28 @@ class PipelineOpsSpec extends AnyFunSuite {
       .select("a_id", "b_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("multimodal_resize samples the exact nearest-neighbor grid cells") {
+    val rows = SparkEntry.queries("multimodal_resize")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(5)))
+    assert(rows.nonEmpty)
+    val texts = graft.core.Core.table(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.take(25).foreach { case (id, n, srcH, thumb) =>
+      val t = texts(id)
+      assert(n == t.length && srcH == (t.length + 15) / 16)
+      // independent nearest-neighbor reconstruction: out(i,j) samples
+      // src row (i*H)/4, col j*4, index clamped into the payload
+      val expect = (0 until 16).map { k =>
+        val idx = math.min((k / 4) * srcH / 4 * 16 + (k % 4) * 4 + 1, n)
+        t.charAt(idx - 1)
+      }.mkString
+      assert(thumb == expect, s"doc $id")
+      assert(thumb.length == 16)
+    }
+  }
+
   test("txt_unigram_logprob matches an independent fold; scores are proper logprobs") {
     val rows = SparkEntry.queries("txt_unigram_logprob")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
