@@ -92,6 +92,36 @@ object Scale {
       }
     }
 
+    // per-(tag, query) medians from prior sweeps (docs/scale_results
+    // .jsonl) — the same in-run tripwire Bench carries: a measurement
+    // >2.5x its own history re-runs once and ships the min, so one
+    // JIT-cold execution can't masquerade as a growth factor (observed:
+    // wide txt_containment 26.3 s vs 74.6 s across two sweeps at
+    // identical plan counts). A REAL change stays slow on the re-run
+    // and still ships loudly via the "rerun" field.
+    val history: Map[(String, String), Double] = try {
+      val p = java.nio.file.Paths.get("docs/scale_results.jsonl")
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.readAllLines(p).asScala
+          .filter(_.trim.nonEmpty)
+          .flatMap { l =>
+            try {
+              val n = om.readTree(l)
+              if (n.get("ok").asBoolean(false))
+                Some((n.get("tag").asText, n.get("query").asText)
+                  -> n.get("sec").asDouble)
+              else None
+            } catch { case _: Throwable => None }
+          }
+          .groupBy(_._1)
+          .map { case (k, vs) =>
+            val s = vs.map(_._2).toSeq.sorted; k -> s(s.size / 2) }
+      }
+    } catch { case _: Throwable => Map.empty }
+
     val jit = java.lang.management.ManagementFactory.getCompilationMXBean
     val jitOk = jit != null && jit.isCompilationTimeMonitoringSupported
     def drainJit(): Unit = if (jitOk) {
@@ -105,25 +135,37 @@ object Scale {
       hay.sliding(needle.length).count(_ == needle)
 
     val out = new StringBuilder
+    def runOne(name: String, dir: String): (Double, Boolean) = {
+      val fn = extraQueries.getOrElse(name, SparkEntry.queries(name))
+      graft.core.Core.releaseShared()
+      spark.catalog.clearCache()
+      System.gc()
+      drainJit()
+      val t0 = System.nanoTime()
+      val ok = try {
+        fn(spark, dir).write.format("noop").mode("overwrite").save(); true
+      } catch { case e: Throwable =>
+        System.err.println(s"[scale] $name FAILED: ${e.getMessage}")
+        false
+      }
+      ((System.nanoTime() - t0) / 1e9, ok)
+    }
     def sweep(tag: String, dir: String): Unit = queriesFor(tag).foreach {
       name =>
-        val fn = extraQueries.getOrElse(name, SparkEntry.queries(name))
-        graft.core.Core.releaseShared()
-        spark.catalog.clearCache()
-        System.gc()
-        drainJit()
-        val t0 = System.nanoTime()
-        val ok = try {
-          fn(spark, dir).write.format("noop").mode("overwrite").save(); true
-        } catch { case e: Throwable =>
-          System.err.println(s"[scale] $tag/$name FAILED: ${e.getMessage}")
-          false
-        }
-        val sec = (System.nanoTime() - t0) / 1e9
+        val (sec0, ok0) = runOne(name, dir)
+        val med = history.getOrElse((tag, name), 0.0)
+        val (sec, ok, rerun) =
+          if (ok0 && med >= 1.0 && sec0 > 2.5 * med) {
+            System.err.println(
+              f"[scale] tripwire: $tag/$name ${sec0}%.1fs > 2.5x median ${med}%.1fs, re-running")
+            val (sec1, ok1) = runOne(name, dir)
+            if (ok1) (math.min(sec0, sec1), true, f",\"rerun\":[$sec0%.2f,$sec1%.2f]")
+            else (sec0, ok0, "")
+          } else (sec0, ok0, "")
         val plan = lastPlan.get()
         val line = f"""{"tag":"$tag","query":"$name","sec":${sec}%.2f,""" +
           s""""ok":$ok,"bhj":${count(plan, "BroadcastHashJoin")},""" +
-          s""""bex":${count(plan, "BroadcastExchange")}}"""
+          s""""bex":${count(plan, "BroadcastExchange")}$rerun}"""
         println(s"[scale] $line")
         out.append(line).append('\n')
     }
