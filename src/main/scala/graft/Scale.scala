@@ -45,10 +45,13 @@ object Scale {
     "dedup_cluster_cc", "dedup_incremental")
 
   private val extraQueries: Map[String, core.Core.Q] = Map(
-    // the documented bucket-sizing rule applied: at n=8000 vectors the
+    // the documented bucket-sizing knob turned: at n=8000 vectors the
     // contract's 8 planes (256 buckets) leave occupancy ~31 and the
     // in-bucket pairing grows ~n^2/buckets; 12 planes (4096 buckets)
-    // restore sf0.1-level occupancy — near-flat cost at 4x the corpus
+    // push occupancy down to ~2 — below the sf0.1 level of ~8 (10
+    // planes would match it exactly), deliberately over-provisioned to
+    // show the knob's full effect: near-flat cost at 4x the corpus for
+    // 4 extra probe buckets per query
     "sim_ann_lsh_p12" -> ((s, dir) =>
       operators.SimilarityOps.annLsh(s, dir, nPlanes = 12)))
 
@@ -81,16 +84,50 @@ object Scale {
             e: Exception): Unit = ()
       })
 
+    // a corpus counts as generated only when ALL its tables exist —
+    // an interrupted generation (documents written, embeddings/events
+    // not) must regenerate, not ship a half-built corpus forever
+    def complete(d: String): Boolean =
+      Seq("documents", "embeddings", "events")
+        .forall(t => new java.io.File(s"$d/$t.parquet").exists())
     if (sel.contains("gen")) {
-      if (!new java.io.File(s"$DenseDir/documents.parquet").exists()) {
+      if (!complete(DenseDir)) {
         println(s"[scale] generating $DenseDir")
         ScaleData.generateDense(spark, DenseDir, ref)
       }
-      if (!new java.io.File(s"$WideDir/documents.parquet").exists()) {
+      if (!complete(WideDir)) {
         println(s"[scale] generating $WideDir")
         ScaleData.generateWide(spark, WideDir, ref)
       }
     }
+
+    // Representative warmup (same rationale as Bench): the first query
+    // in a fresh JVM runs its stages 3-20x slow (interpreter/C1 of the
+    // whole SQL runtime), and a cold sweep's first measurement was
+    // polluting its own tripwire history (dedup_exact: 1.1 s warm vs
+    // 5-6 s as the sweep opener). Exercise scan/split/explode/join/
+    // agg/window/sort/noop once, then drop all state.
+    try {
+      spark.read.parquet(s"$ref/region.parquet").count()
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val w = spark.range(200000).selectExpr(
+        "id % 20011 AS k",
+        "concat('tok', id % 31, ' tok', (id + 7) % 31) AS t",
+        "CAST(id AS DOUBLE) AS x")
+      val e = w.select(col("k"), col("x"),
+        explode(array_distinct(split(col("t"), " "))).as("tok"))
+      e.join(e.select(col("k"), col("tok"), col("x").as("y")),
+          Seq("k", "tok"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("c"), sum(col("x") * col("y")).as("s"))
+        .withColumn("r",
+          row_number().over(Window.partitionBy(col("k") % 13)
+            .orderBy(col("s").desc)))
+        .orderBy("k")
+        .write.format("noop").mode("overwrite").save()
+      spark.catalog.clearCache()
+    } catch { case _: Throwable => }
 
     // per-(tag, query) medians from prior sweeps (docs/scale_results
     // .jsonl) — the same in-run tripwire Bench carries: a measurement
@@ -118,7 +155,11 @@ object Scale {
           }
           .groupBy(_._1)
           .map { case (k, vs) =>
-            val s = vs.map(_._2).toSeq.sorted; k -> s(s.size / 2) }
+            // same aging policy as Bench (last 7 runs): results from
+            // old code versions / load bands age out instead of
+            // freezing the median forever
+            val s = vs.map(_._2).toSeq.takeRight(7).sorted
+            k -> s(s.size / 2) }
       }
     } catch { case _: Throwable => Map.empty }
 
@@ -131,12 +172,29 @@ object Scale {
       }
     }
 
-    def count(hay: String, needle: String): Int =
+    def countOcc(hay: String, needle: String): Int =
       hay.sliding(needle.length).count(_ == needle)
+
+    // locale-independent 2-dp formatting: the f"" interpolator uses the
+    // default locale, and a comma-decimal JVM would append invalid JSON
+    def d2(x: Double): String = (math.round(x * 100) / 100.0).toString
+
+    // QueryExecutionListener fires on the ASYNC listener bus, so the
+    // final plan may not have landed when the action returns — clear
+    // before each run and spin (bounded) until the capture settles, or
+    // the recorded bhj/bex counts could belong to the previous query
+    def settledPlan(): String = {
+      var prev = lastPlan.get()
+      var spins = 0
+      while (spins < 20 && { Thread.sleep(100); val c = lastPlan.get()
+        val changed = c != prev; prev = c; changed || c.isEmpty }) spins += 1
+      prev
+    }
 
     val out = new StringBuilder
     def runOne(name: String, dir: String): (Double, Boolean) = {
       val fn = extraQueries.getOrElse(name, SparkEntry.queries(name))
+      lastPlan.set("")
       graft.core.Core.releaseShared()
       spark.catalog.clearCache()
       System.gc()
@@ -159,13 +217,14 @@ object Scale {
             System.err.println(
               f"[scale] tripwire: $tag/$name ${sec0}%.1fs > 2.5x median ${med}%.1fs, re-running")
             val (sec1, ok1) = runOne(name, dir)
-            if (ok1) (math.min(sec0, sec1), true, f",\"rerun\":[$sec0%.2f,$sec1%.2f]")
+            if (ok1) (math.min(sec0, sec1), true,
+              s",\"rerun\":[${d2(sec0)},${d2(sec1)}]")
             else (sec0, ok0, "")
           } else (sec0, ok0, "")
-        val plan = lastPlan.get()
-        val line = f"""{"tag":"$tag","query":"$name","sec":${sec}%.2f,""" +
-          s""""ok":$ok,"bhj":${count(plan, "BroadcastHashJoin")},""" +
-          s""""bex":${count(plan, "BroadcastExchange")}$rerun}"""
+        val plan = settledPlan()
+        val line = s"""{"tag":"$tag","query":"$name","sec":${d2(sec)},""" +
+          s""""ok":$ok,"bhj":${countOcc(plan, "BroadcastHashJoin")},""" +
+          s""""bex":${countOcc(plan, "BroadcastExchange")}$rerun}"""
         println(s"[scale] $line")
         out.append(line).append('\n')
     }

@@ -10,7 +10,7 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
   * repo's own `target/` tree, with the same statistical shape as the
   * driver's sf0.1 tables (measured from the parquet: 31-word vocabulary
   * read from the real corpus, uniform 10..100-token documents,
-  * source = doc_id % nSources, 41/15/15/15/15 language mix, uniform
+  * source = doc_id % nSources, 41/14.75x4 language mix, uniform
   * event stream over the same 30 days with constant per-user density,
   * uniform [-0.5, 0.5) 64-dim float embeddings over 10 labels).
   *
