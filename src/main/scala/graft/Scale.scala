@@ -72,24 +72,32 @@ object Scale {
     spark.sparkContext.setLogLevel("WARN")
     val ref = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-    // capture each action's FINAL (post-AQE) physical plan
-    val lastPlan = new java.util.concurrent.atomic.AtomicReference[String]("")
+    // capture each action's FINAL (post-AQE) physical plan, tagged with
+    // the run sequence number current when the action STARTED — the
+    // listener fires on the async bus, so an untagged capture could
+    // belong to the previous query under bus lag (ADVICE round 5)
+    val runSeq = new java.util.concurrent.atomic.AtomicLong(0)
+    val lastPlan = new java.util.concurrent.atomic
+      .AtomicReference[(Long, String)]((0L, ""))
     spark.listenerManager.register(
       new org.apache.spark.sql.util.QueryExecutionListener {
         override def onSuccess(f: String,
             qe: org.apache.spark.sql.execution.QueryExecution,
-            ns: Long): Unit = lastPlan.set(qe.executedPlan.toString)
+            ns: Long): Unit =
+          lastPlan.set((runSeq.get(), qe.executedPlan.toString))
         override def onFailure(f: String,
             qe: org.apache.spark.sql.execution.QueryExecution,
             e: Exception): Unit = ()
       })
 
-    // a corpus counts as generated only when ALL its tables exist —
-    // an interrupted generation (documents written, embeddings/events
-    // not) must regenerate, not ship a half-built corpus forever
+    // a corpus counts as generated only when ALL its tables COMMITTED —
+    // Spark creates the output dir before job commit, so the dir alone
+    // can exist for a killed-mid-write table; the _SUCCESS marker is
+    // written at commit, making an interrupted generation regenerate
+    // instead of shipping a partial corpus forever (ADVICE round 5)
     def complete(d: String): Boolean =
       Seq("documents", "embeddings", "events")
-        .forall(t => new java.io.File(s"$d/$t.parquet").exists())
+        .forall(t => new java.io.File(s"$d/$t.parquet/_SUCCESS").exists())
     if (sel.contains("gen")) {
       if (!complete(DenseDir)) {
         println(s"[scale] generating $DenseDir")
@@ -180,21 +188,24 @@ object Scale {
     def d2(x: Double): String = (math.round(x * 100) / 100.0).toString
 
     // QueryExecutionListener fires on the ASYNC listener bus, so the
-    // final plan may not have landed when the action returns — clear
-    // before each run and spin (bounded) until the capture settles, or
-    // the recorded bhj/bex counts could belong to the previous query
-    def settledPlan(): String = {
+    // final plan may not have landed when the action returns — spin
+    // (bounded) until a capture TAGGED with this run's sequence number
+    // lands and settles. A stale previous-query plan can never be
+    // accepted (wrong tag), and a failed query short-circuits to ""
+    // rather than spinning the full window over an empty capture.
+    def settledPlan(seq: Long, ok: Boolean): String = {
+      if (!ok) return ""
       var prev = lastPlan.get()
       var spins = 0
       while (spins < 20 && { Thread.sleep(100); val c = lastPlan.get()
-        val changed = c != prev; prev = c; changed || c.isEmpty }) spins += 1
-      prev
+        val changed = c != prev; prev = c; changed || c._1 != seq }) spins += 1
+      if (prev._1 == seq) prev._2 else ""
     }
 
     val out = new StringBuilder
-    def runOne(name: String, dir: String): (Double, Boolean) = {
+    def runOne(name: String, dir: String): (Double, Boolean, Long) = {
       val fn = extraQueries.getOrElse(name, SparkEntry.queries(name))
-      lastPlan.set("")
+      val seq = runSeq.incrementAndGet()
       graft.core.Core.releaseShared()
       spark.catalog.clearCache()
       System.gc()
@@ -206,22 +217,22 @@ object Scale {
         System.err.println(s"[scale] $name FAILED: ${e.getMessage}")
         false
       }
-      ((System.nanoTime() - t0) / 1e9, ok)
+      ((System.nanoTime() - t0) / 1e9, ok, seq)
     }
     def sweep(tag: String, dir: String): Unit = queriesFor(tag).foreach {
       name =>
-        val (sec0, ok0) = runOne(name, dir)
+        val (sec0, ok0, seq0) = runOne(name, dir)
         val med = history.getOrElse((tag, name), 0.0)
-        val (sec, ok, rerun) =
+        val (sec, ok, seq, rerun) =
           if (ok0 && med >= 1.0 && sec0 > 2.5 * med) {
             System.err.println(
               f"[scale] tripwire: $tag/$name ${sec0}%.1fs > 2.5x median ${med}%.1fs, re-running")
-            val (sec1, ok1) = runOne(name, dir)
-            if (ok1) (math.min(sec0, sec1), true,
+            val (sec1, ok1, seq1) = runOne(name, dir)
+            if (ok1) (math.min(sec0, sec1), true, seq1,
               s",\"rerun\":[${d2(sec0)},${d2(sec1)}]")
-            else (sec0, ok0, "")
-          } else (sec0, ok0, "")
-        val plan = settledPlan()
+            else (sec0, ok0, seq0, "")
+          } else (sec0, ok0, seq0, "")
+        val plan = settledPlan(seq, ok)
         val line = s"""{"tag":"$tag","query":"$name","sec":${d2(sec)},""" +
           s""""ok":$ok,"bhj":${countOcc(plan, "BroadcastHashJoin")},""" +
           s""""bex":${countOcc(plan, "BroadcastExchange")}$rerun}"""

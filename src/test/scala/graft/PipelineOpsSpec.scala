@@ -84,14 +84,24 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(n == math.min(nl, quota.toLong))
     }
     // the POINT of alpha < 1: bigger languages get bigger quotas but
-    // strictly lower sampling RATES (quota_a/n_a <= quota_b/n_b when
-    // n_a > n_b) — integer cross-multiplication, no float compare
+    // lower sampling RATES (quota_a/n_a <= quota_b/n_b when n_a > n_b)
+    // — integer cross-multiplication, no float compare. The FLOORED
+    // quotas get a +1 tolerance: for near-equal language sizes the
+    // exact rate gap (~0.3% here) is smaller than the quota flooring
+    // granularity (~1/29), so a corpus whose quotas straddle an integer
+    // boundary could fail the strict compare even though the pre-floor
+    // rates are monotone (ADVICE round 5). The pre-floor rates
+    // themselves ARE strictly monotone (n^0.3/n decreasing), checked
+    // exactly via double cross-multiplication on w = n^0.3.
     val qs = perLang.values.toSeq
     for (Seq((na, qa, _), (nb, qb, _)) <- qs.combinations(2).map(_.sortBy(-_._1)))
       if (na > nb) {
-        assert(qa >= qb, s"quota must grow with corpus size: $qa < $qb")
-        assert(qa.toLong * nb <= qb.toLong * na,
+        assert(qa + 1 >= qb, s"quota must grow with corpus size: $qa < $qb")
+        assert(qa.toLong * nb <= (qb.toLong + 1) * na,
           s"rate must shrink with corpus size: $qa/$na vs $qb/$nb")
+        assert(math.pow(na.toDouble, 0.3) * nb <=
+          math.pow(nb.toDouble, 0.3) * na + 1e-9,
+          s"pre-floor rate must shrink: n=$na vs n=$nb")
       }
     // deterministic: a rebuild selects the identical doc set
     val again = SparkEntry.queries("sample_temperature")(spark, dir)

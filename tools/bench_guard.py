@@ -43,6 +43,12 @@ def main():
                    help="number of most-recent runs to compare")
     p.add_argument("--max-ratio", type=float, default=2.5,
                    help="fail if any query's max/min across runs exceeds this")
+    p.add_argument("--expensive-ratio", type=float, default=1.75,
+                   help="tighter ratio for queries whose MIN timing is >= "
+                        "--expensive-sec (mirrors Bench's tiered in-run "
+                        "tripwire: multi-second queries drift loudly)")
+    p.add_argument("--expensive-sec", type=float, default=3.0,
+                   help="min timing above which --expensive-ratio applies")
     p.add_argument("--min-sec", type=float, default=1.0,
                    help="ignore queries whose max timing is below this "
                         "(sub-second timings are scheduler noise)")
@@ -62,7 +68,9 @@ def main():
         if len(ts) < 2 or max(ts) < args.min_sec:
             continue
         ratio = max(ts) / max(min(ts), 1e-9)
-        if ratio > args.max_ratio:
+        limit = (args.expensive_ratio if min(ts) >= args.expensive_sec
+                 else args.max_ratio)
+        if ratio > limit:
             bad.append((ratio, name, ts))
 
     totals = [b.get("value") for _, b in runs]
@@ -70,14 +78,16 @@ def main():
           + ", ".join(f"{t:.1f}s" for t in totals))
     if bad:
         print(f"bench_guard: FAIL — {len(bad)} quer"
-              f"{'y' if len(bad) == 1 else 'ies'} moved > "
-              f"{args.max_ratio}x across runs of the same build:")
+              f"{'y' if len(bad) == 1 else 'ies'} moved past the tiered "
+              f"limit ({args.expensive_ratio}x at >= {args.expensive_sec}s, "
+              f"else {args.max_ratio}x) across runs of the same build:")
         for ratio, name, ts in sorted(bad, reverse=True):
             print(f"  {name}: {ratio:.1f}x  "
                   + " / ".join(f"{t:.1f}s" for t in ts))
         sys.exit(1)
-    print(f"bench_guard: OK — no query moved > {args.max_ratio}x "
-          f"(min considered {args.min_sec}s)")
+    print(f"bench_guard: OK — no query moved past the tiered limit "
+          f"({args.expensive_ratio}x at >= {args.expensive_sec}s, else "
+          f"{args.max_ratio}x; min considered {args.min_sec}s)")
 
 
 if __name__ == "__main__":
