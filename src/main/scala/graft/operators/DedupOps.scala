@@ -251,29 +251,46 @@ object DedupOps {
     * live branch — the same work the eager form did, minus the
     * build-time action.
     */
-  def dedupNearAuto(s: SparkSession, dir: String, sampleDocs: Int = 2048,
-      skewBelow: Double = 0.2): DataFrame = {
-    val skewStat = table(s, dir, "documents")
+  /** One-row token-df skew statistic — median(df)/max(df) over a
+    * bounded corpus sample — shared by every auto-routed operator
+    * ([[dedupNearAuto]], [[txtContainmentAuto]]). Zipf-like
+    * vocabularies score near 0, uniform ones near 1. A lazy relation:
+    * building it runs no jobs; it executes as one bounded stat stage
+    * inside the consuming plan. */
+  private def dfSkewStat(s: SparkSession, dir: String,
+      sampleDocs: Int): DataFrame =
+    table(s, dir, "documents")
       .select("text").limit(sampleDocs)
       .select(explode(array_distinct(split(lower(col("text")), " ")))
         .as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("df"))
       .agg((expr("percentile_approx(df, 0.5, 10000)").cast(DoubleType)
         / max(col("df")).cast(DoubleType)).as("skew"))
-    def guardedDocs(regime: Column): DataFrame =
-      table(s, dir, "documents")
-        .crossJoin(broadcast(skewStat.filter(regime)
-          .select(lit(1).as("__go"))))
-        .drop("__go")
+
+  /** The documents scan guarded by a one-row broadcast stat filtered to
+    * `regime`: when the regime does not hold the guard has 0 rows and
+    * AQE's empty-relation propagation collapses everything above the
+    * join before the corpus scan schedules (see [[dedupNearAuto]]). */
+  private def statGuardedDocs(s: SparkSession, dir: String,
+      stat: DataFrame, regime: Column): DataFrame =
+    table(s, dir, "documents")
+      .crossJoin(broadcast(stat.filter(regime)
+        .select(lit(1).as("__go"))))
+      .drop("__go")
+
+  def dedupNearAuto(s: SparkSession, dir: String, sampleDocs: Int = 2048,
+      skewBelow: Double = 0.2): DataFrame = {
+    val skewStat = dfSkewStat(s, dir, sampleDocs)
     // the skewed-df regime is exactly where the PPJoin rank bound
     // prunes superlinearly, so that regime routes to the prefix branch;
     // a null skew (empty corpus sample) routes to the count branch,
     // whose result is empty there anyway
     val prefixBranch = dedupNearPrefix(s, dir, positional = true,
-      source = Some(guardedDocs(col("skew") < skewBelow)))
+      source = Some(statGuardedDocs(s, dir, skewStat,
+        col("skew") < skewBelow)))
     val countBranch = dedupNearRelational(s, dir,
-      source = Some(guardedDocs(col("skew") >= skewBelow
-        || col("skew").isNull)))
+      source = Some(statGuardedDocs(s, dir, skewStat,
+        col("skew") >= skewBelow || col("skew").isNull)))
     prefixBranch.union(countBranch).orderBy("a_id", "b_id")
   }
 
@@ -654,33 +671,14 @@ object DedupOps {
     // Directional token containment |A∩B|/|A| >= 0.9 within source
     // blocks: catches subset/boilerplate duplication (doc A nearly
     // contained in B) that symmetric Jaccard misses — e.g. a page vs
-    // the page plus navigation chrome. Relational
-    // count-join over the ONE cached exploded-token relation — on this
-    // corpus (uniform 31-token vocabulary, ~every same-source pair a
-    // true containment: the output IS ~n² rows) candidate pruning
-    // cannot help and the count-join is the optimal shape. For skewed
-    // real-corpus df distributions [[txtContainmentPrefix]] is the
-    // prefix-filtered variant, asserted result-identical in
-    // DedupOpsSpec — pick by df skew, the answer never changes.
-    "txt_containment" -> { (s, dir) =>
-      val toks = shared(tokSets(s, dir)
-        .select(col("doc_id"), col("source"), explode(col("toks")).as("tok")))
-      val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      SkewJoin.saltedCandidateJoin(
-          toks.select(col("source"), col("doc_id").as("a_id"), col("tok")),
-          toks.select(col("source"), col("doc_id").as("b_id"), col("tok")),
-          Seq("source", "tok"), leftSaltBy = col("a_id"))
-        .filter(col("a_id") =!= col("b_id"))
-        .groupBy("a_id", "b_id")
-        .agg(count(lit(1)).as("inter"))
-        .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("a_sz")),
-          "a_id")
-        .withColumn("containment",
-          col("inter").cast(DoubleType) / col("a_sz"))
-        .filter(col("containment") >= 0.9)
-        .select("a_id", "b_id", "containment")
-        .orderBy("a_id", "b_id")
-    },
+    // the page plus navigation chrome. AUTO-ROUTED like dedup_near_auto
+    // (round-5 verdict #2): the same lazy df-skew guard picks the plain
+    // count-join on dense corpora (this one — the output IS ~n² rows,
+    // pruning can't help) or the A-side prefix variant on skewed-df
+    // corpora, where SCALE.md measured the count-join at 73x DENSE
+    // growth with the prefix escape hatch result-identical. Both
+    // branches share one oracle; see [[txtContainmentAuto]].
+    "txt_containment" -> { (s, dir) => txtContainmentAuto(s, dir) },
 
     // Incremental (new-batch vs existing-corpus) near-dup dedup — the
     // daily-ingest shape of a production pipeline: the corpus is
@@ -798,6 +796,80 @@ object DedupOps {
   }
 
   /** Directional token containment |A∩B|/|A| >= `threshold` within
+    * `source` blocks as a plain relational count-join over the one
+    * cached exploded-token relation — the optimal shape on dense-df
+    * corpora, where ~every same-source pair is a true containment and
+    * the output itself is ~n² rows (candidate pruning cannot beat the
+    * output lower bound). The contract `txt_containment` routes here on
+    * such corpora via [[txtContainmentAuto]]. */
+  def txtContainmentCount(s: SparkSession, dir: String,
+      threshold: Double = 0.9,
+      source: Option[DataFrame] = None): DataFrame = {
+    val toks = shared(tokSetsOf(source.getOrElse(table(s, dir, "documents")))
+      .select(col("doc_id"), col("source"), explode(col("toks")).as("tok")))
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    SkewJoin.saltedCandidateJoin(
+        toks.select(col("source"), col("doc_id").as("a_id"), col("tok")),
+        toks.select(col("source"), col("doc_id").as("b_id"), col("tok")),
+        Seq("source", "tok"), leftSaltBy = col("a_id"))
+      .filter(col("a_id") =!= col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("a_sz")),
+        "a_id")
+      .withColumn("containment",
+        col("inter").cast(DoubleType) / col("a_sz"))
+      .filter(col("containment") >= threshold)
+      .select("a_id", "b_id", "containment")
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Directional containment with the count-join vs prefix-join choice
+    * CODIFIED, exactly like [[dedupNearAuto]]: the same one-row lazy
+    * df-skew statistic guards each branch's documents scan, AQE's
+    * empty-relation propagation collapses the dead branch before its
+    * corpus scan schedules, and both branches emit the IDENTICAL result
+    * set (same oracle SQL — asserted in DedupOpsSpec on a dense AND a
+    * skewed corpus). docs/SCALE.md measured why this routing matters:
+    * on the DENSE 10x corpus the count-join grew 73x (388.6 s) while
+    * the prefix variant's candidate work stays anchored to rare-token
+    * prefixes — on a df-skewed real corpus the operator must make that
+    * measured-right choice itself. */
+  def txtContainmentAuto(s: SparkSession, dir: String,
+      threshold: Double = 0.9, sampleDocs: Int = 2048,
+      skewBelow: Double = 0.2): DataFrame = {
+    val skewStat = dfSkewStat(s, dir, sampleDocs)
+    val prefixBranch = txtContainmentPrefix(s, dir, threshold,
+      source = Some(statGuardedDocs(s, dir, skewStat,
+        col("skew") < skewBelow)))
+    val countBranch = txtContainmentCount(s, dir, threshold,
+      source = Some(statGuardedDocs(s, dir, skewStat,
+        col("skew") >= skewBelow || col("skew").isNull)))
+    prefixBranch.union(countBranch).orderBy("a_id", "b_id")
+  }
+
+  /** Eagerly-decided variant of [[txtContainmentAuto]] exposing which
+    * branch the skew statistic picks — specs/plan debugging only, like
+    * [[dedupNearAutoChoice]]. */
+  private[graft] def txtContainmentAutoChoice(s: SparkSession, dir: String,
+      threshold: Double = 0.9, sampleDocs: Int = 2048,
+      skewBelow: Double = 0.2): (String, DataFrame) = {
+    val stat = table(s, dir, "documents")
+      .select("text").limit(sampleDocs)
+      .select(explode(array_distinct(split(lower(col("text")), " ")))
+        .as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+      .agg(expr("percentile_approx(df, 0.5, 10000)")
+        .cast(DoubleType).as("med"),
+        max(col("df")).cast(DoubleType).as("mx"))
+      .head()
+    val skew = stat.getDouble(0) / stat.getDouble(1)
+    if (skew < skewBelow)
+      ("prefix", txtContainmentPrefix(s, dir, threshold))
+    else ("count", txtContainmentCount(s, dir, threshold))
+  }
+
+  /** Directional token containment |A∩B|/|A| >= `threshold` within
     * `source` blocks, with an A-side prefix filter: order tokens
     * globally by ascending document frequency; if NONE of A's first
     * |A| − ⌈t·|A|⌉ + 1 tokens (rarest first) occur in B, then
@@ -819,8 +891,9 @@ object DedupOps {
     * the count-join wins; the two are result-identical (asserted), so
     * the choice is pure planning. */
   def txtContainmentPrefix(s: SparkSession, dir: String,
-      threshold: Double = 0.9): DataFrame = {
-    val docs = shared(tokSets(s, dir))
+      threshold: Double = 0.9,
+      source: Option[DataFrame] = None): DataFrame = {
+    val docs = shared(tokSetsOf(source.getOrElse(table(s, dir, "documents"))))
     val toks = shared(docs
       .select(col("doc_id"), col("source"), size(col("toks")).as("sz"),
         explode(col("toks")).as("tok")))

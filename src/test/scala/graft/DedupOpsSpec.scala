@@ -257,6 +257,49 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(guarded == unguarded)
   }
 
+  test("txtContainmentAuto: df-skew rule picks count on dense, prefix on " +
+    "skewed; branches result-identical on both corpora") {
+    // Dense contract corpus: uniform vocabulary df, skew ~ 1 — the
+    // count-join branch is optimal (output is ~n² rows; pruning can't
+    // beat the output lower bound).
+    val (denseBranch, denseDf) =
+      DedupOps.txtContainmentAutoChoice(spark, TestSpark.sfDir)
+    assert(denseBranch == "count", s"dense corpus chose $denseBranch")
+    val denseRows = denseDf.collect().map(_.toSeq).toSeq
+    assert(denseRows.nonEmpty)
+    // the lazy contract form (guarded union, zero jobs at build) makes
+    // the same choice at RUNTIME: identical rows
+    assert(DedupOps.txtContainmentAuto(spark, TestSpark.sfDir)
+      .collect().map(_.toSeq).toSeq == denseRows)
+
+    // Skewed corpus: one hot token in EVERY doc; doc 0 is fully
+    // contained in doc 1 (plus one extra token) via rare tokens — the
+    // prefix filter's home turf (the hot token never anchors a prefix).
+    val dir = java.nio.file.Files.createTempDirectory("graft_cskew").toString
+    import spark.implicits._
+    val docs = (0 until 80).map { i =>
+      val text =
+        if (i == 0) "hot a0 b0 c0 d0"
+        else if (i == 1) "hot a0 b0 c0 d0 e0"
+        else s"hot u$i v$i w$i x$i"
+      (i.toLong, text, "en", "web", 0L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val (skewBranch, skewDf) = DedupOps.txtContainmentAutoChoice(spark, dir)
+    assert(skewBranch == "prefix", s"skewed corpus chose $skewBranch")
+    val skewRows = skewDf.collect().map(_.toSeq).toSeq
+    // result-identical to the count-join branch on the same corpus
+    assert(skewRows ==
+      DedupOps.txtContainmentCount(spark, dir).collect().map(_.toSeq).toSeq)
+    // lazy contract form routes to the prefix regime here too
+    assert(DedupOps.txtContainmentAuto(spark, dir)
+      .collect().map(_.toSeq).toSeq == skewRows)
+    // exactly the genuine containment: doc 0's 5 tokens all inside
+    // doc 1 (containment 1.0); the reverse direction is 5/6 < 0.9 and
+    // the hot token alone is 1/5 per pair
+    assert(skewRows == Seq(Seq(0L, 1L, 1.0)), skewRows)
+  }
+
   test("ccFixpoint is exact on long chains where the bounded unroll is not") {
     import spark.implicits._
     def chainEdges(ids: Seq[Long]): Seq[(Long, Long)] =
