@@ -59,9 +59,14 @@ object SimilarityOps {
     * references this relation at least twice (self-join sides, Lloyd
     * rounds, probe/list splits), so it is marked compute-once: the
     * parquet scan + cast + norm run a single time per action. */
-  private def vecs(s: SparkSession, dir: String): DataFrame = {
+  private def vecs(s: SparkSession, dir: String): DataFrame =
+    vecsOf(s, table(s, dir, "embeddings"))
+
+  /** [[vecs]] over an explicit embeddings-shaped relation — lets
+    * [[annLshAuto]] feed each branch a guarded source. */
+  private def vecsOf(s: SparkSession, emb: DataFrame): DataFrame = {
     graft.plans.GraftFunctions.register(s)
-    shared(table(s, dir, "embeddings")
+    shared(emb
       .select(col("vec_id"), col("label"),
         col("embedding").cast(ArrayType(DoubleType)).as("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v")))))
@@ -188,7 +193,8 @@ object SimilarityOps {
     * probe set (probePlanes = 0) — its oracle replays every flip. */
   def annLsh(s: SparkSession, dir: String, nPlanes: Int = Planes,
       multiprobe: Boolean = true, topK: Int = 3,
-      probePlanes: Int = 0): DataFrame = {
+      probePlanes: Int = 0,
+      source: Option[DataFrame] = None): DataFrame = {
     val ps = planesFor(nPlanes)
     val gated = multiprobe && probePlanes > 0 && probePlanes < nPlanes
     // one dot product per plane, shared by the sign bit and the margin
@@ -197,7 +203,8 @@ object SimilarityOps {
         lit(j).as("j"))): _*)
     val bucketFromPd = expr(
       "aggregate(pd, 0, (acc, s) -> acc + IF(s.d > 0.0, shiftleft(1, s.j), 0))")
-    val withB = vecs(s, dir).withColumn("pd", planeDots)
+    val withB = vecsOf(s, source.getOrElse(table(s, dir, "embeddings")))
+      .withColumn("pd", planeDots)
       .withColumn("bucket", bucketFromPd)
     // cache stays narrow (wide-cache rule, docs/BENCH_NOTES.md round 3):
     // the per-plane dot structs never enter the shared relation — the
@@ -247,6 +254,77 @@ object SimilarityOps {
       .orderBy("a_id", "rank")
   }
 
+  /** Target mean bucket occupancy for [[annLshAuto]]: the sf0.1 level
+    * (~2,000 vectors / 2^8 buckets ≈ 8) the contract configuration was
+    * sized to, and what SCALE.md §4 measures the knob against. */
+  val AutoOccupancy = 8
+
+  /** The discrete plane configurations [[annLshAuto]] routes between.
+    * The rule ceil(log2(n / occupancy)) is quantized UP to this set —
+    * over-provisioning only lowers occupancy (safe direction; the probe
+    * factor grows by at most the quantization step). The set covers the
+    * corpus range the engine is measured on; a 10⁹-vector deployment
+    * extends the list (16 planes = 65k buckets) — the scheme, probing
+    * and oracle algebra all extend unchanged. */
+  val AutoPlaneConfigs = Seq(8, 10, 12)
+
+  /** The occupancy sizing rule, as a pure function: the smallest
+    * available config holding mean occupancy n/2^p at or below
+    * [[AutoOccupancy]] — i.e. the smallest p with n <= occ · 2^p —
+    * saturating at the largest config. sf0.1 (n=2,000) → 8 planes;
+    * sf1 (n=8,000) → 10 (the count SCALE.md notes "would match sf0.1's
+    * occupancy exactly"). */
+  private[graft] def autoPlanesFor(n: Long): Int =
+    AutoPlaneConfigs.find(p => n <= (AutoOccupancy.toLong << p))
+      .getOrElse(AutoPlaneConfigs.last)
+
+  /** [[annLsh]] with the plane count DERIVED from a corpus statistic —
+    * the occupancy rule above, codified the way [[DedupOps.dedupNearAuto]]
+    * codifies the df-skew rule. FULLY LAZY: a bounded count (capped at
+    * one row past the largest config's boundary, so the stat never
+    * scans more than ~32k rows no matter the corpus) forms a one-row
+    * relation; each plane config's branch reads the embeddings scan
+    * guarded by that stat filtered to its regime (the regimes tile
+    * (0, ∞) exhaustively and exclusively), and AQE's empty-relation
+    * propagation collapses the dead branches before their scans
+    * schedule. Each branch is result-identical to annLsh at its plane
+    * count (asserted in SimilarityOpsSpec), so routing is pure
+    * planning. */
+  def annLshAuto(s: SparkSession, dir: String, topK: Int = 3): DataFrame = {
+    val cap = (AutoOccupancy.toLong << AutoPlaneConfigs.last).toInt + 1
+    val nStat = table(s, dir, "embeddings")
+      .select(lit(1).as("one")).limit(cap)
+      .agg(count(lit(1)).as("n"))
+    def guarded(regime: Column): DataFrame =
+      table(s, dir, "embeddings")
+        .crossJoin(broadcast(nStat.filter(regime)
+          .select(lit(1).as("__go"))))
+        .drop("__go")
+    val branches = AutoPlaneConfigs.zipWithIndex.map { case (p, i) =>
+      val regime =
+        if (i == 0) col("n") <= (AutoOccupancy.toLong << p)
+        else if (i == AutoPlaneConfigs.size - 1)
+          col("n") > (AutoOccupancy.toLong << AutoPlaneConfigs(i - 1))
+        else col("n") > (AutoOccupancy.toLong << AutoPlaneConfigs(i - 1)) &&
+          col("n") <= (AutoOccupancy.toLong << p)
+      annLsh(s, dir, nPlanes = p, topK = topK,
+        source = Some(guarded(regime)))
+    }
+    branches.reduce(_ union _).orderBy("a_id", "rank")
+  }
+
+  /** Eagerly-decided variant of [[annLshAuto]] exposing the chosen
+    * plane count — specs, plan debugging and the Scale evidence run
+    * only (it runs the bounded count at build time; the contract query
+    * uses the lazy guarded-union form above). */
+  private[graft] def annLshAutoChoice(s: SparkSession,
+      dir: String): (Int, DataFrame) = {
+    val cap = (AutoOccupancy.toLong << AutoPlaneConfigs.last).toInt + 1
+    val n = table(s, dir, "embeddings").limit(cap).count()
+    val p = autoPlanesFor(n)
+    (p, annLsh(s, dir, nPlanes = p))
+  }
+
   private def pairs(s: SparkSession, dir: String,
       joinKey: String): DataFrame = {
     val e = vecs(s, dir)
@@ -286,6 +364,24 @@ object SimilarityOps {
     // near a hyperplane lands across it); rerank all probed collisions
     // by exact cosine, top-3 per query vector. See [[annLsh]].
     "sim_ann_lsh" -> { (s, dir) => annLsh(s, dir) },
+
+    // QUERY-DIRECTED multiprobe (Lv et al., VLDB'07): instead of all
+    // nPlanes flip buckets, each vector probes only the 3 hyperplanes
+    // it is closest to (smallest |v·plane| margin, 9-dp rounded,
+    // plane-index tiebreak) — small-margin flips carry almost all of
+    // multiprobe's recall at a probe factor that stays CONSTANT as the
+    // plane count grows (the 100 TB configuration raises planes for
+    // bucket selectivity; full multiprobe's cost would grow with it).
+    // The oracle replays the margin-ranked probe set. See [[annLsh]].
+    "sim_ann_lsh_qd" -> { (s, dir) => annLsh(s, dir, probePlanes = 3) },
+
+    // Plane count derived from the corpus (occupancy rule): a bounded
+    // one-row count stat routes between the discrete plane configs via
+    // the same lazy guarded-union pattern as dedup_near_auto — at the
+    // sf0.01/sf0.1 corpus sizes the rule lands on the contract's 8
+    // planes (same oracle); at sf1's 8,000 vectors it picks 10. See
+    // [[annLshAuto]].
+    "sim_ann_lsh_auto" -> { (s, dir) => annLshAuto(s, dir) },
 
     // IVF-style ANN with TRAINED centroids: a deterministic seeded
     // k-means (k=10, 2 Lloyd iterations — see [[kmeansCentroids]])
@@ -365,6 +461,27 @@ object SimilarityOps {
       .map(j => s"CASE WHEN list_dot_product(v, ${planeLit(j)}) > 0.0 " +
         s"THEN ${1 << j} ELSE 0 END")
       .mkString(" + ")
+    // the auto-sized query replays the contract configuration's oracle:
+    // at the Verify corpus size the occupancy rule lands on 8 planes
+    // (autoPlanesFor(500) == Planes — pinned in SimilarityOpsSpec, the
+    // same way dedup_near_auto shares dedup_near's SQL)
+    val annLshFullSql = {
+      val probeLits = ("bucket" +: (0 until Planes)
+        .map(j => s"xor(bucket, ${1 << j})")).mkString("[", ", ", "]")
+      s"""WITH e AS (SELECT *, CAST($bucketSql AS INTEGER) AS bucket
+         |           FROM ($vecsSql)),
+         |p AS (SELECT vec_id, v, norm, bucket, unnest($probeLits) AS probe
+         |      FROM e)
+         |SELECT a_id, rank, b_id, cos, bucket FROM (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, $cosineSql AS cos,
+         |         a.bucket AS bucket,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY a.vec_id
+         |           ORDER BY $cosineSql DESC, b.vec_id ASC) AS INTEGER)
+         |           AS rank
+         |  FROM p a JOIN e b
+         |    ON b.bucket = a.probe AND a.vec_id <> b.vec_id)
+         |WHERE rank <= 3 ORDER BY a_id, rank""".stripMargin
+    }
 
     Map(
       "sim_topk_cosine" ->
@@ -378,13 +495,31 @@ object SimilarityOps {
            |    ON a.label = b.label AND a.vec_id <> b.vec_id)
            |WHERE rank <= 5 ORDER BY a_id, rank""".stripMargin,
 
-      "sim_ann_lsh" -> {
-        val probeLits = ("bucket" +: (0 until Planes)
-          .map(j => s"xor(bucket, ${1 << j})")).mkString("[", ", ", "]")
+      "sim_ann_lsh" -> annLshFullSql,
+
+      "sim_ann_lsh_auto" -> annLshFullSql,
+
+      // margin-ranked probe set: per-plane |v·plane| margins, ranked
+      // ascending with plane-index tiebreak, top 3 flipped — exactly
+      // the Spark side's array_sort(struct(m, j)) + slice
+      "sim_ann_lsh_qd" -> {
+        val marginSelects = (0 until Planes).map { j =>
+          s"SELECT vec_id, $j AS j, " +
+            s"round(abs(list_dot_product(v, ${planeLit(j)})), 9) AS m FROM e"
+        }.mkString(" UNION ALL ")
         s"""WITH e AS (SELECT *, CAST($bucketSql AS INTEGER) AS bucket
            |           FROM ($vecsSql)),
-           |p AS (SELECT vec_id, v, norm, bucket, unnest($probeLits) AS probe
-           |      FROM e)
+           |mg AS ($marginSelects),
+           |sel AS (SELECT vec_id, j FROM (
+           |          SELECT vec_id, j, ROW_NUMBER() OVER (
+           |            PARTITION BY vec_id ORDER BY m ASC, j ASC) AS rn
+           |          FROM mg)
+           |        WHERE rn <= 3),
+           |p AS (SELECT vec_id, v, norm, bucket, bucket AS probe FROM e
+           |      UNION ALL
+           |      SELECT e.vec_id, e.v, e.norm, e.bucket,
+           |             CAST(xor(e.bucket, 1 << sel.j) AS INTEGER) AS probe
+           |      FROM e JOIN sel USING (vec_id))
            |SELECT a_id, rank, b_id, cos, bucket FROM (
            |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, $cosineSql AS cos,
            |         a.bucket AS bucket,

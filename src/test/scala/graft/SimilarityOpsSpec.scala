@@ -100,6 +100,50 @@ class SimilarityOpsSpec extends AnyFunSuite {
     assert(g1 == g2)
   }
 
+  test("annLshAuto: occupancy rule sizes planes; routing is result-identical") {
+    // the pure sizing rule: smallest config with n <= occ * 2^p
+    assert(SimilarityOps.autoPlanesFor(500) == 8)    // Verify corpus
+    assert(SimilarityOps.autoPlanesFor(2000) == 8)   // sf0.1 (occ ~7.8)
+    assert(SimilarityOps.autoPlanesFor(2048) == 8)
+    assert(SimilarityOps.autoPlanesFor(2049) == 10)
+    assert(SimilarityOps.autoPlanesFor(8000) == 10)  // sf1dense/sf1wide
+    assert(SimilarityOps.autoPlanesFor(8192) == 10)
+    assert(SimilarityOps.autoPlanesFor(8193) == 12)
+    assert(SimilarityOps.autoPlanesFor(1000000) == 12) // saturates
+    // the oracle contract depends on the rule landing on the contract
+    // config at Verify scale (sim_ann_lsh_auto shares sim_ann_lsh's SQL)
+    assert(SimilarityOps.autoPlanesFor(500) == SimilarityOps.Planes)
+
+    // contract corpus (500 vectors): eager choice = 8 planes, and both
+    // the eager and the lazy guarded-union form reproduce annLsh(8)
+    val (p01, eager) = SimilarityOps.annLshAutoChoice(spark, TestSpark.sfDir)
+    assert(p01 == 8)
+    val direct = SimilarityOps.annLsh(spark, TestSpark.sfDir, nPlanes = 8)
+      .collect().map(_.toSeq).toSeq
+    assert(direct.nonEmpty)
+    assert(eager.collect().map(_.toSeq).toSeq == direct)
+    assert(SimilarityOps.annLshAuto(spark, TestSpark.sfDir)
+      .collect().map(_.toSeq).toSeq == direct)
+
+    // a corpus past the 8-plane boundary routes to 10 planes without
+    // code change, lazy == eager == direct annLsh(10)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann").toString
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    (0 until 3000).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() - 0.5f), rnd.nextInt(10))
+    }.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val (p3k, eager3k) = SimilarityOps.annLshAutoChoice(spark, dir)
+    assert(p3k == 10, s"3000 vectors sized to $p3k planes")
+    val direct3k = SimilarityOps.annLsh(spark, dir, nPlanes = 10)
+      .collect().map(_.toSeq).toSeq
+    assert(direct3k.nonEmpty)
+    assert(eager3k.collect().map(_.toSeq).toSeq == direct3k)
+    assert(SimilarityOps.annLshAuto(spark, dir)
+      .collect().map(_.toSeq).toSeq == direct3k)
+  }
+
   test("IVF contract configuration stays k=10 / iters=2 (oracle-pinned)") {
     // the DuckDB oracle unrolls exactly IvfIters Lloyd rounds with
     // IvfK seed centroids; changing either without regenerating the
