@@ -771,9 +771,27 @@ object DedupOps {
     * never flip the corpus side into a broadcast (driver-bound at
     * scale) and AQE cannot re-shape the aligned read. */
   def dedupIncrementalIndexed(s: SparkSession, dir: String,
-      indexTable: String): DataFrame = {
-    val batch = shared(incrementalDocs(s, dir)
-      .filter(col("src_idx") >= IncrementalCorpusSrcs))
+      indexTable: String): DataFrame =
+    dedupAgainstIndex(s,
+      incrementalDocs(s, dir)
+        .filter(col("src_idx") >= IncrementalCorpusSrcs)
+        .select("doc_id", "lang", "source", "toks"),
+      indexTable)
+
+  /** The per-batch decision core of [[dedupIncrementalIndexed]]:
+    * `batchDocs` is any (doc_id, lang, source, toks) relation — the
+    * parquet-read delta in the batch operator, ONE MICRO-BATCH in the
+    * streaming twin (streaming/StreamingOps.incrementalDedup). Keeping
+    * the decision logic in one function is what makes "per-batch
+    * decisions match the batch operator" true by construction (and
+    * asserted on data in StreamingOpsSpec): a doc's decision depends
+    * only on (doc, corpus index), never on its batch-mates. Registers
+    * `shared` relations — callers running per-batch (the streaming
+    * sink) release them via Core.releaseShared() after consuming. */
+  private[graft] def dedupAgainstIndex(s: SparkSession,
+      batchDocs: DataFrame, indexTable: String,
+      threshold: Double = 0.6): DataFrame = {
+    val batch = shared(batchDocs)
     // b_sz rides along map-side (tokens are distinct, so size(toks)
     // IS the contract's per-doc exploded-token count): the delta needs
     // no size aggregation, mirroring the denormalized c_sz
@@ -784,7 +802,7 @@ object DedupOps {
       .groupBy("b_id", "c_id", "b_sz", "c_sz")
       .agg(count(lit(1)).as("inter"))
       .filter(col("inter").cast(DoubleType)
-        / (col("b_sz") + col("c_sz") - col("inter")) >= 0.6)
+        / (col("b_sz") + col("c_sz") - col("inter")) >= threshold)
       .groupBy("b_id")
       .agg(min(col("c_id")).as("dup_of"))
       .withColumnRenamed("b_id", "doc_id")

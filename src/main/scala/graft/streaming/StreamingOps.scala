@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming-only behaviors of the engine (SURVEY.md §2-B note):
   * watermarked tumbling windows with late-data drop, session windows,
@@ -50,6 +50,45 @@ object StreamingOps {
   def dedupWithinWatermark(obs: DataFrame, watermark: String): DataFrame =
     obs.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("place", "ts")
+
+  /** An arriving document in the streaming-ingest dedup pipeline:
+    * the `documents` shape plus an event-time column for the
+    * watermark. */
+  case class IncomingDoc(doc_id: Long, lang: String, source: String,
+    text: String, ts: java.sql.Timestamp)
+
+  /** Streaming twin of `dedup_incremental` — what a real ingest
+    * pipeline runs: an arriving document stream is first
+    * watermark-deduped on doc_id (at-least-once sources redeliver;
+    * `dropDuplicatesWithinWatermark` bounds that state by event time
+    * instead of keeping every key forever), then each micro-batch is
+    * decided against the PRE-BUILT bucketed corpus index
+    * (DedupOps.buildIncrementalIndex) via the SAME decision core as the
+    * batch operator (DedupOps.dedupAgainstIndex) — so per-batch
+    * decisions provably match the batch run on the same data
+    * (asserted in StreamingOpsSpec), and the corpus side stays
+    * exchange-free on every batch: only the delta explodes and
+    * shuffles, the 100 TB ingest shape. `onBatch` receives each
+    * micro-batch's decision rows (doc_id, source, dup_of, is_new);
+    * shared caches registered by the decision core are released after
+    * each batch (the per-query cache scope — a long-running stream
+    * must not accumulate dead cached relations). */
+  def incrementalDedup(docs: DataFrame, watermark: String,
+      indexTable: String)(
+      onBatch: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    val s = docs.sparkSession
+    docs.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("doc_id")
+      .writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        val decisions = graft.operators.DedupOps.dedupAgainstIndex(s,
+          b.select(col("doc_id"), col("lang"), col("source"),
+            array_distinct(split(lower(col("text")), " ")).as("toks")),
+          indexTable)
+        onBatch(decisions, id)
+        graft.core.Core.releaseShared()
+      }
+  }
 
   /** Keyed running state (mapGroupsWithState): latest rendered frame per
     * place plus how many observations contributed. The reference's

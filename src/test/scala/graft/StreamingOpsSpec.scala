@@ -5,6 +5,7 @@ import java.sql.Timestamp
 import graft.streaming.StreamingOps
 import graft.streaming.StreamingOps.Obs
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -87,6 +88,63 @@ class StreamingOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getTimestamp(1).toString))
     assert(rows.length == 2, rows.toSeq) // the duplicate was dropped
     assert(rows.map(_._2).distinct.length == 2)
+  }
+
+  test("streaming incremental dedup over the bucketed index matches the " +
+    "batch operator per batch, with redelivery suppressed") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val dir = TestSpark.sfDir
+    spark.sql("DROP TABLE IF EXISTS dedup_idx_stream")
+    graft.operators.DedupOps.buildIncrementalIndex(spark, dir,
+      "dedup_idx_stream")
+
+    // the contract's arriving-batch split (src10+), streamed in two
+    // micro-batches with an event-time column
+    val t0 = Timestamp.valueOf("2026-08-12 10:00:00")
+    val batchDocs = graft.core.Core.table(spark, dir, "documents")
+      .withColumn("src_idx", substring(col("source"), 4, 10).cast("int"))
+      .filter(col("src_idx") >=
+        graft.operators.DedupOps.IncrementalCorpusSrcs)
+      .select("doc_id", "lang", "source", "text")
+      .collect()
+      .map(r => StreamingOps.IncomingDoc(r.getLong(0), r.getString(1),
+        r.getString(2), r.getString(3), t0))
+    assert(batchDocs.length > 10)
+    val (first, second) = batchDocs.splitAt(batchDocs.length / 2)
+
+    val perBatch =
+      new java.util.concurrent.ConcurrentHashMap[Long, Seq[Seq[Any]]]()
+    val in = MemoryStream[StreamingOps.IncomingDoc]
+    val q = StreamingOps.incrementalDedup(in.toDF(), "30 minutes",
+        "dedup_idx_stream") { (df, id) =>
+        perBatch.put(id, df.collect().map(_.toSeq).toSeq)
+      }
+      .start()
+    in.addData(first.toIndexedSeq)
+    q.processAllAvailable()
+    // batch 2: the remaining docs PLUS an at-least-once redelivery of a
+    // batch-1 doc — the watermark dedup must suppress it, so it is
+    // decided exactly once (in batch 1)
+    in.addData((second :+ first.head).toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+
+    import scala.jdk.CollectionConverters._
+    val streamed = perBatch.values.asScala.flatten.toSeq
+    // every doc decided exactly once across batches (redelivery
+    // suppressed by dropDuplicatesWithinWatermark)
+    assert(streamed.map(_.head).distinct.length == streamed.length)
+    assert(streamed.length == batchDocs.length)
+    // and the union of per-batch decisions IS the batch operator's
+    // output on the same corpus + batch split
+    val batch = graft.operators.DedupOps
+      .dedupIncrementalIndexed(spark, dir, "dedup_idx_stream")
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.toSet == batch.toSet)
+    // non-degenerate: the corpus flags some arrivals as dups
+    assert(batch.exists(r => r(3) == false))
+    spark.sql("DROP TABLE IF EXISTS dedup_idx_stream")
   }
 
   test("weather micro-batch restart from checkpoint is exactly-once") {
