@@ -1044,8 +1044,10 @@ object DedupOps {
     bandedJoin(s, dir, simhash64Sketches(s, dir), Simhash64Bits,
       Simhash64HammingMax, _ < _)
 
-  /** Symmetric near-dup edges (n, m): both directions in one pass. */
-  private def simhashEdges(s: SparkSession, dir: String): DataFrame =
+  /** Symmetric near-dup edges (n, m): both directions in one pass.
+    * graft-visible so the Scale harness can feed the same edge set to
+    * [[ccFixpointWithRounds]] for the sf1 convergence measurement. */
+  private[graft] def simhashEdges(s: SparkSession, dir: String): DataFrame =
     simhashJoin(s, dir, _ =!= _)
       .select(col("a_id").as("n"), col("b_id").as("m"))
 
@@ -1100,6 +1102,15 @@ object DedupOps {
     // doubling squares the edge set on dense near-dup clusters, which
     // is exactly what this corpus has.)
     val nodes = table(s, dir, "documents").select("doc_id")
+    ccUnrolled(nodes, simhashEdges(s, dir), rounds).orderBy("doc_id")
+  }
+
+  /** The unrolled propagation core of [[dedupClusterCC]] over an
+    * explicit (nodes, edges) pair — also the unit PlanShapeSpec holds
+    * the partition-once/labels-only-shuffle assertion against (tiny
+    * synthetic edges keep the plan string un-truncated). */
+  private[graft] def ccUnrolled(nodes: DataFrame, edges: DataFrame,
+      rounds: Int): DataFrame = {
     // hash-partition the cached edges on the join key ONCE, with an
     // EXPLICIT partition count (a user-specified exchange AQE never
     // coalesces — the cached layout must not depend on runtime stats):
@@ -1107,12 +1118,12 @@ object DedupOps {
     // join shuffles only the (node-sized) label relation, never the
     // edges — the partition-once/join-many shape an iterative
     // algorithm needs at scale
-    val selfEdges = shared(withSelfLoops(nodes, simhashEdges(s, dir))
-      .repartition(SkewJoin.defaultParts(s), col("m")))
+    val selfEdges = shared(withSelfLoops(nodes, edges)
+      .repartition(SkewJoin.defaultParts(nodes.sparkSession), col("m")))
     var labels = nodes.select(col("doc_id"), col("doc_id").as("cluster"))
     for (_ <- 0 until rounds)
       labels = ccRound(labels, selfEdges)
-    labels.orderBy("doc_id")
+    labels
   }
 
   /** Exact connected components over an ARBITRARY symmetric edge
@@ -1129,7 +1140,15 @@ object DedupOps {
     * monotonically, so "no label changed" certifies the true CC
     * fixpoint regardless of diameter. */
   def ccFixpoint(nodes: DataFrame, edges: DataFrame,
-      maxRounds: Int = 64): DataFrame = {
+      maxRounds: Int = 64): DataFrame =
+    ccFixpointWithRounds(nodes, edges, maxRounds)._1
+
+  /** [[ccFixpoint]] plus the number of propagate rounds it ran
+    * (including the final no-change round that certifies convergence) —
+    * the number the Scale harness records at sf1 and DedupOpsSpec
+    * asserts equals diameter + 1 on known chains. */
+  def ccFixpointWithRounds(nodes: DataFrame, edges: DataFrame,
+      maxRounds: Int = 64): (DataFrame, Int) = {
     val e = shared(withSelfLoops(nodes, edges)
       .repartition(SkewJoin.defaultParts(nodes.sparkSession), col("m")))
     var labels = shared(nodes.select(col("doc_id"), col("doc_id").as("cluster")))
@@ -1149,7 +1168,7 @@ object DedupOps {
       labels = next
       i += 1
     }
-    labels
+    (labels, i)
   }
 
   private lazy val dedupNearOracle: String =

@@ -315,10 +315,15 @@ class DedupOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(bounded(8L) != 0L,
       "3 bounded rounds unexpectedly merged a diameter-8 chain")
-    val exact = DedupOps.ccFixpoint(nodes, edges)
+    val (exactDf, rounds) = DedupOps.ccFixpointWithRounds(nodes, edges)
+    val exact = exactDf
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(exact.values.forall(_ == 0L),
       s"fixpoint under-merged the chain: $exact")
+    // rounds-to-convergence is exactly diameter + 1: the min label
+    // travels one hop per round (8 hops to the far end), plus the final
+    // no-change round that certifies the fixpoint
+    assert(rounds == 9, s"diameter-8 chain converged in $rounds rounds")
 
     // Randomized: multi-component corpora of permuted-id chains
     // (diameter up to 12) must match brute-force union-find exactly.

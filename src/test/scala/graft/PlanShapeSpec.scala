@@ -60,6 +60,36 @@ class PlanShapeSpec extends AnyFunSuite {
       "bounded benchmark gram relation should broadcast")
   }
 
+  test("CC rounds shuffle only labels: the cached edge partitioning is " +
+    "reused by every round's join") {
+    // partition-once/join-many: ccUnrolled repartitions the cached edge
+    // relation on the join key ONCE; each propagation round must then
+    // add exactly ONE new m-keyed exchange (the node-sized label
+    // relation) — an edges-side reshuffle per round would add two, and
+    // at 100 TB would re-shuffle the corpus-scaled edge list every
+    // round. Distinct attribute ids separate per-round label exchanges
+    // (fresh ids) from re-prints of the one cached edge exchange (same
+    // id on every reference). Tiny synthetic edges keep the unrolled
+    // plan string un-truncated.
+    import spark.implicits._
+    val nodes = (0L to 30L).toDF("doc_id")
+    val edges = (0L until 30L).flatMap(i =>
+      Seq((i, i + 1), (i + 1, i))).toDF("n", "m")
+    def mExchangeIds(rounds: Int): Set[String] = {
+      val p = graft.operators.DedupOps.ccUnrolled(nodes, edges, rounds)
+        .queryExecution.executedPlan.toString
+      "Exchange hashpartitioning\\(m#\\d+".r.findAllIn(p).toSet
+    }
+    graft.core.Core.releaseShared()
+    val r1 = mExchangeIds(1).size
+    graft.core.Core.releaseShared()
+    val r5 = mExchangeIds(5).size
+    graft.core.Core.releaseShared()
+    assert(r5 - r1 == 4,
+      s"expected 1 new m-exchange per round (labels only); " +
+        s"got $r1 at 1 round vs $r5 at 5")
+  }
+
   test("partition-keyed writes prune partitions at the scan") {
     // the storage-layout lever every 100 TB corpus uses: write sharded
     // by the filter key, and a key predicate must become a partition
