@@ -17,14 +17,24 @@ object Core {
   type Q = (SparkSession, String) => DataFrame
 
   def table(s: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    // reader rejects; read it as raw nanos and rebuild at µs precision
-    // (integer DIV — exact, and the same truncation DuckDB's epoch_us
-    // applies, see SURVEY.md §7.3d).
+    // events.ts normalization — the generator has shipped it as parquet
+    // TIMESTAMP(NANOS) (which Spark reads as a raw long under the
+    // legacy conf) and as TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    // (which Spark reads as TIMESTAMP_NTZ). Normalize both to the
+    // session-zoned TimestampType the engine computes on: nanos long →
+    // integer DIV 1000 (exact, the same truncation DuckDB's epoch_us
+    // applies, SURVEY.md §7.3d); NTZ → cast, which under the harness's
+    // UTC session timezone is a wall-time identity — exactly how the
+    // DuckDB oracle reads the same column.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    if (name == "events") raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
     else raw
   }
 

@@ -31,6 +31,18 @@ object DedupOps {
     * the existing corpus, src10+ the arriving batch. */
   val IncrementalCorpusSrcs = 10
 
+  /** dedup_substring window geometry: character windows of
+    * [[SubstrWidth]] sampled every [[SubstrStride]] characters. The
+    * exact-substring method (Lee et al. 2021, "Deduplicating Training
+    * Data Makes Language Models Better") uses 50-token spans over a
+    * suffix array; the relational equivalent samples fixed-width
+    * character windows — a doc sharing any verbatim ≥(W+S)-char run
+    * with another doc is guaranteed to share a sampled window (a full
+    * window fits inside the run at some stride offset), so recall for
+    * long verbatim overlap is structural, not probabilistic. */
+  val SubstrWidth = 40
+  val SubstrStride = 10
+
   /** doc_id, source, distinct lowercase token set. */
   private def tokSets(s: SparkSession, dir: String): DataFrame =
     tokSetsOf(table(s, dir, "documents"))
@@ -728,6 +740,55 @@ object DedupOps {
         .select(col("doc_id"), col("source"), col("dup_of"),
           col("dup_of").isNull.as("is_new"))
         .orderBy("doc_id")
+    },
+
+    // EXACT-substring duplication (Lee et al. 2021 exact-substring
+    // dedup, relationally): sample fixed-width character windows every
+    // `stride` chars, count per window-gram how many DISTINCT docs
+    // contain it, and report per doc how many of its distinct grams
+    // also appear verbatim in another doc. Catches copy-paste /
+    // boilerplate overlap that token-set Jaccard dilutes away. The
+    // shape is strictly linear: docs never pair (no Σk² candidate
+    // join anywhere) — one distinct, one gram-keyed count, one join
+    // back of the df relation to the gram occurrences, each bounded by
+    // the sampled-window count (~n_chars/stride per doc). The gram-df
+    // join back is keyed on the gram — ubiquitous grams form hot
+    // chains, so it runs salted like every skewed join here. At 100 TB
+    // the gram key would be a 64-bit rolling hash instead of the
+    // 40-char string (same plan, 5x narrower shuffle); the contract
+    // keys on the string so the oracle is exact without a hash scheme.
+    "dedup_substring" -> { (s, dir) =>
+      val W = SubstrWidth
+      val S = SubstrStride
+      // guarded start sequence: greatest(..,1) keeps sequence() legal
+      // for docs shorter than W; the pos filter then drops the one
+      // out-of-range window those docs generate
+      val grams = shared(table(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(expr(
+            s"""transform(
+               |  filter(sequence(1, greatest(length(text) - ${W - 1}, 1),
+               |                  $S),
+               |         p -> p + ${W - 1} <= length(text)),
+               |  p -> substring(text, p, $W))""".stripMargin)))
+            .as("g")))
+      // grams are per-doc distinct (array_distinct before the explode),
+      // so a plain count IS the distinct-doc count — no two-phase
+      // distinct aggregation state needed
+      val df_ = grams.groupBy("g")
+        .agg(count(lit(1)).as("n_docs"))
+      val perDoc = SkewJoin.saltedCandidateJoin(grams, df_, Seq("g"),
+          leftSaltBy = col("doc_id"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          count(when(col("n_docs") >= 2, lit(1))).as("dup_grams"))
+      table(s, dir, "documents").select("doc_id")
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("dup_grams"), lit(0L)).as("dup_grams"),
+          (coalesce(col("dup_grams"), lit(0L)) > 0).as("is_dup"))
+        .orderBy("doc_id")
     })
 
   /** documents with parsed source index and distinct token sets — the
@@ -1393,6 +1454,28 @@ object DedupOps {
            |SELECT b.doc_id, b.source, m.dup_of, m.dup_of IS NULL AS is_new
            |FROM t b LEFT JOIN m ON m.doc_id = b.doc_id
            |WHERE b.src_idx >= $IncrementalCorpusSrcs
-           |ORDER BY b.doc_id""".stripMargin)
+           |ORDER BY b.doc_id""".stripMargin,
+
+      "dedup_substring" ->
+        s"""WITH starts AS (
+           |  SELECT doc_id, text,
+           |         unnest(generate_series(1,
+           |           greatest(length(text) - ${SubstrWidth - 1}, 0),
+           |           $SubstrStride)) AS gs
+           |  FROM documents),
+           |wins AS (
+           |  SELECT DISTINCT doc_id, substr(text, gs, $SubstrWidth) AS g
+           |  FROM starts),
+           |df AS (SELECT g, COUNT(*) AS n_docs FROM wins GROUP BY 1),
+           |per AS (
+           |  SELECT doc_id, COUNT(*) AS n_grams,
+           |         COUNT(*) FILTER (WHERE n_docs >= 2) AS dup_grams
+           |  FROM wins JOIN df USING (g) GROUP BY 1)
+           |SELECT d.doc_id,
+           |       COALESCE(per.n_grams, 0) AS n_grams,
+           |       COALESCE(per.dup_grams, 0) AS dup_grams,
+           |       COALESCE(per.dup_grams, 0) > 0 AS is_dup
+           |FROM documents d LEFT JOIN per USING (doc_id)
+           |ORDER BY doc_id""".stripMargin)
   }
 }

@@ -49,6 +49,13 @@ object SimilarityOps {
     * the training plan is linear in n·k·iters either way. */
   val IvfK = 10
   val IvfIters = 2
+
+  /** dedup_semdedup cosine threshold. SemDeDup (Abbas et al. 2023,
+    * arXiv:2303.09540) prunes pairs ABOVE a similarity threshold
+    * within each k-means cluster; 0.3 matches the corpus's
+    * dedup_embed operating point (production embeddings run ~0.9+ —
+    * the plan is threshold-independent). */
+  val SemDedupTau = 0.3
   def planesFor(n: Int): Array[Array[Double]] =
     Array.tabulate(n, Dims) { (j, d) =>
       ((j * Dims + d + 1) * 2654435761L % 4294967296L) / 4294967296.0 - 0.5
@@ -452,6 +459,48 @@ object SimilarityOps {
         .filter(col("cos") >= 0.3)
         .select("a_id", "b_id", "cos")
         .orderBy("a_id", "b_id")
+    },
+
+    // SemDeDup (Abbas et al. 2023): semantic dedup at scale by
+    // clustering FIRST — the trained k-means quantizer partitions the
+    // embedding space, cosine pairing runs only WITHIN each cluster,
+    // and each vector keeps/drops against its lowest-id near-duplicate
+    // (dup_of = min same-cluster partner at cos ≥ τ, keep = none).
+    // This is the structural answer to embedding dedup's O(n²): the
+    // pair join is bounded by Σ(cluster size)² instead of n², and
+    // cluster count k grows with the corpus (√n rule, see [[IvfK]]) so
+    // mean occupancy — and with it the per-cluster quadratic — stays
+    // flat. Same salted/pinned candidate join discipline as the
+    // LSH/IVF paths; the assignment relation is computed once and
+    // shared by both pair sides and the output spine.
+    "dedup_semdedup" -> { (s, dir) =>
+      val e = vecs(s, dir)
+      val cents = kmeansCentroids(e, k = IvfK, iters = IvfIters)
+      val byVec = Window.partitionBy("vec_id")
+        .orderBy(col("ccos").desc, col("cid").asc)
+      val assigned = shared(e.select(col("vec_id"), col("v"), col("norm"))
+        .crossJoin(broadcast(cents))
+        .withColumn("ccos",
+          round(dot(col("v"), col("cv")) / (col("norm") * col("cnorm")), 9))
+        .withColumn("crn", row_number().over(byVec))
+        .filter(col("crn") === 1)
+        .select(col("cid"), col("vec_id"), col("v"), col("norm")))
+      val a = assigned.select(col("cid"), col("vec_id").as("a_id"),
+        col("v").as("a_v"), col("norm").as("a_norm"))
+      val b = assigned.select(col("cid"), col("vec_id").as("b_id"),
+        col("v").as("b_v"), col("norm").as("b_norm"))
+      val dups = SkewJoin.saltedCandidateJoin(a, b, Seq("cid"),
+          leftSaltBy = col("a_id"))
+        .filter(col("b_id") < col("a_id"))
+        .withColumn("cos", cosine)
+        .filter(col("cos") >= SemDedupTau)
+        .groupBy(col("a_id").as("vec_id"))
+        .agg(min(col("b_id")).as("dup_of"))
+      assigned.select("vec_id", "cid")
+        .join(dups, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cid"), col("dup_of"),
+          col("dup_of").isNull.as("keep"))
+        .orderBy("vec_id")
     })
 
   def oracleSql: Map[String, String] = {
@@ -573,6 +622,27 @@ object SimilarityOps {
            |SELECT a.vec_id AS a_id, b.vec_id AS b_id, $cosineSql AS cos
            |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
            |WHERE $cosineSql >= 0.3
-           |ORDER BY a_id, b_id""".stripMargin)
+           |ORDER BY a_id, b_id""".stripMargin,
+
+      "dedup_semdedup" ->
+        s"""WITH e AS ($vecsSql),
+           |${kmeansSql(k = IvfK, iters = IvfIters)},
+           |aff AS (SELECT e.vec_id, e.v, e.norm, c.cid,
+           |          round(list_dot_product(e.v, c.cv)
+           |                / (e.norm * c.cnorm), 9) AS ccos
+           |        FROM e CROSS JOIN cents c),
+           |asg AS (SELECT cid, vec_id, v, norm FROM (
+           |          SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+           |            ORDER BY ccos DESC, cid ASC) AS crn FROM aff)
+           |        WHERE crn = 1),
+           |d AS (SELECT a.vec_id AS vec_id, MIN(b.vec_id) AS dup_of
+           |      FROM asg a JOIN asg b
+           |        ON a.cid = b.cid AND b.vec_id < a.vec_id
+           |      WHERE round(list_dot_product(a.v, b.v)
+           |              / (a.norm * b.norm), 9) >= $SemDedupTau
+           |      GROUP BY 1)
+           |SELECT asg.vec_id, asg.cid, d.dup_of, d.dup_of IS NULL AS keep
+           |FROM asg LEFT JOIN d USING (vec_id)
+           |ORDER BY vec_id""".stripMargin)
   }
 }

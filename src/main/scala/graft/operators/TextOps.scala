@@ -155,6 +155,48 @@ object TextOps {
     * sampling are independent hash streams. */
   val SplitHashMul = 48271L
 
+  /** txt_quality_gopher rule battery (Rae et al. 2021, "Scaling
+    * Language Models: Gopher", §A.1.1 quality rules): word-count
+    * bounds, mean-word-length band, symbol-token ratio cap, alphabetic
+    * fraction floor, and the ≥2-distinct-stopwords requirement. The
+    * bounds are the paper's (50 ≤ words ≤ 100k, 3 ≤ mean len ≤ 10,
+    * symbols ≤ 10%, ≥80% alphabetic); the synthetic corpus's 10–110
+    * token docs make the word-count and stopword rules the
+    * discriminating ones, which is the point — each rule reports its
+    * own flag alongside the combined verdict. */
+  val GopherMinWords = 50
+  val GopherMaxWords = 100000
+  val GopherMinMeanLen = 3.0
+  val GopherMaxMeanLen = 10.0
+  val GopherMaxSymbolRatio = 0.1
+  val GopherMinAlphaFrac = 0.8
+  val GopherMinStopHits = 2
+  /** The paper's stopword list (§A.1.1: "contains at least two of the
+    * following English words") plus the article "a": the synthetic
+    * 31-word vocabulary contains only {"the", "a"} of the function
+    * words, so the verbatim list would leave the ≥2-hit rule
+    * constant-false and the combined verdict untestable. The rule
+    * itself (≥ [[GopherMinStopHits]] DISTINCT hits) is unchanged. */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "a", "be", "to", "of", "and", "that", "have", "with")
+
+  /** txt_shuffle_shard configuration: 8 output shards (a deployment
+    * sizes this to its writer parallelism — thousands of shards at
+    * 100 TB; the plan is shard-parallel either way), hashed with a
+    * FOURTH independent full-period multiplier mod 2³¹−1 (L'Ecuyer's
+    * 69621, public LCG literature) so training order never correlates
+    * with sampling, temperature balancing, or split assignment. */
+  val ShuffleShards = 8
+  val ShuffleHashMul = 69621L
+
+  /** txt_pii_redact patterns. Both regexes restrict to constructs with
+    * IDENTICAL semantics in Java's regex (Spark) and RE2 (DuckDB) —
+    * character classes, bounded repetition, \b word boundaries; no
+    * backreferences or lookaround — so counts and replacements match
+    * byte-for-byte cross-engine. */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val IpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
   def queries: Map[String, Q] = Map(
     // Repetition filtering (Gopher-style quality signal): fraction of
     // the doc taken by its most frequent token, and the duplicate
@@ -590,6 +632,105 @@ object TextOps {
             .when(col("bucket") < SplitValPct, "val")
             .otherwise("test").as("split"))
         .orderBy("doc_id")
+    },
+
+    // The full Gopher rule battery (Rae et al. 2021 §A.1.1) as one
+    // pass: per-doc word count, mean word length, symbol-token ratio,
+    // alphabetic-token fraction and distinct-stopword count, each
+    // thresholded into its own flag plus the combined keep/drop
+    // verdict. Entirely map-side higher-order-function arithmetic over
+    // exact integer counts (the single-space corpus makes mean word
+    // length (len(text) − (n−1))/n — no second tokenize pass); every
+    // ratio is one 9-dp-rounded division, so the flags compare
+    // identical doubles in both engines. The embarrassingly-parallel
+    // 100 TB filter-pass shape, like txt_repetition.
+    "txt_quality_gopher" -> { (s, dir) =>
+      toks(s, dir)
+        .withColumn("n", size(col("toks")))
+        .withColumn("mean_word_len",
+          round((length(col("text")) - (col("n") - 1)).cast(DoubleType)
+            / col("n"), 9))
+        .withColumn("symbol_ratio",
+          round(size(filter(col("toks"),
+            t => t === "#" || t === "...")).cast(DoubleType) / col("n"), 9))
+        .withColumn("alpha_frac",
+          round(size(filter(col("toks"),
+            t => t.rlike("[a-z]"))).cast(DoubleType) / col("n"), 9))
+        .withColumn("n_stop",
+          size(array_intersect(array_distinct(col("toks")),
+            typedLit(GopherStopwords))))
+        .withColumn("pass_words",
+          col("n") >= GopherMinWords && col("n") <= GopherMaxWords)
+        .withColumn("pass_len",
+          col("mean_word_len") >= GopherMinMeanLen
+            && col("mean_word_len") <= GopherMaxMeanLen)
+        .withColumn("pass_symbol", col("symbol_ratio") <= GopherMaxSymbolRatio)
+        .withColumn("pass_alpha", col("alpha_frac") >= GopherMinAlphaFrac)
+        .withColumn("pass_stop", col("n_stop") >= GopherMinStopHits)
+        .select(col("doc_id"), col("n").cast(IntegerType).as("n_words"),
+          col("mean_word_len"), col("symbol_ratio"), col("alpha_frac"),
+          col("n_stop").cast(IntegerType).as("n_stop"),
+          col("pass_words"), col("pass_len"), col("pass_symbol"),
+          col("pass_alpha"), col("pass_stop"),
+          (col("pass_words") && col("pass_len") && col("pass_symbol")
+            && col("pass_alpha") && col("pass_stop")).as("quality_pass"))
+        .orderBy("doc_id")
+    },
+
+    // Deterministic global training-order shuffle + shard manifest:
+    // every doc gets a pseudo-random hash position (fourth independent
+    // multiplicative-hash stream, same overflow-safe mod-P scheme as
+    // the samplers), a shard = h mod nShards, and its position within
+    // the shard under (h, doc_id) order — the manifest a training job
+    // reads shard-parallel with a well-mixed, rerun-stable order.
+    // rand()/repartition-based shuffles are neither rerun- nor
+    // growth-stable; this is, for the same reason as txt_split_assign.
+    // The only shuffle is the per-shard rank window, partitioned by
+    // shard — at 100 TB nShards is thousands, so the window
+    // parallelizes; nothing is ever globally single-partition sorted
+    // except the bounded contract output.
+    "txt_shuffle_shard" -> { (s, dir) =>
+      val w = Window.partitionBy("shard").orderBy(col("h"), col("doc_id"))
+      table(s, dir, "documents")
+        .withColumn("h",
+          ((col("doc_id") % lit(TextHash.P)) * lit(ShuffleHashMul))
+            % lit(TextHash.P))
+        .withColumn("shard", (col("h") % ShuffleShards).cast(IntegerType))
+        .withColumn("pos", row_number().over(w).cast(IntegerType))
+        .select(col("doc_id"), col("h"), col("shard"), col("pos"))
+        .orderBy("shard", "pos")
+    },
+
+    // PII detection + redaction (email / IPv4): per-doc match counts
+    // via regexp_extract_all and a redacted text via two chained
+    // regexp_replace passes — the scrubbing step every
+    // publicly-trained corpus runs. The synthetic corpus contains no
+    // PII, so the query first INJECTS deterministic spans (emails on
+    // doc_id ≡ 0 mod 5, dotted quads on ≡ 0 mod 7, both derived from
+    // doc_id) — the injection is part of the query in BOTH engines, so
+    // the redaction machinery is observable and oracle-checked rather
+    // than vacuously matching on zero hits. Map-side, shuffle-free bar
+    // the contract sort; regex evaluation stays inside whole-stage
+    // codegen (no UDF).
+    "txt_pii_redact" -> { (s, dir) =>
+      table(s, dir, "documents")
+        .withColumn("injected", concat(col("text"),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" contact user"), col("doc_id"),
+              lit("@example.com"))).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" from 10."), col("doc_id") % 256, lit(".0."),
+              col("doc_id") % 100)).otherwise(lit(""))))
+        .withColumn("n_emails",
+          size(regexp_extract_all(col("injected"), lit(EmailRe), lit(0))))
+        .withColumn("n_ips",
+          size(regexp_extract_all(col("injected"), lit(IpRe), lit(0))))
+        .select(col("doc_id"), col("n_emails"), col("n_ips"),
+          (col("n_emails") > 0 || col("n_ips") > 0).as("has_pii"),
+          regexp_replace(
+            regexp_replace(col("injected"), EmailRe, "<EMAIL>"),
+            IpRe, "<IP>").as("redacted"))
+        .orderBy("doc_id")
     })
 
   def oracleSql: Map[String, String] = Map(
@@ -872,5 +1013,78 @@ object TextOps {
          |        CAST(((doc_id % ${TextHash.P}) * $SplitHashMul)
          |          % ${TextHash.P} % 100 AS INTEGER) AS bucket
          |      FROM documents)
-         |ORDER BY doc_id""".stripMargin)
+         |ORDER BY doc_id""".stripMargin,
+
+    "txt_quality_gopher" -> {
+      val stopLit = GopherStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH t AS (
+         |  SELECT doc_id, text, string_split(lower(text), ' ') AS toks
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_words,
+         |    round(CAST(length(text) - (len(toks) - 1) AS DOUBLE)
+         |      / len(toks), 9) AS mean_word_len,
+         |    round(CAST(len(list_filter(toks,
+         |        x -> x IN ('#', '...'))) AS DOUBLE) / len(toks), 9)
+         |      AS symbol_ratio,
+         |    round(CAST(len(list_filter(toks,
+         |        x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(toks), 9)
+         |      AS alpha_frac,
+         |    CAST(len(list_intersect(list_distinct(toks), $stopLit))
+         |      AS INTEGER) AS n_stop
+         |  FROM t)
+         |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
+         |  n_stop,
+         |  n_words >= $GopherMinWords AND n_words <= $GopherMaxWords
+         |    AS pass_words,
+         |  mean_word_len >= $GopherMinMeanLen
+         |    AND mean_word_len <= $GopherMaxMeanLen AS pass_len,
+         |  symbol_ratio <= $GopherMaxSymbolRatio AS pass_symbol,
+         |  alpha_frac >= $GopherMinAlphaFrac AS pass_alpha,
+         |  n_stop >= $GopherMinStopHits AS pass_stop,
+         |  (n_words >= $GopherMinWords AND n_words <= $GopherMaxWords)
+         |    AND (mean_word_len >= $GopherMinMeanLen
+         |         AND mean_word_len <= $GopherMaxMeanLen)
+         |    AND symbol_ratio <= $GopherMaxSymbolRatio
+         |    AND alpha_frac >= $GopherMinAlphaFrac
+         |    AND n_stop >= $GopherMinStopHits AS quality_pass
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
+
+    "txt_shuffle_shard" ->
+      s"""SELECT doc_id, h, shard,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY shard
+         |    ORDER BY h, doc_id) AS INTEGER) AS pos
+         |FROM (SELECT doc_id,
+         |        ((doc_id % ${TextHash.P}) * $ShuffleHashMul)
+         |          % ${TextHash.P} AS h,
+         |        CAST(((doc_id % ${TextHash.P}) * $ShuffleHashMul)
+         |          % ${TextHash.P} % $ShuffleShards AS INTEGER) AS shard
+         |      FROM documents)
+         |ORDER BY shard, pos""".stripMargin,
+
+    // DuckDB's regexp_replace replaces only the FIRST match without
+    // the 'g' flag (Spark's always replaces all) — the flag is the
+    // cross-engine equivalence, not an option.
+    "txt_pii_redact" ->
+      s"""WITH inj AS (
+         |  SELECT doc_id, text
+         |    || CASE WHEN doc_id % 5 = 0 THEN ' contact user'
+         |         || CAST(doc_id AS VARCHAR) || '@example.com'
+         |       ELSE '' END
+         |    || CASE WHEN doc_id % 7 = 0 THEN ' from 10.'
+         |         || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+         |         || CAST(doc_id % 100 AS VARCHAR)
+         |       ELSE '' END AS injected
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(injected, '$EmailRe')) AS INTEGER)
+         |    AS n_emails,
+         |  CAST(len(regexp_extract_all(injected, '$IpRe')) AS INTEGER)
+         |    AS n_ips,
+         |  (len(regexp_extract_all(injected, '$EmailRe')) > 0
+         |    OR len(regexp_extract_all(injected, '$IpRe')) > 0) AS has_pii,
+         |  regexp_replace(regexp_replace(injected, '$EmailRe', '<EMAIL>',
+         |    'g'), '$IpRe', '<IP>', 'g') AS redacted
+         |FROM inj ORDER BY doc_id""".stripMargin)
 }

@@ -423,4 +423,134 @@ class PipelineOpsSpec extends AnyFunSuite {
     // 3-token overlap is below the gram width: clean
     assert(out(3) == ((21L, 0L, false)))
   }
+
+  test("txt_quality_gopher: every rule flag matches an independent " +
+    "recomputation and the battery discriminates") {
+    val rows = SparkEntry.queries("txt_quality_gopher")(spark, dir)
+      .collect()
+    assert(rows.nonEmpty)
+    val texts = graft.core.Core.table(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val toks = texts(r.getLong(0)).toLowerCase.split(" ", -1).toSeq
+      val n = toks.size
+      assert(r.getInt(1) == n)
+      val meanLen = BigDecimal(toks.map(_.length).sum.toDouble / n)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(2) - meanLen) <= 1e-9)
+      val nStop = toks.distinct.count(TextOps.GopherStopwords.contains)
+      assert(r.getInt(5) == nStop)
+      assert(r.getBoolean(6) ==
+        (n >= TextOps.GopherMinWords && n <= TextOps.GopherMaxWords))
+      assert(r.getBoolean(10) == (nStop >= TextOps.GopherMinStopHits))
+      assert(r.getBoolean(11) == (r.getBoolean(6) && r.getBoolean(7)
+        && r.getBoolean(8) && r.getBoolean(9) && r.getBoolean(10)))
+      // this all-alphabetic single-space corpus: symbol/alpha rules
+      // degenerate to 0.0 / 1.0 — both must still pass their checks
+      assert(r.getDouble(3) == 0.0 && r.getDouble(4) == 1.0)
+    }
+    // the battery must separate the corpus, not rubber-stamp it
+    assert(rows.exists(_.getBoolean(11)) && rows.exists(!_.getBoolean(11)))
+  }
+
+  test("txt_shuffle_shard: a permutation — every doc exactly once, " +
+    "contiguous per-shard positions, independent hash stream") {
+    val rows = SparkEntry.queries("txt_shuffle_shard")(spark, dir)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    val ids = graft.core.Core.table(spark, dir, "documents")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rows.map(_._1).toSet == ids && rows.length == ids.size)
+    rows.foreach { case (id, h, shard, _) =>
+      val eh = ((id % 2147483647L) * TextOps.ShuffleHashMul) % 2147483647L
+      assert(h == eh && shard == (eh % TextOps.ShuffleShards).toInt)
+    }
+    // positions are 1..count within each shard (a dense manifest), and
+    // ordered by the hash — the deterministic global shuffle property
+    rows.groupBy(_._3).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1 to rs.length))
+      assert(sorted.map(_._2).toSeq == sorted.map(_._2).sortBy(identity).toSeq)
+    }
+    // the stream must not correlate with the split/sampling hashes:
+    // different multipliers by construction
+    assert(TextOps.ShuffleHashMul != TextOps.SplitHashMul)
+  }
+
+  test("txt_pii_redact: injected spans are counted and scrubbed; " +
+    "clean docs pass through byte-identical") {
+    val rows = SparkEntry.queries("txt_pii_redact")(spark, dir).collect()
+    val texts = graft.core.Core.table(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (id, ne, ni, has, red) = (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getBoolean(3), r.getString(4))
+      assert(ne == (if (id % 5 == 0) 1 else 0), s"doc $id emails")
+      assert(ni == (if (id % 7 == 0) 1 else 0), s"doc $id ips")
+      assert(has == (ne > 0 || ni > 0))
+      if (ne > 0) assert(red.contains("<EMAIL>")
+        && !red.contains("@example.com"))
+      if (ni > 0) assert(red.contains("<IP>") && !red.contains(" from 10."))
+      if (!has) assert(red == texts(id))
+    }
+    assert(rows.exists(_.getBoolean(3)) && rows.exists(!_.getBoolean(3)))
+  }
+
+  test("dedup_substring: exact parity with a hand-built window/df " +
+    "recomputation; no pairwise blowup in the counts") {
+    val rows = SparkEntry.queries("dedup_substring")(spark, dir)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val texts = graft.core.Core.table(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val (w0, st) = (DedupOps.SubstrWidth, DedupOps.SubstrStride)
+    val gramSets = texts.map { case (id, t) =>
+      id -> (1 to math.max(t.length - w0 + 1, 0) by st)
+        .map(p => t.substring(p - 1, p - 1 + w0)).toSet
+    }
+    val df = gramSets.values.flatten
+      .groupBy(identity).map { case (g, o) => g -> o.size }
+    rows.foreach { case (id, nGrams, dupGrams, isDup) =>
+      val gs = gramSets(id)
+      assert(nGrams == gs.size, s"doc $id n_grams")
+      val expectDup = gs.count(df(_) >= 2)
+      assert(dupGrams == expectDup && isDup == (expectDup > 0), s"doc $id")
+    }
+    assert(rows.exists(_._4))
+  }
+
+  test("dedup_semdedup: cluster ids match the trained quantizer and " +
+    "keep/drop is exactly the min-id near-dup rule") {
+    val out = SparkEntry.queries("dedup_semdedup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getBoolean(3)))
+    val assign = SparkEntry.queries("sim_centroid_assign")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.map(_._1).toSet == assign.keySet)
+    out.foreach { case (id, cid, _, _) => assert(cid == assign(id)) }
+    val vecs = graft.core.Core.table(spark, dir, "embeddings")
+      .collect().map { r =>
+        r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray
+      }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      BigDecimal(d / (na * nb))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    out.foreach { case (id, cid, dupOf, keep) =>
+      val partners = out.filter(o => o._2 == cid && o._1 < id)
+        .map(_._1).filter(p =>
+          cos(vecs(id), vecs(p)) >= SimilarityOps.SemDedupTau)
+      val expect = if (partners.isEmpty) None else Some(partners.min)
+      assert(dupOf == expect, s"vec $id")
+      assert(keep == expect.isEmpty)
+    }
+    assert(out.exists(_._4) && out.exists(!_._4))
+  }
 }
