@@ -2,12 +2,41 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
 
+  /** Fingerprint of the bench corpus: a hash over the (name, size)
+    * pairs of the sf dir's parquet files. The driver REGENERATES
+    * /root/testdata between rounds (observed round 7: events.ts
+    * changed physical type and the dedup family's density moved), and
+    * a regenerated corpus silently invalidates every recorded median —
+    * the tripwire would then re-run legitimately-denser queries round
+    * after round and compare against numbers from data that no longer
+    * exists. Each history record carries this tag, and medians are
+    * computed only over records from the SAME corpus; after a regen
+    * the history is effectively empty (tripwire quiet — the honest
+    * state) until same-corpus runs accumulate. File sizes are a
+    * content proxy: deterministic generation ⇒ same bytes ⇒ same
+    * sizes, and any content change at these row counts moves parquet
+    * sizes. */
+  private def corpusTag(sfDir: String): String = {
+    try {
+      val fs = new java.io.File(sfDir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        .map(f => s"${f.getName}:${f.length}").mkString(",")
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(fs.getBytes("UTF-8"))
+      md.take(4).map(b => f"$b%02x").mkString
+    } catch { case _: Throwable => "unknown" }
+  }
+
   /** Per-query medians from docs/bench_history.jsonl (last `lastRuns`
-    * runs, failed timings excluded) — the same data bench_guard.py
-    * reads post-hoc, loaded in-run so the tripwire can fire BEFORE the
-    * bench ships its numbers. Missing/corrupt history ⇒ empty map (the
-    * tripwire simply stays quiet on a fresh checkout). */
-  private def historyMedians(lastRuns: Int): Map[String, Double] = {
+    * SAME-CORPUS runs, failed timings excluded) — the same data
+    * bench_guard.py reads post-hoc, loaded in-run so the tripwire can
+    * fire BEFORE the bench ships its numbers. Missing/corrupt history,
+    * or no records for this corpus tag ⇒ empty map (the tripwire
+    * simply stays quiet). Records without a tag (pre-round-7) are
+    * excluded once a tag is in use — they predate the regen that
+    * motivated tagging. */
+  private def historyMedians(lastRuns: Int, corpus: String)
+      : Map[String, Double] = {
     try {
       val path = java.nio.file.Paths.get("docs/bench_history.jsonl")
       if (!java.nio.file.Files.exists(path)) return Map.empty
@@ -18,7 +47,10 @@ object Bench {
         try {
           val node = mapper.readTree(l)
           val bench = if (node.has("bench")) node.get("bench") else node
-          if (bench.has("queries")) Some(bench.get("queries")) else None
+          val sameCorpus = bench.has("corpus") &&
+            bench.get("corpus").asText() == corpus
+          if (sameCorpus && bench.has("queries")) Some(bench.get("queries"))
+          else None
         } catch { case _: Throwable => None }
       }.takeRight(lastRuns)
       val byQuery = scala.collection.mutable.Map
@@ -151,7 +183,8 @@ object Bench {
     // longer masquerades as the query's cost. The driver's single run
     // is the grade, so the tripwire must fire in-run, not post-hoc.
     def tripFactor(med: Double): Double = if (med >= 3.0) 1.75 else 2.5
-    val medians = historyMedians(lastRuns = 7)
+    val corpus = corpusTag(sfDir)
+    val medians = historyMedians(lastRuns = 7, corpus = corpus)
     val reruns = scala.collection.mutable.Map.empty[String, (Double, Double)]
     val timed = firstPass.map { case (name, sec, ok) =>
       val med = medians.getOrElse(name, 0.0)
@@ -175,7 +208,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = timed.collect { case (_, v, true) => v }.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"reruns":$rr,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"reruns":$rr,"corpus":"$corpus","sf":"$sfDir"}"""
     println(line)
     // self-archive: the driver's BENCH_r{N}.json has truncated its tail
     // both rounds (30+ per-query timings lost each time), so persist

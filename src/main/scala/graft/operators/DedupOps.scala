@@ -749,21 +749,24 @@ object DedupOps {
     // also appear verbatim in another doc. Catches copy-paste /
     // boilerplate overlap that token-set Jaccard dilutes away. The
     // shape is strictly linear: docs never pair (no Σk² candidate
-    // join anywhere) — one distinct, one gram-keyed count, one join
-    // back of the df relation to the gram occurrences, each bounded by
-    // the sampled-window count (~n_chars/stride per doc). The gram-df
-    // join back is keyed on the gram — ubiquitous grams form hot
-    // chains, so it runs salted like every skewed join here. At 100 TB
-    // the gram key would be a 64-bit rolling hash instead of the
-    // 40-char string (same plan, 5x narrower shuffle); the contract
-    // keys on the string so the oracle is exact without a hash scheme.
+    // join anywhere) — and because every gram occurrence needs exactly
+    // ITS OWN gram's df, the df lookup is not a join at all but a
+    // count window over the gram key: one exchange on `g` computes
+    // n_docs in place of the groupBy + corpus-scaled join-back a
+    // naive formulation would pay (and that a salted-candidate join
+    // would 8x-replicate for no Σk² to spread). Hot ubiquitous grams
+    // skew that one exchange; output stays 1 row per occurrence, the
+    // case AQE's skew split handles. At 100 TB the gram key would be
+    // a 64-bit rolling hash instead of the 40-char string (same plan,
+    // 5x narrower shuffle); the contract keys on the string so the
+    // oracle is exact without a hash scheme.
     "dedup_substring" -> { (s, dir) =>
       val W = SubstrWidth
       val S = SubstrStride
       // guarded start sequence: greatest(..,1) keeps sequence() legal
       // for docs shorter than W; the pos filter then drops the one
       // out-of-range window those docs generate
-      val grams = shared(table(s, dir, "documents")
+      val grams = table(s, dir, "documents")
         .select(col("doc_id"),
           explode(array_distinct(expr(
             s"""transform(
@@ -771,14 +774,12 @@ object DedupOps {
                |                  $S),
                |         p -> p + ${W - 1} <= length(text)),
                |  p -> substring(text, p, $W))""".stripMargin)))
-            .as("g")))
+            .as("g"))
       // grams are per-doc distinct (array_distinct before the explode),
-      // so a plain count IS the distinct-doc count — no two-phase
-      // distinct aggregation state needed
-      val df_ = grams.groupBy("g")
-        .agg(count(lit(1)).as("n_docs"))
-      val perDoc = SkewJoin.saltedCandidateJoin(grams, df_, Seq("g"),
-          leftSaltBy = col("doc_id"))
+      // so the window count IS the distinct-doc count
+      val perDoc = grams
+        .withColumn("n_docs",
+          count(lit(1)).over(Window.partitionBy("g")))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_grams"),
           count(when(col("n_docs") >= 2, lit(1))).as("dup_grams"))

@@ -54,9 +54,18 @@ def main():
                         "(sub-second timings are scheduler noise)")
     args = p.parse_args()
 
-    runs = load_runs(args.history, args.last)
+    runs = load_runs(args.history, args.last * 4)
+    # compare only runs against the SAME corpus as the latest run: the
+    # driver regenerates testdata between rounds, and cross-corpus
+    # ratios measure the data change, not plan stability (mirrors
+    # Bench's corpus-tagged in-run medians). Untagged (pre-tagging)
+    # records only compare with other untagged ones.
+    if runs:
+        cur = runs[-1][1].get("corpus")
+        runs = [r for r in runs if r[1].get("corpus") == cur][-args.last:]
     if len(runs) < 2:
-        sys.exit("bench_guard: need at least 2 bench runs in history")
+        sys.exit("bench_guard: need at least 2 same-corpus bench runs "
+                 "in history")
 
     names = set()
     for _, b in runs:
