@@ -2,31 +2,6 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
 
-  /** Fingerprint of the bench corpus: a hash over the (name, size)
-    * pairs of the sf dir's parquet files. The driver REGENERATES
-    * /root/testdata between rounds (observed round 7: events.ts
-    * changed physical type and the dedup family's density moved), and
-    * a regenerated corpus silently invalidates every recorded median —
-    * the tripwire would then re-run legitimately-denser queries round
-    * after round and compare against numbers from data that no longer
-    * exists. Each history record carries this tag, and medians are
-    * computed only over records from the SAME corpus; after a regen
-    * the history is effectively empty (tripwire quiet — the honest
-    * state) until same-corpus runs accumulate. File sizes are a
-    * content proxy: deterministic generation ⇒ same bytes ⇒ same
-    * sizes, and any content change at these row counts moves parquet
-    * sizes. */
-  private def corpusTag(sfDir: String): String = {
-    try {
-      val fs = new java.io.File(sfDir).listFiles()
-        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-        .map(f => s"${f.getName}:${f.length}").mkString(",")
-      val md = java.security.MessageDigest.getInstance("MD5")
-        .digest(fs.getBytes("UTF-8"))
-      md.take(4).map(b => f"$b%02x").mkString
-    } catch { case _: Throwable => "unknown" }
-  }
-
   /** Per-query medians from docs/bench_history.jsonl (last `lastRuns`
     * SAME-CORPUS runs, failed timings excluded) — the same data
     * bench_guard.py reads post-hoc, loaded in-run so the tripwire can
@@ -183,7 +158,7 @@ object Bench {
     // longer masquerades as the query's cost. The driver's single run
     // is the grade, so the tripwire must fire in-run, not post-hoc.
     def tripFactor(med: Double): Double = if (med >= 3.0) 1.75 else 2.5
-    val corpus = corpusTag(sfDir)
+    val corpus = graft.core.Core.corpusTag(sfDir)
     val medians = historyMedians(lastRuns = 7, corpus = corpus)
     val reruns = scala.collection.mutable.Map.empty[String, (Double, Double)]
     val timed = firstPass.map { case (name, sec, ok) =>

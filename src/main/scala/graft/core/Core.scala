@@ -116,4 +116,24 @@ object Core {
   /** DuckDB-side equivalents, kept adjacent so Spark/SQL stay in sync. */
   val isoMinSql: String => String = c => s"strftime($c, '%Y-%m-%dT%H:%M')"
   val kSql: String = "CAST(json_extract_string(props, '$.k') AS INTEGER)"
+
+  /** Fingerprint of a testdata corpus: a hash over the (name, size)
+    * pairs of the dir's parquet files. The driver REGENERATES
+    * /root/testdata between rounds (observed round 7: events.ts
+    * changed physical type and the dedup family's density moved);
+    * every timing history (bench medians, scale sweeps) keys on this
+    * tag so numbers measured against data that no longer exists can't
+    * poison tripwires or growth gates. File sizes are a content proxy:
+    * deterministic generation ⇒ same bytes ⇒ same sizes, and any
+    * content change at these row counts moves parquet sizes. */
+  def corpusTag(dir: String): String = {
+    try {
+      val fs = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        .map(f => s"${f.getName}:${f.length}").mkString(",")
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(fs.getBytes("UTF-8"))
+      md.take(4).map(b => f"$b%02x").mkString
+    } catch { case _: Throwable => "unknown" }
+  }
 }
