@@ -47,7 +47,8 @@ object Scale {
     "dedup_minhash_lsh", "dedup_minhash_est",
     "dedup_simhash", "dedup_simhash64",
     "dedup_cluster_cc", "dedup_canonical_pick", "dedup_incremental",
-    "dedup_incremental_indexed", "dedup_substring")
+    "dedup_incremental_indexed", "dedup_substring",
+    "multimodal_phash_dedup")
 
   /** DENSE subset: dedup_near_auto only re-picks a branch of near/
     * prefix, dedup_ngram/minhash_est/simhash share their families'
@@ -60,7 +61,7 @@ object Scale {
     "txt_containment", "txt_containment_prefix",
     "dedup_minhash_lsh", "dedup_simhash64",
     "dedup_cluster_cc", "dedup_incremental", "dedup_incremental_indexed",
-    "dedup_substring")
+    "dedup_substring", "multimodal_phash_dedup")
 
   private val extraQueries: Map[String, core.Core.Q] = Map(
     // the documented bucket-sizing knob turned: at n=8000 vectors the
@@ -156,6 +157,9 @@ object Scale {
     "dedup_minhash_est" -> (-1.0, 15.0),
     "dedup_simhash" -> (-1.0, 15.0),
     "dedup_simhash64" -> (12.0, 12.0),
+    // same selective banded-sketch class as simhash64, over pixel-grid
+    // aHashes (measured 1.4x dense / 0.7x wide, plans stable 8/8/8)
+    "multimodal_phash_dedup" -> (12.0, 12.0),
     "dedup_cluster_cc" -> (12.0, 12.0),
     "dedup_canonical_pick" -> (-1.0, 15.0),
     "dedup_incremental" -> (140.0, 35.0),

@@ -1028,8 +1028,8 @@ object DedupOps {
     * from the constants so the pigeonhole guarantee (bands ≥
     * threshold+1, bands tile every sketch bit) survives any future
     * change to SimhashBits or the threshold. */
-  private def bandedJoin(s: SparkSession, dir: String, sketch: DataFrame,
-      bits: Int, hammingMax: Int,
+  private[operators] def bandedJoin(s: SparkSession, dir: String,
+      sketch: DataFrame, bits: Int, hammingMax: Int,
       pred: (Column, Column) => Column): DataFrame = {
     val nBands = hammingMax + 1                             // pigeonhole
     val width = (bits + nBands - 1) / nBands                // tiles all bits

@@ -212,6 +212,42 @@ object MultimodalOps {
           col("doc_id"), col("pos").cast(IntegerType).as("pos"),
           lower(hex(expr("substring(bin, pos, 8)"))).as("frame_hex"))
         .orderBy("doc_id", "pos")
+    },
+
+    // Perceptual-hash near-dup pairs (aHash — the classic pHash-family
+    // image dedup every multimodal pipeline runs): the 16-bit average
+    // hash of the 4x4 thumbnail grid (bit k = 1 iff cell k is brighter
+    // than the grid mean — compared as 16·cell > Σcells, exact integer
+    // arithmetic, no division), then Hamming ≤ 3 pairs within `source`
+    // via the SAME pigeonhole-exact banded LSH machinery as
+    // dedup_simhash64 (4 disjoint 4-bit bands: a qualifying pair MUST
+    // collide in ≥1 band, so banding loses nothing and never
+    // enumerates all pairs). Under the stub-decode convention the
+    // "pixels" are the multimodal_resize payload cells; with a real
+    // codec the identical sketch+band plan runs over decoded pixels
+    // through the AssetDecoder seam. One 16-bit sketch per asset —
+    // payloads never pair, never shuffle.
+    "multimodal_phash_dedup" -> { (s, dir) =>
+      val sketch = table(s, dir, "documents")
+        .filter(length(col("text")) > 0)
+        .withColumn("n", length(col("text")))
+        .withColumn("src_h", expr("CAST((n + 15) DIV 16 AS INT)"))
+        .withColumn("cells", expr(
+          """transform(sequence(0, 15), k ->
+            |  ascii(substring(text,
+            |    CAST(least(((k DIV 4) * src_h) DIV 4 * 16
+            |               + (k % 4) * 4 + 1, n) AS INT), 1)))"""
+            .stripMargin))
+        .withColumn("csum", expr("aggregate(cells, 0, (a, x) -> a + x)"))
+        .withColumn("simhash", expr(
+          """aggregate(transform(cells, (x, k) ->
+            |  IF(16 * x > csum, shiftleft(CAST(1 AS BIGINT), k),
+            |     CAST(0 AS BIGINT))),
+            |  CAST(0 AS BIGINT), (a, x) -> a + x)""".stripMargin))
+        .select("doc_id", "simhash")
+      DedupOps.bandedJoin(s, dir, sketch, bits = 16, hammingMax = 3,
+          pred = _ < _)
+        .orderBy("a_id", "b_id")
     })
 
   def oracleSql: Map[String, String] = Map(
@@ -280,5 +316,36 @@ object MultimodalOps {
         |FROM (SELECT doc_id, text,
         |        unnest(generate_series(1, length(text), 64)) AS pos
         |      FROM documents)
-        |ORDER BY doc_id, pos""".stripMargin)
+        |ORDER BY doc_id, pos""".stripMargin,
+
+    // all-pairs formulation (the banded Spark plan is pair-set
+    // identical by pigeonhole — same argument as dedup_simhash64);
+    // unicode() ≡ Spark's ascii() on this ASCII payload convention
+    // (the equivalence multimodal_decode already relies on)
+    "multimodal_phash_dedup" ->
+      """WITH g AS (
+        |  SELECT doc_id, text, length(text) AS n,
+        |         (length(text) + 15) // 16 AS src_h
+        |  FROM documents WHERE length(text) > 0),
+        |c AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(0, 15), k ->
+        |           unicode(substr(text,
+        |             CAST(least(((k // 4) * src_h) // 4 * 16
+        |                        + (k % 4) * 4 + 1, n) AS INTEGER), 1)))
+        |           AS cells
+        |  FROM g),
+        |h AS (
+        |  SELECT doc_id,
+        |         CAST(list_sum(list_transform(generate_series(1, 16),
+        |           i -> CASE WHEN 16 * cells[i] > list_sum(cells)
+        |                THEN 1 << (i - 1) ELSE 0 END)) AS BIGINT) AS ph
+        |  FROM c),
+        |d AS (SELECT d0.doc_id, d0.source, h.ph
+        |      FROM documents d0 JOIN h USING (doc_id))
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |       CAST(bit_count(xor(a.ph, b.ph)) AS INTEGER) AS hamming
+        |FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.ph, b.ph)) <= 3
+        |ORDER BY a_id, b_id""".stripMargin)
 }

@@ -701,6 +701,53 @@ object TextOps {
         .orderBy("shard", "pos")
     },
 
+    // Bigram LM quality score — the KenLM-style upgrade of
+    // txt_unigram_logprob (CCNet trains an actual n-gram LM; the
+    // corpus's own bigram MLE is its relational stand-in): per-doc mean
+    // log P(w_i | w_{i-1}) = mean over doc bigrams of
+    // ln C(w1,w2) − ln C(w1), with all counts exact corpus-level
+    // integers. No smoothing is needed for well-definedness: every doc
+    // bigram contributes to the corpus counts, so C(w1,w2) ≥ 1 and the
+    // score is finite and ≤ 0 (a proper mean log-probability).
+    // Cross-engine exactness by the unigram recipe: integer counts,
+    // per-doc fold over the (c12, c1, tf)-SORTED triple list (identical
+    // addition order in DuckDB's list(... ORDER BY)), one division +
+    // 9-dp round + `+ 0.0`. Work: two vocabulary-bounded aggregations
+    // broadcast as dictionaries + one per-doc agg — linear, the same
+    // 100 TB shape as txt_tfidf_topk.
+    "txt_bigram_logprob" -> { (s, dir) =>
+      val bg = toks(s, dir)
+        .select(col("doc_id"), explode(expr(
+          "transform(slice(toks, 1, greatest(size(toks) - 1, 0)), " +
+            "(t, i) -> struct(t AS w1, toks[i + 1] AS w2))")).as("bg"))
+        .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+      val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val scored = bg.groupBy("doc_id", "w1", "w2")
+        .agg(count(lit(1)).as("tf"))
+        .join(broadcast(c12), Seq("w1", "w2"))
+        .join(broadcast(c1), Seq("w1"))
+        .groupBy("doc_id")
+        .agg(
+          sum(col("tf")).as("n_bigrams"),
+          sort_array(collect_list(
+            struct(col("c12"), col("c1"), col("tf")))).as("triples"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(
+            aggregate(col("triples"), lit(0.0d),
+              (acc, t) => acc + t.getField("tf").cast(DoubleType)
+                * (log(t.getField("c12").cast(DoubleType))
+                  - log(t.getField("c1").cast(DoubleType))))
+              / col("n_bigrams").cast(DoubleType), 9)
+            .as("logprob"))
+      table(s, dir, "documents").select(col("doc_id"))
+        .join(scored, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          (coalesce(col("logprob"), lit(0.0d)) + 0.0).as("logprob"))
+        .orderBy("doc_id")
+    },
+
     // PII detection + redaction (email / IPv4): per-doc match counts
     // via regexp_extract_all and a redacted text via two chained
     // regexp_replace passes — the scrubbing step every
@@ -1062,6 +1109,42 @@ object TextOps {
          |          % ${TextHash.P} % $ShuffleShards AS INTEGER) AS shard
          |      FROM documents)
          |ORDER BY shard, pos""".stripMargin,
+
+    "txt_bigram_logprob" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    list_slice(toks, 1, greatest(len(toks) - 1, 0)),
+        |    (x, i) -> struct_pack(w1 := x, w2 := toks[i + 1]))) AS b
+        |  FROM t),
+        |b2 AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+        |c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+        |        FROM b2 GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1
+        |       FROM b2 GROUP BY 1),
+        |tf AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS tf
+        |       FROM b2 GROUP BY 1, 2, 3),
+        |sc AS (
+        |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+        |         list(struct_pack(c12 := c12, c1 := c1, tf := tf)
+        |           ORDER BY c12, c1, tf) AS triples
+        |  FROM tf JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+        |  GROUP BY doc_id),
+        |s2 AS (
+        |  SELECT doc_id, n_bigrams,
+        |         round(list_reduce(list_transform(triples,
+        |               p -> CAST(p.tf AS DOUBLE)
+        |                 * (ln(CAST(p.c12 AS DOUBLE))
+        |                    - ln(CAST(p.c1 AS DOUBLE)))),
+        |             (a, b) -> a + b)
+        |           / CAST(n_bigrams AS DOUBLE), 9) AS logprob
+        |  FROM sc)
+        |SELECT d.doc_id, COALESCE(s2.n_bigrams, 0) AS n_bigrams,
+        |       COALESCE(s2.logprob, 0.0) + 0.0 AS logprob
+        |FROM documents d LEFT JOIN s2 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // DuckDB's regexp_replace replaces only the FIRST match without
     // the 'g' flag (Spark's always replaces all) — the flag is the

@@ -523,6 +523,61 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows.exists(_._4))
   }
 
+  test("multimodal_phash_dedup: banded pair set equals an independent " +
+    "all-pairs aHash recomputation") {
+    val out = SparkEntry.queries("multimodal_phash_dedup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val docs = graft.core.Core.table(spark, dir, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def ahash(t: String): Long = {
+      val n = t.length
+      val srcH = (n + 15) / 16
+      val cells = (0 until 16).map { k =>
+        t.charAt(math.min((k / 4) * srcH / 4 * 16 + (k % 4) * 4 + 1, n) - 1)
+          .toInt
+      }
+      val sum = cells.sum
+      cells.zipWithIndex.map { case (c, k) =>
+        if (16L * c > sum) 1L << k else 0L }.sum
+    }
+    val hashes = docs.map { case (id, src, t) => (id, src, ahash(t)) }
+    val expect = (for {
+      (a, sa, ha) <- hashes; (b, sb, hb) <- hashes
+      if sa == sb && a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (a, b) -> d).toMap
+    assert(out == expect, s"${out.size} banded vs ${expect.size} all-pairs")
+    assert(out.nonEmpty)
+  }
+
+  test("txt_bigram_logprob matches an independent fold; proper " +
+    "conditional log-probabilities") {
+    val rows = SparkEntry.queries("txt_bigram_logprob")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    val docs = graft.core.Core.table(spark, dir, "documents")
+      .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val allBg = docs.values.flatMap(ts => ts.zip(ts.drop(1))).toSeq
+    val c12 = allBg.groupBy(identity).map { case (k, o) => k -> o.size.toLong }
+    val c1 = allBg.groupBy(_._1).map { case (k, o) => k -> o.size.toLong }
+    rows.foreach { case (_, _, lp) => assert(lp <= 0.0 && !lp.isNaN) }
+    rows.take(25).foreach { case (id, n, lp) =>
+      val bgs = docs(id).zip(docs(id).drop(1))
+      assert(n == bgs.size)
+      if (bgs.nonEmpty) {
+        val triples = bgs.groupBy(identity).toSeq.map { case (bgk, o) =>
+          (c12(bgk), c1(bgk._1), o.size.toLong) }.sorted
+        val sum = triples.foldLeft(0.0) { case (acc, (a, b, tf)) =>
+          acc + tf * (math.log(a.toDouble) - math.log(b.toDouble)) }
+        val expect = BigDecimal(sum / n)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(expect - lp) <= 1e-9, s"doc $id: $expect vs $lp")
+      }
+    }
+  }
+
   test("dedup_semdedup: cluster ids match the trained quantizer and " +
     "keep/drop is exactly the min-id near-dup rule") {
     val out = SparkEntry.queries("dedup_semdedup")(spark, dir)
