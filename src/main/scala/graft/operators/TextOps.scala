@@ -197,6 +197,68 @@ object TextOps {
   val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   val IpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 
+  /** Map-side curation columns over any (doc_id, text) relation — the
+    * flag chain `pipeline_curate` ships and the streaming twin
+    * (`StreamingOps.curateStream`) applies UNCHANGED to a stream (it
+    * is a stateless projection): Gopher word-count/stopword rules and
+    * the repetition filter as a first-failing `map_drop` reason, the
+    * doc's distinct decontamination grams, and both assignment hashes.
+    * Every expression is verbatim the standalone operator's, so
+    * composed and per-operator outputs provably agree. */
+  private[graft] def curateMapSide(docs: DataFrame): DataFrame = {
+    val g = DecontaminateGram
+    val lastStart = s"greatest(size(toks) - ${g - 1}, 0)"
+    val gramExprs = (1 until g).map(k => s"toks[i + $k]").mkString(", ")
+    docs
+      .withColumn("toks", split(lower(col("text")), " "))
+      .withColumn("grams", array_distinct(expr(
+        s"transform(slice(toks, 1, $lastStart), " +
+          s"(t, i) -> concat_ws(' ', t, $gramExprs))")))
+      .withColumn("n", size(col("toks")))
+      .withColumn("n_stop",
+        size(array_intersect(array_distinct(col("toks")),
+          typedLit(GopherStopwords))))
+      .withColumn("top_cnt",
+        array_max(transform(array_distinct(col("toks")),
+          t => size(filter(col("toks"), x => x === t)))))
+      .withColumn("bg", expr(
+        "transform(slice(toks, 1, greatest(size(toks) - 1, 0)), " +
+          "(t, i) -> concat(t, ' ', toks[i + 1]))"))
+      .withColumn("top_tok_frac",
+        round(col("top_cnt").cast(DoubleType) / col("n"), 9))
+      .withColumn("dup_bigram_frac",
+        when(col("n") > 1,
+          round(lit(1.0)
+            - size(array_distinct(col("bg"))).cast(DoubleType)
+              / size(col("bg")), 9))
+          .otherwise(lit(0.0)))
+      .withColumn("map_drop",
+        when(!(col("n") >= GopherMinWords && col("n") <= GopherMaxWords),
+          "words")
+          .when(col("n_stop") < GopherMinStopHits, "stopwords")
+          .when(col("top_tok_frac") >= RepTopTokFrac
+            || col("dup_bigram_frac") >= RepDupBigramFrac, "repetitive"))
+      .withColumn("h_split",
+        ((col("doc_id") % lit(TextHash.P)) * lit(SplitHashMul))
+          % lit(TextHash.P))
+      .withColumn("h_shard",
+        ((col("doc_id") % lit(TextHash.P)) * lit(ShuffleHashMul))
+          % lit(TextHash.P))
+  }
+
+  /** The manifest projection over a relation carrying `drop_reason` +
+    * the assignment hashes: keep/drop, and split/shard only for kept
+    * docs. */
+  private[graft] def curateManifest(df: DataFrame): DataFrame = df
+    .withColumn("keep", col("drop_reason").isNull)
+    .select(col("doc_id"), col("keep"), col("drop_reason"),
+      when(col("keep"),
+        when((col("h_split") % 100) < SplitTrainPct, "train")
+          .when((col("h_split") % 100) < SplitValPct, "val")
+          .otherwise("test")).as("split"),
+      when(col("keep"), (col("h_shard") % ShuffleShards)
+        .cast(IntegerType)).as("shard"))
+
   def queries: Map[String, Q] = Map(
     // Repetition filtering (Gopher-style quality signal): fraction of
     // the doc taken by its most frequent token, and the duplicate
@@ -701,6 +763,42 @@ object TextOps {
         .orderBy("shard", "pos")
     },
 
+    // The end-product COMPOSITION: one pass producing the curation
+    // manifest a training job actually consumes. Chains the shipped
+    // filters — Gopher word-count/stopword rules, the repetition
+    // filter, benchmark decontamination — into keep/drop with the
+    // FIRST failing filter as drop_reason (the debuggable funnel every
+    // curation pipeline reports), then assigns the kept docs their
+    // train/val/test split and training shard from the independent
+    // hash streams. Every flag is the IDENTICAL expression its
+    // standalone operator ships (same rounded comparisons, same
+    // constants), so the composed result provably agrees with the
+    // per-operator outputs. Work: the map-side filters fuse into one
+    // pass over `documents`; only decontamination adds its (bounded,
+    // broadcast) benchmark gram join — the whole manifest is one
+    // corpus scan + one broadcast join at 100 TB.
+    "pipeline_curate" -> { (s, dir) =>
+      // gram relation for cross-doc contamination (txt_decontaminate's
+      // shape): shared NARROW — (doc_id, g) after the explode, never
+      // the per-doc arrays (the wide-cache rule)
+      val grams = shared(
+        curateMapSide(table(s, dir, "documents").select("doc_id", "text"))
+          .select(col("doc_id"), explode(col("grams")).as("g")))
+      val bench = grams.filter(col("doc_id") < DecontaminateBenchDocs)
+        .select(col("doc_id").as("bench_id"), col("g"))
+      val contaminated = grams.join(broadcast(bench), Seq("g"))
+        .filter(col("bench_id") =!= col("doc_id"))
+        .select("doc_id").distinct()
+        .withColumn("contaminated", lit(true))
+      curateManifest(
+        curateMapSide(table(s, dir, "documents").select("doc_id", "text"))
+          .join(contaminated, Seq("doc_id"), "left")
+          .withColumn("drop_reason", coalesce(col("map_drop"),
+            when(coalesce(col("contaminated"), lit(false)),
+              "contaminated"))))
+        .orderBy("doc_id")
+    },
+
     // Bigram LM quality score — the KenLM-style upgrade of
     // txt_unigram_logprob (CCNet trains an actual n-gram LM; the
     // corpus's own bigram MLE is its relational stand-in): per-doc mean
@@ -1109,6 +1207,70 @@ object TextOps {
          |          % ${TextHash.P} % $ShuffleShards AS INTEGER) AS shard
          |      FROM documents)
          |ORDER BY shard, pos""".stripMargin,
+
+    "pipeline_curate" -> {
+      val g = DecontaminateGram
+      val stopLit = GopherStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id, CAST(len(toks) AS INTEGER) AS n,
+         |    CAST(len(list_intersect(list_distinct(toks), $stopLit))
+         |      AS INTEGER) AS n_stop,
+         |    list_max(list_transform(list_distinct(toks),
+         |      u -> len(list_filter(toks, x -> x = u)))) AS top_cnt,
+         |    list_transform(
+         |      list_slice(toks, 1, greatest(len(toks) - 1, 0)),
+         |      (x, i) -> x || ' ' || toks[i + 1]) AS bg
+         |  FROM t),
+         |fl AS (
+         |  SELECT doc_id,
+         |    n >= $GopherMinWords AND n <= $GopherMaxWords AS pass_words,
+         |    n_stop >= $GopherMinStopHits AS pass_stop,
+         |    round(CAST(top_cnt AS DOUBLE) / n, 9)
+         |        >= CAST($RepTopTokFrac AS DOUBLE)
+         |      OR (CASE WHEN n > 1 THEN
+         |            round(CAST(1 AS DOUBLE)
+         |              - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg), 9)
+         |          ELSE CAST(0 AS DOUBLE) END)
+         |        >= CAST($RepDupBigramFrac AS DOUBLE) AS repetitive
+         |  FROM f),
+         |grams AS (
+         |  SELECT DISTINCT doc_id, unnest(list_distinct(list_transform(
+         |    list_slice(toks, 1, greatest(len(toks) - ${g - 1}, 0)),
+         |    (x, i) -> ${(0 until g).map(k =>
+              if (k == 0) "x" else s"toks[i + $k]")
+              .mkString(" || ' ' || ")}))) AS g
+         |  FROM t),
+         |cont AS (
+         |  SELECT DISTINCT c.doc_id, TRUE AS contaminated
+         |  FROM grams c JOIN grams b USING (g)
+         |  WHERE b.doc_id < $DecontaminateBenchDocs
+         |    AND b.doc_id <> c.doc_id),
+         |m AS (
+         |  SELECT fl.doc_id,
+         |    CASE WHEN NOT pass_words THEN 'words'
+         |         WHEN NOT pass_stop THEN 'stopwords'
+         |         WHEN repetitive THEN 'repetitive'
+         |         WHEN COALESCE(cont.contaminated, FALSE)
+         |           THEN 'contaminated'
+         |    END AS drop_reason
+         |  FROM fl LEFT JOIN cont ON cont.doc_id = fl.doc_id)
+         |SELECT doc_id, drop_reason IS NULL AS keep, drop_reason,
+         |  CASE WHEN drop_reason IS NULL THEN
+         |    CASE WHEN ((doc_id % ${TextHash.P}) * $SplitHashMul)
+         |               % ${TextHash.P} % 100 < $SplitTrainPct THEN 'train'
+         |         WHEN ((doc_id % ${TextHash.P}) * $SplitHashMul)
+         |               % ${TextHash.P} % 100 < $SplitValPct THEN 'val'
+         |         ELSE 'test' END
+         |  END AS split,
+         |  CASE WHEN drop_reason IS NULL THEN
+         |    CAST(((doc_id % ${TextHash.P}) * $ShuffleHashMul)
+         |      % ${TextHash.P} % $ShuffleShards AS INTEGER)
+         |  END AS shard
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
 
     "txt_bigram_logprob" ->
       """WITH t AS (

@@ -90,6 +90,26 @@ object StreamingOps {
       }
   }
 
+  /** Streaming twin of `pipeline_curate`: the curation manifest over an
+    * arriving document stream. The quality/repetition flag chain and
+    * the split/shard assignment hashes are STATELESS map-side
+    * projections (TextOps.curateMapSide — the identical expressions the
+    * batch operator ships), so they apply to a stream unchanged — no
+    * state, no watermark, append mode; at 100 TB/day this is the
+    * filter pass that runs as data lands. Decontamination checks each
+    * doc's gram set against the EXTERNAL benchmark gram list (bounded
+    * by benchmark size — the same boundedness argument as the batch
+    * broadcast) as a map-side `array_intersect`, which for non-benchmark
+    * docs is exactly the batch operator's shares-a-gram-with-a-
+    * benchmark-doc predicate (asserted per batch in StreamingOpsSpec). */
+  def curateStream(docs: DataFrame,
+      benchGrams: Seq[String]): DataFrame =
+    graft.operators.TextOps.curateManifest(
+      graft.operators.TextOps.curateMapSide(docs)
+        .withColumn("drop_reason", coalesce(col("map_drop"),
+          when(size(array_intersect(col("grams"),
+            typedLit(benchGrams))) > 0, "contaminated"))))
+
   /** Keyed running state (mapGroupsWithState): latest rendered frame per
     * place plus how many observations contributed. The reference's
     * display shows only the latest frame (weather.py:329); this is that

@@ -523,6 +523,42 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows.exists(_._4))
   }
 
+  test("pipeline_curate composes the standalone filters verbatim: " +
+    "manifest agrees with every per-operator output") {
+    val m = SparkEntry.queries("pipeline_curate")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), Option(r.getString(2)),
+        Option(r.getString(3)),
+        if (r.isNullAt(4)) None else Some(r.getInt(4)))).toMap
+    val gopher = SparkEntry.queries("txt_quality_gopher")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(6), r.getBoolean(10)))).toMap
+    val rep = SparkEntry.queries("txt_repetition")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    val cont = SparkEntry.queries("txt_decontaminate")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val split = SparkEntry.queries("txt_split_assign")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val shard = SparkEntry.queries("txt_shuffle_shard")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(m.keySet == gopher.keySet)
+    m.foreach { case (id, (keep, reason, sp, sh)) =>
+      val (passWords, passStop) = gopher(id)
+      val expect =
+        if (!passWords) Some("words")
+        else if (!passStop) Some("stopwords")
+        else if (rep(id)) Some("repetitive")
+        else if (cont(id)) Some("contaminated")
+        else None
+      assert(reason == expect, s"doc $id: $reason vs $expect")
+      assert(keep == expect.isEmpty)
+      if (keep) assert(sp.contains(split(id)) && sh.contains(shard(id)))
+      else assert(sp.isEmpty && sh.isEmpty)
+    }
+    // non-degenerate funnel: kept docs exist and >1 distinct reason fires
+    assert(m.values.exists(_._1)
+      && m.values.flatMap(_._2).toSet.size > 1)
+  }
+
   test("multimodal_phash_dedup: banded pair set equals an independent " +
     "all-pairs aHash recomputation") {
     val out = SparkEntry.queries("multimodal_phash_dedup")(spark, dir)

@@ -147,6 +147,51 @@ class StreamingOpsSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS dedup_idx_stream")
   }
 
+  test("streaming curation manifest matches the batch pipeline_curate " +
+    "on the arriving docs") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val dir = TestSpark.sfDir
+    val bench = graft.operators.TextOps.DecontaminateBenchDocs
+    // the external benchmark gram list: the batch operator's bench-doc
+    // grams (docs 0..9); arriving docs are everything else, so the
+    // map-side intersect predicate equals the batch cross-doc join
+    val benchGrams = graft.operators.TextOps
+      .curateMapSide(graft.core.Core.table(spark, dir, "documents")
+        .select("doc_id", "text"))
+      .filter(col("doc_id") < bench)
+      .select(explode(col("grams")).as("g"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    val t0 = Timestamp.valueOf("2026-08-12 10:00:00")
+    val arriving = graft.core.Core.table(spark, dir, "documents")
+      .filter(col("doc_id") >= bench)
+      .select("doc_id", "lang", "source", "text").collect()
+      .map(r => StreamingOps.IncomingDoc(r.getLong(0), r.getString(1),
+        r.getString(2), r.getString(3), t0))
+    val (first, second) = arriving.splitAt(arriving.length / 2)
+
+    val in = MemoryStream[StreamingOps.IncomingDoc]
+    val q = StreamingOps.curateStream(in.toDF(), benchGrams)
+      .writeStream.format("memory").queryName("curate_stream")
+      .outputMode(OutputMode.Append()).start()
+    in.addData(first.toIndexedSeq)
+    q.processAllAvailable()
+    in.addData(second.toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("curate_stream")
+      .collect().map(_.toSeq).toSet
+    val batch = SparkEntry.queries("pipeline_curate")(spark, dir)
+      .filter(col("doc_id") >= bench)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(streamed.size == arriving.length)
+    // non-degenerate funnel: kept docs, and more than one drop reason
+    val reasons = streamed.map(_(2)).filter(_ != null)
+    assert(streamed.exists(_(1) == true) && reasons.size > 1)
+  }
+
   test("weather micro-batch restart from checkpoint is exactly-once") {
     // Run 1 consumes two payload ticks against a checkpoint; run 2
     // restarts from that checkpoint with a third payload appended to
