@@ -736,6 +736,73 @@ object RelationalOps {
           greatest(col("x_id"), col("y_id")).as("b_id"),
           abs(col("x_us") - col("y_us")).as("gap_us"))
         .orderBy("a_id", "b_id")
+    },
+
+    // ORDERED-STAGE funnel conversion (the product-analytics staple):
+    // users reaching view → click-AFTER-view → purchase-AFTER-click,
+    // in that temporal order — per stage, the count and the fraction
+    // of all users. Strictly ordered semantics via cascaded
+    // first-qualifying-timestamp aggregations (each stage joins the
+    // previous stage's time and keeps events strictly after it) — no
+    // window over whole event histories, no per-user sort; three
+    // user-keyed aggs + tiny stage-count relations. At 100 TB each
+    // stage shuffles the (shrinking) qualifying-user set on user_id.
+    "agg_funnel_conversion" -> { (s, dir) =>
+      val e = table(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("us")).as("t1"))
+      val c = e.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("us") > col("t1"))
+        .groupBy("user_id").agg(min(col("us")).as("t2"))
+      val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("us") > col("t2"))
+        .groupBy("user_id").agg(min(col("us")).as("t3"))
+      val tot = e.select("user_id").distinct()
+        .agg(count(lit(1)).as("n_all"))
+      val stages =
+        tot.select(lit("0_all").as("stage"), col("n_all").as("n_users"))
+          .union(v.agg(count(lit(1)).as("n_users"))
+            .select(lit("1_view").as("stage"), col("n_users")))
+          .union(c.agg(count(lit(1)).as("n_users"))
+            .select(lit("2_click").as("stage"), col("n_users")))
+          .union(p.agg(count(lit(1)).as("n_users"))
+            .select(lit("3_purchase").as("stage"), col("n_users")))
+      stages.crossJoin(broadcast(tot))
+        .select(col("stage"), col("n_users"),
+          round(col("n_users").cast(DoubleType) / col("n_all"), 9)
+            .as("pct_of_all"))
+        .orderBy("stage")
+    },
+
+    // Longest consecutive-day activity streak per user — the classic
+    // gaps-and-islands window idiom: distinct (user, epoch-day) grain,
+    // then day − row_number() is CONSTANT exactly within a consecutive
+    // run, so one groupBy on that derived key measures every streak;
+    // a per-user rank keeps the longest (earliest-start tiebreak).
+    // Integer day arithmetic end to end — the only date↔string hop is
+    // the final formatted output. All shuffles are user-keyed; the
+    // user-day grain is the corpus bound (≤ users × days rows).
+    "win_streaks" -> { (s, dir) =>
+      val byDay = Window.partitionBy("user_id").orderBy("d")
+      val best = Window.partitionBy("user_id")
+        .orderBy(col("len").desc, col("start_d").asc)
+      table(s, dir, "events")
+        .select(col("user_id"),
+          datediff(to_date(col("ts")), lit("1970-01-01")).as("d"))
+        .distinct()
+        .withColumn("grp", col("d") - row_number().over(byDay))
+        .groupBy("user_id", "grp")
+        .agg(count(lit(1)).as("len"), min(col("d")).as("start_d"))
+        .withColumn("rk", row_number().over(best))
+        .filter(col("rk") === 1)
+        .select(col("user_id"),
+          col("len").cast(IntegerType).as("longest_streak"),
+          date_format(
+            expr("date_add(DATE '1970-01-01', CAST(start_d AS INT))"),
+            "yyyy-MM-dd").as("streak_start"))
+        .orderBy("user_id")
     })
 
   def oracleSql: Map[String, String] = Map(
@@ -1207,5 +1274,46 @@ object RelationalOps {
          |FROM events a JOIN events b
          |  ON a.user_id = b.user_id AND a.event_id < b.event_id
          | AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= $IntervalJoinUs
-         |ORDER BY a_id, b_id""".stripMargin)
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "agg_funnel_conversion" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+        |           FROM events),
+        |v AS (SELECT user_id, MIN(us) AS t1 FROM e
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, MIN(us) AS t2 FROM e JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND us > t1 GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(us) AS t3 FROM e JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND us > t2 GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_all
+        |        FROM e),
+        |st AS (
+        |  SELECT '0_all' AS stage, n_all AS n_users FROM tot
+        |  UNION ALL SELECT '1_view', CAST(COUNT(*) AS BIGINT) FROM v
+        |  UNION ALL SELECT '2_click', CAST(COUNT(*) AS BIGINT) FROM c
+        |  UNION ALL SELECT '3_purchase', CAST(COUNT(*) AS BIGINT) FROM p)
+        |SELECT stage, n_users,
+        |       round(CAST(n_users AS DOUBLE) / n_all, 9) AS pct_of_all
+        |FROM st CROSS JOIN tot ORDER BY stage""".stripMargin,
+
+    "win_streaks" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id,
+        |         CAST(ts AS DATE) - DATE '1970-01-01' AS d
+        |  FROM events),
+        |runs AS (
+        |  SELECT user_id, d,
+        |         d - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+        |           AS grp
+        |  FROM days),
+        |agg AS (
+        |  SELECT user_id, grp, CAST(COUNT(*) AS INTEGER) AS len,
+        |         MIN(d) AS start_d
+        |  FROM runs GROUP BY 1, 2)
+        |SELECT user_id, len AS longest_streak,
+        |       strftime(DATE '1970-01-01'
+        |         + CAST(start_d AS INTEGER), '%Y-%m-%d') AS streak_start
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |        ORDER BY len DESC, start_d ASC) AS rk FROM agg)
+        |WHERE rk = 1 ORDER BY user_id""".stripMargin)
 }

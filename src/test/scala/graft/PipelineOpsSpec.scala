@@ -523,6 +523,36 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows.exists(_._4))
   }
 
+  test("agg_funnel_conversion stages are monotonically shrinking and " +
+    "win_streaks are genuine consecutive runs") {
+    val f = SparkEntry.queries("agg_funnel_conversion")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(f.keySet == Set("0_all", "1_view", "2_click", "3_purchase"))
+    // ordered-funnel law: each stage is a subset of the previous
+    assert(f("0_all") >= f("1_view") && f("1_view") >= f("2_click")
+      && f("2_click") >= f("3_purchase"))
+    assert(f("1_view") > 0)
+
+    val streaks = SparkEntry.queries("win_streaks")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val userDays = graft.core.Core.table(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+      .groupBy(_._1).map { case (u, ds) => u -> ds.map(_._2).toSet }
+    assert(streaks.map(_._1).toSet == userDays.keySet)
+    streaks.foreach { case (u, len, start) =>
+      val days = userDays(u)
+      val s0 = java.time.LocalDate.parse(start)
+      // the reported streak really is consecutive and maximal-length
+      assert((0 until len).forall(i => days.contains(s0.plusDays(i))),
+        s"user $u streak not consecutive")
+      val longest = days.toSeq.map { d =>
+        Iterator.iterate(d)(_.plusDays(1)).takeWhile(days.contains).size
+      }.max
+      assert(len == longest, s"user $u: $len vs $longest")
+    }
+  }
+
   test("pipeline_curate composes the standalone filters verbatim: " +
     "manifest agrees with every per-operator output") {
     val m = SparkEntry.queries("pipeline_curate")(spark, dir).collect()
