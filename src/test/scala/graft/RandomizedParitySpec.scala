@@ -84,4 +84,96 @@ class RandomizedParitySpec extends AnyFunSuite {
       assert(allPairs.nonEmpty, s"seed=$seed produced no pairs — weak test")
     }
   }
+
+  /** Long-document corpus for the char-window operators: docs well
+    * over the 40-char window width, a shared ~100-char boilerplate
+    * suffix on every 7th doc (cross-doc verbatim overlap), plus the
+    * every-11th exact dup. */
+  private def corpusLong(seed: Int, n: Int): String = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    val words = (0 until 30).map(i => s"word$i")
+    val boiler = " copyright notice all rights reserved contact " +
+      "support at example dot com for removal requests"
+    val docs = (0 until n).map { i =>
+      val len = 15 + rnd.nextInt(30)
+      val body = Seq.fill(len)(words(rnd.nextInt(words.size)))
+        .mkString(" ")
+      val text =
+        if (i % 7 == 3) body + boiler else body
+      (i.toLong, text, "en", s"s${i % 2}", 0L)
+    }
+    val fixed = docs.map { case d @ (id, _, l, _, nc) =>
+      if (id % 11 == 0 && id > 0) {
+        val prev = docs((id - 1).toInt)
+        (id, prev._2, l, prev._4, nc)
+      } else d
+    }
+    val dir = java.nio.file.Files
+      .createTempDirectory(s"graft_randlong$seed").toString
+    fixed.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("dedup_substring == brute-force window/df recomputation on " +
+    "random long-doc corpora") {
+    for (seed <- Seq(6, 7)) {
+      val dir = corpusLong(seed, n = 80)
+      val rows = DedupOps.queries("dedup_substring")(spark, dir)
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      val texts = graft.core.Core.table(spark, dir, "documents")
+        .select("doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val (w0, st) = (DedupOps.SubstrWidth, DedupOps.SubstrStride)
+      val gramSets = texts.map { case (id, t) =>
+        id -> (1 to math.max(t.length - w0 + 1, 0) by st)
+          .map(p => t.substring(p - 1, p - 1 + w0)).toSet
+      }
+      val df = gramSets.values.flatten
+        .groupBy(identity).map { case (g, o) => g -> o.size }
+      rows.foreach { case (id, nGrams, dupGrams, isDup) =>
+        val gs = gramSets(id)
+        val expectDup = gs.count(df(_) >= 2)
+        assert(nGrams == gs.size && dupGrams == expectDup
+          && isDup == (expectDup > 0), s"seed=$seed doc $id")
+      }
+      // boilerplate suffixes must be caught as shared verbatim runs
+      assert(rows.count(_._4) >= texts.size / 7 - 2,
+        s"seed=$seed boilerplate undetected")
+    }
+  }
+
+  test("banded aHash pair set == all-pairs on random corpora") {
+    for (seed <- Seq(8, 9)) {
+      val dir = corpusLong(seed, n = 80)
+      val banded = graft.operators.MultimodalOps
+        .queries("multimodal_phash_dedup")(spark, dir)
+        .collect().map(_.toSeq).toSeq
+      val texts = graft.core.Core.table(spark, dir, "documents")
+        .select("doc_id", "source", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      def ahash(t: String): Long = {
+        val n = t.length
+        val srcH = (n + 15) / 16
+        val cells = (0 until 16).map { k =>
+          t.charAt(
+            math.min((k / 4) * srcH / 4 * 16 + (k % 4) * 4 + 1, n) - 1).toInt
+        }
+        val sum = cells.sum
+        cells.zipWithIndex.map { case (c, k) =>
+          if (16L * c > sum) 1L << k else 0L }.sum
+      }
+      val hs = texts.map { case (id, src, t) => (id, src, ahash(t)) }
+      val allPairs = (for {
+        (a, sa, ha) <- hs; (b, sb, hb) <- hs
+        if sa == sb && a < b
+        d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+      } yield Seq[Any](a, b, d)).toSeq.sortBy(x =>
+        (x.head.asInstanceOf[Long], x(1).asInstanceOf[Long]))
+      assert(banded == allPairs, s"seed=$seed")
+      assert(allPairs.nonEmpty, s"seed=$seed produced no pairs — weak test")
+    }
+  }
 }
