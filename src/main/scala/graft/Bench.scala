@@ -80,7 +80,13 @@ object Bench {
         .orderBy("k")
         .write.format("noop").mode("overwrite").save()
       spark.catalog.clearCache()
-    } catch { case _: Throwable => }
+    } catch { case e: Throwable =>
+      // a failed warmup must not fail the bench, but it must be LOUD:
+      // every first-position query then carries the JIT tax the warmup
+      // exists to absorb, and a silent swallow would read as drift
+      System.err.println(s"[bench] WARMUP FAILED (timings will carry " +
+        s"first-touch JIT): ${e.getMessage}")
+    }
 
     // Drain the JIT compile queue: each query's codegen classes are
     // compiled ASYNCHRONOUSLY, so a query that finishes while C1/C2 are

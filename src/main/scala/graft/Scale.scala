@@ -374,7 +374,11 @@ object Scale {
         .orderBy("k")
         .write.format("noop").mode("overwrite").save()
       spark.catalog.clearCache()
-    } catch { case _: Throwable => }
+    } catch { case e: Throwable =>
+      // loud, not fatal — same rationale as Bench's warmup guard
+      System.err.println(s"[scale] WARMUP FAILED (sweep timings will " +
+        s"carry first-touch JIT): ${e.getMessage}")
+    }
 
     // per-(tag, query) medians from prior sweeps (docs/scale_results
     // .jsonl) — the same in-run tripwire Bench carries: a measurement
