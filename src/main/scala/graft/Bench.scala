@@ -42,6 +42,14 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // --only=q1,q2 restricts the run to named queries (affordable
+    // per-query iteration, mirrors Scale's flag). Such runs ship with
+    // "partial":true so total-based gates (bench_guard's driver-total
+    // median) skip them; per-query history medians stay valid either
+    // way — they are keyed per query.
+    val only: Option[Set[String]] = args
+      .collectFirst { case a if a.startsWith("--only=") =>
+        a.stripPrefix("--only=").split(",").map(_.trim).toSet }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -139,7 +147,9 @@ object Bench {
       ((System.nanoTime() - t0) / 1e9, ok)
     }
 
-    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map {
+    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map {
       case (name, fn) =>
         val (sec, ok) = runOne(name, fn)
         // a failed query must never read as a fast one: record -1, not
@@ -188,15 +198,18 @@ object Bench {
       .map { case (k, (a, b)) => "\"" + k + "\":[" + a + "," + b + "]" }
       .mkString("{", ",", "}")
     val total = timed.collect { case (_, v, true) => v }.sum
+    val partial = if (only.isDefined) ""","partial":true""" else ""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"reruns":$rr,"corpus":"$corpus","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"reruns":$rr,"corpus":"$corpus"$partial,"sf":"$sfDir"}"""
     println(line)
     // self-archive: the driver's BENCH_r{N}.json has truncated its tail
     // both rounds (30+ per-query timings lost each time), so persist
     // the full line locally — latest snapshot + append-only history.
     try {
-      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SELF.json"),
-        (line + "\n").getBytes("UTF-8"))
+      // a --only run must not clobber the latest FULL snapshot
+      if (only.isEmpty)
+        java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SELF.json"),
+          (line + "\n").getBytes("UTF-8"))
       java.nio.file.Files.write(java.nio.file.Paths.get("docs/bench_history.jsonl"),
         (s"""{"at":${System.currentTimeMillis / 1000},"bench":$line}""" + "\n")
           .getBytes("UTF-8"),

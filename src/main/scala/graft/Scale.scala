@@ -153,21 +153,32 @@ object Scale {
     // the same plans (bhj/bex counts identical at every scale) and
     // measures 3.3x dense / 1.4-1.6x wide — still far under linear,
     // nowhere near the Σk² class (40-90x) the gate exists to catch
-    "dedup_minhash_lsh" -> (12.0, 12.0),
+    // wide bands tightened 12 -> 6 (ADVICE round 7): the wide regime
+    // measures 1.4-1.6x, so a real 2-3x plan regression (e.g. a lost
+    // broadcast) must not hide inside a linear-class ceiling; the
+    // dense band keeps the linear-class 12. These three also carry the
+    // bhj/bex plan-count pin below — a strategy flip fails regardless
+    // of where the timing lands.
+    "dedup_minhash_lsh" -> (12.0, 6.0),
     "dedup_minhash_est" -> (-1.0, 15.0),
     "dedup_simhash" -> (-1.0, 15.0),
-    "dedup_simhash64" -> (12.0, 12.0),
+    "dedup_simhash64" -> (12.0, 6.0),
     // same selective banded-sketch class as simhash64, over pixel-grid
     // aHashes (measured 1.4x dense / 0.7x wide, plans stable 8/8/8)
-    "multimodal_phash_dedup" -> (12.0, 12.0),
+    "multimodal_phash_dedup" -> (12.0, 6.0),
     "dedup_cluster_cc" -> (12.0, 12.0),
     "dedup_canonical_pick" -> (-1.0, 15.0),
     "dedup_incremental" -> (140.0, 35.0),
-    // same batchxcorpus ~19x wide delta model as the contract, plus the
-    // bucketed SMJ's duplicate-run buffering term on this tiny-vocab
-    // corpus (measured 40x wide); the gated invariant that matters at
-    // scale is ltx <= 1 (zero corpus-side exchange), checked separately
-    "dedup_incremental_indexed" -> (140.0, 50.0),
+    // same batchxcorpus model as the contract; since the round-8
+    // build-time salt (hash(c_id) baked into the bucketed layout) the
+    // indexed path measures FASTER than the salted-SHJ contract join
+    // at every scale (411.8 vs 532.5 s dense, 69.9 vs 95.1 s wide,
+    // same session) — the old unsalted variant's duplicate-run
+    // buffering term is gone. Bands stay at the Σk² class ceilings
+    // (the candidate output is still Σk²); the gated invariant that
+    // matters at scale is ltx <= 1 (zero corpus-side exchange),
+    // checked separately
+    "dedup_incremental_indexed" -> (140.0, 35.0),
     "cc_fixpoint" -> (15.0, -1.0),
     "sim_ann_lsh" -> (16.0, 16.0),
     "sim_ann_lsh_qd" -> (16.0, 16.0),
@@ -259,6 +270,21 @@ object Scale {
           n.has("ltx") && n.get("ltx").asInt > 1)
       fails ::= s"dedup_incremental_indexed corpus-side reshuffle: " +
         s"ltx=${n.get("ltx").asInt} at ${n.path("tag").asText}"
+    // hard plan pin for the decision-LSH members (ADVICE round 7): the
+    // relaxed timing band must not be able to hide a strategy flip —
+    // their broadcast-join/exchange counts are scale-INVARIANT by
+    // design (the banded candidate join is salted + pinned, dims are
+    // broadcast), so any (bhj, bex) drift across this corpus's rows,
+    // at any scale, is a plan change and fails loudly.
+    for (q <- Seq("dedup_minhash_lsh", "dedup_simhash64",
+        "multimodal_phash_dedup")) {
+      val shapes = rows.filter(n => n.path("query").asText == q &&
+          n.path("ok").asBoolean(false) && n.has("bhj"))
+        .map(n => (n.get("bhj").asInt, n.get("bex").asInt)).distinct
+      if (shapes.size > 1)
+        fails ::= s"$q plan-shape drift: (bhj,bex) seen $shapes " +
+          "across same-corpus rows — strategy flip"
+    }
     for (n <- rows if n.path("query").asText == "ann_auto_planes") {
       val want = operators.SimilarityOps.autoPlanesFor(n.path("n").asLong)
       if (n.path("planes").asInt != want)

@@ -128,12 +128,37 @@ object Core {
     * content change at these row counts moves parquet sizes. */
   def corpusTag(dir: String): String = {
     try {
-      val fs = new java.io.File(dir).listFiles()
+      val entries = new java.io.File(dir).listFiles()
         .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-        .map(f => s"${f.getName}:${f.length}").mkString(",")
+      // an empty/missing dir must not hash to a CONSTANT: two broken
+      // dirs would share a tag and their histories would cross-match
+      if (entries.isEmpty) throw new IllegalStateException(s"no parquet in $dir")
+      def leaves(f: java.io.File): Seq[java.io.File] =
+        if (f.isFile) Seq(f)
+        else Option(f.listFiles).getOrElse(Array.empty[java.io.File])
+          .sortBy(_.getName).toSeq.flatMap(leaves)
+      val fs = entries.map { e =>
+        if (e.isFile) s"${e.getName}:${e.length}" // driver-written flat files:
+          // digest unchanged since round 7 so the tagged history stays valid;
+          // deterministic generation ⇒ same bytes ⇒ same sizes
+        else {
+          // Spark-written parquet DIRECTORIES: File.length on a dir is
+          // filesystem-dependent — walk the leaves and fold size + mtime
+          // so a size-coincident rewrite still moves the tag (ADVICE r7)
+          val ls = leaves(e)
+          s"${e.getName}:${ls.map(_.length).sum}:" +
+            s"${if (ls.isEmpty) 0L else ls.map(_.lastModified).max}"
+        }
+      }.mkString(",")
       val md = java.security.MessageDigest.getInstance("MD5")
         .digest(fs.getBytes("UTF-8"))
       md.take(4).map(b => f"$b%02x").mkString
-    } catch { case _: Throwable => "unknown" }
+    } catch { case _: Throwable =>
+      // NEVER-EQUAL failure value (ADVICE r7): a constant "unknown"
+      // silently re-enabled cross-corpus median matching between any
+      // two failure cases; a per-call unique tag instead finds no
+      // history rows, so tripwires/medians just stay quiet
+      s"unknown-${java.util.UUID.randomUUID().toString.take(8)}"
+    }
   }
 }

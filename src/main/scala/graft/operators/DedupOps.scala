@@ -31,6 +31,17 @@ object DedupOps {
     * the existing corpus, src10+ the arriving batch. */
   val IncrementalCorpusSrcs = 10
 
+  /** Build-time salt fanout of the incremental-dedup index
+    * ([[buildIncrementalIndex]]): each corpus token occurrence lands in
+    * ONE of this many salt sub-keys (by hash(c_id)), so a hot token's
+    * posting chain is physically split across `salt` bucketed keys and
+    * the per-ingest candidate join's Σk² probe output spreads over
+    * `salt`× more merge-join runs. Probe and build MUST agree on this
+    * value (the probe replicates its delta across exactly these salt
+    * values); it is a single constant so they cannot diverge. Same
+    * default spread factor as [[SkewJoin.saltedCandidateJoin]]. */
+  val IncrementalIndexSalt = 8
+
   /** dedup_substring window geometry: character windows of
     * [[SubstrWidth]] sampled every [[SubstrStride]] characters. The
     * exact-substring method (Lee et al. 2021, "Deduplicating Training
@@ -673,10 +684,44 @@ object DedupOps {
       val q = TextOps.qualityParts(s, dir).select("doc_id", "quality")
       val w = Window.partitionBy("cluster")
         .orderBy(col("quality").desc, col("doc_id"))
-      dedupClusterCC(s, dir)
+      // ccUnrolled, not dedupClusterCC: the standalone operator's
+      // total-order sort would be a full range exchange the quality
+      // join immediately destroys — the pick re-sorts once, at the end
+      val nodes = table(s, dir, "documents").select("doc_id")
+      ccUnrolled(nodes, simhashEdges(s, dir), CcRounds)
         .join(q, "doc_id")
         .withColumn("is_kept", row_number().over(w) === 1)
         .select("doc_id", "cluster", "quality", "is_kept")
+        .orderBy("doc_id")
+    },
+
+    // The composed end-product of the DEDUP pipeline (round-7 verdict
+    // #4) — the twin of pipeline_curate: sketch-based candidates
+    // (SimHash banded join) -> connected components -> canonical pick
+    // -> ONE decision row per document: its cluster, keep/drop, and
+    // for dropped docs WHICH doc supersedes it (dup_of = the cluster's
+    // canonical member) plus the reason. This is the manifest a
+    // curation job actually consumes; the pieces are the standalone
+    // operators above, and composition agreement (manifest ≡
+    // dedup_cluster_cc labels + dedup_canonical_pick keeps) is
+    // asserted in PipelineOpsSpec. Scale shape: everything the pieces
+    // already measured — linear sketches, salted banded candidate
+    // join, labels-only CC shuffles, one quality scan — topped by a
+    // single cluster-partitioned window where row_number and
+    // first_value share one frame (one exchange, two decisions).
+    "pipeline_dedup" -> { (s, dir) =>
+      val q = TextOps.qualityParts(s, dir).select("doc_id", "quality")
+      val ordered = Window.partitionBy("cluster")
+        .orderBy(col("quality").desc, col("doc_id"))
+      val nodes = table(s, dir, "documents").select("doc_id")
+      ccUnrolled(nodes, simhashEdges(s, dir), CcRounds)
+        .join(q, "doc_id")
+        .withColumn("is_kept", row_number().over(ordered) === 1)
+        .withColumn("canon", first(col("doc_id")).over(ordered))
+        .select(col("doc_id"), col("cluster"),
+          col("is_kept").as("keep"),
+          when(!col("is_kept"), col("canon")).as("dup_of"),
+          when(!col("is_kept"), lit("near_dup")).as("drop_reason"))
         .orderBy("doc_id")
     },
 
@@ -803,25 +848,40 @@ object DedupOps {
 
   /** Build the pre-computed corpus-side inverted index the
     * `dedup_incremental` scaladoc promises for 100 TB: the corpus token
-    * relation (lang, tok, c_id, c_sz), written ONCE, bucketed + sorted
-    * by the candidate-join key (lang, tok). Every subsequent batch
-    * ingest then sort-merge-joins its exploded delta against
-    * bucket-aligned index files — the corpus never shuffles again
-    * (asserted on the plan in BucketedJoinSpec). `c_sz` (the doc's
-    * distinct-token count) is denormalized into the index so the
+    * relation (lang, tok, __salt, c_id, c_sz), written ONCE, bucketed +
+    * sorted by the SALTED candidate-join key (lang, tok, __salt). Every
+    * subsequent batch ingest sort-merge-joins its exploded delta
+    * against bucket-aligned index files — the corpus never shuffles
+    * again (asserted on the plan in BucketedJoinSpec). `c_sz` (the
+    * doc's distinct-token count) is denormalized into the index so the
     * Jaccard denominator needs no corpus-side aggregation at ingest
-    * time either. At 100 TB, size `buckets` so one bucket's hot-token
-    * chains stay task-sized, and df-cap ubiquitous tokens before
-    * indexing (the [[dedupNgram]] stop-shingle guard) — bucketing
-    * trades the salt spread for zero recurring corpus shuffle, so
-    * chain skew must be bounded at index-build time. */
+    * time either.
+    *
+    * The salt is the skew defense bucketing alone lacks, learned the
+    * measured way (docs/SCALE.md round 7: the unsalted index ran 534.8 s
+    * at sf1-dense vs 444.3 s for the salted-SHJ contract join — a hot
+    * token's whole posting chain sat in ONE bucketed merge run, so the
+    * Σk² probe output and the SMJ's duplicate-run buffering serialized
+    * per key). Here each corpus occurrence gets ONE salt value
+    * (hash(c_id) — [[IncrementalIndexSalt]] sub-keys), splitting every
+    * hot chain across `salt` physical keys AT BUILD TIME: index size is
+    * unchanged (no replication — the probe side, the small delta, is
+    * what replicates), the corpus still never re-shuffles, and per-key
+    * merge runs shrink `salt`×. At 100 TB, size `buckets` to the
+    * cluster's parallelism (buckets are the merge-join's task count)
+    * and df-cap ubiquitous tokens before indexing (the [[dedupNgram]]
+    * stop-shingle guard) — salt bounds the per-run chain, buckets bound
+    * the per-task key count. */
   def buildIncrementalIndex(s: SparkSession, dir: String,
-      tableName: String, buckets: Int = 8): Unit =
+      tableName: String, buckets: Int = 8,
+      salt: Int = IncrementalIndexSalt): Unit =
     incrementalDocs(s, dir)
       .filter(col("src_idx") < IncrementalCorpusSrcs)
       .select(col("lang"), explode(col("toks")).as("tok"),
         col("doc_id").as("c_id"), size(col("toks")).as("c_sz"))
-      .write.bucketBy(buckets, "lang", "tok").sortBy("lang", "tok")
+      .withColumn("__salt", pmod(hash(col("c_id")), lit(salt)))
+      .write.bucketBy(buckets, "lang", "tok", "__salt")
+      .sortBy("lang", "tok", "__salt")
       .mode("overwrite").saveAsTable(tableName)
 
   /** [[queries]]' `dedup_incremental` semantics over a pre-built
@@ -856,11 +916,21 @@ object DedupOps {
     val batch = shared(batchDocs)
     // b_sz rides along map-side (tokens are distinct, so size(toks)
     // IS the contract's per-doc exploded-token count): the delta needs
-    // no size aggregation, mirroring the denormalized c_sz
+    // no size aggregation, mirroring the denormalized c_sz. The delta
+    // — the SMALL side of an incremental ingest by definition — then
+    // replicates across all [[IncrementalIndexSalt]] salt values: each
+    // corpus occurrence carries exactly one __salt (baked into the
+    // bucketed layout at build time), so every (batch-occ, corpus-occ)
+    // pair still meets exactly once, but a hot token's probe work and
+    // merge-run buffering spread over salt× more bucketed keys. Cost:
+    // salt× the DELTA's shuffle volume — the side that is tiny
+    // relative to the corpus the index layout keeps exchange-free.
     val delta = batch.select(col("lang"), explode(col("toks")).as("tok"),
       col("doc_id").as("b_id"), size(col("toks")).as("b_sz"))
+      .withColumn("__salt",
+        explode(array((0 until IncrementalIndexSalt).map(lit): _*)))
     val dupOf = delta.hint("merge")
-      .join(s.table(indexTable), Seq("lang", "tok"))
+      .join(s.table(indexTable), Seq("lang", "tok", "__salt"))
       .groupBy("b_id", "c_id", "b_sz", "c_sz")
       .agg(count(lit(1)).as("inter"))
       .filter(col("inter").cast(DoubleType)
@@ -1421,6 +1491,20 @@ object DedupOps {
            |         ORDER BY quality DESC, doc_id) = 1 AS is_kept
            |FROM l$CcRounds JOIN q USING (doc_id)
            |ORDER BY doc_id""".stripMargin,
+
+      "pipeline_dedup" ->
+        s"""WITH $ccCte,
+           |q AS (SELECT doc_id, quality FROM (${TextOps.qualityPartsSql})),
+           |r AS (SELECT doc_id, cluster,
+           |        ROW_NUMBER() OVER (PARTITION BY cluster
+           |          ORDER BY quality DESC, doc_id) AS rn,
+           |        FIRST_VALUE(doc_id) OVER (PARTITION BY cluster
+           |          ORDER BY quality DESC, doc_id) AS canon
+           |      FROM l$CcRounds JOIN q USING (doc_id))
+           |SELECT doc_id, cluster, rn = 1 AS keep,
+           |       CASE WHEN rn > 1 THEN canon END AS dup_of,
+           |       CASE WHEN rn > 1 THEN 'near_dup' END AS drop_reason
+           |FROM r ORDER BY doc_id""".stripMargin,
 
       "txt_containment" ->
         s"""WITH ex AS (

@@ -95,6 +95,41 @@ object MultimodalOps {
   def decodePartition(it: Iterator[Asset]): Iterator[AssetFeatures] =
     StubDecoder.decodeBatch(it)
 
+  /** A real-pixel thumbnail row: outH×outW nearest-neighbor samples of
+    * the DECODED pixel grid as ARGB longs (row-major); undecodable
+    * bytes yield an error row (ok=false, -1 dims, empty thumb) — a
+    * curation pipeline records, not throws on, corrupt assets. */
+  case class AssetThumb(doc_id: Long, media_type: String, width: Int,
+    height: Int, ok: Boolean, thumb: Seq[Long])
+
+  /** `multimodal_resize`'s REAL-PIXEL path: the same nearest-neighbor
+    * sampling the contract query runs over the stub payload grid,
+    * executed over pixels an actual codec decoded — out(r, c) =
+    * src((r·h) div outH, (c·w) div outW). Per-partition like
+    * [[decode]] (the codec registry loads once per executor), output
+    * constant-size per asset regardless of input dimensions — the
+    * property a 100 TB thumbnailing pass needs: payload bytes never
+    * explode into the shuffle, 16 longs per asset do. Pinned against
+    * independently-computed pixel constants on the checked-in PNG
+    * fixtures (incl. the corrupt-file error row) in PipelineOpsSpec. */
+  def thumbnails(assets: Dataset[Asset], outW: Int = 4, outH: Int = 4)
+      : Dataset[AssetThumb] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map { a =>
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a.bytes))
+        catch { case _: java.io.IOException => null }
+      if (img == null) AssetThumb(a.doc_id, a.media_type, -1, -1,
+        ok = false, Nil)
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val t = for (r <- 0 until outH; c <- 0 until outW)
+          yield img.getRGB(c * w / outW, r * h / outH) & 0xffffffffL
+        AssetThumb(a.doc_id, a.media_type, w, h, ok = true, t)
+      }
+    })
+  }
+
   /** Dataset-API surface: decode with any pluggable codec. */
   def decode(assets: Dataset[Asset],
       decoder: AssetDecoder = StubDecoder): Dataset[AssetFeatures] = {

@@ -97,18 +97,23 @@ object StreamingOps {
     * batch operator ships), so they apply to a stream unchanged — no
     * state, no watermark, append mode; at 100 TB/day this is the
     * filter pass that runs as data lands. Decontamination checks each
-    * doc's gram set against the EXTERNAL benchmark gram list (bounded
-    * by benchmark size — the same boundedness argument as the batch
-    * broadcast) as a map-side `array_intersect`, which for non-benchmark
-    * docs is exactly the batch operator's shares-a-gram-with-a-
-    * benchmark-doc predicate (asserted per batch in StreamingOpsSpec). */
+    * doc's gram set against the EXTERNAL benchmark (bench_id, gram)
+    * list (bounded by benchmark size — the same boundedness argument
+    * as the batch broadcast) as a map-side `exists`, excluding
+    * self-matches (`bench_id =!= doc_id`) exactly like the batch
+    * operator's join predicate — so the streaming decision is
+    * identical to the batch one for EVERY input, including a
+    * benchmark doc arriving in the stream, which a bare gram-set
+    * intersect would have flagged as contaminated by its own grams
+    * (ADVICE round 7; asserted per batch in StreamingOpsSpec). */
   def curateStream(docs: DataFrame,
-      benchGrams: Seq[String]): DataFrame =
+      benchGrams: Seq[(Long, String)]): DataFrame =
     graft.operators.TextOps.curateManifest(
       graft.operators.TextOps.curateMapSide(docs)
         .withColumn("drop_reason", coalesce(col("map_drop"),
-          when(size(array_intersect(col("grams"),
-            typedLit(benchGrams))) > 0, "contaminated"))))
+          when(exists(typedLit(benchGrams), p =>
+            array_contains(col("grams"), p.getField("_2"))
+              && p.getField("_1") =!= col("doc_id")), "contaminated"))))
 
   /** Keyed running state (mapGroupsWithState): latest rendered frame per
     * place plus how many observations contributed. The reference's

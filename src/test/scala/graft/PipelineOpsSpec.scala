@@ -307,6 +307,76 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(4L).checksum == 166L)
   }
 
+  test("real-pixel 4x4 thumbnails on the PNG fixtures match " +
+    "independently-computed ARGB constants; corrupt bytes yield an " +
+    "error row") {
+    import spark.implicits._
+    def fixture(name: String): Array[Byte] = {
+      val in = getClass.getResourceAsStream(s"/png/$name")
+      assert(in != null, s"missing test resource png/$name")
+      try in.readAllBytes() finally in.close()
+    }
+    val assets = Seq(
+      MultimodalOps.Asset(1L, "image/png", fixture("rgb_3x2.png")),
+      MultimodalOps.Asset(2L, "image/png", fixture("rgb_1x1.png")),
+      MultimodalOps.Asset(3L, "image/png", fixture("pal_4x4.png")),
+      MultimodalOps.Asset(4L, "image/png", fixture("corrupt.png"))).toDS()
+    val out = MultimodalOps.thumbnails(assets)
+      .collect().map(t => t.doc_id -> t).toMap
+    // Expected thumbs computed OUTSIDE the JVM decode path (stdlib
+    // Python zlib PNG parse + the NN formula out(r,c) =
+    // src(r*h div 4, c*w div 4), ARGB = 0xFF000000 | r<<16|g<<8|b):
+    // 3x2 six primaries — rows (R,G,B)/(Y,C,M), NN duplicates
+    // row 0 twice / col 0 twice
+    assert(out(1L).ok && out(1L).width == 3 && out(1L).height == 2)
+    assert(out(1L).thumb == Seq(
+      4294901760L, 4294901760L, 4278255360L, 4278190335L,
+      4294901760L, 4294901760L, 4278255360L, 4278190335L,
+      4294967040L, 4294967040L, 4278255615L, 4294902015L,
+      4294967040L, 4294967040L, 4278255615L, 4294902015L))
+    // 1x1: all 16 cells the single pixel (128,64,32)
+    assert(out(2L).thumb == Seq.fill(16)(4286595104L))
+    // 4x4 palette: NN 4x4-to-4x4 is the identity mapping — the thumb
+    // IS the indexed-decode pixel grid
+    assert(out(3L).ok && out(3L).thumb == Seq(
+      4278255360L, 4279365173L, 4280474986L, 4281584799L,
+      4282694612L, 4283804169L, 4284913982L, 4286023795L,
+      4287133608L, 4288243421L, 4289352978L, 4290462791L,
+      4291572604L, 4292682417L, 4293792230L, 4294901787L))
+    // corrupt bytes: recorded, not thrown — error row with empty thumb
+    assert(!out(4L).ok && out(4L).width == -1 && out(4L).thumb.isEmpty)
+  }
+
+  test("pipeline_dedup manifest is composition-identical to the " +
+    "standalone cluster + canonical-pick operators") {
+    val manifest = SparkEntry.queries("pipeline_dedup")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getBoolean(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getString(4)))).toMap
+    val clusters = SparkEntry.queries("dedup_cluster_cc")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val picks = SparkEntry.queries("dedup_canonical_pick")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(3)))
+      .toMap
+    // one decision row per doc, cluster labels identical to the
+    // standalone CC, keep identical to the standalone pick
+    assert(manifest.keySet == clusters.keySet)
+    assert(manifest.forall { case (id, (cl, _, _, _)) => clusters(id) == cl })
+    assert(manifest.forall { case (id, (_, keep, _, _)) =>
+      picks(id)._2 == keep })
+    // dropped docs point at their cluster's kept member; kept docs at
+    // nothing
+    val keptOf = picks.collect { case (id, (cl, true)) => cl -> id }.toMap
+    assert(manifest.forall {
+      case (_, (cl, false, dupOf, reason)) =>
+        dupOf.contains(keptOf(cl)) && reason.contains("near_dup")
+      case (_, (_, true, dupOf, reason)) => dupOf.isEmpty && reason.isEmpty
+    })
+    // non-degenerate on this corpus: real drops exist
+    assert(manifest.values.exists(!_._2))
+  }
+
   test("fingerprint is order-aware") {
     import spark.implicits._
     import graft.functions.TextHash

@@ -176,4 +176,95 @@ class RandomizedParitySpec extends AnyFunSuite {
       assert(allPairs.nonEmpty, s"seed=$seed produced no pairs — weak test")
     }
   }
+
+  /** Seeded random EVENTS corpus for the funnel/streak parity tests:
+    * `users` users, `n` events spread over ~25 days with second
+    * granularity, event types view/click/purchase plus an ignored
+    * noise type. Timestamps are epoch-exact (java.sql.Timestamp is
+    * epoch millis; the UTC session timezone makes to_date a pure
+    * epoch-day floor). */
+  private def eventsCorpus(seed: Int, users: Int, n: Int): String = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    val types = Seq("view", "click", "purchase", "other")
+    val rows = (0 until n).map { i =>
+      val us = rnd.nextInt(25).toLong * 86400000000L +
+        rnd.nextInt(86400).toLong * 1000000L
+      (i.toLong, rnd.nextInt(users).toLong, types(rnd.nextInt(types.size)),
+        new java.sql.Timestamp(us / 1000))
+    }
+    val dir = java.nio.file.Files
+      .createTempDirectory(s"graft_ev$seed").toString
+    rows.toDF("event_id", "user_id", "event_type", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("agg_funnel_conversion == an in-memory reference fold on " +
+    "random event corpora") {
+    def round9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for (seed <- Seq(11, 12, 13)) {
+      val dir = eventsCorpus(seed, users = 40, n = 600)
+      val got = SparkEntry.queries("agg_funnel_conversion")(spark, dir)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .toSeq
+      val evs = graft.core.Core.table(spark, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      val byUser = evs.groupBy(_._1)
+      // strictly-ordered stage times: t1 = first view, t2 = first
+      // click after t1, t3 = first purchase after t2
+      val stageTimes = byUser.view.mapValues { es =>
+        val t1 = es.filter(_._2 == "view").map(_._3).minOption
+        val t2 = t1.flatMap(a =>
+          es.filter(e => e._2 == "click" && e._3 > a).map(_._3).minOption)
+        val t3 = t2.flatMap(a =>
+          es.filter(e => e._2 == "purchase" && e._3 > a).map(_._3).minOption)
+        (t1, t2, t3)
+      }.toMap
+      val nAll = byUser.size.toLong
+      val n1 = stageTimes.values.count(_._1.isDefined).toLong
+      val n2 = stageTimes.values.count(_._2.isDefined).toLong
+      val n3 = stageTimes.values.count(_._3.isDefined).toLong
+      val expected = Seq(
+        ("0_all", nAll), ("1_view", n1), ("2_click", n2),
+        ("3_purchase", n3)).map { case (st, c) =>
+        (st, c, round9(c.toDouble / nAll)) }
+      assert(got == expected, s"seed=$seed")
+      // non-degenerate: the funnel narrows but doesn't vanish (at 15
+      // events/user every user has a view; the strict ordering is what
+      // thins the later stages)
+      assert(n3 > 0 && n3 < nAll, s"seed=$seed degenerate funnel")
+    }
+  }
+
+  test("win_streaks == an in-memory longest-consecutive-run fold on " +
+    "random event corpora") {
+    for (seed <- Seq(14, 15, 16)) {
+      val dir = eventsCorpus(seed, users = 25, n = 500)
+      val got = SparkEntry.queries("win_streaks")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+        .toSeq
+      val evs = graft.core.Core.table(spark, dir, "events")
+        .select(col("user_id"),
+          datediff(to_date(col("ts")), lit("1970-01-01")).as("d"))
+        .collect().map(r => (r.getLong(0), r.getInt(1)))
+      val expected = evs.groupBy(_._1).view.mapValues { ds =>
+        val days = ds.map(_._2).distinct.sorted
+        // split into consecutive runs, keep (longest, earliest start)
+        val runs = days.foldLeft(List.empty[(Int, Int)]) { // (start, len)
+          case ((s0, l) :: rest, d) if d == s0 + l => (s0, l + 1) :: rest
+          case (acc, d) => (d, 1) :: acc
+        }.reverse
+        runs.maxBy { case (s0, l) => (l, -s0) }
+      }.toSeq.map { case (u, (s0, l)) =>
+        (u, l, java.time.LocalDate.ofEpochDay(s0.toLong).toString)
+      }.sortBy(_._1)
+      assert(got == expected, s"seed=$seed")
+      // non-degenerate: multi-day streaks exist
+      assert(expected.exists(_._2 >= 3), s"seed=$seed no real streaks")
+    }
+  }
 }

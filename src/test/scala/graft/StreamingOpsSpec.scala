@@ -153,18 +153,19 @@ class StreamingOpsSpec extends AnyFunSuite {
     implicit val sc = spark.sqlContext
     val dir = TestSpark.sfDir
     val bench = graft.operators.TextOps.DecontaminateBenchDocs
-    // the external benchmark gram list: the batch operator's bench-doc
-    // grams (docs 0..9); arriving docs are everything else, so the
-    // map-side intersect predicate equals the batch cross-doc join
+    // the external benchmark (bench_id, gram) list: the batch
+    // operator's bench-doc grams (docs 0..9) WITH their ids, so the
+    // map-side exists predicate can exclude self-matches exactly like
+    // the batch cross-doc join (ADVICE round 7) — arriving docs are
+    // ALL docs, benchmark docs included
     val benchGrams = graft.operators.TextOps
       .curateMapSide(graft.core.Core.table(spark, dir, "documents")
         .select("doc_id", "text"))
       .filter(col("doc_id") < bench)
-      .select(explode(col("grams")).as("g"))
-      .distinct().collect().map(_.getString(0)).toSeq
+      .select(col("doc_id"), explode(col("grams")).as("g"))
+      .distinct().collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     val t0 = Timestamp.valueOf("2026-08-12 10:00:00")
     val arriving = graft.core.Core.table(spark, dir, "documents")
-      .filter(col("doc_id") >= bench)
       .select("doc_id", "lang", "source", "text").collect()
       .map(r => StreamingOps.IncomingDoc(r.getLong(0), r.getString(1),
         r.getString(2), r.getString(3), t0))
@@ -182,8 +183,10 @@ class StreamingOpsSpec extends AnyFunSuite {
 
     val streamed = spark.table("curate_stream")
       .collect().map(_.toSeq).toSet
+    // the full batch manifest, benchmark docs included: a bench doc
+    // arriving in the stream must get the batch decision too (its own
+    // grams are not contamination — the self-match exclusion)
     val batch = SparkEntry.queries("pipeline_curate")(spark, dir)
-      .filter(col("doc_id") >= bench)
       .collect().map(_.toSeq).toSet
     assert(streamed == batch)
     assert(streamed.size == arriving.length)

@@ -9,6 +9,15 @@ than --max-ratio between runs. Run it after `sbt "runMain graft.Bench"`
 on unchanged code; a failure means a plan is load/cache-state-sensitive
 and must be pinned structurally before the round ships.
 
+It also adjudicates the DRIVER TOTAL against the corpus-tagged history
+(round-7 verdict #5): five same-build runs spanned 140-185 s in one
+evening from host-load bands alone, so a single driver run is not a
+shippable figure. The guard prints the median of the last 3 full
+same-corpus totals as the SHIPPED figure and fails when the latest
+full run's total exceeds --total-ratio x that median — the signal to
+re-run rather than ship a load-band outlier. Runs marked
+"partial":true (Bench --only=...) never enter total medians.
+
 Usage:
   python3 tools/bench_guard.py              # compare last 2 runs
   python3 tools/bench_guard.py --last 5     # pairwise across last 5
@@ -16,10 +25,11 @@ Usage:
 """
 import argparse
 import json
+import statistics
 import sys
 
 
-def load_runs(path, n):
+def load_runs(path):
     runs = []
     try:
         with open(path) as f:
@@ -33,7 +43,7 @@ def load_runs(path, n):
                     runs.append((rec.get("at", 0), bench))
     except FileNotFoundError:
         sys.exit(f"bench_guard: no history at {path}; run graft.Bench first")
-    return runs[-n:]
+    return runs
 
 
 def main():
@@ -52,17 +62,26 @@ def main():
     p.add_argument("--min-sec", type=float, default=1.0,
                    help="ignore queries whose max timing is below this "
                         "(sub-second timings are scheduler noise)")
+    p.add_argument("--total-ratio", type=float, default=1.25,
+                   help="fail if the latest FULL run's total exceeds this "
+                        "x the median of the last 3 full same-corpus "
+                        "totals (ship the median, not the outlier)")
     args = p.parse_args()
 
-    runs = load_runs(args.history, args.last * 4)
-    # compare only runs against the SAME corpus as the latest run: the
-    # driver regenerates testdata between rounds, and cross-corpus
-    # ratios measure the data change, not plan stability (mirrors
-    # Bench's corpus-tagged in-run medians). Untagged (pre-tagging)
-    # records only compare with other untagged ones.
-    if runs:
-        cur = runs[-1][1].get("corpus")
-        runs = [r for r in runs if r[1].get("corpus") == cur][-args.last:]
+    # Load the FULL history, THEN filter to the latest run's corpus,
+    # THEN take the last N (ADVICE round 7: a lookback cap applied
+    # before the corpus filter silently dropped older same-corpus runs
+    # under interleaved corpora — the file is small JSONL, reading all
+    # of it costs nothing). Cross-corpus ratios measure the data
+    # change, not plan stability (the driver regenerates testdata
+    # between rounds); untagged pre-tagging records only compare with
+    # other untagged ones.
+    all_runs = load_runs(args.history)
+    if not all_runs:
+        sys.exit("bench_guard: history is empty; run graft.Bench first")
+    cur = all_runs[-1][1].get("corpus")
+    same_corpus = [r for r in all_runs if r[1].get("corpus") == cur]
+    runs = same_corpus[-args.last:]
     if len(runs) < 2:
         sys.exit("bench_guard: need at least 2 same-corpus bench runs "
                  "in history")
@@ -85,6 +104,30 @@ def main():
     totals = [b.get("value") for _, b in runs]
     print(f"bench_guard: {len(runs)} runs, totals = "
           + ", ".join(f"{t:.1f}s" for t in totals))
+
+    # Driver-total adjudication over FULL runs only (a --only run's
+    # total describes a subset). The shipped figure is the median of
+    # the last 3 full same-corpus totals; a latest run far above that
+    # median is a load-band outlier to re-run, not a figure to ship.
+    full = [(at, b) for at, b in same_corpus if not b.get("partial")]
+    total_fail = None
+    if full:
+        last3 = [b.get("value") for _, b in full[-3:]]
+        med = statistics.median(last3)
+        latest = full[-1][1].get("value")
+        print(f"bench_guard: shipped figure = median of last "
+              f"{len(last3)} full totals = {med:.1f}s "
+              f"(latest {latest:.1f}s)")
+        if len(last3) >= 2 and latest > args.total_ratio * med:
+            total_fail = (latest, med)
+
+    if total_fail:
+        latest, med = total_fail
+        print(f"bench_guard: FAIL — latest full total {latest:.1f}s is "
+              f"{latest / med:.2f}x the median-of-3 {med:.1f}s "
+              f"(> --total-ratio {args.total_ratio}); re-run before "
+              f"shipping — the median is the figure")
+        sys.exit(1)
     if bad:
         print(f"bench_guard: FAIL — {len(bad)} quer"
               f"{'y' if len(bad) == 1 else 'ies'} moved past the tiered "
