@@ -48,7 +48,8 @@ object Scale {
     "dedup_simhash", "dedup_simhash64",
     "dedup_cluster_cc", "dedup_canonical_pick", "dedup_incremental",
     "dedup_incremental_indexed", "dedup_substring",
-    "multimodal_phash_dedup")
+    "multimodal_phash_dedup",
+    "txt_span_dedup", "txt_quality_tier", "pipeline_mix")
 
   /** DENSE subset: dedup_near_auto only re-picks a branch of near/
     * prefix, dedup_ngram/minhash_est/simhash share their families'
@@ -61,7 +62,7 @@ object Scale {
     "txt_containment", "txt_containment_prefix",
     "dedup_minhash_lsh", "dedup_simhash64",
     "dedup_cluster_cc", "dedup_incremental", "dedup_incremental_indexed",
-    "dedup_substring", "multimodal_phash_dedup")
+    "dedup_substring", "multimodal_phash_dedup", "txt_span_dedup")
 
   private val extraQueries: Map[String, core.Core.Q] = Map(
     // the documented bucket-sizing knob turned: at n=8000 vectors the
@@ -113,7 +114,8 @@ object Scale {
   private def queriesFor(tag: String): Seq[String] =
     (if (tag == "sf1dense") denseDocQueries else docQueries) ++
       Seq("sim_ann_lsh", "sim_ann_lsh_qd", "sim_ann_lsh_auto",
-        "sim_ann_lsh_p12", "dedup_semdedup", "join_interval")
+        "sim_ann_lsh_p12", "dedup_semdedup", "multimodal_align_filter",
+        "join_interval")
 
   /** Growth-model bands (docs/SCALE.md): max allowed 10x-corpus growth
     * factor vs the sf0.1 median, per regime — (dense, wide); a
@@ -199,6 +201,16 @@ object Scale {
     // unclustered-n² class flip masked by a broadcast/serialization
     // pathology
     "dedup_semdedup" -> (40.0, 40.0),
+    // span groupBy + join-back, both linear in span occurrences (each
+    // token in exactly one span; spans never pair)
+    "txt_span_dedup" -> (15.0, 15.0),
+    // one scan + a 9-double broadcast / pure map-side hashing — the
+    // linear class, swept WIDE only (DENSE adds no plan information)
+    "txt_quality_tier" -> (-1.0, 15.0),
+    "pipeline_mix" -> (-1.0, 15.0),
+    // (label, dim)-keyed partial agg + label-bounded broadcast join:
+    // linear in vectors at fixed dim
+    "multimodal_align_filter" -> (15.0, 15.0),
     "join_interval" -> (15.0, 15.0))
 
   /** `check` mode: replay docs/scale_results.jsonl against

@@ -56,6 +56,13 @@ object SimilarityOps {
     * dedup_embed operating point (production embeddings run ~0.9+ —
     * the plan is threshold-independent). */
   val SemDedupTau = 0.3
+
+  /** multimodal_align_filter cosine threshold: the corpus's median
+    * vector-to-label-centroid alignment (≈0.15), so both keep and drop
+    * decisions appear on the synthetic corpus (production CLIP-score
+    * filters run ~0.25–0.3 on real logits — the plan is
+    * threshold-independent). */
+  val AlignTau = 0.15
   def planesFor(n: Int): Array[Array[Double]] =
     Array.tabulate(n, Dims) { (j, d) =>
       ((j * Dims + d + 1) * 2654435761L % 4294967296L) / 4294967296.0 - 0.5
@@ -501,6 +508,42 @@ object SimilarityOps {
         .select(col("vec_id"), col("cid"), col("dup_of"),
           col("dup_of").isNull.as("keep"))
         .orderBy("vec_id")
+    },
+
+    // Pair-alignment curation (the CLIP-score filter of an image-text
+    // pipeline, relationally): each document pairs with its embedding
+    // (doc_id = vec_id — the pair table of a multimodal corpus), the
+    // alignment score is the cosine against the doc's own LABEL
+    // CENTROID (the stand-in for the text-side embedding: a real
+    // pipeline dots image and caption vectors; the synthetic corpus
+    // has one embedding per pair, so the class centroid plays the
+    // "other modality" anchor), and pairs below τ are dropped —
+    // LAION-style alignment filtering. Centroid means use the exact
+    // integer-quantized recipe of [[kmeansCentroids]] (micro-int sums,
+    // one closing division) so both engines train identical anchors.
+    // Scale shape: one (label, dim)-keyed partial agg → a label-bounded
+    // broadcast → one map-side join pass; linear at any corpus size.
+    "multimodal_align_filter" -> { (s, dir) =>
+      val e = vecs(s, dir)
+      val comps = e
+        .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+        .withColumn("ec", round(col("x") * 1e6).cast(LongType))
+        .groupBy("label", "dim")
+        .agg((sum(col("ec")) / (count(lit(1)) * 1e6)).as("comp"))
+      val cents = comps.groupBy("label")
+        .agg(array_sort(collect_list(struct(col("dim"), col("comp"))))
+          .as("dc"))
+        .select(col("label"), expr("transform(dc, s -> s.comp)").as("cv"))
+        .withColumn("cnorm", sqrt(dot(col("cv"), col("cv"))))
+      val scored = e.join(broadcast(cents), "label")
+        .withColumn("align",
+          round(dot(col("v"), col("cv")) / (col("norm") * col("cnorm")), 9))
+      scored
+        .join(table(s, dir, "documents").select(col("doc_id"), col("lang")),
+          col("vec_id") === col("doc_id"))
+        .select(col("doc_id"), col("lang"), col("label"), col("align"),
+          (col("align") >= AlignTau).as("keep"))
+        .orderBy("doc_id")
     })
 
   def oracleSql: Map[String, String] = {
@@ -643,6 +686,31 @@ object SimilarityOps {
            |      GROUP BY 1)
            |SELECT asg.vec_id, asg.cid, d.dup_of, d.dup_of IS NULL AS keep
            |FROM asg LEFT JOIN d USING (vec_id)
-           |ORDER BY vec_id""".stripMargin)
+           |ORDER BY vec_id""".stripMargin,
+
+      // generate_subscripts is 1-based vs posexplode's 0-based dim —
+      // immaterial: dim only orders/groups components within one engine
+      "multimodal_align_filter" ->
+        s"""WITH e AS ($vecsSql),
+           |m AS (
+           |  SELECT label, dim, SUM(ec) / (COUNT(*) * 1000000.0) AS comp
+           |  FROM (SELECT label, generate_subscripts(v, 1) AS dim,
+           |               CAST(round(unnest(v) * 1000000.0) AS BIGINT)
+           |                 AS ec
+           |        FROM e)
+           |  GROUP BY label, dim),
+           |c AS (
+           |  SELECT label, cv, sqrt(list_dot_product(cv, cv)) AS cnorm
+           |  FROM (SELECT label, list(comp ORDER BY dim) AS cv
+           |        FROM m GROUP BY label)),
+           |s AS (
+           |  SELECT e.vec_id, e.label,
+           |         round(list_dot_product(e.v, c.cv)
+           |               / (e.norm * c.cnorm), 9) AS align
+           |  FROM e JOIN c USING (label))
+           |SELECT d.doc_id, d.lang, s.label, s.align,
+           |       s.align >= $AlignTau AS keep
+           |FROM s JOIN documents d ON s.vec_id = d.doc_id
+           |ORDER BY doc_id""".stripMargin)
   }
 }

@@ -189,6 +189,37 @@ object TextOps {
   val ShuffleShards = 8
   val ShuffleHashMul = 69621L
 
+  /** txt_span_dedup span width: non-overlapping token windows (a
+    * PARTITION of the doc, unlike txt_chunk's 50%-overlap windows —
+    * dedup must assign every token to exactly one span so dropping a
+    * span never drops text twice). 8 tokens makes the 10–110-token
+    * corpus yield 2–14 spans per doc; the plan is width-independent. */
+  val SpanWidth = 8
+
+  /** pipeline_mix per-source weights in exact integer MICRO-units
+    * (1e6 = weight 1.0): the mixture a training run actually configures
+    * — down-sample (0.25×), keep (1×), up-sample (2.5×) — keyed by
+    * src_idx % 3 so all three regimes appear on the synthetic corpus.
+    * Micro-ints keep every comparison exact cross-engine. */
+  val MixDownMicro = 250000L
+  val MixKeepMicro = 1000000L
+  val MixUpMicro = 2500000L
+
+  /** pipeline_mix hash multiplier: the original Lehmer/MINSTD 16807 —
+    * a FIFTH independent full-period multiplier mod 2³¹−1, disjoint
+    * from split (48271), shard (69621), stratified (Knuth) and
+    * temperature (glibc) streams, so mixture inclusion never
+    * correlates with any other sampled decision. */
+  val MixHashMul = 16807L
+
+  /** txt_quality_tier tier count (deciles) and the boundary fractions,
+    * rendered from ONE Seq so the Spark `percentile` array and the
+    * DuckDB `quantile_cont` list carry bit-identical double literals
+    * (3 * 1.0/10 prints 0.30000000000000004 in both). */
+  val QualityTiers = 10
+  val TierFractions: Seq[Double] =
+    (1 until QualityTiers).map(_ * 1.0 / QualityTiers)
+
   /** txt_pii_redact patterns. Both regexes restrict to constructs with
     * IDENTICAL semantics in Java's regex (Spark) and RE2 (DuckDB) —
     * character classes, bounded repetition, \b word boundaries; no
@@ -876,6 +907,106 @@ object TextOps {
             regexp_replace(col("injected"), EmailRe, "<EMAIL>"),
             IpRe, "<IP>").as("redacted"))
         .orderBy("doc_id")
+    },
+
+    // Cross-document exact SPAN dedup with reconstruction (the C4/
+    // Lee-et-al. span-removal step, relationally): partition each doc
+    // into non-overlapping SpanWidth-token spans, keep only the FIRST
+    // corpus occurrence of each distinct span (lexicographic
+    // (doc_id, span_id) — deterministic, partition-independent), and
+    // rebuild each doc's cleaned text from its surviving spans in
+    // order. Unlike dedup_substring (which only FLAGS overlap), this
+    // emits the edited corpus a training job actually reads. Keep-first
+    // is a partially-aggregated groupBy argmin (min struct), NEVER a
+    // span-partitioned window — a viral boilerplate span adds rows to
+    // one reduce key but the partial agg bounds the skew; the join-back
+    // on the span key is the standard AQE-skew-split equi-join. Linear:
+    // each token belongs to exactly one span, spans never pair.
+    "txt_span_dedup" -> { (s, dir) =>
+      val w0 = SpanWidth
+      val spans = shared(toks(s, dir)
+        .withColumn("n", size(col("toks")))
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(0, (n - 1) DIV $w0), i -> struct(" +
+            s"i AS span_id, " +
+            s"concat_ws(' ', slice(toks, i * $w0 + 1, $w0)) AS span))"))
+          .as("sp"))
+        .select(col("doc_id"), col("sp.span_id").as("span_id"),
+          col("sp.span").as("span")))
+      val firsts = spans.groupBy("span")
+        .agg(min(struct(col("doc_id"), col("span_id"))).as("f"))
+      spans.join(firsts, "span")
+        .withColumn("is_first", col("doc_id") === col("f.doc_id")
+          && col("span_id") === col("f.span_id"))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_spans"),
+          sum(when(col("is_first"), 1L).otherwise(0L)).as("n_kept"),
+          concat_ws(" ", expr(
+            "transform(array_sort(collect_list(" +
+              "CASE WHEN is_first THEN struct(span_id, span) END)), " +
+              "x -> x.span)")).as("clean_text"))
+        .orderBy("doc_id")
+    },
+
+    // Curriculum/quality tiering: assign every doc its global quality
+    // DECILE — the bucketing a curriculum schedule or quality-stratified
+    // sampler consumes. NOT ntile: a global ntile is a single-partition
+    // total sort (the one-reducer anti-pattern at 100 TB). Instead the
+    // 9 tier boundaries come from ONE exact-percentile aggregation over
+    // MICRO-QUANTIZED quality (integer inputs ⇒ both engines
+    // interpolate identically, the agg_median recipe), broadcast to a
+    // map-side tier assignment (count of boundaries strictly below the
+    // doc) — one scan + one 9-double broadcast at any corpus scale.
+    // Ties share a tier (boundary-equal docs are never split), so the
+    // assignment is total-order-free and deterministic.
+    "txt_quality_tier" -> { (s, dir) =>
+      val q = qualityParts(s, dir)
+        .select(col("doc_id"),
+          expr("CAST(round(quality * 1e6) AS BIGINT)").as("q_micro"))
+      val bounds = q.agg(expr(
+        s"percentile(q_micro, array(${TierFractions.mkString(", ")}))")
+        .as("bs"))
+      val tiered = q.crossJoin(broadcast(bounds))
+        .select(col("doc_id"), col("q_micro"),
+          (lit(1) + size(filter(col("bs"),
+            b => col("q_micro").cast(DoubleType) > b)))
+            .cast(IntegerType).as("tier"))
+      val sizes = tiered.groupBy("tier")
+        .agg(count(lit(1)).as("n_in_tier"))
+      tiered.join(broadcast(sizes), "tier")
+        .select(col("doc_id"), col("q_micro"), col("tier"),
+          col("n_in_tier"))
+        .orderBy("doc_id")
+    },
+
+    // Mixture-weight sampling manifest: the domain-reweighting step
+    // (DoReMi/Pile-style source mixing) that turns per-source target
+    // weights into a per-doc COPY COUNT — down-sampled sources keep a
+    // hash-selected fraction, up-sampled sources repeat every doc
+    // floor(w) times plus a hash-selected extra. All arithmetic is
+    // exact integer micro-units with a fifth independent hash stream,
+    // so the manifest is rerun/partition/corpus-growth stable (adding
+    // docs never flips an existing decision — the property a resumable
+    // 100 TB mixing pass needs). Map-side, shuffle-free bar the sort.
+    "pipeline_mix" -> { (s, dir) =>
+      table(s, dir, "documents")
+        .withColumn("src_idx",
+          substring(col("source"), 4, 10).cast(IntegerType))
+        .withColumn("weight_micro",
+          when(col("src_idx") % 3 === 0, MixDownMicro)
+            .when(col("src_idx") % 3 === 1, MixKeepMicro)
+            .otherwise(MixUpMicro))
+        .withColumn("h",
+          ((col("doc_id") % lit(TextHash.P)) * lit(MixHashMul))
+            % lit(TextHash.P))
+        .withColumn("n_copies",
+          expr("weight_micro DIV 1000000")
+            + when(col("h") % 1000000L < col("weight_micro") % 1000000L,
+              1L).otherwise(0L))
+        .select(col("doc_id"), col("source"), col("weight_micro"),
+          col("n_copies"), (col("n_copies") > 0).as("included"))
+        .orderBy("doc_id")
     })
 
   def oracleSql: Map[String, String] = Map(
@@ -1331,5 +1462,77 @@ object TextOps {
          |    OR len(regexp_extract_all(injected, '$IpRe')) > 0) AS has_pii,
          |  regexp_replace(regexp_replace(injected, '$EmailRe', '<EMAIL>',
          |    'g'), '$IpRe', '<IP>', 'g') AS redacted
-         |FROM inj ORDER BY doc_id""".stripMargin)
+         |FROM inj ORDER BY doc_id""".stripMargin,
+
+    // ROW_NUMBER keep-first mirrors Spark's min-struct argmin exactly:
+    // (doc_id, span_id) is unique per occurrence, so rn = 1 ⟺ the
+    // lexicographic minimum. string_agg's FILTER-free CASE drops NULLs
+    // like collect_list does.
+    "txt_span_dedup" -> {
+      val w0 = SpanWidth
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+         |  FROM documents),
+         |u AS (
+         |  SELECT doc_id, toks,
+         |         unnest(generate_series(0, (len(toks) - 1) // $w0)) AS i
+         |  FROM t),
+         |sp AS (
+         |  SELECT doc_id, CAST(i AS INTEGER) AS span_id,
+         |         array_to_string(
+         |           list_slice(toks, i * $w0 + 1, i * $w0 + $w0), ' ')
+         |           AS span
+         |  FROM u),
+         |r AS (
+         |  SELECT doc_id, span_id, span,
+         |         ROW_NUMBER() OVER (PARTITION BY span
+         |           ORDER BY doc_id, span_id) AS rn
+         |  FROM sp)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+         |       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_kept,
+         |       COALESCE(string_agg(CASE WHEN rn = 1 THEN span END, ' '
+         |         ORDER BY span_id), '') AS clean_text
+         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    "txt_quality_tier" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, CAST(round(quality * 1e6) AS BIGINT) AS q_micro
+         |  FROM ($qualityPartsSql)),
+         |b AS (
+         |  SELECT quantile_cont(q_micro,
+         |    [${TierFractions.mkString(", ")}]) AS bs
+         |  FROM q),
+         |t AS (
+         |  SELECT doc_id, q_micro,
+         |         CAST(1 + len(list_filter(b.bs,
+         |           x -> CAST(q_micro AS DOUBLE) > x)) AS INTEGER) AS tier
+         |  FROM q CROSS JOIN b),
+         |s AS (
+         |  SELECT tier, CAST(COUNT(*) AS BIGINT) AS n_in_tier
+         |  FROM t GROUP BY tier)
+         |SELECT doc_id, q_micro, tier, n_in_tier
+         |FROM t JOIN s USING (tier) ORDER BY doc_id""".stripMargin,
+
+    "pipeline_mix" ->
+      s"""SELECT doc_id, source, weight_micro, n_copies,
+         |       n_copies > 0 AS included
+         |FROM (
+         |  SELECT doc_id, source, weight_micro,
+         |         CAST(weight_micro // 1000000
+         |           + CASE WHEN h % 1000000 < weight_micro % 1000000
+         |               THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+         |  FROM (
+         |    SELECT doc_id, source,
+         |           CAST(CASE WHEN src_idx % 3 = 0 THEN $MixDownMicro
+         |                     WHEN src_idx % 3 = 1 THEN $MixKeepMicro
+         |                     ELSE $MixUpMicro END AS BIGINT)
+         |             AS weight_micro,
+         |           ((doc_id % ${TextHash.P}) * $MixHashMul)
+         |             % ${TextHash.P} AS h
+         |    FROM (SELECT doc_id, source,
+         |            CAST(substr(source, 4, 10) AS INTEGER) AS src_idx
+         |          FROM documents)))
+         |ORDER BY doc_id""".stripMargin)
 }

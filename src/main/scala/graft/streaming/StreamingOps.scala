@@ -115,6 +115,32 @@ object StreamingOps {
             array_contains(col("grams"), p.getField("_2"))
               && p.getField("_1") =!= col("doc_id")), "contaminated"))))
 
+  /** A weather alert tick — the second stream of the stream-stream
+    * join demo (a real deployment joins observations against an alert
+    * or request stream arriving independently). */
+  case class Alert(a_place: String, a_ts: java.sql.Timestamp,
+    severity: Int)
+
+  /** STREAM-STREAM interval join: each observation pairs with the
+    * alerts raised for the same place within the preceding `horizon` —
+    * both sides are unbounded streams, so this is the stateful join
+    * Spark buffers BOTH sides for. The two watermarks plus the closed
+    * time-range predicate are what make the state bounded: Spark
+    * derives from them exactly how long an alert (resp. observation)
+    * can still find a future partner and evicts older state — without
+    * the interval bound a 100 TB/day pair of streams accumulates
+    * forever. Inner join in append mode; per-batch results asserted
+    * ≡ the batch join of the same rows in StreamingOpsSpec. */
+  def obsAlertJoin(obs: DataFrame, alerts: DataFrame,
+      watermark: String = "10 minutes",
+      horizon: String = "10 minutes"): DataFrame =
+    obs.withWatermark("ts", watermark)
+      .join(alerts.withWatermark("a_ts", watermark),
+        expr(s"place = a_place AND a_ts BETWEEN ts - INTERVAL $horizon" +
+          " AND ts"))
+      .select(col("place"), col("ts"), col("temperature"), col("a_ts"),
+        col("severity"))
+
   /** Keyed running state (mapGroupsWithState): latest rendered frame per
     * place plus how many observations contributed. The reference's
     * display shows only the latest frame (weather.py:329); this is that

@@ -744,4 +744,119 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
     assert(out.exists(_._4) && out.exists(!_._4))
   }
+
+  test("txt_span_dedup: keep-first span semantics and in-order reconstruction") {
+    val out = SparkEntry.queries("txt_span_dedup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    val docs = graft.core.Core.table(spark, dir, "documents")
+      .select(col("doc_id"), lower(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.map(_._1).toSet == docs.keySet)
+    // independent keep-first replay over (doc_id, span_id) order
+    val w = TextOps.SpanWidth
+    def spansOf(t: String): Seq[String] =
+      t.split(" ").grouped(w).map(_.mkString(" ")).toSeq
+    val seen = scala.collection.mutable.Set[String]()
+    val expect = out.map(_._1).sorted.map { id =>
+      val sp = spansOf(docs(id))
+      val kept = sp.filter(s => seen.add(s))
+      id -> ((sp.size.toLong, kept.size.toLong, kept.mkString(" ")))
+    }.toMap
+    out.foreach { case (id, nSpans, nKept, clean) =>
+      val (en, ek, ec) = expect(id)
+      assert(nSpans == en && nKept == ek && clean == ec, s"doc $id")
+    }
+    // every distinct span survives exactly once corpus-wide
+    val allSpans = docs.toSeq.sortBy(_._1).flatMap(d => spansOf(d._2))
+    assert(out.map(_._3).sum == allSpans.distinct.size)
+    // and something was actually dropped on this 70%-near-dup corpus
+    assert(out.map(_._3).sum < allSpans.size)
+  }
+
+  test("txt_quality_tier: tiers are quality-monotone deciles with honest sizes") {
+    val out = SparkEntry.queries("txt_quality_tier")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getLong(3)))
+    assert(out.map(_._1).distinct.size == out.size)
+    assert(out.forall(r => r._3 >= 1 && r._3 <= TextOps.QualityTiers))
+    // monotone: higher quality never lands in a lower tier
+    val byQ = out.sortBy(_._2)
+    byQ.iterator.zip(byQ.iterator.drop(1)).foreach { case (a, b) =>
+      assert(a._3 <= b._3)
+    }
+    // boundary-equal docs share a tier (ties never split)
+    out.groupBy(_._2).values.foreach { g =>
+      assert(g.map(_._3).distinct.size == 1)
+    }
+    // n_in_tier is the true tier occupancy and sums to the corpus
+    val sizes = out.groupBy(_._3).map { case (t, g) => t -> g.size.toLong }
+    out.foreach { case (_, _, t, n) => assert(n == sizes(t)) }
+    assert(sizes.values.sum == out.size)
+    // deciles: every tier within 3x of the uniform share (ties skew,
+    // never vanish) and at least 5 distinct tiers materialize
+    assert(sizes.size >= 5)
+    assert(sizes.values.forall(_ <= out.size * 3 / TextOps.QualityTiers))
+  }
+
+  test("pipeline_mix: copy counts realize the per-source weights; " +
+    "decisions are partition-independent") {
+    val out = SparkEntry.queries("pipeline_mix")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    out.foreach { case (id, src, wMicro, n, inc) =>
+      val idx = src.drop(3).toInt
+      val expectW = (idx % 3) match {
+        case 0 => TextOps.MixDownMicro
+        case 1 => TextOps.MixKeepMicro
+        case _ => TextOps.MixUpMicro
+      }
+      assert(wMicro == expectW, s"doc $id")
+      // copy count brackets floor(w)..ceil(w)
+      assert(n >= wMicro / 1000000 && n <= wMicro / 1000000 + 1)
+      assert(inc == (n > 0))
+    }
+    // realized mass per regime tracks the target within a loose band
+    // (hash-Bernoulli on ~160 docs/regime)
+    Seq(TextOps.MixDownMicro, TextOps.MixKeepMicro, TextOps.MixUpMicro)
+      .foreach { w =>
+        val g = out.filter(_._3 == w)
+        val realized = g.map(_._4).sum.toDouble / g.size
+        assert(math.abs(realized - w / 1e6) < 0.15,
+          s"weight $w realized $realized")
+      }
+    // rerun-stability: the decision depends only on (doc_id, source),
+    // so a fresh plan reproduces the manifest exactly
+    val again = SparkEntry.queries("pipeline_mix")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    out.foreach { case (id, _, _, n, _) => assert(again(id) == n) }
+  }
+
+  test("multimodal_align_filter: keep is exactly the centroid-cosine rule") {
+    val out = SparkEntry.queries("multimodal_align_filter")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        r.getDouble(3), r.getBoolean(4)))
+    assert(out.size == 500 && out.exists(_._5) && out.exists(!_._5))
+    val vecs = graft.core.Core.table(spark, dir, "embeddings")
+      .collect().map { r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)) }
+    // independent centroid replay: micro-quantized component means
+    val cents = vecs.groupBy(_._3).map { case (l, vs) =>
+      val dims = vs.head._2.length
+      l -> Array.tabulate(dims) { d =>
+        vs.map(v => math.round(v._2(d) * 1e6)).sum / (vs.size * 1e6)
+      }
+    }
+    out.foreach { case (id, _, label, align, keep) =>
+      val (_, v, l) = vecs.find(_._1 == id).get
+      assert(l == label)
+      val c = cents(l)
+      val d = v.zip(c).map { case (x, y) => x * y }.sum
+      val expect = BigDecimal(d / (math.sqrt(v.map(x => x * x).sum)
+          * math.sqrt(c.map(x => x * x).sum)))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(align - expect) <= 1e-9, s"vec $id")
+      assert(keep == (align >= SimilarityOps.AlignTau))
+    }
+  }
 }

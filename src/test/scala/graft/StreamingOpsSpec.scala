@@ -251,4 +251,51 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(byPlace("London") == (("London", "12°", 2L)))
     assert(byPlace("Paris") == (("Paris", "2°", 1L))) // %.0f half-even: 2.5 -> "2"
   }
+
+  test("stream-stream interval join matches the batch join and bounds state by watermark") {
+    import spark.implicits._
+    import graft.streaming.StreamingOps.Alert
+    implicit val sc = spark.sqlContext
+    val obs = MemoryStream[Obs]
+    val alerts = MemoryStream[Alert]
+    val q = StreamingOps.obsAlertJoin(obs.toDF(), alerts.toDF())
+      .writeStream.format("memory").queryName("oaj")
+      .outputMode(OutputMode.Append()).start()
+
+    val oRows = Seq(
+      Obs("London", ts(10), Some(12.0), Some(63)),
+      Obs("London", ts(25), Some(13.0), Some(63)),
+      Obs("Paris", ts(10), Some(2.0), Some(0)))
+    val aRows = Seq(
+      Alert("London", ts(5), 2),   // within 10 min of the 10:10 obs only
+      Alert("London", ts(20), 3),  // within 10 min of the 10:25 obs only
+      Alert("Paris", ts(10), 1))   // exactly at the Paris obs
+    obs.addData(oRows: _*)
+    alerts.addData(aRows: _*)
+    q.processAllAvailable()
+
+    // the streamed result equals the batch interval join of the same rows
+    val batch = oRows.toDF().join(aRows.toDF(),
+        expr("place = a_place AND a_ts BETWEEN ts - INTERVAL 10 MINUTES AND ts"))
+      .select("place", "ts", "a_ts", "severity")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).toString,
+        r.getTimestamp(2).toString, r.getInt(3))).toSet
+    def streamed() = spark.table("oaj")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).toString,
+        r.getTimestamp(3).toString, r.getInt(4))).toSet
+    assert(streamed() == batch && batch.size == 3, streamed())
+
+    // advance both watermarks far past the horizon, then deliver an
+    // alert older than the watermark: its join state window is closed,
+    // so it must never pair with anything
+    obs.addData(Obs("London", Timestamp.valueOf("2026-08-12 12:00:00"),
+      Some(20.0), Some(0)))
+    alerts.addData(Alert("London",
+      Timestamp.valueOf("2026-08-12 12:00:00"), 9))
+    q.processAllAvailable()
+    alerts.addData(Alert("London", ts(10), 7)) // late by > watermark
+    q.processAllAvailable()
+    q.stop()
+    assert(!streamed().exists(_._4 == 7), streamed())
+  }
 }
