@@ -49,7 +49,8 @@ object Scale {
     "dedup_cluster_cc", "dedup_canonical_pick", "dedup_incremental",
     "dedup_incremental_indexed", "dedup_substring",
     "multimodal_phash_dedup",
-    "txt_span_dedup", "txt_quality_tier", "pipeline_mix")
+    "txt_span_dedup", "txt_quality_tier", "pipeline_mix",
+    "txt_vocab_coverage", "pipeline_full")
 
   /** DENSE subset: dedup_near_auto only re-picks a branch of near/
     * prefix, dedup_ngram/minhash_est/simhash share their families'
@@ -115,7 +116,7 @@ object Scale {
     (if (tag == "sf1dense") denseDocQueries else docQueries) ++
       Seq("sim_ann_lsh", "sim_ann_lsh_qd", "sim_ann_lsh_auto",
         "sim_ann_lsh_p12", "dedup_semdedup", "multimodal_align_filter",
-        "join_interval")
+        "join_interval", "join_asof_nearest")
 
   /** Growth-model bands (docs/SCALE.md): max allowed 10x-corpus growth
     * factor vs the sf0.1 median, per regime — (dense, wide); a
@@ -211,7 +212,16 @@ object Scale {
     // (label, dim)-keyed partial agg + label-bounded broadcast join:
     // linear in vectors at fixed dim
     "multimodal_align_filter" -> (15.0, 15.0),
-    "join_interval" -> (15.0, 15.0))
+    // vocab-bounded top-K broadcast + one linear pass (tfidf family)
+    "txt_vocab_coverage" -> (-1.0, 15.0),
+    // composition of linear legs + the CC rounds; swept WIDE (the
+    // per-source near-dup structure is constant there, so every leg
+    // is linear); DENSE adds nothing its pieces don't already measure
+    "pipeline_full" -> (-1.0, 15.0),
+    "join_interval" -> (15.0, 15.0),
+    // same tagged-union window family as join_range_asof: one user_id
+    // exchange, two frames — linear in events
+    "join_asof_nearest" -> (15.0, 15.0))
 
   /** `check` mode: replay docs/scale_results.jsonl against
     * [[growthBands]] (per-(tag, query) medians of the last 7 ok runs,

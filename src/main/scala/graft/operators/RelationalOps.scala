@@ -32,6 +32,9 @@ object RelationalOps {
     * bucket width >= window). */
   val IntervalJoinUs: Long = 600000000L
 
+  /** join_asof_nearest tolerance: ±30 minutes in µs. */
+  val AsofNearestTolUs: Long = 1800000000L
+
   def queries: Map[String, Q] = Map(
     // Multi-table equi join: orders ⋈ customer ⋈ nation ⋈ region,
     // revenue per nation. nation/region broadcast; orders⋈customer
@@ -97,6 +100,58 @@ object RelationalOps {
         .filter(col("kind") === 1)
         .select(col("event_id").as("purchase_id"),
           col("us").as("purchase_us"), col("click_id"), col("click_us"))
+        .orderBy("purchase_id")
+    },
+
+    // NEAREST-event as-of join (pandas merge_asof direction='nearest'
+    // with tolerance): each purchase pairs with its closest click in
+    // EITHER direction within ±30 min, backward preferred on distance
+    // ties. Same scale-safe union+window rewrite as join_range_asof —
+    // ONE shuffle on user_id, two frames (preceding last + following
+    // first) in one Window operator pass each, no clicks×purchases
+    // fanout. Tiebreaks are pinned: backward picks the latest click
+    // (max id at equal ts — what `last` over (us, kind, id) yields),
+    // forward the earliest (min id — `first`); equal-timestamp clicks
+    // sort before the purchase, so they are backward candidates at
+    // distance 0, never double-counted forward.
+    "join_asof_nearest" -> { (s, dir) =>
+      val tol = AsofNearestTolUs
+      val e = table(s, dir, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .withColumn("us", unix_micros(col("ts")))
+      val tagged = e.select(col("user_id"), col("us"),
+        when(col("event_type") === "purchase", 1).otherwise(0).as("kind"),
+        col("event_id"))
+      val back = Window.partitionBy("user_id")
+        .orderBy(col("us"), col("kind"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fwd = Window.partitionBy("user_id")
+        .orderBy(col("us"), col("kind"), col("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val clickId = when(col("kind") === 0, col("event_id"))
+      val clickUs = when(col("kind") === 0, col("us"))
+      tagged
+        .select(col("*"),
+          last(clickId, ignoreNulls = true).over(back).as("b_id"),
+          last(clickUs, ignoreNulls = true).over(back).as("b_us"),
+          first(clickId, ignoreNulls = true).over(fwd).as("f_id"),
+          first(clickUs, ignoreNulls = true).over(fwd).as("f_us"))
+        .filter(col("kind") === 1)
+        .withColumn("b_ok",
+          col("b_us").isNotNull && col("us") - col("b_us") <= tol)
+        .withColumn("f_ok",
+          col("f_us").isNotNull && col("f_us") - col("us") <= tol)
+        .withColumn("pick_back", col("b_ok") && (!col("f_ok")
+          || col("us") - col("b_us") <= col("f_us") - col("us")))
+        .select(col("event_id").as("purchase_id"),
+          col("us").as("purchase_us"),
+          when(col("pick_back"), col("b_id"))
+            .otherwise(when(col("f_ok"), col("f_id"))).as("click_id"),
+          when(col("pick_back"), col("b_us"))
+            .otherwise(when(col("f_ok"), col("f_us"))).as("click_us"),
+          when(col("pick_back"), "back")
+            .otherwise(when(col("f_ok"), "fwd")).as("direction"))
+        .withColumn("delta_us", abs(col("purchase_us") - col("click_us")))
         .orderBy("purchase_id")
     },
 
@@ -838,6 +893,36 @@ object RelationalOps {
         |             ON p.user_id = c.user_id AND c.us <= p.us)
         |SELECT purchase_id, purchase_us, click_id, click_us
         |FROM j WHERE rn = 1 ORDER BY purchase_id""".stripMargin,
+
+    // join formulation of the nearest-asof (the oracle may pay the
+    // fanout the engine's window rewrite avoids): rank candidates by
+    // (distance, direction, direction-signed id) — identical tiebreaks
+    // to the window form
+    "join_asof_nearest" ->
+      s"""WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS us
+         |           FROM events WHERE event_type = 'purchase'),
+         |     c AS (SELECT event_id, user_id, epoch_us(ts) AS us
+         |           FROM events WHERE event_type = 'click'),
+         |     j AS (SELECT p.event_id AS purchase_id,
+         |                  c.event_id AS click_id, c.us AS c_us,
+         |                  abs(p.us - c.us) AS dist,
+         |                  CASE WHEN c.us <= p.us THEN 0 ELSE 1 END
+         |                    AS dir,
+         |                  ROW_NUMBER() OVER (PARTITION BY p.event_id
+         |                    ORDER BY abs(p.us - c.us),
+         |                      CASE WHEN c.us <= p.us THEN 0 ELSE 1 END,
+         |                      CASE WHEN c.us <= p.us THEN -c.event_id
+         |                           ELSE c.event_id END) AS rn
+         |           FROM p JOIN c ON p.user_id = c.user_id
+         |             AND abs(p.us - c.us) <= $AsofNearestTolUs)
+         |SELECT p.event_id AS purchase_id, p.us AS purchase_us,
+         |       j.click_id, j.c_us AS click_us,
+         |       CASE j.dir WHEN 0 THEN 'back' WHEN 1 THEN 'fwd' END
+         |         AS direction,
+         |       j.dist AS delta_us
+         |FROM p LEFT JOIN (SELECT * FROM j WHERE rn = 1) j
+         |  ON p.event_id = j.purchase_id
+         |ORDER BY purchase_id""".stripMargin,
 
     "agg_group_multi" ->
       """SELECT l_returnflag, l_linestatus,

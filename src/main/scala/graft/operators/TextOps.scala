@@ -220,6 +220,13 @@ object TextOps {
   val TierFractions: Seq[Double] =
     (1 until QualityTiers).map(_ * 1.0 / QualityTiers)
 
+  /** txt_vocab_coverage vocabulary size: top-K corpus tokens by global
+    * frequency (deterministic (gtf desc, tok) tie-order). 16 of the
+    * synthetic 31-word vocabulary, so in- and out-of-vocab tokens both
+    * occur; a deployment passes its tokenizer's vocab instead — the
+    * plan (vocab-bounded broadcast + one linear pass) is identical. */
+  val VocabTopK = 16
+
   /** txt_pii_redact patterns. Both regexes restrict to constructs with
     * IDENTICAL semantics in Java's regex (Spark) and RE2 (DuckDB) —
     * character classes, bounded repetition, \b word boundaries; no
@@ -1007,9 +1014,102 @@ object TextOps {
         .select(col("doc_id"), col("source"), col("weight_micro"),
           col("n_copies"), (col("n_copies") > 0).as("included"))
         .orderBy("doc_id")
+    },
+
+    // Tokenizer-vocabulary coverage: per-doc out-of-vocabulary rate
+    // against the corpus's top-K token vocabulary — the check a
+    // pipeline runs before committing a tokenizer (high OOV = wrong
+    // language, OCR noise, or a vocab that won't fit the corpus).
+    // The vocab is vocabulary-bounded (top-K of a token groupBy), so
+    // it BROADCASTS at any corpus scale and the scoring pass is one
+    // linear left join + per-doc agg — the txt_tfidf_topk shape.
+    "txt_vocab_coverage" -> { (s, dir) =>
+      val terms = shared(toks(s, dir)
+        .select(col("doc_id"), explode(col("toks")).as("tok")))
+      val vocab = terms.groupBy("tok").agg(count(lit(1)).as("gtf"))
+        .orderBy(col("gtf").desc, col("tok")).limit(VocabTopK)
+        .select(col("tok"), lit(1).as("in_vocab"))
+      terms.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_rate",
+          round(col("n_oov").cast(DoubleType) / col("n_tokens"), 9))
+        .orderBy("doc_id")
+    },
+
+    // THE corpus-build manifest: curation funnel + near-dup dedup +
+    // mixture sampling composed into one decision row per document —
+    // keep iff it passes the curation filters AND survives dedup AND
+    // draws a nonzero mixture copy count, with the FIRST failing stage
+    // as `reason` (filters → near_dup → mixed_out, the order a real
+    // pipeline applies them), `dup_of` for dedup casualties, the copy
+    // count, and split/shard for the final kept set. Every leg is the
+    // standalone operator's identical derivation (curate: the fused
+    // map-side chain + bounded broadcast gram join; dedup: SimHash →
+    // bounded CC → per-cluster quality argmax; mix: the independent
+    // hash stream) — composition agreement asserted leg-by-leg in
+    // PipelineOpsSpec. Scale shape: the union of the legs' shapes, one
+    // corpus-wide equi-join spine on doc_id at the end.
+    "pipeline_full" -> { (s, dir) =>
+      // curate leg (verbatim pipeline_curate)
+      val grams = shared(
+        curateMapSide(table(s, dir, "documents").select("doc_id", "text"))
+          .select(col("doc_id"), explode(col("grams")).as("g")))
+      val bench = grams.filter(col("doc_id") < DecontaminateBenchDocs)
+        .select(col("doc_id").as("bench_id"), col("g"))
+      val contaminated = grams.join(broadcast(bench), Seq("g"))
+        .filter(col("bench_id") =!= col("doc_id"))
+        .select("doc_id").distinct()
+        .withColumn("contaminated", lit(true))
+      val curate = curateManifest(
+        curateMapSide(table(s, dir, "documents").select("doc_id", "text"))
+          .join(contaminated, Seq("doc_id"), "left")
+          .withColumn("drop_reason", coalesce(col("map_drop"),
+            when(coalesce(col("contaminated"), lit(false)),
+              "contaminated"))))
+      // dedup leg (verbatim pipeline_dedup)
+      val q = qualityParts(s, dir).select("doc_id", "quality")
+      val ordered = Window.partitionBy("cluster")
+        .orderBy(col("quality").desc, col("doc_id"))
+      val nodes = table(s, dir, "documents").select("doc_id")
+      val ded = DedupOps.ccUnrolled(nodes,
+          DedupOps.simhashEdges(s, dir), DedupOps.CcRounds)
+        .join(q, "doc_id")
+        .withColumn("dedup_keep", row_number().over(ordered) === 1)
+        .withColumn("canon", first(col("doc_id")).over(ordered))
+        .select(col("doc_id"), col("dedup_keep"),
+          when(!col("dedup_keep"), col("canon")).as("dup_of"))
+      // mix leg (verbatim pipeline_mix)
+      val mix = table(s, dir, "documents")
+        .withColumn("src_idx",
+          substring(col("source"), 4, 10).cast(IntegerType))
+        .withColumn("weight_micro",
+          when(col("src_idx") % 3 === 0, MixDownMicro)
+            .when(col("src_idx") % 3 === 1, MixKeepMicro)
+            .otherwise(MixUpMicro))
+        .withColumn("h",
+          ((col("doc_id") % lit(TextHash.P)) * lit(MixHashMul))
+            % lit(TextHash.P))
+        .select(col("doc_id"),
+          (expr("weight_micro DIV 1000000")
+            + when(col("h") % 1000000L < col("weight_micro") % 1000000L,
+              1L).otherwise(0L)).as("n_copies"))
+      curate.join(ded, "doc_id").join(mix, "doc_id")
+        .withColumn("keep_final",
+          col("keep") && col("dedup_keep") && col("n_copies") > 0)
+        .select(col("doc_id"), col("keep_final").as("keep"),
+          coalesce(col("drop_reason"),
+            when(!col("dedup_keep"), "near_dup"),
+            when(col("n_copies") === 0, "mixed_out")).as("reason"),
+          col("dup_of"), col("n_copies"),
+          when(col("keep_final"), col("split")).as("split"),
+          when(col("keep_final"), col("shard")).as("shard"))
+        .orderBy("doc_id")
     })
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+   val base = Map(
     "txt_unigram_logprob" ->
       """WITH terms AS (
         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
@@ -1534,5 +1634,45 @@ object TextOps {
          |    FROM (SELECT doc_id, source,
          |            CAST(substr(source, 4, 10) AS INTEGER) AS src_idx
          |          FROM documents)))
-         |ORDER BY doc_id""".stripMargin)
+         |ORDER BY doc_id""".stripMargin,
+
+    "txt_vocab_coverage" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+         |  FROM documents),
+         |v AS (
+         |  SELECT tok FROM (
+         |    SELECT tok, COUNT(*) AS gtf FROM t GROUP BY tok)
+         |  ORDER BY gtf DESC, tok LIMIT $VocabTopK)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |       CAST(SUM(CASE WHEN tok IN (SELECT tok FROM v)
+         |         THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+         |       round(CAST(SUM(CASE WHEN tok IN (SELECT tok FROM v)
+         |           THEN 0 ELSE 1 END) AS DOUBLE) / COUNT(*), 9)
+         |         AS oov_rate
+         |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+
+   // the composed corpus-build manifest replays the three legs' own
+   // oracles verbatim as CTEs — composition at the SQL level too, so
+   // the oracle can't drift from the per-leg oracles it wraps
+   base + ("pipeline_full" ->
+     s"""WITH cur AS (SELECT * FROM (${base("pipeline_curate")})),
+        |ded AS (SELECT * FROM (${
+          DedupOps.oracleSql("pipeline_dedup")})),
+        |mix AS (SELECT * FROM (${base("pipeline_mix")}))
+        |SELECT cur.doc_id,
+        |  (cur.keep AND ded.keep AND mix.n_copies > 0) AS keep,
+        |  COALESCE(cur.drop_reason,
+        |    CASE WHEN NOT ded.keep THEN 'near_dup' END,
+        |    CASE WHEN mix.n_copies = 0 THEN 'mixed_out' END) AS reason,
+        |  ded.dup_of, mix.n_copies,
+        |  CASE WHEN cur.keep AND ded.keep AND mix.n_copies > 0
+        |    THEN cur.split END AS split,
+        |  CASE WHEN cur.keep AND ded.keep AND mix.n_copies > 0
+        |    THEN cur.shard END AS shard
+        |FROM cur
+        |JOIN ded ON cur.doc_id = ded.doc_id
+        |JOIN mix ON cur.doc_id = mix.doc_id
+        |ORDER BY cur.doc_id""".stripMargin)
+  }
 }

@@ -832,6 +832,98 @@ class PipelineOpsSpec extends AnyFunSuite {
     out.foreach { case (id, _, _, n, _) => assert(again(id) == n) }
   }
 
+  test("txt_vocab_coverage: OOV counts match an independent top-K vocab replay") {
+    val out = SparkEntry.queries("txt_vocab_coverage")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    val docs = graft.core.Core.table(spark, dir, "documents")
+      .select(col("doc_id"), lower(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq)
+      .toMap
+    val vocab = docs.values.flatten.groupBy(identity).toSeq
+      .map { case (t, o) => (t, o.size) }
+      .sortBy { case (t, n) => (-n, t) }.take(TextOps.VocabTopK)
+      .map(_._1).toSet
+    assert(out.map(_._1).toSet == docs.keySet)
+    out.foreach { case (id, n, oov, rate) =>
+      val ts = docs(id)
+      val expectOov = ts.count(t => !vocab.contains(t)).toLong
+      assert(n == ts.size && oov == expectOov, s"doc $id")
+      val expectRate = BigDecimal(expectOov.toDouble / ts.size)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(rate - expectRate) <= 1e-9)
+    }
+    // both in- and out-of-vocab mass exist on this corpus
+    assert(out.exists(_._3 > 0) && out.exists(r => r._3 < r._2))
+  }
+
+  test("join_asof_nearest: nearest-within-tolerance vs a brute-force replay") {
+    val out = SparkEntry.queries("join_asof_nearest")(spark, dir)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(4)) None else Some(r.getString(4))))
+    val ev = graft.core.Core.table(spark, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    val clicks = ev.filter(_._4 == "click").groupBy(_._2)
+    val tol = RelationalOps.AsofNearestTolUs
+    out.foreach { case (pid, clickId, dirn) =>
+      val (_, uid, pus, _) = ev.find(_._1 == pid).get
+      val cands = clicks.getOrElse(uid, Array.empty)
+        .filter(c => math.abs(c._3 - pus) <= tol)
+      if (cands.isEmpty) assert(clickId.isEmpty && dirn.isEmpty, s"p $pid")
+      else {
+        // rank by (distance, back-before-fwd, direction-signed id)
+        val best = cands.minBy(c => (math.abs(c._3 - pus),
+          if (c._3 <= pus) 0 else 1,
+          if (c._3 <= pus) -c._1 else c._1))
+        assert(clickId.contains(best._1), s"p $pid")
+        assert(dirn.contains(if (best._3 <= pus) "back" else "fwd"))
+      }
+    }
+    // both directions and the no-candidate case all occur
+    assert(out.exists(_._3.contains("back")) &&
+      out.exists(_._3.contains("fwd")) && out.exists(_._2.isEmpty))
+  }
+
+  test("pipeline_full manifest is composition-identical to the three standalone legs") {
+    val full = SparkEntry.queries("pipeline_full")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) None else Some(r.getString(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getString(5))))
+    val cur = SparkEntry.queries("pipeline_curate")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1),
+        if (r.isNullAt(2)) None else Some(r.getString(2)),
+        if (r.isNullAt(3)) None else Some(r.getString(3))))).toMap
+    val ded = SparkEntry.queries("pipeline_dedup")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    val mix = SparkEntry.queries("pipeline_mix")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(full.map(_._1).toSet == cur.keySet)
+    full.foreach { case (id, keep, reason, dupOf, nCopies, split) =>
+      val (cKeep, cReason, cSplit) = cur(id)
+      val (dKeep, dDupOf) = ded(id)
+      assert(nCopies == mix(id), s"doc $id")
+      assert(keep == (cKeep && dKeep && nCopies > 0), s"doc $id")
+      val expectReason = cReason
+        .orElse(if (!dKeep) Some("near_dup") else None)
+        .orElse(if (nCopies == 0) Some("mixed_out") else None)
+      assert(reason == expectReason, s"doc $id")
+      assert(dupOf == dDupOf, s"doc $id")
+      assert(split == (if (keep) cSplit else None), s"doc $id")
+    }
+    // every reason class materializes on this corpus
+    val reasons = full.flatMap(_._3).toSet
+    assert(reasons.contains("near_dup") && reasons.contains("mixed_out"),
+      reasons)
+  }
+
   test("multimodal_align_filter: keep is exactly the centroid-cosine rule") {
     val out = SparkEntry.queries("multimodal_align_filter")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2),
