@@ -88,6 +88,26 @@ object Bench {
         .orderBy("k")
         .write.format("noop").mode("overwrite").save()
       spark.catalog.clearCache()
+      // The generic pass above warms the SQL runtime but NOT the dedup
+      // backbone: the sketch agg (31 packed bit-sums), the banded
+      // salted candidate join, and the unrolled CC rounds each compile
+      // their own codegen classes, and Spark's compiled-class cache is
+      // keyed on generated source — so whichever dedup query runs FIRST
+      // alphabetically (dedup_canonical_pick) was paying the whole
+      // pipeline's Janino + HotSpot warmup while its successors
+      // (dedup_cluster_cc, pipeline_dedup) hit warm caches and ran the
+      // same subplan 1.5x faster (round-7 verdict #2: 7.8-10.0 s vs
+      // 5.2-6.3 s for a strict-superset plan). JMH-style fix: execute
+      // the shared backbone once, untimed, so every dedup query is
+      // measured at steady state rather than by alphabetical luck. All
+      // data caches are dropped right after — only compiled code stays.
+      // pipeline_dedup is the widest such plan: sketch agg + banded
+      // join + CC rounds + the quality scan + the cluster window —
+      // i.e. dedup_canonical_pick's entire plan plus dedup_cluster_cc's.
+      graft.operators.DedupOps.queries("pipeline_dedup")(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      graft.core.Core.releaseShared()
+      spark.catalog.clearCache()
     } catch { case e: Throwable =>
       // a failed warmup must not fail the bench, but it must be LOUD:
       // every first-position query then carries the JIT tax the warmup

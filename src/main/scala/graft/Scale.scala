@@ -50,7 +50,8 @@ object Scale {
     "dedup_incremental_indexed", "dedup_substring",
     "multimodal_phash_dedup",
     "txt_span_dedup", "txt_quality_tier", "pipeline_mix",
-    "txt_vocab_coverage", "pipeline_full")
+    "txt_vocab_coverage", "pipeline_full",
+    "sample_reservoir", "pipeline_stats")
 
   /** DENSE subset: dedup_near_auto only re-picks a branch of near/
     * prefix, dedup_ngram/minhash_est/simhash share their families'
@@ -116,7 +117,7 @@ object Scale {
     (if (tag == "sf1dense") denseDocQueries else docQueries) ++
       Seq("sim_ann_lsh", "sim_ann_lsh_qd", "sim_ann_lsh_auto",
         "sim_ann_lsh_p12", "dedup_semdedup", "multimodal_align_filter",
-        "join_interval", "join_asof_nearest")
+        "join_interval", "join_asof_nearest", "agg_zscore_outlier")
 
   /** Growth-model bands (docs/SCALE.md): max allowed 10x-corpus growth
     * factor vs the sf0.1 median, per regime — (dense, wide); a
@@ -221,7 +222,16 @@ object Scale {
     "join_interval" -> (15.0, 15.0),
     // same tagged-union window family as join_range_asof: one user_id
     // exchange, two frames — linear in events
-    "join_asof_nearest" -> (15.0, 15.0))
+    "join_asof_nearest" -> (15.0, 15.0),
+    // one events scan + type-dim agg + broadcast-back map pass — the
+    // linear class in both regimes
+    "agg_zscore_outlier" -> (15.0, 15.0),
+    // per-partition top-K + one K-row merge (TakeOrderedAndProject):
+    // the scan is linear, the merge constant-size
+    "sample_reservoir" -> (-1.0, 15.0),
+    // the curate-funnel core (pipeline_curate's shape) + a constant
+    // 4-row stage walk; swept WIDE like the rest of the curate family
+    "pipeline_stats" -> (-1.0, 15.0))
 
   /** `check` mode: replay docs/scale_results.jsonl against
     * [[growthBands]] (per-(tag, query) medians of the last 7 ok runs,

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.core.Core._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -858,6 +858,81 @@ object RelationalOps {
             expr("date_add(DATE '1970-01-01', CAST(start_d AS INT))"),
             "yyyy-MM-dd").as("streak_start"))
         .orderBy("user_id")
+    },
+
+    // Column profiling — the first pass every ingestion pipeline runs
+    // on an unknown table: per column, null count, exact distinct
+    // count, and min/max, as ONE tall (column, stats) relation. One
+    // table scan: the multi-distinct agg plans as a single Expand
+    // (rows × profiled columns) + two-phase hash agg — no per-column
+    // re-scan, no driver loop. At 100 TB the same plan holds; a
+    // deployment swaps count_distinct for approx_count_distinct (HLL)
+    // to drop the Expand, trading exactness it no longer needs —
+    // exact is kept here because exact is what the oracle can check.
+    // Min/max render cross-engine-exactly: integers verbatim, the
+    // 2-dp price via integer cents, timestamps via an explicit format
+    // string (a raw double/timestamp cast is engine-dependent).
+    "profile_table" -> { (s, dir) =>
+      val o = table(s, dir, "orders")
+      def nNulls(c: String) =
+        sum(when(col(c).isNull, 1L).otherwise(0L))
+      def longCol(c: String) = Seq(
+        nNulls(c), countDistinct(col(c)),
+        min(col(c)).cast(StringType), max(col(c)).cast(StringType))
+      def strCol(c: String) = Seq(
+        nNulls(c), countDistinct(col(c)), min(col(c)), max(col(c)))
+      val priceCents = cents(col("o_totalprice"))
+      val aggs: Seq[Column] = Seq(count(lit(1)).as("n_rows")) ++
+        (longCol("o_orderkey") ++ longCol("o_custkey") ++
+          strCol("o_orderstatus") ++ strCol("o_orderpriority") ++
+          Seq(nNulls("o_totalprice"), countDistinct(priceCents),
+            min(priceCents).cast(StringType),
+            max(priceCents).cast(StringType)) ++
+          Seq(nNulls("o_orderdate"), countDistinct(col("o_orderdate")),
+            date_format(min(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss"),
+            date_format(max(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss")))
+          .zipWithIndex.map { case (c, i) => c.as(s"c$i") }
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderpriority", "o_totalprice_cents", "o_orderdate")
+      val stackArgs = cols.zipWithIndex.map { case (name, i) =>
+        s"'$name', c${i * 4}, c${i * 4 + 1}, c${i * 4 + 2}, c${i * 4 + 3}"
+      }.mkString(", ")
+      o.agg(aggs.head, aggs.tail: _*)
+        .select(col("n_rows"), expr(s"stack(${cols.size}, $stackArgs) AS " +
+          "(col_name, n_nulls, n_distinct, min_v, max_v)"))
+        .orderBy("col_name")
+    },
+
+    // Anomaly flagging — population z-score per event type, events
+    // beyond |z| >= 3 reported with their score: the outlier screen a
+    // metrics pipeline runs before aggregation. Spark's stddev is
+    // merge-order-dependent in doubles, so the moments come from the
+    // agg_stats_moments recipe: exact integer cents summed in
+    // decimal-38 (no overflow at 100 TB row counts), ONE deterministic
+    // cast to double, identical closing IEEE arithmetic both engines.
+    // Shape: one events scan -> tiny per-type stats agg -> broadcast
+    // back -> map-side score + filter. Linear, one shuffle the size of
+    // the type dimension, no window over the full table.
+    "agg_zscore_outlier" -> { (s, dir) =>
+      val d38 = DecimalType(38, 0)
+      val vc = cents(col("value"))
+      val st = table(s, dir, "events")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(vc.cast(d38)).as("sv"),
+          sum((vc * vc).cast(d38)).as("svv"))
+      val (n, sv, svv) = (col("n").cast(DoubleType),
+        col("sv").cast(DoubleType), col("svv").cast(DoubleType))
+      val stats = st.select(col("event_type"), (sv / n).as("mean_c"),
+        ((svv - sv * sv / n) / n).as("var_c"))
+      table(s, dir, "events")
+        .join(broadcast(stats), "event_type")
+        // z is computed in cents-space; the scale factor cancels
+        .withColumn("z", when(col("var_c") > 0,
+          (vc.cast(DoubleType) - col("mean_c")) / sqrt(col("var_c"))))
+        .filter(abs(col("z")) >= 3.0)
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(col("z"), 9).as("z"))
+        .orderBy("event_id")
     })
 
   def oracleSql: Map[String, String] = Map(
@@ -1400,5 +1475,76 @@ object RelationalOps {
         |         + CAST(start_d AS INTEGER), '%Y-%m-%d') AS streak_start
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
         |        ORDER BY len DESC, start_d ASC) AS rk FROM agg)
-        |WHERE rk = 1 ORDER BY user_id""".stripMargin)
+        |WHERE rk = 1 ORDER BY user_id""".stripMargin,
+
+    "profile_table" ->
+      """WITH t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM orders),
+        |p AS (
+        |  SELECT 'o_orderkey' AS col_name,
+        |         CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_nulls,
+        |         CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+        |         CAST(MIN(o_orderkey) AS VARCHAR) AS min_v,
+        |         CAST(MAX(o_orderkey) AS VARCHAR) AS max_v
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_custkey',
+        |         CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT),
+        |         CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+        |         CAST(MIN(o_custkey) AS VARCHAR),
+        |         CAST(MAX(o_custkey) AS VARCHAR)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus',
+        |         CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
+        |         CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+        |         MIN(o_orderstatus), MAX(o_orderstatus)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderpriority',
+        |         CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+        |         CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+        |         MIN(o_orderpriority), MAX(o_orderpriority)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_totalprice_cents',
+        |         CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
+        |         CAST(COUNT(DISTINCT CAST(round(o_totalprice * 100)
+        |           AS BIGINT)) AS BIGINT),
+        |         CAST(MIN(CAST(round(o_totalprice * 100) AS BIGINT))
+        |           AS VARCHAR),
+        |         CAST(MAX(CAST(round(o_totalprice * 100) AS BIGINT))
+        |           AS VARCHAR)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderdate',
+        |         CAST(COUNT(*) - COUNT(o_orderdate) AS BIGINT),
+        |         CAST(COUNT(DISTINCT o_orderdate) AS BIGINT),
+        |         strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+        |         strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S')
+        |  FROM orders)
+        |SELECT col_name, n_rows, n_nulls, n_distinct, min_v, max_v
+        |FROM p, t ORDER BY col_name""".stripMargin,
+
+    "agg_zscore_outlier" ->
+      """WITH st AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |         SUM(CAST(round(value * 100) AS BIGINT)) AS sv,
+        |         SUM(CAST(round(value * 100) AS BIGINT)
+        |             * CAST(round(value * 100) AS BIGINT)) AS svv
+        |  FROM events GROUP BY 1),
+        |ms AS (
+        |  SELECT event_type,
+        |         CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) AS mean_c,
+        |         (CAST(svv AS DOUBLE)
+        |          - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)
+        |            / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) AS var_c
+        |  FROM st),
+        |z AS (
+        |  SELECT e.event_id, e.event_type, e.value,
+        |         CASE WHEN m.var_c > 0 THEN
+        |           (CAST(CAST(round(e.value * 100) AS BIGINT) AS DOUBLE)
+        |            - m.mean_c) / sqrt(m.var_c) END AS z
+        |  FROM events e JOIN ms m USING (event_type))
+        |SELECT event_id, event_type, value, round(z, 9) AS z
+        |FROM z WHERE abs(z) >= 3.0 ORDER BY event_id""".stripMargin)
 }

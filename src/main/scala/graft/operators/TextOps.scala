@@ -212,6 +212,19 @@ object TextOps {
     * correlates with any other sampled decision. */
   val MixHashMul = 16807L
 
+  /** sample_reservoir size and hash multiplier: fixed-size corpus-wide
+    * uniform sample — the distributed reservoir. Ranking by a
+    * deterministic per-doc hash and keeping the K smallest is the
+    * relational form of reservoir sampling (each doc's rank is an
+    * independent uniform draw), and Spark plans sort+limit as
+    * TakeOrderedAndProject: per-partition top-K, one K-row merge,
+    * never a global sort — the shape that holds at 100 TB. 40692 is
+    * L'Ecuyer's second MINSTD-family full-period multiplier mod 2³¹−1
+    * (public LCG literature) — a SIXTH independent hash stream,
+    * disjoint from split/shard/stratified/temperature/mix. */
+  val ReservoirK = 300
+  val ReservoirHashMul = 40692L
+
   /** txt_quality_tier tier count (deciles) and the boundary fractions,
     * rendered from ONE Seq so the Spark `percentile` array and the
     * DuckDB `quantile_cont` list carry bit-identical double literals
@@ -282,6 +295,33 @@ object TextOps {
       .withColumn("h_shard",
         ((col("doc_id") % lit(TextHash.P)) * lit(ShuffleHashMul))
           % lit(TextHash.P))
+  }
+
+  /** doc_id + first-failing curate drop_reason (the ordered funnel:
+    * words → stopwords → repetitive → contaminated) plus the
+    * assignment hashes — the curate-funnel core SHARED by
+    * `pipeline_curate`, `pipeline_full`'s curate leg and
+    * `pipeline_stats`: one map-side flag pass + the bounded broadcast
+    * gram join. One definition, three consumers — composed outputs
+    * cannot drift from the standalone operator by construction. */
+  private def curateWithReasons(s: SparkSession, dir: String): DataFrame = {
+    // gram relation for cross-doc contamination (txt_decontaminate's
+    // shape): shared NARROW — (doc_id, g) after the explode, never
+    // the per-doc arrays (the wide-cache rule)
+    val grams = shared(
+      curateMapSide(table(s, dir, "documents").select("doc_id", "text"))
+        .select(col("doc_id"), explode(col("grams")).as("g")))
+    val bench = grams.filter(col("doc_id") < DecontaminateBenchDocs)
+      .select(col("doc_id").as("bench_id"), col("g"))
+    val contaminated = grams.join(broadcast(bench), Seq("g"))
+      .filter(col("bench_id") =!= col("doc_id"))
+      .select("doc_id").distinct()
+      .withColumn("contaminated", lit(true))
+    curateMapSide(table(s, dir, "documents").select("doc_id", "text"))
+      .join(contaminated, Seq("doc_id"), "left")
+      .withColumn("drop_reason", coalesce(col("map_drop"),
+        when(coalesce(col("contaminated"), lit(false)),
+          "contaminated")))
   }
 
   /** The manifest projection over a relation carrying `drop_reason` +
@@ -816,24 +856,63 @@ object TextOps {
     // broadcast) benchmark gram join — the whole manifest is one
     // corpus scan + one broadcast join at 100 TB.
     "pipeline_curate" -> { (s, dir) =>
-      // gram relation for cross-doc contamination (txt_decontaminate's
-      // shape): shared NARROW — (doc_id, g) after the explode, never
-      // the per-doc arrays (the wide-cache rule)
-      val grams = shared(
-        curateMapSide(table(s, dir, "documents").select("doc_id", "text"))
-          .select(col("doc_id"), explode(col("grams")).as("g")))
-      val bench = grams.filter(col("doc_id") < DecontaminateBenchDocs)
-        .select(col("doc_id").as("bench_id"), col("g"))
-      val contaminated = grams.join(broadcast(bench), Seq("g"))
-        .filter(col("bench_id") =!= col("doc_id"))
-        .select("doc_id").distinct()
-        .withColumn("contaminated", lit(true))
-      curateManifest(
-        curateMapSide(table(s, dir, "documents").select("doc_id", "text"))
-          .join(contaminated, Seq("doc_id"), "left")
-          .withColumn("drop_reason", coalesce(col("map_drop"),
-            when(coalesce(col("contaminated"), lit(false)),
-              "contaminated"))))
+      curateManifest(curateWithReasons(s, dir)).orderBy("doc_id")
+    },
+
+    // The funnel ATTRITION table — the monitoring output every curation
+    // job ships next to its manifest: per ordered stage, how many docs
+    // reached it, how many it dropped (reason = FIRST failing stage,
+    // so stage counts partition the drops), how many survived, and the
+    // stage's conditional drop rate. Derived from the SAME
+    // [[curateWithReasons]] core as pipeline_curate, then one tiny
+    // reason-count agg; the stage walk is a window over a CONSTANT
+    // 4-row stage dimension (not the corpus), so the one-reducer
+    // cumulative sum is a constant-size frame at any scale.
+    "pipeline_stats" -> { (s, dir) =>
+      val counts = curateWithReasons(s, dir)
+        .groupBy("drop_reason").agg(count(lit(1)).as("n"))
+      val total = counts.agg(sum(col("n")).as("total"))
+      val stageDim = s.range(1).select(explode(typedLit(Seq(
+          ("words", 1), ("stopwords", 2), ("repetitive", 3),
+          ("contaminated", 4)))).as("st"))
+        .select(col("st._1").as("stage"), col("st._2").as("ord"))
+      val cum = Window.orderBy("ord")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      stageDim
+        .join(counts, stageDim("stage") === counts("drop_reason"), "left")
+        .withColumn("n_dropped", coalesce(col("n"), lit(0L)))
+        .crossJoin(broadcast(total))
+        .withColumn("cumdrop", sum(col("n_dropped")).over(cum))
+        .select(col("stage"), col("ord"),
+          (col("total") - col("cumdrop") + col("n_dropped")).as("n_in"),
+          col("n_dropped"),
+          (col("total") - col("cumdrop")).as("n_out"))
+        .withColumn("drop_pct", when(col("n_in") > 0,
+          round(col("n_dropped").cast(DoubleType) / col("n_in"), 9)))
+        .orderBy("ord")
+    },
+
+    // Fixed-size uniform corpus sample — the distributed reservoir
+    // (see [[ReservoirK]]): rank every doc by an independent
+    // deterministic hash stream, keep the K smallest. Plans as
+    // TakeOrderedAndProject — per-partition top-K then one K-row
+    // merge; no global sort, no shuffle of the corpus. Rerun- and
+    // partition-layout-stable, unlike rand()-based sampling.
+    // TWO Lehmer rounds, not one: id·mul stays below the modulus for
+    // id < P/mul ≈ 52k, so a single round is MONOTONE in doc_id there
+    // and "top-K by hash" silently degenerates to "lowest K doc_ids";
+    // the second multiplication wraps P thousands of times and
+    // actually permutes the id range. (The split/shard/mix streams
+    // take h mod small-n — low-bit uses a single round serves fine —
+    // but rank-by-h needs the full-range scatter.)
+    "sample_reservoir" -> { (s, dir) =>
+      val h1 = (((col("doc_id") % lit(TextHash.P))
+        * lit(ReservoirHashMul)) % lit(TextHash.P))
+      table(s, dir, "documents")
+        .withColumn("h", (h1 * lit(ReservoirHashMul)) % lit(TextHash.P))
+        .orderBy(col("h"), col("doc_id"))
+        .limit(ReservoirK)
+        .select(col("doc_id"), col("lang"), col("source"), col("h"))
         .orderBy("doc_id")
     },
 
@@ -1052,22 +1131,9 @@ object TextOps {
     // PipelineOpsSpec. Scale shape: the union of the legs' shapes, one
     // corpus-wide equi-join spine on doc_id at the end.
     "pipeline_full" -> { (s, dir) =>
-      // curate leg (verbatim pipeline_curate)
-      val grams = shared(
-        curateMapSide(table(s, dir, "documents").select("doc_id", "text"))
-          .select(col("doc_id"), explode(col("grams")).as("g")))
-      val bench = grams.filter(col("doc_id") < DecontaminateBenchDocs)
-        .select(col("doc_id").as("bench_id"), col("g"))
-      val contaminated = grams.join(broadcast(bench), Seq("g"))
-        .filter(col("bench_id") =!= col("doc_id"))
-        .select("doc_id").distinct()
-        .withColumn("contaminated", lit(true))
-      val curate = curateManifest(
-        curateMapSide(table(s, dir, "documents").select("doc_id", "text"))
-          .join(contaminated, Seq("doc_id"), "left")
-          .withColumn("drop_reason", coalesce(col("map_drop"),
-            when(coalesce(col("contaminated"), lit(false)),
-              "contaminated"))))
+      // curate leg (the shared curateWithReasons core = verbatim
+      // pipeline_curate)
+      val curate = curateManifest(curateWithReasons(s, dir))
       // dedup leg (verbatim pipeline_dedup)
       val q = qualityParts(s, dir).select("doc_id", "quality")
       val ordered = Window.partitionBy("cluster")
@@ -1673,6 +1739,34 @@ object TextOps {
         |FROM cur
         |JOIN ded ON cur.doc_id = ded.doc_id
         |JOIN mix ON cur.doc_id = mix.doc_id
-        |ORDER BY cur.doc_id""".stripMargin)
+        |ORDER BY cur.doc_id""".stripMargin) +
+   ("pipeline_stats" ->
+     s"""WITH cur AS (SELECT * FROM (${base("pipeline_curate")})),
+        |cnt AS (SELECT drop_reason, CAST(COUNT(*) AS BIGINT) AS n
+        |        FROM cur GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM cnt),
+        |dim(stage, ord) AS (VALUES ('words', 1), ('stopwords', 2),
+        |                           ('repetitive', 3), ('contaminated', 4)),
+        |j AS (SELECT d.stage, d.ord,
+        |        CAST(COALESCE(c.n, 0) AS BIGINT) AS n_dropped
+        |      FROM dim d LEFT JOIN cnt c ON c.drop_reason = d.stage),
+        |w AS (SELECT stage, ord, n_dropped,
+        |        CAST(SUM(n_dropped) OVER (ORDER BY ord
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS BIGINT) AS cumdrop FROM j)
+        |SELECT stage, ord, total - cumdrop + n_dropped AS n_in,
+        |       n_dropped, total - cumdrop AS n_out,
+        |       CASE WHEN total - cumdrop + n_dropped > 0 THEN
+        |         round(CAST(n_dropped AS DOUBLE)
+        |           / (total - cumdrop + n_dropped), 9) END AS drop_pct
+        |FROM w, tot ORDER BY ord""".stripMargin) +
+   ("sample_reservoir" ->
+     s"""SELECT doc_id, lang, source, h FROM (
+        |  SELECT doc_id, lang, source,
+        |         (((doc_id % ${TextHash.P}) * $ReservoirHashMul)
+        |           % ${TextHash.P}) * $ReservoirHashMul
+        |           % ${TextHash.P} AS h
+        |  FROM documents ORDER BY h, doc_id LIMIT $ReservoirK)
+        |ORDER BY doc_id""".stripMargin)
   }
 }

@@ -951,4 +951,57 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(keep == (align >= SimilarityOps.AlignTau))
     }
   }
+
+  test("pipeline_stats attrition agrees with a fold over the pipeline_curate manifest") {
+    val stats = SparkEntry.queries("pipeline_stats")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(stats.map(_._1).toSeq ==
+      Seq("words", "stopwords", "repetitive", "contaminated"))
+    // independent replay: count first-failing reasons in the manifest
+    // and walk the funnel in stage order
+    val reasons = SparkEntry.queries("pipeline_curate")(spark, dir)
+      .collect().map(r =>
+        if (r.isNullAt(2)) None else Some(r.getString(2)))
+    val byReason = reasons.flatten.groupBy(identity)
+      .map { case (k, v) => k -> v.size.toLong }
+    var nIn = reasons.size.toLong
+    stats.foreach { case (stage, _, in, dropped, out) =>
+      assert(in == nIn, stage)
+      assert(dropped == byReason.getOrElse(stage, 0L), stage)
+      assert(out == in - dropped, stage)
+      nIn = out
+    }
+    // the funnel's final survivor count is exactly the kept docs
+    assert(nIn == reasons.count(_.isEmpty))
+  }
+
+  test("sample_reservoir is the exact top-K of the independent hash stream") {
+    val out = SparkEntry.queries("sample_reservoir")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    val ids = graft.core.Core.table(spark, dir, "documents")
+      .select("doc_id").collect().map(_.getLong(0))
+    val P = graft.functions.TextHash.P
+    def h2(id: Long, mul: Long): Long = id % P * mul % P * mul % P
+    val expect = ids
+      .map(id => (id, h2(id, TextOps.ReservoirHashMul)))
+      .sortBy { case (id, h) => (h, id) }
+      .take(TextOps.ReservoirK)
+      .sortBy(_._1)
+    assert(out.toSeq == expect.toSeq)
+    // the double-round stream genuinely PERMUTES the id range (the
+    // single-round streams are monotone for small ids — the exact trap
+    // the operator scaladoc documents)...
+    val ranking = ids.map(id => (id, h2(id, TextOps.ReservoirHashMul)))
+      .sortBy { case (id, h) => (h, id) }.map(_._1).toSeq
+    assert(ranking != ids.sorted.toSeq)
+    // ...and is independent of the split/shard/mix streams: a
+    // different multiplier yields a different corpus ordering
+    for (mul <- Seq(TextOps.SplitHashMul, TextOps.ShuffleHashMul,
+        TextOps.MixHashMul)) {
+      val other = ids.map(id => (id, h2(id, mul)))
+        .sortBy { case (id, h) => (h, id) }.map(_._1).toSeq
+      assert(ranking != other)
+    }
+  }
 }

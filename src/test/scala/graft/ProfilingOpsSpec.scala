@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Independent-replay checks for the data-profiling operators:
+  * profile_table's per-column stats vs per-column Spark aggregates,
+  * agg_zscore_outlier vs a driver-side moments fold. Runs on sf0.001
+  * (the oracle gate re-checks both against DuckDB at sf0.01). */
+class ProfilingOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = TestSpark.sfDir
+
+  test("profile_table rows match independent per-column aggregates") {
+    val out = SparkEntry.queries("profile_table")(spark, dir)
+      .collect().map(r => r.getString(1) -> ((r.getLong(0), r.getLong(2),
+        r.getLong(3), r.getString(4), r.getString(5)))).toMap
+    assert(out.keySet == Set("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_orderpriority", "o_totalprice_cents", "o_orderdate"))
+    val o = graft.core.Core.table(spark, dir, "orders")
+    val nRows = o.count()
+    // every row carries the one table-level count
+    out.values.foreach { case (n, _, _, _, _) => assert(n == nRows) }
+    // per-column independent replays (one aggregate per column — the
+    // operator's single-scan Expand must agree with the naive plans)
+    def check(colName: String, c: org.apache.spark.sql.Column,
+        render: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+        : Unit = {
+      val r = o.agg(
+        sum(when(c.isNull, 1L).otherwise(0L)),
+        countDistinct(c), render(min(c)), render(max(c))).head()
+      val (nulls, dist, mn, mx) = (r.getLong(0), r.getLong(1),
+        r.getString(2), r.getString(3))
+      assert(out(colName) == ((nRows, nulls, dist, mn, mx)), colName)
+    }
+    check("o_orderkey", col("o_orderkey"), _.cast("string"))
+    check("o_custkey", col("o_custkey"), _.cast("string"))
+    check("o_orderstatus", col("o_orderstatus"), identity)
+    check("o_orderpriority", col("o_orderpriority"), identity)
+    check("o_totalprice_cents", graft.core.Core.cents(col("o_totalprice")),
+      _.cast("string"))
+    check("o_orderdate", col("o_orderdate"),
+      date_format(_, "yyyy-MM-dd HH:mm:ss"))
+  }
+
+  test("agg_zscore_outlier flags exactly the |z| >= 3 events of a driver-side fold") {
+    val out = SparkEntry.queries("agg_zscore_outlier")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(3)))
+    val ev = graft.core.Core.table(spark, dir, "events")
+      .select("event_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    // population moments over exact cents, like the engine
+    val byType = ev.groupBy(_._2).map { case (t, rs) =>
+      val cents = rs.map(r => math.round(r._3 * 100))
+      val n = cents.length.toDouble
+      val sv = cents.map(BigInt(_)).sum.toDouble
+      val svv = cents.map(c => BigInt(c) * BigInt(c)).sum.toDouble
+      t -> ((sv / n, (svv - sv * sv / n) / n))
+    }
+    val expect = ev.flatMap { case (id, t, v) =>
+      val (mean, variance) = byType(t)
+      if (variance > 0) {
+        val z = (math.round(v * 100).toDouble - mean) / math.sqrt(variance)
+        if (math.abs(z) >= 3.0)
+          Some((id, t, BigDecimal(z)
+            .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        else None
+      } else None
+    }.sortBy(_._1)
+    assert(expect.nonEmpty, "corpus should contain outliers")
+    assert(out.toSeq == expect.toSeq)
+    // both tails appear: the screen catches spikes AND troughs... or at
+    // least the heavy upper tail of the exponential-ish values
+    assert(out.forall { case (_, _, z) => math.abs(z) >= 3.0 })
+  }
+}
