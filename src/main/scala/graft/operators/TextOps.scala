@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.core.Core._
 import graft.functions.TextHash
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -189,6 +189,23 @@ object TextOps {
   val ShuffleShards = 8
   val ShuffleHashMul = 69621L
 
+  /** Rank-by-hash streams take TWO Lehmer rounds; low-bit streams take
+    * one. id·mul stays below the modulus for id < P/mul, so ONE round
+    * is monotone in doc_id there — harmless when only h mod small-n is
+    * consumed (split buckets, mix Bernoulli: the residues stride
+    * through a full coprime cycle either way), but fatal when docs are
+    * ORDERED by h: "pseudo-random training order" silently degenerates
+    * to doc_id order for every id below ~P/mul (≈31k at 69621 — i.e.
+    * every corpus this repo tests). The second multiplication wraps P
+    * thousands of times and genuinely permutes the range, and the
+    * shard/order hash (ShuffleHashMul) and the reservoir stream both
+    * rank, so both are double-round; the large-multiplier streams
+    * (stratified 2654435761, temperature 1103515245) wrap P from id≈2
+    * and never had the degeneracy. */
+  private[graft] def doubleRoundHash(mul: Long): Column =
+    ((col("doc_id") % lit(TextHash.P)) * lit(mul)) % lit(TextHash.P) *
+      lit(mul) % lit(TextHash.P)
+
   /** txt_span_dedup span width: non-overlapping token windows (a
     * PARTITION of the doc, unlike txt_chunk's 50%-overlap windows —
     * dedup must assign every token to exactly one span so dropping a
@@ -292,9 +309,7 @@ object TextOps {
       .withColumn("h_split",
         ((col("doc_id") % lit(TextHash.P)) * lit(SplitHashMul))
           % lit(TextHash.P))
-      .withColumn("h_shard",
-        ((col("doc_id") % lit(TextHash.P)) * lit(ShuffleHashMul))
-          % lit(TextHash.P))
+      .withColumn("h_shard", doubleRoundHash(ShuffleHashMul))
   }
 
   /** doc_id + first-failing curate drop_reason (the ordered funnel:
@@ -832,9 +847,7 @@ object TextOps {
     "txt_shuffle_shard" -> { (s, dir) =>
       val w = Window.partitionBy("shard").orderBy(col("h"), col("doc_id"))
       table(s, dir, "documents")
-        .withColumn("h",
-          ((col("doc_id") % lit(TextHash.P)) * lit(ShuffleHashMul))
-            % lit(TextHash.P))
+        .withColumn("h", doubleRoundHash(ShuffleHashMul))
         .withColumn("shard", (col("h") % ShuffleShards).cast(IntegerType))
         .withColumn("pos", row_number().over(w).cast(IntegerType))
         .select(col("doc_id"), col("h"), col("shard"), col("pos"))
@@ -906,10 +919,8 @@ object TextOps {
     // take h mod small-n — low-bit uses a single round serves fine —
     // but rank-by-h needs the full-range scatter.)
     "sample_reservoir" -> { (s, dir) =>
-      val h1 = (((col("doc_id") % lit(TextHash.P))
-        * lit(ReservoirHashMul)) % lit(TextHash.P))
       table(s, dir, "documents")
-        .withColumn("h", (h1 * lit(ReservoirHashMul)) % lit(TextHash.P))
+        .withColumn("h", doubleRoundHash(ReservoirHashMul))
         .orderBy(col("h"), col("doc_id"))
         .limit(ReservoirK)
         .select(col("doc_id"), col("lang"), col("source"), col("h"))
@@ -1497,12 +1508,13 @@ object TextOps {
       s"""SELECT doc_id, h, shard,
          |  CAST(ROW_NUMBER() OVER (PARTITION BY shard
          |    ORDER BY h, doc_id) AS INTEGER) AS pos
-         |FROM (SELECT doc_id,
-         |        ((doc_id % ${TextHash.P}) * $ShuffleHashMul)
-         |          % ${TextHash.P} AS h,
-         |        CAST(((doc_id % ${TextHash.P}) * $ShuffleHashMul)
-         |          % ${TextHash.P} % $ShuffleShards AS INTEGER) AS shard
-         |      FROM documents)
+         |FROM (SELECT doc_id, h,
+         |        CAST(h % $ShuffleShards AS INTEGER) AS shard
+         |      FROM (SELECT doc_id,
+         |              ((doc_id % ${TextHash.P}) * $ShuffleHashMul)
+         |                % ${TextHash.P} * $ShuffleHashMul
+         |                % ${TextHash.P} AS h
+         |            FROM documents))
          |ORDER BY shard, pos""".stripMargin,
 
     "pipeline_curate" -> {
@@ -1564,6 +1576,7 @@ object TextOps {
          |  END AS split,
          |  CASE WHEN drop_reason IS NULL THEN
          |    CAST(((doc_id % ${TextHash.P}) * $ShuffleHashMul)
+         |      % ${TextHash.P} * $ShuffleHashMul
          |      % ${TextHash.P} % $ShuffleShards AS INTEGER)
          |  END AS shard
          |FROM m ORDER BY doc_id""".stripMargin

@@ -533,9 +533,19 @@ class PipelineOpsSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(rows.map(_._1).toSet == ids && rows.length == ids.size)
     rows.foreach { case (id, h, shard, _) =>
-      val eh = ((id % 2147483647L) * TextOps.ShuffleHashMul) % 2147483647L
+      val P = 2147483647L
+      val eh = id % P * TextOps.ShuffleHashMul % P *
+        TextOps.ShuffleHashMul % P
       assert(h == eh && shard == (eh % TextOps.ShuffleShards).toInt)
     }
+    // the double-round stream genuinely permutes: within at least one
+    // shard the hash order must differ from doc_id order (single-round
+    // 69621 is monotone for every id below ~31k — the degeneracy the
+    // doubleRoundHash scaladoc documents)
+    assert(rows.groupBy(_._3).values.exists { rs =>
+      val byPos = rs.sortBy(_._4).map(_._1).toSeq
+      byPos != byPos.sorted
+    })
     // positions are 1..count within each shard (a dense manifest), and
     // ordered by the hash — the deterministic global shuffle property
     rows.groupBy(_._3).foreach { case (_, rs) =>
