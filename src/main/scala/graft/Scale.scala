@@ -51,7 +51,8 @@ object Scale {
     "multimodal_phash_dedup",
     "txt_span_dedup", "txt_quality_tier", "pipeline_mix",
     "txt_vocab_coverage", "pipeline_full",
-    "sample_reservoir", "pipeline_stats")
+    "sample_reservoir", "pipeline_stats",
+    "txt_winnow", "agg_label_balance", "multimodal_audio_segments")
 
   /** DENSE subset: dedup_near_auto only re-picks a branch of near/
     * prefix, dedup_ngram/minhash_est/simhash share their families'
@@ -117,7 +118,9 @@ object Scale {
     (if (tag == "sf1dense") denseDocQueries else docQueries) ++
       Seq("sim_ann_lsh", "sim_ann_lsh_qd", "sim_ann_lsh_auto",
         "sim_ann_lsh_p12", "dedup_semdedup", "multimodal_align_filter",
-        "join_interval", "join_asof_nearest", "agg_zscore_outlier")
+        "join_interval", "join_asof_nearest", "agg_zscore_outlier",
+        "txt_decontaminate_sem", "sample_contrastive_pairs",
+        "agg_drift_psi", "join_skew_salted")
 
   /** Growth-model bands (docs/SCALE.md): max allowed 10x-corpus growth
     * factor vs the sf0.1 median, per regime — (dense, wide); a
@@ -231,7 +234,23 @@ object Scale {
     "sample_reservoir" -> (-1.0, 15.0),
     // the curate-funnel core (pipeline_curate's shape) + a constant
     // 4-row stage walk; swept WIDE like the rest of the curate family
-    "pipeline_stats" -> (-1.0, 15.0))
+    "pipeline_stats" -> (-1.0, 15.0),
+    // codegen'd graft_winnow rolling-hash pass, map-side, bounded
+    // summary out — linear filter-pass class; WIDE only (no plan info
+    // in DENSE)
+    "txt_winnow" -> (-1.0, 15.0),
+    // two partial-aggregated exchanges, output ≤ sources x langs
+    "agg_label_balance" -> (-1.0, 15.0),
+    // doc_id-keyed frame window + agg — linear in payload bytes
+    "multimodal_audio_segments" -> (-1.0, 15.0),
+    // n x |bench| map-side scan + per-vec max: linear in vectors
+    "txt_decontaminate_sem" -> (15.0, 15.0),
+    // one label-keyed window + label-bounded rep broadcast: linear
+    "sample_contrastive_pairs" -> (15.0, 15.0),
+    // one events scan + two type-bounded broadcast aggs: linear
+    "agg_drift_psi" -> (15.0, 15.0),
+    // salted equi-join vs a 5-row replicated dim + groupBy: linear
+    "join_skew_salted" -> (15.0, 15.0))
 
   /** `check` mode: replay docs/scale_results.jsonl against
     * [[growthBands]] (per-(tag, query) medians of the last 7 ok runs,

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.core.Core._
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -20,6 +21,15 @@ import org.apache.spark.sql.types._
   * offset sequences, not the payload.
   */
 object MultimodalOps {
+
+  /** multimodal_audio_segments active-frame threshold: a frame is
+    * active when its MEAN byte value ≥ this (compared exactly as
+    * energy ≥ τ·frame_len — no division). 95 sits at the corpus's
+    * median per-byte frame mean (letters ≈ 97–122, spaces = 32 pull
+    * space-heavy frames under), so active and silent frames both
+    * occur; a real audio deployment calibrates τ against its codec's
+    * amplitude scale — the segmentation plan is τ-independent. */
+  val AudioActivePerByte = 95
 
   /** A multimodal asset row: opaque bytes + typed metadata. */
   case class Asset(doc_id: Long, media_type: String, bytes: Array[Byte])
@@ -207,6 +217,47 @@ object MultimodalOps {
         .orderBy("doc_id", "pos")
     },
 
+    // Energy-threshold SEGMENTATION over the hop frames — the
+    // VAD-shaped (voice-activity-detection) step an audio curation
+    // pipeline runs to cut silence and keep speech runs: a frame is
+    // ACTIVE when its mean byte energy clears the threshold
+    // ([[AudioActivePerByte]] per byte — compared as
+    // energy ≥ τ·frame_len, exact integers, no division), and maximal
+    // runs of consecutive active frames become segments via the
+    // gaps-and-islands key (fidx − row_number over active frames —
+    // constant within a run, the win_streaks idiom applied to media
+    // frames). Per segment: start/end byte offsets, frame count, total
+    // energy. Everything exchanges on doc_id (high-cardinality) —
+    // per-doc state is bounded by the asset's frame count, payloads
+    // never shuffle; the 100 TB shape of every windowed media pass.
+    "multimodal_audio_segments" -> { (s, dir) =>
+      graft.plans.ByteSum.register(s)
+      val frames = table(s, dir, "documents")
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(1), length(col("text")), lit(8))).as("pos"))
+        .withColumn("bf", encode(expr("substring(text, pos, 16)"), "UTF-8"))
+        .select(col("doc_id"), col("pos"),
+          expr("CAST((pos - 1) DIV 8 AS INT)").as("fidx"),
+          octet_length(col("bf")).as("flen"),
+          graft.plans.ByteSum.bytesum(col("bf")).as("energy"))
+      val active = frames
+        .filter(col("energy") >= lit(AudioActivePerByte) * col("flen"))
+      val wIsl = Window.partitionBy("doc_id").orderBy("fidx")
+      val segs = active
+        .withColumn("isl", col("fidx") - row_number().over(wIsl))
+        .groupBy("doc_id", "isl")
+        .agg(min(col("pos")).cast(IntegerType).as("start_pos"),
+          max(col("pos")).cast(IntegerType).as("end_pos"),
+          count(lit(1)).cast(IntegerType).as("n_frames"),
+          sum(col("energy")).as("seg_energy"))
+      val wSeg = Window.partitionBy("doc_id").orderBy("start_pos")
+      segs.withColumn("seg_id", row_number().over(wSeg).cast(IntegerType))
+        .select(col("doc_id"), col("seg_id"), col("start_pos"),
+          col("end_pos"), col("n_frames"), col("seg_energy"))
+        .orderBy("doc_id", "seg_id")
+    },
+
     // Nearest-neighbor RESIZE of the payload grid (the north-star
     // "resize" verb under the stub-decode convention: pixel = payload
     // char, grid width 16, H = ceil(len/16) rows): sample a fixed 4x4
@@ -328,6 +379,38 @@ object MultimodalOps {
         |                    unnest(generate_series(1, length(text), 8)) AS pos
         |                  FROM documents)))
         |ORDER BY doc_id, pos""".stripMargin,
+
+    "multimodal_audio_segments" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, CAST(pos AS INTEGER) AS pos,
+         |         CAST((pos - 1) // 8 AS INTEGER) AS fidx,
+         |         CAST(octet_length(bf) AS INTEGER) AS flen,
+         |         CAST(COALESCE(list_sum(list_transform(
+         |           generate_series(1, CAST(octet_length(bf) AS INTEGER)),
+         |           i -> CAST('0x' || substr(hx, i*2-1, 2) AS BIGINT))), 0)
+         |           AS BIGINT) AS energy
+         |  FROM (SELECT doc_id, pos, bf, lower(hex(bf)) AS hx
+         |        FROM (SELECT doc_id, pos,
+         |                encode(substr(text, pos, 16)) AS bf
+         |              FROM (SELECT doc_id, text,
+         |                      unnest(generate_series(1, length(text), 8))
+         |                        AS pos
+         |                    FROM documents WHERE length(text) > 0)))),
+         |a AS (SELECT * FROM f
+         |      WHERE energy >= $AudioActivePerByte * flen),
+         |i AS (SELECT doc_id, pos, fidx, energy,
+         |        fidx - ROW_NUMBER() OVER (PARTITION BY doc_id
+         |          ORDER BY fidx) AS isl
+         |      FROM a),
+         |g AS (SELECT doc_id, isl, CAST(MIN(pos) AS INTEGER) AS start_pos,
+         |        CAST(MAX(pos) AS INTEGER) AS end_pos,
+         |        CAST(COUNT(*) AS INTEGER) AS n_frames,
+         |        CAST(SUM(energy) AS BIGINT) AS seg_energy
+         |      FROM i GROUP BY 1, 2)
+         |SELECT doc_id, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+         |         ORDER BY start_pos) AS INTEGER) AS seg_id,
+         |       start_pos, end_pos, n_frames, seg_energy
+         |FROM g ORDER BY doc_id, seg_id""".stripMargin,
 
     "multimodal_resize" ->
       """SELECT doc_id, CAST(n AS INTEGER) AS n_chars_in,

@@ -903,6 +903,75 @@ object RelationalOps {
         .orderBy("col_name")
     },
 
+    // Distribution-drift monitor — Population Stability Index per
+    // event type between the first and second half of the time range
+    // (the PSI every model-monitoring pipeline computes before
+    // retraining; PSI < 0.1 stable, > 0.25 shifted). All decisions are
+    // exact integers: the period boundary is (min+max) DIV 2 of epoch
+    // micros, bin edges are per-type fixed-width integer-cents cells
+    // ((max−min) DIV 10 + 1 wide, so bins always land in 0..9), counts
+    // are add-1 smoothed over the OBSERVED bin domain (keeps every ln
+    // finite; both engines smooth identically). The PSI fold runs over
+    // the bin-SORTED struct list — identical IEEE addition order both
+    // engines — one 9-dp round at the end. Shape: one events scan +
+    // two type-bounded broadcast aggs + one (type, bin) agg: linear,
+    // nothing corpus-wide ever sorts or windows.
+    "agg_drift_psi" -> { (s, dir) =>
+      val ev = shared(table(s, dir, "events")
+        .select(col("event_type"), unix_micros(col("ts")).as("us"),
+          cents(col("value")).as("vc")))
+      val bound = ev.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+        .select(expr("(mn + mx) DIV 2").as("bus"))
+      val edges = ev.groupBy("event_type")
+        .agg(min(col("vc")).as("bmin"), max(col("vc")).as("bmax"))
+        .select(col("event_type"), col("bmin"),
+          expr("(bmax - bmin) DIV 10 + 1").as("w"))
+      val bins = ev.join(broadcast(edges), "event_type")
+        .crossJoin(broadcast(bound))
+        .withColumn("bin", expr("CAST((vc - bmin) DIV w AS INT)"))
+        .groupBy("event_type", "bin")
+        .agg(sum(when(col("us") < col("bus"), 1L).otherwise(0L)).as("ca"),
+          sum(when(col("us") >= col("bus"), 1L).otherwise(0L)).as("cb"))
+      bins.groupBy("event_type")
+        .agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+          count(lit(1)).cast(IntegerType).as("n_bins"),
+          sort_array(collect_list(
+            struct(col("bin"), col("ca"), col("cb")))).as("bs"))
+        .select(col("event_type"), col("n_a"), col("n_b"), col("n_bins"),
+          round(aggregate(col("bs"), lit(0.0d), (acc, x) => {
+            val pa = (x.getField("ca") + lit(1L)).cast(DoubleType) /
+              (col("n_a") + col("n_bins")).cast(DoubleType)
+            val pb = (x.getField("cb") + lit(1L)).cast(DoubleType) /
+              (col("n_b") + col("n_bins")).cast(DoubleType)
+            acc + (pa - pb) * log(pa / pb)
+          }), 9).as("psi"))
+        .orderBy("event_type")
+    },
+
+    // Skew-safe dimension join AS a contract query: the salted
+    // equi-join utility (SkewJoin.saltedEquiJoin — replicate the small
+    // side across salt replicas, scatter the big side by a
+    // distribution-only salt) run against the events table's
+    // low-cardinality event_type key, then aggregated. The oracle is
+    // the PLAIN join: salting must never change results, only where
+    // rows land — that identity, spec'd synthetically in SkewJoinSpec,
+    // is here pinned against DuckDB on real data every round. At
+    // 100 TB this is the manual fallback when one key floods a task
+    // and AQE's skew split can't apply (e.g. the build side already
+    // exchanged); the salt fans one hot key across `salt` tasks at the
+    // cost of replicating the bounded dim.
+    "join_skew_salted" -> { (s, dir) =>
+      import s.implicits._
+      val dim = Seq(("click", 1), ("view", 1), ("signup", 2),
+        ("purchase", 3), ("error", 0)).toDF("etype", "severity")
+      SkewJoin.saltedEquiJoin(table(s, dir, "events"), dim,
+          "event_type", "etype", salt = 8)
+        .groupBy("event_type", "severity")
+        .agg(count(lit(1)).as("n_events"),
+          (sum(cents(col("value"))) / 100.0).as("sum_value"))
+        .orderBy("event_type")
+    },
+
     // Anomaly flagging — population z-score per event type, events
     // beyond |z| >= 3 reported with their score: the outlier screen a
     // metrics pipeline runs before aggregation. Spark's stddev is
@@ -1524,6 +1593,52 @@ object RelationalOps {
         |  FROM orders)
         |SELECT col_name, n_rows, n_nulls, n_distinct, min_v, max_v
         |FROM p, t ORDER BY col_name""".stripMargin,
+
+    "agg_drift_psi" ->
+      """WITH ev AS (
+        |  SELECT event_type, epoch_us(ts) AS us,
+        |         CAST(round(value * 100) AS BIGINT) AS vc
+        |  FROM events),
+        |bd AS (SELECT (MIN(us) + MAX(us)) // 2 AS bus FROM ev),
+        |ed AS (SELECT event_type, MIN(vc) AS bmin,
+        |              (MAX(vc) - MIN(vc)) // 10 + 1 AS w
+        |       FROM ev GROUP BY 1),
+        |bins AS (
+        |  SELECT ev.event_type, CAST((vc - bmin) // w AS INTEGER) AS bin,
+        |         CAST(SUM(CASE WHEN us < bus THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS ca,
+        |         CAST(SUM(CASE WHEN us >= bus THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS cb
+        |  FROM ev JOIN ed USING (event_type) CROSS JOIN bd
+        |  GROUP BY 1, 2),
+        |ty AS (
+        |  SELECT event_type, CAST(SUM(ca) AS BIGINT) AS n_a,
+        |         CAST(SUM(cb) AS BIGINT) AS n_b,
+        |         CAST(COUNT(*) AS INTEGER) AS n_bins,
+        |         list(struct_pack(bin := bin, ca := ca, cb := cb)
+        |           ORDER BY bin) AS bs
+        |  FROM bins GROUP BY 1)
+        |SELECT event_type, n_a, n_b, n_bins,
+        |       round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |           list_transform(bs, x ->
+        |             (CAST(x.ca + 1 AS DOUBLE) / CAST(n_a + n_bins AS DOUBLE)
+        |              - CAST(x.cb + 1 AS DOUBLE)
+        |                / CAST(n_b + n_bins AS DOUBLE))
+        |             * ln((CAST(x.ca + 1 AS DOUBLE)
+        |                   / CAST(n_a + n_bins AS DOUBLE))
+        |                  / (CAST(x.cb + 1 AS DOUBLE)
+        |                     / CAST(n_b + n_bins AS DOUBLE))))),
+        |         (a, b) -> a + b), 9) AS psi
+        |FROM ty ORDER BY event_type""".stripMargin,
+
+    "join_skew_salted" ->
+      """WITH dim(etype, severity) AS (VALUES ('click', 1), ('view', 1),
+        |  ('signup', 2), ('purchase', 3), ('error', 0))
+        |SELECT event_type, severity, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |         / 100.0 AS sum_value
+        |FROM events JOIN dim ON event_type = etype
+        |GROUP BY 1, 2 ORDER BY event_type""".stripMargin,
 
     "agg_zscore_outlier" ->
       """WITH st AS (

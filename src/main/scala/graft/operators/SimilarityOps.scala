@@ -63,6 +63,26 @@ object SimilarityOps {
     * filters run ~0.25–0.3 on real logits — the plan is
     * threshold-independent). */
   val AlignTau = 0.15
+  /** txt_decontaminate_sem benchmark size and threshold: the bounded
+    * vec_id prefix stands in for an eval suite's embedded documents
+    * (the same convention as txt_decontaminate's gram benchmark), and
+    * τ = 0.25 sits between the corpus's median (≈0.19) and p90 (≈0.29)
+    * max-benchmark-cosine so both verdicts appear. Production semantic
+    * decontamination (the embedding upgrade of n-gram overlap — used
+    * when an eval item is paraphrased rather than copied) runs
+    * τ ≈ 0.9+ on real embeddings; the plan is threshold-independent. */
+  val SemBenchVecs = 10
+  val SemDecontamTau = 0.25
+
+  /** sample_contrastive_pairs hash multiplier: L'Ecuyer's 40014 (the
+    * first component multiplier of the MRG CombLec88 generator, public
+    * LCG literature) — an independent stream from every TextOps
+    * sampler (16807/40692/48271/69621/Knuth/glibc). This stream RANKS
+    * (the in-label neighbor order), so it takes the same two Lehmer
+    * rounds as TextOps.doubleRoundHash — one round is monotone in
+    * vec_id below P/mul and would pair each vector with vec_id+1. */
+  val PairHashMul = 40014L
+
   def planesFor(n: Int): Array[Array[Double]] =
     Array.tabulate(n, Dims) { (j, d) =>
       ((j * Dims + d + 1) * 2654435761L % 4294967296L) / 4294967296.0 - 0.5
@@ -510,6 +530,84 @@ object SimilarityOps {
         .orderBy("vec_id")
     },
 
+    // Semantic benchmark decontamination — the embedding upgrade of
+    // txt_decontaminate (n-gram overlap misses PARAPHRASED eval items;
+    // cosine against the embedded benchmark set catches them): every
+    // corpus vector scores its max cosine against the bounded
+    // benchmark embeddings, τ-thresholded into a contaminated flag.
+    // The benchmark is eval-suite-bounded (like the gram benchmark),
+    // so it BROADCASTS at any corpus scale and the scan is one
+    // map-side n×|bench| pass + a per-doc max — linear, the
+    // embarrassingly-parallel 100 TB filter shape; never a
+    // corpus×corpus join.
+    "txt_decontaminate_sem" -> { (s, dir) =>
+      val e = vecs(s, dir)
+      val bench = e.filter(col("vec_id") < SemBenchVecs)
+        .select(col("vec_id").as("b_id"), col("v").as("b_v"),
+          col("norm").as("b_norm"))
+      e.filter(col("vec_id") >= SemBenchVecs)
+        .select(col("vec_id"), col("v").as("a_v"),
+          col("norm").as("a_norm"))
+        .crossJoin(broadcast(bench))
+        .withColumn("cos", cosine)
+        .groupBy("vec_id")
+        .agg(max(col("cos")).as("max_cos"))
+        .select(col("vec_id"), col("max_cos"),
+          (col("max_cos") >= SemDecontamTau).as("contaminated"))
+        .orderBy("vec_id")
+    },
+
+    // Contrastive-pair mining — the deterministic (anchor, positive,
+    // negative) manifest a contrastive/embedding-training job consumes
+    // (SimCLR/CLIP-style batch construction, relationally): the
+    // positive is the anchor's NEIGHBOR IN HASH ORDER within its label
+    // (a ring: last wraps to first — every anchor gets exactly one
+    // same-label positive, uniformly pseudo-randomly, rerun- and
+    // partition-stable unlike rand() pairing); the negative is the
+    // REPRESENTATIVE (argmin (h, vec_id)) of the NEXT label in the
+    // label ring — a deterministic cross-label sample. Work: one
+    // label-keyed window pass + a label-bounded rep relation broadcast
+    // back. The per-label window is the only exchange; at corpus scale
+    // labels are either plentiful (fine-grained classes — parallel) or
+    // the ring is computed per (label, h-range) bucket with one
+    // boundary row stitched per bucket — the standard distributed
+    // adjacent-pairs rewrite; the contract ships the direct form.
+    "sample_contrastive_pairs" -> { (s, dir) =>
+      val P = graft.functions.TextHash.P
+      val e = table(s, dir, "embeddings").select(col("vec_id"), col("label"))
+        .withColumn("h",
+          ((((col("vec_id") % P) * PairHashMul) % P) * PairHashMul) % P)
+      val wLead = Window.partitionBy("label").orderBy(col("h"), col("vec_id"))
+      val wFull = wLead.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val withPos = e
+        .withColumn("nxt", lead(col("vec_id"), 1).over(wLead))
+        .withColumn("fst", first(col("vec_id")).over(wFull))
+        .withColumn("pos_id",
+          when(coalesce(col("nxt"), col("fst")) =!= col("vec_id"),
+            coalesce(col("nxt"), col("fst"))))
+      val reps = e.groupBy("label")
+        .agg(min(struct(col("h"), col("vec_id"))).as("r"))
+        .select(col("label"), col("r.vec_id").as("rep_id"))
+      // the ring over label reps is label-bounded — a single-partition
+      // window over a broadcast-sized dim, like pipeline_stats' stage walk
+      val wRing = Window.orderBy("label")
+      val wRingFull = wRing.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val ring = reps
+        .withColumn("neg_label",
+          coalesce(lead(col("label"), 1).over(wRing),
+            first(col("label")).over(wRingFull)))
+        .withColumn("neg_id",
+          coalesce(lead(col("rep_id"), 1).over(wRing),
+            first(col("rep_id")).over(wRingFull)))
+        .select(col("label"), col("neg_label"), col("neg_id"))
+      withPos.join(broadcast(ring), "label")
+        .select(col("vec_id"), col("label"), col("h"), col("pos_id"),
+          col("neg_label"), col("neg_id"))
+        .orderBy("vec_id")
+    },
+
     // Pair-alignment curation (the CLIP-score filter of an image-text
     // pipeline, relationally): each document pairs with its embedding
     // (doc_id = vec_id — the pair table of a multimodal corpus), the
@@ -659,6 +757,50 @@ object SimilarityOps {
            |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
            |    ORDER BY ccos DESC, cid ASC) AS crn FROM aff)
            |WHERE crn = 1 ORDER BY vec_id""".stripMargin,
+
+      "txt_decontaminate_sem" ->
+        s"""WITH e AS ($vecsSql),
+           |c AS (SELECT a.vec_id, $cosineSql AS cos
+           |      FROM e a CROSS JOIN e b
+           |      WHERE a.vec_id >= $SemBenchVecs
+           |        AND b.vec_id < $SemBenchVecs)
+           |SELECT vec_id, max(cos) AS max_cos,
+           |       max(cos) >= $SemDecontamTau AS contaminated
+           |FROM c GROUP BY 1 ORDER BY vec_id""".stripMargin,
+
+      "sample_contrastive_pairs" -> {
+        val P = graft.functions.TextHash.P
+        s"""WITH e AS (SELECT vec_id, label,
+           |             (((vec_id % $P) * $PairHashMul) % $P)
+           |               * $PairHashMul % $P AS h
+           |           FROM embeddings),
+           |wp AS (SELECT vec_id, label, h,
+           |         LEAD(vec_id, 1) OVER (PARTITION BY label
+           |           ORDER BY h, vec_id) AS nxt,
+           |         FIRST_VALUE(vec_id) OVER (PARTITION BY label
+           |           ORDER BY h, vec_id ROWS BETWEEN UNBOUNDED PRECEDING
+           |           AND UNBOUNDED FOLLOWING) AS fst
+           |       FROM e),
+           |reps AS (SELECT label,
+           |           (min(struct_pack(h := h, vec_id := vec_id))).vec_id
+           |             AS rep_id
+           |         FROM e GROUP BY 1),
+           |ring AS (SELECT label,
+           |           COALESCE(LEAD(label, 1) OVER (ORDER BY label),
+           |             FIRST_VALUE(label) OVER (ORDER BY label
+           |               ROWS BETWEEN UNBOUNDED PRECEDING
+           |               AND UNBOUNDED FOLLOWING)) AS neg_label,
+           |           COALESCE(LEAD(rep_id, 1) OVER (ORDER BY label),
+           |             FIRST_VALUE(rep_id) OVER (ORDER BY label
+           |               ROWS BETWEEN UNBOUNDED PRECEDING
+           |               AND UNBOUNDED FOLLOWING)) AS neg_id
+           |         FROM reps)
+           |SELECT wp.vec_id, wp.label, wp.h,
+           |       CASE WHEN COALESCE(nxt, fst) <> wp.vec_id
+           |         THEN COALESCE(nxt, fst) END AS pos_id,
+           |       ring.neg_label, ring.neg_id
+           |FROM wp JOIN ring USING (label) ORDER BY vec_id""".stripMargin
+      },
 
       "dedup_embed" ->
         s"""WITH e AS ($vecsSql)

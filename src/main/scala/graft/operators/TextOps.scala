@@ -250,6 +250,22 @@ object TextOps {
   val TierFractions: Seq[Double] =
     (1 until QualityTiers).map(_ * 1.0 / QualityTiers)
 
+  /** txt_winnow fingerprint geometry (Schleimer–Wilkerson–Aiken
+    * winnowing, SIGMOD'03): rolling hashes of every K-char gram, then
+    * the minimum hash of each W-consecutive-gram window is SELECTED as
+    * a fingerprint. The paper's guarantee: any verbatim run of at
+    * least K + W − 1 characters (here 11) shared by two documents
+    * shares at least one selected fingerprint — so matching on the
+    * selected set (a ~1/W sample of all grams) loses no long overlap,
+    * the same pigeonhole structure as dedup_substring's sampled
+    * windows but position-robust (selection follows hash minima, not
+    * fixed strides, so an insertion near the start of a doc does not
+    * shift every later sample). K = 8 chars, W = 4 grams — defined on
+    * the codegen'd expression (plans/Winnow.scala) the contract query
+    * ships; the HOF twin in DotProductSpec pins the semantics. */
+  val WinnowK: Int = graft.plans.Winnow.K
+  val WinnowW: Int = graft.plans.Winnow.W
+
   /** txt_vocab_coverage vocabulary size: top-K corpus tokens by global
     * frequency (deterministic (gtf desc, tok) tie-order). 16 of the
     * synthetic 31-word vocabulary, so in- and out-of-vocab tokens both
@@ -927,6 +943,68 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // Winnowing document fingerprints (Schleimer et al., SIGMOD'03 —
+    // the MOSS plagiarism-detector selection scheme; see [[WinnowK]]):
+    // per doc, rolling 31-base hashes of every K-char gram mod P, then
+    // the min hash of each W-gram window is selected; the distinct
+    // selected set is the doc's fingerprint sample. Guarantees every
+    // ≥ K+W−1-char shared run is represented while storing ~1/W of the
+    // grams — the index a copy-detection / near-dup service persists.
+    // Entirely map-side via the codegen'd `graft_winnow` expression
+    // (plans/Winnow.scala: O(n) rolling hash + window minima in one
+    // primitive pass — the HOF formulation runs interpreted at
+    // per-gram slice-allocation cost, and a no-exchange plan executes
+    // at split parallelism, so per-row cost IS the query; same
+    // mechanism and fix as txt_entropy's graft_char_counts). The
+    // payload is never exploded into rows; output is the bounded
+    // per-doc summary (counts + digest), so nothing wide shuffles.
+    // The 100 TB shape: linear scan, per-doc state ≤ doc length.
+    "txt_winnow" -> { (s, dir) =>
+      graft.plans.Winnow.register(s)
+      table(s, dir, "documents")
+        .withColumn("fps", call_function("graft_winnow", col("text")))
+        .select(col("doc_id"),
+          when(length(col("text")) >= WinnowK,
+            length(col("text")) - (WinnowK - 1)).otherwise(0)
+            .as("n_grams"),
+          size(col("fps")).as("n_fps"),
+          (aggregate(col("fps"), lit(0L), (a, x) => a + x)
+            % TextHash.P).as("fp_digest"))
+        .orderBy("doc_id")
+    },
+
+    // Per-source language-balance report — the dataset-composition
+    // monitor shipped next to every multilingual curation manifest
+    // (the numbers a temperature sampler like sample_temperature is
+    // later tuned against): docs per source, distinct languages, the
+    // majority language + its share, and the Shannon entropy of the
+    // source's language distribution (0 = monolingual, log2(k) =
+    // uniform over k). Exactness by the txt_entropy recipe: exact
+    // integer counts, the fold runs over the count-SORTED list
+    // (identical addition order both engines), one 9-dp round per
+    // double. Work: one (source, lang) groupBy + one source-bounded
+    // agg — two partial-aggregated exchanges, output bounded by
+    // sources × langs at any corpus scale.
+    "agg_label_balance" -> { (s, dir) =>
+      val counts = table(s, dir, "documents")
+        .groupBy("source", "lang").agg(count(lit(1)).as("cnt"))
+      counts.groupBy("source")
+        .agg(
+          sum(col("cnt")).as("n_docs"),
+          count(lit(1)).cast(IntegerType).as("n_langs"),
+          max(struct(col("cnt"), col("lang"))).as("top"),
+          sort_array(collect_list(col("cnt"))).as("cs"))
+        .select(col("source"), col("n_docs"), col("n_langs"),
+          col("top.lang").as("top_lang"),
+          round(col("top.cnt").cast(DoubleType) / col("n_docs"), 9)
+            .as("top_frac"),
+          round(lit(0.0) - aggregate(col("cs"), lit(0.0d),
+            (a, c) => a + (c.cast(DoubleType) / col("n_docs"))
+              * (log(c.cast(DoubleType) / col("n_docs")) / lit(Ln2))), 9)
+            .as("lang_entropy"))
+        .orderBy("source")
+    },
+
     // Bigram LM quality score — the KenLM-style upgrade of
     // txt_unigram_logprob (CCNet trains an actual n-gram LM; the
     // corpus's own bigram MLE is its relational stand-in): per-doc mean
@@ -1334,6 +1412,57 @@ object TextOps {
          |FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id
          |ORDER BY d.doc_id""".stripMargin
     },
+
+    "txt_winnow" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         list_transform(list_filter(string_split(text, ''),
+         |             c -> c <> ''),
+         |           c -> CAST(unicode(c) AS BIGINT)) AS codes
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(codes) >= $WinnowK THEN
+         |      list_transform(
+         |        generate_series(1, CAST(len(codes) AS INTEGER)
+         |          - ${WinnowK - 1}),
+         |        i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |               list_slice(codes, i, i + ${WinnowK - 1})),
+         |             (a, c) -> (a * 31 + c) % ${TextHash.P}))
+         |    ELSE CAST([] AS BIGINT[]) END AS gh
+         |  FROM t),
+         |f AS (
+         |  SELECT doc_id, CAST(len(gh) AS INTEGER) AS n_grams,
+         |    CASE WHEN len(gh) >= 1 THEN
+         |      list_distinct(list_transform(
+         |        generate_series(1,
+         |          greatest(CAST(len(gh) AS INTEGER) - ${WinnowW - 1}, 1)),
+         |        j -> list_min(list_slice(gh, j, j + ${WinnowW - 1}))))
+         |    ELSE CAST([] AS BIGINT[]) END AS fps
+         |  FROM g)
+         |SELECT doc_id, n_grams, CAST(len(fps) AS INTEGER) AS n_fps,
+         |       CAST(COALESCE(list_sum(fps), 0) % ${TextHash.P} AS BIGINT)
+         |         AS fp_digest
+         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "agg_label_balance" ->
+      s"""WITH c AS (
+         |  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM documents GROUP BY 1, 2),
+         |s AS (
+         |  SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_docs,
+         |         CAST(COUNT(*) AS INTEGER) AS n_langs,
+         |         max(struct_pack(cnt := cnt, lang := lang)) AS top,
+         |         list(cnt ORDER BY cnt) AS cs
+         |  FROM c GROUP BY 1)
+         |SELECT source, n_docs, n_langs, top.lang AS top_lang,
+         |       round(CAST(top.cnt AS DOUBLE) / n_docs, 9) AS top_frac,
+         |       round(0.0 - list_reduce(list_transform(cs,
+         |           c -> (CAST(c AS DOUBLE) / n_docs)
+         |             * (ln(CAST(c AS DOUBLE) / n_docs)
+         |                / CAST($Ln2 AS DOUBLE))),
+         |         (a, b) -> a + b), 9) AS lang_entropy
+         |FROM s ORDER BY source""".stripMargin,
 
     "txt_tfidf_topk" ->
       """WITH terms AS (

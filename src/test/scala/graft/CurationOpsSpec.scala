@@ -1,0 +1,225 @@
+package graft
+
+import graft.operators.{MultimodalOps, SimilarityOps, TextOps}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Independent-replay checks for the round-8 curation/monitoring
+  * operators: every operator result at sf0.001 is recomputed with a
+  * plain driver-side Scala fold over the collected inputs (no Spark,
+  * no SQL) and compared exactly (integers) or to 1e-9 (doubles — the
+  * engines' 9-dp rounding modes differ from BigDecimal's, the oracle
+  * gate pins the exact bits). */
+class CurationOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = TestSpark.sfDir
+  val P = graft.functions.TextHash.P
+
+  private def docs(): Array[(Long, String)] =
+    graft.core.Core.table(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+
+  // the operator's winnowing algorithm, as a plain fold
+  private def winnow(text: String): (Int, Seq[Long]) = {
+    val (k, w) = (TextOps.WinnowK, TextOps.WinnowW)
+    val codes = text.map(_.toLong)
+    val gh =
+      if (codes.length >= k)
+        (0 to codes.length - k).map(i =>
+          codes.slice(i, i + k).foldLeft(0L)((a, c) => (a * 31 + c) % P))
+      else Seq.empty[Long]
+    val fps =
+      if (gh.nonEmpty)
+        (0 until math.max(gh.length - w + 1, 1))
+          .map(j => gh.slice(j, j + w).min).distinct
+      else Seq.empty[Long]
+    (gh.length, fps)
+  }
+
+  test("txt_winnow matches an in-memory winnowing fold on every doc") {
+    val out = SparkEntry.queries("txt_winnow")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3))))
+      .toMap
+    val ds = docs()
+    assert(out.size == ds.length)
+    ds.foreach { case (id, text) =>
+      val (nGrams, fps) = winnow(text)
+      assert(out(id) == ((nGrams, fps.length, fps.sum % P)), s"doc $id")
+    }
+  }
+
+  test("winnowing guarantee: a shared >= K+W-1-char run shares a fingerprint") {
+    val rnd = new scala.util.Random(42)
+    def randText(n: Int): String =
+      (1 to n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val shared = randText(TextOps.WinnowK + TextOps.WinnowW - 1)
+    (1 to 20).foreach { _ =>
+      val a = randText(30) + shared + randText(30)
+      val b = randText(25) + shared + randText(35)
+      val fa = winnow(a)._2.toSet
+      val fb = winnow(b)._2.toSet
+      assert(fa.intersect(fb).nonEmpty,
+        s"guarantee violated for shared run '$shared'")
+    }
+  }
+
+  test("agg_label_balance matches an in-memory distribution fold") {
+    val out = SparkEntry.queries("agg_label_balance")(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getInt(2),
+        r.getString(3), r.getDouble(4), r.getDouble(5)))).toMap
+    val rows = graft.core.Core.table(spark, dir, "documents")
+      .select("source", "lang").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val bySrc = rows.groupBy(_._1)
+    assert(out.keySet == bySrc.keySet)
+    bySrc.foreach { case (src, rs) =>
+      val counts = rs.groupBy(_._2).map { case (l, xs) =>
+        (l, xs.length.toLong) }
+      val n = rs.length.toLong
+      val top = counts.maxBy { case (l, c) => (c, l) }
+      val ent = 0.0 - counts.values.toSeq.sorted
+        .foldLeft(0.0)((a, c) => a + (c.toDouble / n)
+          * (math.log(c.toDouble / n) / 0.6931471805599453))
+      val (gN, gK, gTop, gFrac, gEnt) = out(src)
+      assert(gN == n && gK == counts.size && gTop == top._1, src)
+      assert(math.abs(gFrac - top._2.toDouble / n) < 1e-9, src)
+      assert(math.abs(gEnt - ent) < 1e-9, src)
+      assert(gEnt >= -1e-12 && gEnt <= math.log(counts.size.toDouble)
+        / 0.6931471805599453 + 1e-9, src)
+    }
+  }
+
+  test("agg_drift_psi matches an in-memory PSI fold and is non-negative") {
+    val out = SparkEntry.queries("agg_drift_psi")(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getInt(3), r.getDouble(4)))).toMap
+    val ev = graft.core.Core.table(spark, dir, "events")
+      .select(col("event_type"), unix_micros(col("ts")),
+        graft.core.Core.cents(col("value"))).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val bus = (ev.map(_._2).min + ev.map(_._2).max) / 2
+    val byType = ev.groupBy(_._1)
+    assert(out.keySet == byType.keySet)
+    byType.foreach { case (t, rs) =>
+      val (bmin, bmax) = (rs.map(_._3).min, rs.map(_._3).max)
+      val w = (bmax - bmin) / 10 + 1
+      val bins = rs.groupBy(r => ((r._3 - bmin) / w).toInt)
+      val ca = bins.map { case (b, xs) =>
+        b -> xs.count(_._2 < bus).toLong }
+      val cb = bins.map { case (b, xs) =>
+        b -> xs.count(_._2 >= bus).toLong }
+      val (nA, nB, k) = (ca.values.sum, cb.values.sum, bins.size)
+      val psi = bins.keys.toSeq.sorted.foldLeft(0.0) { (acc, b) =>
+        val pa = (ca(b) + 1).toDouble / (nA + k)
+        val pb = (cb(b) + 1).toDouble / (nB + k)
+        acc + (pa - pb) * math.log(pa / pb)
+      }
+      val (gA, gB, gK, gPsi) = out(t)
+      assert(gA == nA && gB == nB && gK == k, t)
+      assert(math.abs(gPsi - psi) < 1e-9, t)
+      assert(gPsi >= -1e-12, s"PSI must be non-negative ($t: $gPsi)")
+    }
+  }
+
+  test("join_skew_salted equals the plain unsalted join") {
+    import spark.implicits._
+    val salted = SparkEntry.queries("join_skew_salted")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val dim = Seq(("click", 1), ("view", 1), ("signup", 2),
+      ("purchase", 3), ("error", 0)).toDF("etype", "severity")
+    val plain = graft.core.Core.table(spark, dir, "events")
+      .join(dim, col("event_type") === col("etype"))
+      .groupBy("event_type", "severity")
+      .agg(count(lit(1)),
+        sum(graft.core.Core.cents(col("value"))) / 100.0)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(salted == plain)
+  }
+
+  test("txt_decontaminate_sem matches an in-memory max-cosine scan") {
+    val out = SparkEntry.queries("txt_decontaminate_sem")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+    val vs = graft.core.Core.table(spark, dir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray))
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    val bench = vs.filter(_._1 < SimilarityOps.SemBenchVecs)
+    val corpus = vs.filter(_._1 >= SimilarityOps.SemBenchVecs).toMap
+    assert(out.length == corpus.size)
+    out.foreach { case (id, gotMax, flag) =>
+      val v = corpus(id)
+      val nv = math.sqrt(dot(v, v))
+      val mc = bench.map { case (_, b) =>
+        val r = dot(v, b) / (nv * math.sqrt(dot(b, b)))
+        BigDecimal(r).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble
+      }.max
+      assert(math.abs(gotMax - mc) < 1e-9, s"vec $id")
+      assert(flag == (gotMax >= SimilarityOps.SemDecontamTau), s"vec $id")
+    }
+  }
+
+  test("sample_contrastive_pairs matches the in-memory ring construction") {
+    val out = SparkEntry.queries("sample_contrastive_pairs")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        r.getInt(4), r.getLong(5)))
+    val vs = graft.core.Core.table(spark, dir, "embeddings")
+      .select("vec_id", "label").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    def h(id: Long): Long =
+      (((id % P) * SimilarityOps.PairHashMul) % P)
+        .*(SimilarityOps.PairHashMul) % P
+    val byLabel = vs.groupBy(_._2).map { case (l, xs) =>
+      l -> xs.map(_._1).sortBy(id => (h(id), id)) }
+    val labels = byLabel.keys.toSeq.sorted
+    val nextLabel = labels.zip(labels.drop(1) :+ labels.head).toMap
+    assert(out.length == vs.length)
+    out.foreach { case (id, label, gh, pos, negLabel, negId) =>
+      assert(gh == h(id), s"vec $id hash")
+      val ring = byLabel(label)
+      val idx = ring.indexOf(id)
+      val expectPos =
+        if (ring.length == 1) None
+        else Some(ring((idx + 1) % ring.length))
+      assert(pos == expectPos, s"vec $id positive")
+      pos.foreach(p => assert(p != id && byLabel(label).contains(p)))
+      assert(negLabel == nextLabel(label), s"vec $id neg label")
+      assert(negId == byLabel(negLabel).head, s"vec $id negative")
+    }
+  }
+
+  test("multimodal_audio_segments matches an in-memory gaps-and-islands fold") {
+    val out = SparkEntry.queries("multimodal_audio_segments")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getInt(3), r.getInt(4), r.getLong(5)))
+    val expect = docs().filter(_._2.nonEmpty).flatMap { case (id, text) =>
+      val frames = (1 to text.length by 8).map { pos =>
+        val bytes = text.substring(pos - 1,
+          math.min(pos - 1 + 16, text.length)).getBytes("UTF-8")
+        (pos, (pos - 1) / 8, bytes.length,
+          bytes.foldLeft(0L)((a, b) => a + (b & 0xff)))
+      }
+      val active = frames.filter { case (_, _, flen, en) =>
+        en >= MultimodalOps.AudioActivePerByte.toLong * flen }
+      // islands: consecutive fidx runs
+      val segs = active.foldLeft(List.empty[List[(Int, Int, Int, Long)]]) {
+        case (acc, f) => acc match {
+          case cur :: rest if cur.head._2 == f._2 - 1 =>
+            (f :: cur) :: rest
+          case _ => List(f) :: acc
+        }
+      }.reverse.map(_.reverse)
+      segs.zipWithIndex.map { case (fs, i) =>
+        (id, i + 1, fs.map(_._1).min, fs.map(_._1).max, fs.length,
+          fs.map(_._4).sum)
+      }
+    }.toSet
+    assert(out.toSet == expect)
+  }
+}

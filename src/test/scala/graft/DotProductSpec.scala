@@ -92,6 +92,62 @@ class DotProductSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_winnow == the HOF winnowing form on edges + a fold on real docs") {
+    graft.plans.Winnow.register(spark)
+    val (k, w) = (graft.plans.Winnow.K, graft.plans.Winnow.W)
+    val P = graft.functions.TextHash.P
+    import spark.implicits._
+    // HOF twin on SHORT strings only: each nested-lambda reference to
+    // codes/gh re-expands the whole upstream transform after projection
+    // collapse (O(m²·n) interpreted evals per row — minutes per
+    // 600-char doc), which is exactly why the shipped query is the
+    // native expression. Edges cover: < K (empty result), exactly K,
+    // K..K+W-1 (single window), duplicate minima -> distinct,
+    // non-ASCII code points, supplementary-plane chars.
+    val edges = Seq("", "abc", "abcdefgh", "abcdefghij", "aaaaaaaaaaaa",
+      "héllo œuvre une autre", "汉字汉字汉字汉字汉字").toDF("text")
+    val both = edges
+      .withColumn("codes", expr(
+        "transform(filter(split(text, ''), c -> c <> ''), " +
+          "c -> CAST(ascii(c) AS BIGINT))"))
+      .withColumn("nc", size(col("codes")))
+      .withColumn("gh", when(col("nc") >= k, expr(
+        s"transform(sequence(1, nc - ${k - 1}), i -> " +
+          s"aggregate(slice(codes, i, $k), CAST(0 AS BIGINT), " +
+          s"(a, c) -> (a * 31 + c) % $P))"))
+        .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)")))
+      .withColumn("m", size(col("gh")))
+      .select(
+        call_function("graft_winnow", col("text")).as("native"),
+        when(col("m") >= 1, expr(
+          s"array_distinct(transform(" +
+            s"sequence(1, greatest(m - ${w - 1}, 1)), " +
+            s"j -> array_min(slice(gh, j, $w))))"))
+          .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)")).as("hof"))
+    assert(both.filter(not(col("native") <=> col("hof"))).count() == 0)
+    // real docs: full fingerprint ARRAY (values AND first-occurrence
+    // order) vs a driver-side fold of the same algorithm
+    val docs = graft.core.Core.table(spark, TestSpark.sfDir, "documents")
+      .select(col("doc_id"),
+        call_function("graft_winnow", col("text")).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    graft.core.Core.table(spark, TestSpark.sfDir, "documents")
+      .select("doc_id", "text").collect().foreach { r =>
+        val (id, text) = (r.getLong(0), r.getString(1))
+        val codes = text.map(_.toLong)
+        val gh =
+          if (codes.length >= k)
+            (0 to codes.length - k).map(i => codes.slice(i, i + k)
+              .foldLeft(0L)((a, c) => (a * 31 + c) % P))
+          else Seq.empty[Long]
+        val expect =
+          if (gh.isEmpty) Seq.empty[Long]
+          else (0 until math.max(gh.length - w + 1, 1))
+            .map(j => gh.slice(j, j + w).min).distinct
+        assert(docs(id) == expect, s"doc $id")
+      }
+  }
+
   test("graft_bytesum == per-byte hex fold on real UTF-8 frames") {
     graft.plans.ByteSum.register(spark)
     val d = graft.core.Core.table(spark, TestSpark.sfDir, "documents")
