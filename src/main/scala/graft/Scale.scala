@@ -52,7 +52,8 @@ object Scale {
     "txt_span_dedup", "txt_quality_tier", "pipeline_mix",
     "txt_vocab_coverage", "pipeline_full",
     "sample_reservoir", "pipeline_stats",
-    "txt_winnow", "agg_label_balance", "multimodal_audio_segments")
+    "txt_winnow", "agg_label_balance", "multimodal_audio_segments",
+    "dedup_winnow", "pipeline_pack")
 
   /** DENSE subset: dedup_near_auto only re-picks a branch of near/
     * prefix, dedup_ngram/minhash_est/simhash share their families'
@@ -250,7 +251,13 @@ object Scale {
     // one events scan + two type-bounded broadcast aggs: linear
     "agg_drift_psi" -> (15.0, 15.0),
     // salted equi-join vs a 5-row replicated dim + groupBy: linear
-    "join_skew_salted" -> (15.0, 15.0))
+    "join_skew_salted" -> (15.0, 15.0),
+    // winnow-fp candidate join: the dedup_ngram class (within-source
+    // pair join over a W-x-smaller explode); WIDE holds per-source
+    // density constant, so the wide band is the near-family's
+    "dedup_winnow" -> (140.0, 25.0),
+    // curate scan + one shard-keyed window: the curate family's shape
+    "pipeline_pack" -> (-1.0, 15.0))
 
   /** `check` mode: replay docs/scale_results.jsonl against
     * [[growthBands]] (per-(tag, query) medians of the last 7 ok runs,

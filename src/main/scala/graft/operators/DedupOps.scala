@@ -54,6 +54,15 @@ object DedupOps {
   val SubstrWidth = 40
   val SubstrStride = 10
 
+  /** dedup_winnow pair threshold: minimum shared winnowing
+    * fingerprints for a reported pair. 25 is the corpus's ~p99 of
+    * within-source shared-fingerprint counts (median 8, p90 17 at
+    * sf0.01), so reported pairs are the genuinely overlap-heavy tail;
+    * a deployment tunes this against its gram geometry — the plan
+    * (explode → salted candidate join → count) is
+    * threshold-independent. */
+  val WinnowMinShared = 25
+
   /** doc_id, source, distinct lowercase token set. */
   private def tokSets(s: SparkSession, dir: String): DataFrame =
     tokSetsOf(table(s, dir, "documents"))
@@ -524,6 +533,42 @@ object DedupOps {
     // Jaccard), as a relational set-similarity join with a
     // document-frequency cap (stop-shingle guard). See [[dedupNgram]].
     "dedup_ngram" -> { (s, dir) => dedupNgram(s, dir) },
+
+    // Near-dup pairs on WINNOWING fingerprints — the char-level twin
+    // of dedup_ngram: each doc's SIGMOD'03-selected fingerprint set
+    // (the codegen'd graft_winnow expression txt_winnow ships — ~1/W
+    // of the char grams, every ≥ 11-char shared run represented), then
+    // pairs within `source` sharing ≥ [[WinnowMinShared]] fingerprints,
+    // with resemblance = shared / min(|A|, |B|). This is how real
+    // copy-detection services index: match on the winnowed sample, not
+    // all grams — the explode is W× smaller than a full-gram join and
+    // the candidate join uses the same salted/pinned discipline as
+    // every corpus-scaled candidate join in this repo. Catches
+    // char-level boilerplate overlap that token-set Jaccard dilutes,
+    // at a fraction of dedup_substring's gram volume.
+    "dedup_winnow" -> { (s, dir) =>
+      graft.plans.Winnow.register(s)
+      val ex = shared(table(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          explode(call_function("graft_winnow", col("text"))).as("fp")))
+      val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val inter = SkewJoin.saltedCandidateJoin(
+          ex.select(col("source"), col("doc_id").as("a_id"), col("fp")),
+          ex.select(col("source"), col("doc_id").as("b_id"), col("fp")),
+          Seq("source", "fp"), leftSaltBy = col("a_id"))
+        .filter(col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= WinnowMinShared)
+      inter
+        .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("a_sz")),
+          "a_id")
+        .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("b_sz")),
+          "b_id")
+        .select(col("a_id"), col("b_id"), col("shared"),
+          round(col("shared").cast(DoubleType)
+            / least(col("a_sz"), col("b_sz")), 9).as("resemblance"))
+        .orderBy("a_id", "b_id")
+    },
 
     // MinHash + LSH dedup: 16 permuted min-hashes per doc -> 4 bands of
     // 4 -> per-bucket keep-min canonical -> each doc's canonical = min
@@ -1399,6 +1444,22 @@ object DedupOps {
           |  JOIN sizes sb ON sb.doc_id = b_id)
           |WHERE jaccard >= 0.3
           |ORDER BY a_id, b_id""".stripMargin,
+
+      "dedup_winnow" ->
+        s"""WITH wfp AS (${TextOps.winnowFpsSql}),
+           |e AS (SELECT doc_id, source, CAST(len(fps) AS BIGINT) AS sz,
+           |        unnest(fps) AS fp FROM wfp),
+           |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           |        CAST(COUNT(*) AS BIGINT) AS shared,
+           |        any_value(a.sz) AS a_sz, any_value(b.sz) AS b_sz
+           |      FROM e a JOIN e b ON a.source = b.source AND a.fp = b.fp
+           |        AND a.doc_id < b.doc_id
+           |      GROUP BY 1, 2)
+           |SELECT a_id, b_id, shared,
+           |       round(CAST(shared AS DOUBLE) / least(a_sz, b_sz), 9)
+           |         AS resemblance
+           |FROM p WHERE shared >= $WinnowMinShared
+           |ORDER BY a_id, b_id""".stripMargin,
 
       "dedup_minhash_lsh" ->
         s"""WITH th AS ($docTokHashSql),

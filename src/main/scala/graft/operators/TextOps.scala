@@ -266,6 +266,33 @@ object TextOps {
   val WinnowK: Int = graft.plans.Winnow.K
   val WinnowW: Int = graft.plans.Winnow.W
 
+  /** DuckDB CTE body producing `(doc_id, source, fps)` — each doc's
+    * winnowing fingerprint set under the contract geometry. ONE
+    * definition shared by txt_winnow's and dedup_winnow's oracles so
+    * the selection scheme cannot drift between them. */
+  private[operators] val winnowFpsSql: String =
+    s"""SELECT doc_id, source, CASE WHEN len(gh) >= 1 THEN
+       |    list_distinct(list_transform(
+       |      generate_series(1,
+       |        greatest(CAST(len(gh) AS INTEGER) - ${WinnowW - 1}, 1)),
+       |      j -> list_min(list_slice(gh, j, j + ${WinnowW - 1}))))
+       |  ELSE CAST([] AS BIGINT[]) END AS fps
+       |FROM (
+       |  SELECT doc_id, source,
+       |    CASE WHEN len(codes) >= $WinnowK THEN
+       |      list_transform(
+       |        generate_series(1, CAST(len(codes) AS INTEGER)
+       |          - ${WinnowK - 1}),
+       |        i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |               list_slice(codes, i, i + ${WinnowK - 1})),
+       |             (a, c) -> (a * 31 + c) % ${TextHash.P}))
+       |    ELSE CAST([] AS BIGINT[]) END AS gh
+       |  FROM (SELECT doc_id, source,
+       |          list_transform(list_filter(string_split(text, ''),
+       |              c -> c <> ''),
+       |            c -> CAST(unicode(c) AS BIGINT)) AS codes
+       |        FROM documents))""".stripMargin
+
   /** txt_vocab_coverage vocabulary size: top-K corpus tokens by global
     * frequency (deterministic (gtf desc, tok) tie-order). 16 of the
     * synthetic 31-word vocabulary, so in- and out-of-vocab tokens both
@@ -973,6 +1000,38 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // The TRAINING-ORDER PACKING composition — what the tokenizer jobs
+    // downstream of a curation manifest actually read: only the
+    // curate-KEPT docs (the shared curateWithReasons core, so the keep
+    // set provably equals pipeline_curate's), laid out in the
+    // deterministic shuffle order (txt_shuffle_shard's double-round
+    // hash stream) and packed into fixed-budget training sequences per
+    // shard (txt_pack's single cumulative-sum window, partitioned by
+    // the shard key — parallel at thousands of shards). One row per
+    // kept doc: shard, training position, token offsets, sequence id.
+    // Composes three shipped operators into the end-product; agreement
+    // with each standalone piece is asserted in CurationOpsSpec.
+    "pipeline_pack" -> { (s, dir) =>
+      val kept = curateWithReasons(s, dir)
+        .filter(col("drop_reason").isNull)
+        .select(col("doc_id"),
+          (col("h_shard") % ShuffleShards).cast(IntegerType).as("shard"),
+          col("h_shard").as("h"),
+          col("n").cast(LongType).as("n_tokens"))
+      val w = Window.partitionBy("shard").orderBy(col("h"), col("doc_id"))
+      kept
+        .withColumn("pos", row_number().over(w).cast(IntegerType))
+        .withColumn("start_offset",
+          sum(col("n_tokens")).over(w.rowsBetween(
+            Window.unboundedPreceding, Window.currentRow))
+            - col("n_tokens"))
+        .select(col("doc_id"), col("shard"), col("pos"), col("n_tokens"),
+          col("start_offset"),
+          expr(s"start_offset DIV $PackBudget").as("seq_id"),
+          expr(s"start_offset % $PackBudget").as("offset_in_seq"))
+        .orderBy("shard", "pos")
+    },
+
     // Per-source language-balance report — the dataset-composition
     // monitor shipped next to every multilingual curation manifest
     // (the numbers a temperature sampler like sample_temperature is
@@ -1414,36 +1473,16 @@ object TextOps {
     },
 
     "txt_winnow" ->
-      s"""WITH t AS (
-         |  SELECT doc_id,
-         |         list_transform(list_filter(string_split(text, ''),
-         |             c -> c <> ''),
-         |           c -> CAST(unicode(c) AS BIGINT)) AS codes
-         |  FROM documents),
-         |g AS (
-         |  SELECT doc_id,
-         |    CASE WHEN len(codes) >= $WinnowK THEN
-         |      list_transform(
-         |        generate_series(1, CAST(len(codes) AS INTEGER)
-         |          - ${WinnowK - 1}),
-         |        i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |               list_slice(codes, i, i + ${WinnowK - 1})),
-         |             (a, c) -> (a * 31 + c) % ${TextHash.P}))
-         |    ELSE CAST([] AS BIGINT[]) END AS gh
-         |  FROM t),
-         |f AS (
-         |  SELECT doc_id, CAST(len(gh) AS INTEGER) AS n_grams,
-         |    CASE WHEN len(gh) >= 1 THEN
-         |      list_distinct(list_transform(
-         |        generate_series(1,
-         |          greatest(CAST(len(gh) AS INTEGER) - ${WinnowW - 1}, 1)),
-         |        j -> list_min(list_slice(gh, j, j + ${WinnowW - 1}))))
-         |    ELSE CAST([] AS BIGINT[]) END AS fps
-         |  FROM g)
-         |SELECT doc_id, n_grams, CAST(len(fps) AS INTEGER) AS n_fps,
-         |       CAST(COALESCE(list_sum(fps), 0) % ${TextHash.P} AS BIGINT)
-         |         AS fp_digest
-         |FROM f ORDER BY doc_id""".stripMargin,
+      s"""WITH wfp AS ($winnowFpsSql)
+         |SELECT d.doc_id,
+         |       CASE WHEN length(d.text) >= $WinnowK
+         |         THEN CAST(length(d.text) - ${WinnowK - 1} AS INTEGER)
+         |         ELSE 0 END AS n_grams,
+         |       CAST(len(w.fps) AS INTEGER) AS n_fps,
+         |       CAST(COALESCE(list_sum(w.fps), 0) % ${TextHash.P}
+         |         AS BIGINT) AS fp_digest
+         |FROM documents d JOIN wfp w USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     "agg_label_balance" ->
       s"""WITH c AS (
@@ -1909,6 +1948,25 @@ object TextOps {
         |           % ${TextHash.P}) * $ReservoirHashMul
         |           % ${TextHash.P} AS h
         |  FROM documents ORDER BY h, doc_id LIMIT $ReservoirK)
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin) +
+   ("pipeline_pack" ->
+     s"""WITH cur AS (SELECT * FROM (${base("pipeline_curate")})),
+        |tok AS (SELECT doc_id, CAST(len(string_split(lower(text), ' '))
+        |          AS BIGINT) AS n_tokens FROM documents),
+        |k AS (SELECT cur.doc_id, cur.shard, tok.n_tokens,
+        |        ((((cur.doc_id % ${TextHash.P}) * $ShuffleHashMul)
+        |          % ${TextHash.P}) * $ShuffleHashMul) % ${TextHash.P} AS h
+        |      FROM cur JOIN tok USING (doc_id) WHERE cur.keep),
+        |w AS (SELECT doc_id, shard, n_tokens, h,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY shard
+        |          ORDER BY h, doc_id) AS INTEGER) AS pos,
+        |        CAST(SUM(n_tokens) OVER (PARTITION BY shard
+        |          ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+        |          AND CURRENT ROW) AS BIGINT) - n_tokens AS start_offset
+        |      FROM k)
+        |SELECT doc_id, shard, pos, n_tokens, start_offset,
+        |       start_offset // $PackBudget AS seq_id,
+        |       start_offset % $PackBudget AS offset_in_seq
+        |FROM w ORDER BY shard, pos""".stripMargin)
   }
 }

@@ -194,6 +194,66 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_winnow matches a brute-force shared-fingerprint count") {
+    val out = SparkEntry.queries("dedup_winnow")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    val bySrc = graft.core.Core.table(spark, dir, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getString(2)))
+      .groupBy(_._1)
+    val expect = scala.collection.mutable.Map
+      .empty[(Long, Long), (Long, Double)]
+    bySrc.values.foreach { ds =>
+      val fps = ds.map(d => d._2 -> winnow(d._3)._2.toSet).sortBy(_._1)
+      for (i <- fps.indices; j <- (i + 1) until fps.length) {
+        val ((aId, aF), (bId, bF)) = (fps(i), fps(j))
+        val shared = aF.intersect(bF).size.toLong
+        if (shared >= graft.operators.DedupOps.WinnowMinShared)
+          expect((aId, bId)) =
+            (shared, shared.toDouble / math.min(aF.size, bF.size))
+      }
+    }
+    assert(out.keySet == expect.keySet)
+    out.foreach { case (k, (s0, r0)) =>
+      assert(s0 == expect(k)._1, k)
+      assert(math.abs(r0 - expect(k)._2) < 1e-9, k)
+    }
+  }
+
+  test("pipeline_pack agrees with its pieces and packs contiguously") {
+    val out = SparkEntry.queries("pipeline_pack")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    // keep set == pipeline_curate's keeps
+    val keeps = SparkEntry.queries("pipeline_curate")(spark, dir)
+      .filter(col("keep")).select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out.map(_._1).toSet == keeps.keySet)
+    // shard == the curate manifest's (= txt_shuffle_shard's stream)
+    out.foreach { case (id, shard, _, _, _, _, _) =>
+      assert(shard == keeps(id), s"doc $id shard") }
+    // shard assignment also matches txt_shuffle_shard for these docs
+    val shuffleShard = SparkEntry.queries("txt_shuffle_shard")(spark, dir)
+      .select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out.foreach { case (id, shard, _, _, _, _, _) =>
+      assert(shard == shuffleShard(id), s"doc $id vs txt_shuffle_shard") }
+    // per-shard contiguity: in pos order, offsets accumulate exactly
+    // and seq/offset derive from the running total
+    out.groupBy(_._2).values.foreach { rows =>
+      var offset = 0L
+      rows.sortBy(_._3).foreach {
+        case (id, _, _, n, start, seqId, offInSeq) =>
+          assert(start == offset, s"doc $id start")
+          assert(seqId == start / graft.operators.TextOps.PackBudget, s"doc $id")
+          assert(offInSeq == start % graft.operators.TextOps.PackBudget,
+            s"doc $id")
+          offset += n
+      }
+    }
+  }
+
   test("multimodal_audio_segments matches an in-memory gaps-and-islands fold") {
     val out = SparkEntry.queries("multimodal_audio_segments")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
