@@ -101,10 +101,17 @@ object Bench {
       // the shared backbone once, untimed, so every dedup query is
       // measured at steady state rather than by alphabetical luck. All
       // data caches are dropped right after — only compiled code stays.
-      // pipeline_dedup is the widest such plan: sketch agg + banded
-      // join + CC rounds + the quality scan + the cluster window —
-      // i.e. dedup_canonical_pick's entire plan plus dedup_cluster_cc's.
-      graft.operators.DedupOps.queries("pipeline_dedup")(spark, sfDir)
+      // pipeline_full is the widest such plan: the dedup backbone
+      // (sketch agg + banded join + CC rounds + quality scan + cluster
+      // window — dedup_canonical_pick's and dedup_cluster_cc's entire
+      // plans, what the round-8 warmup ran via pipeline_dedup) PLUS
+      // the curate-gram machinery (the fused map-side flag chain + the
+      // bounded broadcast gram join) that pipeline_curate / _pack /
+      // _stats / txt_decontaminate all share — the curate family was
+      // still paying its own first-touch compile inside the timed run
+      // (pipeline_curate 10.4 s in the loaded full pass vs 7.2 s
+      // quiet-targeted).
+      graft.operators.TextOps.queries("pipeline_full")(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       graft.core.Core.releaseShared()
       spark.catalog.clearCache()

@@ -317,6 +317,13 @@ object TextOps {
     * Every expression is verbatim the standalone operator's, so
     * composed and per-operator outputs provably agree. */
   private[graft] def curateMapSide(docs: DataFrame): DataFrame = {
+    // repetition counts via the codegen'd graft_tok_stats: the nested
+    // HOF top-token scan + per-bigram string building profiled as a
+    // 7.4 s single-task stage under every curate-family query (the
+    // map-side chain runs at split parallelism — docs/PLANS.md); one
+    // primitive interning pass replaces both. HOF parity is asserted
+    // in DotProductSpec; the DuckDB oracles keep the list-lambda form.
+    graft.plans.TokStats.register(docs.sparkSession)
     val g = DecontaminateGram
     val lastStart = s"greatest(size(toks) - ${g - 1}, 0)"
     val gramExprs = (1 until g).map(k => s"toks[i + $k]").mkString(", ")
@@ -325,23 +332,20 @@ object TextOps {
       .withColumn("grams", array_distinct(expr(
         s"transform(slice(toks, 1, $lastStart), " +
           s"(t, i) -> concat_ws(' ', t, $gramExprs))")))
-      .withColumn("n", size(col("toks")))
+      .withColumn("ts",
+        call_function("graft_tok_stats", lower(col("text"))))
+      .withColumn("n", col("ts.n"))
       .withColumn("n_stop",
         size(array_intersect(array_distinct(col("toks")),
           typedLit(GopherStopwords))))
-      .withColumn("top_cnt",
-        array_max(transform(array_distinct(col("toks")),
-          t => size(filter(col("toks"), x => x === t)))))
-      .withColumn("bg", expr(
-        "transform(slice(toks, 1, greatest(size(toks) - 1, 0)), " +
-          "(t, i) -> concat(t, ' ', toks[i + 1]))"))
+      .withColumn("top_cnt", col("ts.top_cnt"))
       .withColumn("top_tok_frac",
         round(col("top_cnt").cast(DoubleType) / col("n"), 9))
       .withColumn("dup_bigram_frac",
         when(col("n") > 1,
           round(lit(1.0)
-            - size(array_distinct(col("bg"))).cast(DoubleType)
-              / size(col("bg")), 9))
+            - col("ts.n_distinct_bigrams").cast(DoubleType)
+              / col("ts.n_bigrams"), 9))
           .otherwise(lit(0.0)))
       .withColumn("map_drop",
         when(!(col("n") >= GopherMinWords && col("n") <= GopherMaxWords),
@@ -404,24 +408,27 @@ object TextOps {
     // is O(n_tokens · n_distinct), bounded for natural documents —
     // the embarrassingly-parallel shape a 100 TB filter pass needs.
     // Exact integer counts; one rounded division per fraction.
+    // Counts via the codegen'd graft_tok_stats (plans/TokStats.scala):
+    // one primitive interning pass replaces the O(n·distinct) nested
+    // HOF scan + per-bigram string building that ran interpreted on a
+    // single no-exchange task (the txt_entropy mechanism; HOF parity
+    // in DotProductSpec). Fractions and thresholds unchanged — the
+    // DuckDB oracle keeps the list-lambda formulation.
     "txt_repetition" -> { (s, dir) =>
-      toks(s, dir)
-        .withColumn("n", size(col("toks")))
-        .withColumn("top_cnt",
-          array_max(transform(array_distinct(col("toks")),
-            t => size(filter(col("toks"), x => x === t)))))
-        .withColumn("bg", expr(
-          "transform(slice(toks, 1, greatest(size(toks) - 1, 0)), " +
-            "(t, i) -> concat(t, ' ', toks[i + 1]))"))
+      graft.plans.TokStats.register(s)
+      table(s, dir, "documents")
+        .withColumn("ts",
+          call_function("graft_tok_stats", lower(col("text"))))
+        .withColumn("n", col("ts.n"))
         .withColumn("top_tok_frac",
-          round(col("top_cnt").cast(DoubleType) / col("n"), 9))
+          round(col("ts.top_cnt").cast(DoubleType) / col("n"), 9))
         .withColumn("dup_bigram_frac",
           when(col("n") > 1,
             round(lit(1.0)
-              - size(array_distinct(col("bg"))).cast(DoubleType)
-                / size(col("bg")), 9))
+              - col("ts.n_distinct_bigrams").cast(DoubleType)
+                / col("ts.n_bigrams"), 9))
             .otherwise(lit(0.0)))
-        .select(col("doc_id"), col("n").cast(IntegerType).as("n_tokens"),
+        .select(col("doc_id"), col("n").as("n_tokens"),
           col("top_tok_frac"), col("dup_bigram_frac"),
           (col("top_tok_frac") >= RepTopTokFrac
             || col("dup_bigram_frac") >= RepDupBigramFrac).as("repetitive"))

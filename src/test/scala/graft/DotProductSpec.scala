@@ -148,6 +148,35 @@ class DotProductSpec extends AnyFunSuite {
       }
   }
 
+  test("graft_tok_stats == the HOF repetition counts on real docs + edges") {
+    graft.plans.TokStats.register(spark)
+    import spark.implicits._
+    // empties from consecutive/leading/trailing spaces are TOKENS
+    // under split(s, " ") semantics; single token -> no bigrams
+    val edges = Seq("", " ", "a", "a a", "a  b", " lead", "trail ",
+      "a b a b a", "x y z").toDF("text")
+    val docs = graft.core.Core.table(spark, TestSpark.sfDir, "documents")
+      .select(lower(col("text")).as("text"))
+    Seq(edges, docs).foreach { df =>
+      val both = df
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("bg", expr(
+          "transform(slice(toks, 1, greatest(size(toks) - 1, 0)), " +
+            "(t, i) -> concat(t, ' ', toks[i + 1]))"))
+        .select(
+          call_function("graft_tok_stats", col("text")).as("native"),
+          struct(
+            size(col("toks")).as("n"),
+            array_max(transform(array_distinct(col("toks")),
+              t => size(filter(col("toks"), x => x === t))))
+              .as("top_cnt"),
+            size(col("bg")).as("n_bigrams"),
+            size(array_distinct(col("bg"))).as("n_distinct_bigrams"))
+            .as("hof"))
+      assert(both.filter(not(col("native") <=> col("hof"))).count() == 0)
+    }
+  }
+
   test("graft_bytesum == per-byte hex fold on real UTF-8 frames") {
     graft.plans.ByteSum.register(spark)
     val d = graft.core.Core.table(spark, TestSpark.sfDir, "documents")
