@@ -53,7 +53,7 @@ object Scale {
     "txt_vocab_coverage", "pipeline_full",
     "sample_reservoir", "pipeline_stats",
     "txt_winnow", "agg_label_balance", "multimodal_audio_segments",
-    "dedup_winnow", "pipeline_pack")
+    "dedup_winnow", "pipeline_pack", "multimodal_video_scenes")
 
   /** DENSE subset: dedup_near_auto only re-picks a branch of near/
     * prefix, dedup_ngram/minhash_est/simhash share their families'
@@ -244,6 +244,8 @@ object Scale {
     "agg_label_balance" -> (-1.0, 15.0),
     // doc_id-keyed frame window + agg — linear in payload bytes
     "multimodal_audio_segments" -> (-1.0, 15.0),
+    // doc_id-keyed lag + cumulative-sum windows — same linear class
+    "multimodal_video_scenes" -> (-1.0, 15.0),
     // n x |bench| map-side scan + per-vec max: linear in vectors
     "txt_decontaminate_sem" -> (15.0, 15.0),
     // one label-keyed window + label-bounded rep broadcast: linear

@@ -31,6 +31,16 @@ object MultimodalOps {
     * amplitude scale — the segmentation plan is τ-independent. */
   val AudioActivePerByte = 95
 
+  /** multimodal_video_scenes cut threshold: a frame starts a new scene
+    * when its byte-sum energy differs from the PREVIOUS frame's by
+    * more than this (change-point detection over the frame stream —
+    * the shot-boundary heuristic of a video curation pipeline, which
+    * on real footage diffs per-frame histograms/embeddings the same
+    * way). 80 is the corpus's ~p75 inter-frame delta (median 45), so
+    * multi-scene and single-scene assets both occur; the plan is
+    * τ-independent. */
+  val VideoSceneTau = 80
+
   /** A multimodal asset row: opaque bytes + typed metadata. */
   case class Asset(doc_id: Long, media_type: String, bytes: Array[Byte])
 
@@ -217,6 +227,44 @@ object MultimodalOps {
         .orderBy("doc_id", "pos")
     },
 
+    // Scene-change detection over the sampled frame stream — the
+    // shot-boundary step of a video curation pipeline (cut where the
+    // inter-frame difference spikes; real pipelines diff per-frame
+    // histograms or embeddings, the stub convention diffs the frame's
+    // byte-sum energy): a frame opens a new scene when |Δenergy| >
+    // [[VideoSceneTau]] vs its predecessor (first frame always cuts),
+    // scene id = running cut count (the cumulative-sum change-point
+    // idiom, vs multimodal_audio_segments' threshold-run
+    // gaps-and-islands), then per-scene span/frames/energy. All
+    // exchanges are doc_id-keyed; per-asset state is bounded by its
+    // frame count and payloads never shuffle — the windowed-media
+    // shape that holds at 100 TB.
+    "multimodal_video_scenes" -> { (s, dir) =>
+      graft.plans.ByteSum.register(s)
+      val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+      table(s, dir, "documents")
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(1), length(col("text")), lit(64))).as("pos"))
+        .select(col("doc_id"), col("pos"),
+          graft.plans.ByteSum.bytesum(
+            encode(expr("substring(text, pos, 8)"), "UTF-8")).as("energy"))
+        .withColumn("prev_e", lag(col("energy"), 1).over(byDoc))
+        .withColumn("cut", col("prev_e").isNull
+          || abs(col("energy") - col("prev_e")) > VideoSceneTau)
+        .withColumn("scene_id",
+          sum(when(col("cut"), 1L).otherwise(0L))
+            .over(byDoc.rowsBetween(
+              Window.unboundedPreceding, Window.currentRow))
+            .cast(IntegerType))
+        .groupBy("doc_id", "scene_id")
+        .agg(min(col("pos")).cast(IntegerType).as("start_pos"),
+          max(col("pos")).cast(IntegerType).as("end_pos"),
+          count(lit(1)).cast(IntegerType).as("n_frames"),
+          sum(col("energy")).as("scene_energy"))
+        .orderBy("doc_id", "scene_id")
+    },
+
     // Energy-threshold SEGMENTATION over the hop frames — the
     // VAD-shaped (voice-activity-detection) step an audio curation
     // pipeline runs to cut silence and keep speech runs: a frame is
@@ -379,6 +427,37 @@ object MultimodalOps {
         |                    unnest(generate_series(1, length(text), 8)) AS pos
         |                  FROM documents)))
         |ORDER BY doc_id, pos""".stripMargin,
+
+    "multimodal_video_scenes" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, CAST(pos AS INTEGER) AS pos,
+         |         CAST(COALESCE(list_sum(list_transform(
+         |           generate_series(1, CAST(octet_length(bf) AS INTEGER)),
+         |           i -> CAST('0x' || substr(hx, i*2-1, 2) AS BIGINT))), 0)
+         |           AS BIGINT) AS energy
+         |  FROM (SELECT doc_id, pos, bf, lower(hex(bf)) AS hx
+         |        FROM (SELECT doc_id, pos,
+         |                encode(substr(text, pos, 8)) AS bf
+         |              FROM (SELECT doc_id, text,
+         |                      unnest(generate_series(1, length(text), 64))
+         |                        AS pos
+         |                    FROM documents WHERE length(text) > 0)))),
+         |d AS (SELECT doc_id, pos, energy,
+         |        LAG(energy) OVER (PARTITION BY doc_id ORDER BY pos)
+         |          AS prev_e
+         |      FROM f),
+         |c AS (SELECT doc_id, pos, energy,
+         |        CAST(SUM(CASE WHEN prev_e IS NULL
+         |            OR abs(energy - prev_e) > $VideoSceneTau
+         |          THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id
+         |          ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+         |          AND CURRENT ROW) AS INTEGER) AS scene_id
+         |      FROM d)
+         |SELECT doc_id, scene_id, CAST(MIN(pos) AS INTEGER) AS start_pos,
+         |       CAST(MAX(pos) AS INTEGER) AS end_pos,
+         |       CAST(COUNT(*) AS INTEGER) AS n_frames,
+         |       CAST(SUM(energy) AS BIGINT) AS scene_energy
+         |FROM c GROUP BY 1, 2 ORDER BY doc_id, scene_id""".stripMargin,
 
     "multimodal_audio_segments" ->
       s"""WITH f AS (

@@ -115,6 +115,88 @@ object StreamingOps {
             array_contains(col("grams"), p.getField("_2"))
               && p.getField("_1") =!= col("doc_id")), "contaminated"))))
 
+  /** Train the drift-monitor REFERENCE on a static events corpus —
+    * the config a deployment persists at training time and every
+    * later ingest is scored against: the `agg_drift_psi` boundary
+    * ((min+max) DIV 2 epoch micros), per-type integer-cents bin edges
+    * ((max−min) DIV 10 + 1 wide), and the period-A (pre-boundary)
+    * count of every observed (type, bin). One row per observed A-bin
+    * carrying its edges — bounded by types × 10 bins, broadcastable
+    * at any corpus scale. Types with no pre-boundary rows would drop
+    * their edges (none exist in this corpus; a deployment trains on a
+    * complete period). */
+  def driftRef(events: DataFrame): DataFrame = {
+    val ev = events.select(col("event_type"),
+      unix_micros(col("ts")).as("us"),
+      graft.core.Core.cents(col("value")).as("vc"))
+    val bound = ev.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+      .select(expr("(mn + mx) DIV 2").as("bus"))
+    val edges = ev.groupBy("event_type")
+      .agg(min(col("vc")).as("bmin"), max(col("vc")).as("bmax"))
+      .select(col("event_type"), col("bmin"),
+        expr("(bmax - bmin) DIV 10 + 1").as("w"))
+    ev.crossJoin(broadcast(bound))
+      .filter(col("us") < col("bus"))
+      .join(broadcast(edges), "event_type")
+      .withColumn("bin", expr("CAST((vc - bmin) DIV w AS INT)"))
+      .groupBy("event_type", "bin")
+      .agg(count(lit(1)).as("ref_cnt"),
+        first(col("bmin")).as("bmin"), first(col("w")).as("w"))
+  }
+
+  /** Score a batch of events against a [[driftRef]] reference: bin
+    * with the reference's edges, full-outer the (type, bin) counts
+    * against the reference's, then the IDENTICAL add-1-smoothed
+    * bin-sorted PSI fold as the `agg_drift_psi` contract query — fed
+    * the post-boundary events with a reference trained on the full
+    * corpus, the output is value-identical to the contract query's
+    * (asserted exactly in StreamingOpsSpec). Shape: one batch scan +
+    * a broadcast edges join + a (type, bin) agg vs the bounded
+    * reference — linear in the batch, never touching the corpus. */
+  def driftPsi(batch: DataFrame, ref: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, IntegerType}
+    val edges = ref.select("event_type", "bmin", "w").distinct()
+    val cb = batch
+      .select(col("event_type"), graft.core.Core.cents(col("value")).as("vc"))
+      .join(broadcast(edges), "event_type")
+      .withColumn("bin", expr("CAST((vc - bmin) DIV w AS INT)"))
+      .groupBy("event_type", "bin").agg(count(lit(1)).as("cb"))
+    ref.select(col("event_type"), col("bin"), col("ref_cnt").as("ca"))
+      .join(cb, Seq("event_type", "bin"), "full_outer")
+      .select(col("event_type"), col("bin"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+      .groupBy("event_type")
+      .agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+        count(lit(1)).cast(IntegerType).as("n_bins"),
+        sort_array(collect_list(
+          struct(col("bin"), col("ca"), col("cb")))).as("bs"))
+      .select(col("event_type"), col("n_a"), col("n_b"), col("n_bins"),
+        round(aggregate(col("bs"), lit(0.0d), (acc, x) => {
+          val pa = (x.getField("ca") + lit(1L)).cast(DoubleType) /
+            (col("n_a") + col("n_bins")).cast(DoubleType)
+          val pb = (x.getField("cb") + lit(1L)).cast(DoubleType) /
+            (col("n_b") + col("n_bins")).cast(DoubleType)
+          acc + (pa - pb) * log(pa / pb)
+        }), 9).as("psi"))
+      .orderBy("event_type")
+  }
+
+  /** Streaming drift monitor — the `agg_drift_psi` twin for an
+    * arriving event stream: each micro-batch is scored against the
+    * broadcast [[driftRef]] reference with [[driftPsi]] and the PSI
+    * rows handed to `sink` (a deployment writes them to its metrics
+    * store; the spec collects them). Per-batch ≡ batch is structural
+    * (the same driftPsi runs on the same rows) and asserted in
+    * StreamingOpsSpec, alongside the exact identity with the
+    * contract query when the stream delivers the post-boundary
+    * period. */
+  def driftStream(stream: DataFrame, ref: DataFrame)
+      (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    stream.writeStream.outputMode("append")
+      .foreachBatch((b: DataFrame, id: Long) => sink(driftPsi(b, ref), id))
+
   /** A weather alert tick — the second stream of the stream-stream
     * join demo (a real deployment joins observations against an alert
     * or request stream arriving independently). */

@@ -252,6 +252,52 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(byPlace("Paris") == (("Paris", "2°", 1L))) // %.0f half-even: 2.5 -> "2"
   }
 
+  test("streaming drift monitor: post-boundary stream reproduces agg_drift_psi exactly") {
+    import spark.implicits._
+    val dir = TestSpark.sfDir
+    val events = graft.core.Core.table(spark, dir, "events")
+    val ref = StreamingOps.driftRef(events)
+    // the batch identity: scoring the post-boundary period against the
+    // full-corpus reference IS the contract query — value-identical
+    val bus = events
+      .agg((min(unix_micros(col("ts"))) + max(unix_micros(col("ts"))))
+        .cast("long")).head().getLong(0) / 2
+    val late = events.filter(unix_micros(col("ts")) >= bus)
+    val viaRef = StreamingOps.driftPsi(late, ref).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3),
+        r.getDouble(4))).toSet
+    val contract = SparkEntry.queries("agg_drift_psi")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3),
+        r.getDouble(4))).toSet
+    assert(viaRef == contract)
+
+    // the streaming wiring: every micro-batch is scored with the same
+    // driftPsi — per-batch output equals the batch call on its rows
+    val in = MemoryStream[StreamingOpsSpec.Ev](spark)
+    val got = scala.collection.mutable.Map.empty[Long, Set[(String, Long, Long, Int, Double)]]
+    val q = StreamingOps.driftStream(in.toDF(), ref) { (psi, id) =>
+      got(id) = psi.collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getInt(3), r.getDouble(4))).toSet
+    }.start()
+    import StreamingOpsSpec.Ev
+    val b1 = Seq(Ev("click", ts(10), 12.0), Ev("error", ts(11), 480.0))
+    val b2 = Seq(Ev("click", ts(20), 1.0), Ev("view", ts(21), 250.0),
+      Ev("view", ts(22), 0.5))
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    Seq(b1, b2).zipWithIndex.foreach { case (rows, i) =>
+      val expect = StreamingOps.driftPsi(rows.toDF(), ref).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3),
+          r.getDouble(4))).toSet
+      assert(got(i.toLong) == expect, s"batch $i")
+    }
+    // a batch never touches types it contains no events for beyond the
+    // reference's own bins: every type still gets a PSI row (n_b = 0)
+    assert(got(0L).map(_._1) == contract.map(_._1))
+  }
+
   test("stream-stream interval join matches the batch join and bounds state by watermark") {
     import spark.implicits._
     import graft.streaming.StreamingOps.Alert
@@ -298,4 +344,9 @@ class StreamingOpsSpec extends AnyFunSuite {
     q.stop()
     assert(!streamed().exists(_._4 == 7), streamed())
   }
+}
+
+object StreamingOpsSpec {
+  /** An arriving event for the drift-monitor stream (events shape). */
+  case class Ev(event_type: String, ts: Timestamp, value: Double)
 }
