@@ -121,7 +121,8 @@ object Scale {
         "sim_ann_lsh_p12", "dedup_semdedup", "multimodal_align_filter",
         "join_interval", "join_asof_nearest", "agg_zscore_outlier",
         "txt_decontaminate_sem", "sample_contrastive_pairs",
-        "agg_drift_psi", "join_skew_salted")
+        "agg_drift_psi", "join_skew_salted", "agg_iqr_outlier",
+        "txt_pmi_colloc", "sample_class_balance")
 
   /** Growth-model bands (docs/SCALE.md): max allowed 10x-corpus growth
     * factor vs the sf0.1 median, per regime — (dense, wide); a
@@ -259,7 +260,13 @@ object Scale {
     // density constant, so the wide band is the near-family's
     "dedup_winnow" -> (140.0, 25.0),
     // curate scan + one shard-keyed window: the curate family's shape
-    "pipeline_pack" -> (-1.0, 15.0))
+    "pipeline_pack" -> (-1.0, 15.0),
+    // one scan + type-dim quartile agg broadcast back: linear
+    "agg_iqr_outlier" -> (15.0, 15.0),
+    // two vocab-bounded aggs + vocab^2-bounded join: tfidf class
+    "txt_pmi_colloc" -> (15.0, 15.0),
+    // label-bounded count agg + per-label rank window: sampler class
+    "sample_class_balance" -> (15.0, 15.0))
 
   /** `check` mode: replay docs/scale_results.jsonl against
     * [[growthBands]] (per-(tag, query) medians of the last 7 ok runs,

@@ -903,6 +903,38 @@ object RelationalOps {
         .orderBy("col_name")
     },
 
+    // Robust outlier screen — Tukey-fence (IQR) anomalies per event
+    // type: the median/quartile twin of agg_zscore_outlier for the
+    // heavy-tailed distributions where mean/stddev are themselves
+    // dragged by the outliers being hunted. Quartiles via exact
+    // percentile over INTEGER cents (the agg_median recipe — integer
+    // inputs ⇒ identical interpolation both engines), fences at
+    // q1 − 1.5·IQR / q3 + 1.5·IQR in identical double arithmetic.
+    // Shape: one scan → tiny type-dim quartile agg → broadcast back →
+    // map-side flag; no window over the corpus — the same linear
+    // monitoring class as the z-score screen.
+    "agg_iqr_outlier" -> { (s, dir) =>
+      val vc = cents(col("value"))
+      val st = table(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          expr("percentile(CAST(round(value * 100) AS BIGINT), 0.25)")
+            .as("q1"),
+          expr("percentile(CAST(round(value * 100) AS BIGINT), 0.75)")
+            .as("q3"))
+        .select(col("event_type"), col("q1"), col("q3"),
+          (col("q1") - (col("q3") - col("q1")) * 1.5).as("lo"),
+          (col("q3") + (col("q3") - col("q1")) * 1.5).as("hi"))
+      table(s, dir, "events")
+        .join(broadcast(st), "event_type")
+        .filter(vc.cast(DoubleType) < col("lo")
+          || vc.cast(DoubleType) > col("hi"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          when(vc.cast(DoubleType) < col("lo"), "low").otherwise("high")
+            .as("side"))
+        .orderBy("event_id")
+    },
+
     // Distribution-drift monitor — Population Stability Index per
     // event type between the first and second half of the time range
     // (the PSI every model-monitoring pipeline computes before
@@ -1593,6 +1625,26 @@ object RelationalOps {
         |  FROM orders)
         |SELECT col_name, n_rows, n_nulls, n_distinct, min_v, max_v
         |FROM p, t ORDER BY col_name""".stripMargin,
+
+    "agg_iqr_outlier" ->
+      """WITH st AS (
+        |  SELECT event_type,
+        |         quantile_cont(CAST(round(value * 100) AS BIGINT), 0.25)
+        |           AS q1,
+        |         quantile_cont(CAST(round(value * 100) AS BIGINT), 0.75)
+        |           AS q3
+        |  FROM events GROUP BY 1),
+        |f AS (SELECT event_type, q1, q3,
+        |        q1 - (q3 - q1) * 1.5 AS lo,
+        |        q3 + (q3 - q1) * 1.5 AS hi
+        |      FROM st)
+        |SELECT e.event_id, e.event_type, e.value,
+        |       CASE WHEN CAST(CAST(round(e.value * 100) AS BIGINT)
+        |           AS DOUBLE) < f.lo THEN 'low' ELSE 'high' END AS side
+        |FROM events e JOIN f USING (event_type)
+        |WHERE CAST(CAST(round(e.value * 100) AS BIGINT) AS DOUBLE) < f.lo
+        |   OR CAST(CAST(round(e.value * 100) AS BIGINT) AS DOUBLE) > f.hi
+        |ORDER BY event_id""".stripMargin,
 
     "agg_drift_psi" ->
       """WITH ev AS (

@@ -83,6 +83,14 @@ object SimilarityOps {
     * vec_id below P/mul and would pair each vector with vec_id+1. */
   val PairHashMul = 40014L
 
+  /** sample_class_balance hash multiplier: the Payne–Fuller–Lewis
+    * SIMSCRIPT multiplier 630360016 (public RNG literature, full
+    * period mod 2³¹−1) — an EIGHTH independent stream. Large enough
+    * to wrap the modulus from vec_id ≈ 3, so a single Lehmer round
+    * already permutes the ranking range (the stratified/temperature
+    * argument; only small multipliers need the double round). */
+  val BalanceHashMul = 630360016L
+
   def planesFor(n: Int): Array[Array[Double]] =
     Array.tabulate(n, Dims) { (j, d) =>
       ((j * Dims + d + 1) * 2654435761L % 4294967296L) / 4294967296.0 - 0.5
@@ -557,6 +565,31 @@ object SimilarityOps {
         .orderBy("vec_id")
     },
 
+    // Class-balanced downsampling — equalize label frequencies before
+    // training a classifier/probe head (the majority-undersampling
+    // every imbalanced-label pipeline runs): quota = the SMALLEST
+    // label's count, each label keeps its quota lowest members under
+    // an independent deterministic hash order — rerun/partition-stable
+    // (unlike sampleBy's Bernoulli draws) and growth-stable in the
+    // sampler-family sense. Work: one label-bounded count agg → 1-row
+    // quota broadcast → per-label rank window; the sample_temperature
+    // shape, linear at any corpus scale.
+    "sample_class_balance" -> { (s, dir) =>
+      val P = graft.functions.TextHash.P
+      val e = table(s, dir, "embeddings").select(col("vec_id"), col("label"))
+        .withColumn("h", ((col("vec_id") % P) * BalanceHashMul) % P)
+      val quota = e.groupBy("label").agg(count(lit(1)).as("n_l"))
+        .agg(min(col("n_l")).as("quota"))
+      val w = Window.partitionBy("label").orderBy(col("h"), col("vec_id"))
+      e.withColumn("rn", row_number().over(w))
+        .crossJoin(broadcast(quota))
+        .filter(col("rn") <= col("quota"))
+        .select(col("vec_id"), col("label"), col("h"),
+          col("rn").cast(IntegerType).as("rn"),
+          col("quota").cast(IntegerType).as("quota"))
+        .orderBy("vec_id")
+    },
+
     // Contrastive-pair mining — the deterministic (anchor, positive,
     // negative) manifest a contrastive/embedding-training job consumes
     // (SimCLR/CLIP-style batch construction, relationally): the
@@ -757,6 +790,23 @@ object SimilarityOps {
            |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
            |    ORDER BY ccos DESC, cid ASC) AS crn FROM aff)
            |WHERE crn = 1 ORDER BY vec_id""".stripMargin,
+
+      "sample_class_balance" -> {
+        val P = graft.functions.TextHash.P
+        s"""WITH e AS (SELECT vec_id, label,
+           |             ((vec_id % $P) * $BalanceHashMul) % $P AS h
+           |           FROM embeddings),
+           |q AS (SELECT CAST(MIN(n_l) AS BIGINT) AS quota
+           |      FROM (SELECT label, COUNT(*) AS n_l
+           |            FROM e GROUP BY 1)),
+           |r AS (SELECT vec_id, label, h,
+           |        CAST(ROW_NUMBER() OVER (PARTITION BY label
+           |          ORDER BY h, vec_id) AS INTEGER) AS rn
+           |      FROM e)
+           |SELECT vec_id, label, h, rn, CAST(quota AS INTEGER) AS quota
+           |FROM r CROSS JOIN q WHERE rn <= quota
+           |ORDER BY vec_id""".stripMargin
+      },
 
       "txt_decontaminate_sem" ->
         s"""WITH e AS ($vecsSql),

@@ -250,6 +250,14 @@ object TextOps {
   val TierFractions: Seq[Double] =
     (1 until QualityTiers).map(_ * 1.0 / QualityTiers)
 
+  /** txt_pmi_colloc thresholds: bigrams below the count floor are PMI
+    * noise (a 1-count bigram of two rare words gets an enormous PMI —
+    * the classic pathology every collocation extractor floors away);
+    * top-K bounds the contract output. Both vocabulary-bounded — the
+    * relation never exceeds vocab² rows at any corpus scale. */
+  val PmiMinCount = 5
+  val PmiTopK = 50
+
   /** txt_winnow fingerprint geometry (Schleimer–Wilkerson–Aiken
     * winnowing, SIGMOD'03): rolling hashes of every K-char gram, then
     * the minimum hash of each W-consecutive-gram window is SELECTED as
@@ -977,6 +985,47 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // Collocation extraction by pointwise mutual information — the
+    // corpus-linguistics staple (Church & Hanks 1990) a tokenizer/
+    // phrase-mining pipeline runs to find multi-word units worth
+    // merging: PMI(w1, w2) = ln(p(w1,w2) / (p(w1)p(w2))) over the
+    // corpus's bigram and unigram MLEs, count-floored (see
+    // [[PmiMinCount]]) and top-K by (pmi, w1, w2) for a deterministic
+    // cross-engine ranking. All counts exact integers; the ln
+    // decomposition (ln c12 − ln B − ln c1 − ln c2 + 2 ln T) keeps
+    // every intermediate in double range at ANY corpus size (the
+    // integer product c12·T² overflows int64 past ~10^9 tokens), with
+    // the identical operation order in both engines + one 9-dp round.
+    // Work: two vocabulary-bounded aggs broadcast + a vocab²-bounded
+    // join — linear scan, bounded output, the txt_tfidf_topk class.
+    "txt_pmi_colloc" -> { (s, dir) =>
+      val terms = shared(toks(s, dir)
+        .select(col("doc_id"), explode(col("toks")).as("tok")))
+      val uni = terms.groupBy("tok").agg(count(lit(1)).as("c"))
+      val tot = uni.agg(sum(col("c")).as("t_toks"))
+      val bg = shared(toks(s, dir)
+        .select(explode(expr(
+          "transform(slice(toks, 1, greatest(size(toks) - 1, 0)), " +
+            "(t, i) -> struct(t AS w1, toks[i + 1] AS w2))")).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2")))
+      val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val btot = bg.agg(count(lit(1)).as("b_toks"))
+      c12.filter(col("c12") >= PmiMinCount)
+        .join(broadcast(uni.select(col("tok").as("w1"), col("c").as("c1"))),
+          "w1")
+        .join(broadcast(uni.select(col("tok").as("w2"), col("c").as("c2"))),
+          "w2")
+        .crossJoin(broadcast(tot)).crossJoin(broadcast(btot))
+        .select(col("w1"), col("w2"), col("c12"),
+          round(log(col("c12").cast(DoubleType))
+            - log(col("b_toks").cast(DoubleType))
+            - log(col("c1").cast(DoubleType))
+            - log(col("c2").cast(DoubleType))
+            + lit(2.0) * log(col("t_toks").cast(DoubleType)), 9).as("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        .limit(PmiTopK)
+    },
+
     // Winnowing document fingerprints (Schleimer et al., SIGMOD'03 —
     // the MOSS plagiarism-detector selection scheme; see [[WinnowK]]):
     // per doc, rolling 31-base hashes of every K-char gram mod P, then
@@ -1478,6 +1527,35 @@ object TextOps {
          |FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id
          |ORDER BY d.doc_id""".stripMargin
     },
+
+    "txt_pmi_colloc" ->
+      s"""WITH terms AS (
+         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+         |  FROM documents),
+         |uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+         |        FROM terms GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t_toks FROM uni),
+         |t2 AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+         |       FROM documents),
+         |bg AS (
+         |  SELECT unnest(list_transform(
+         |    list_slice(toks, 1, greatest(len(toks) - 1, 0)),
+         |    (x, i) -> struct_pack(w1 := x, w2 := toks[i + 1]))) AS b
+         |  FROM t2),
+         |c12 AS (SELECT b.w1 AS w1, b.w2 AS w2,
+         |          CAST(COUNT(*) AS BIGINT) AS c12
+         |        FROM bg GROUP BY 1, 2),
+         |btot AS (SELECT CAST(COUNT(*) AS BIGINT) AS b_toks FROM bg)
+         |SELECT w1, w2, c12,
+         |       round(ln(CAST(c12 AS DOUBLE)) - ln(CAST(b_toks AS DOUBLE))
+         |             - ln(CAST(c1 AS DOUBLE)) - ln(CAST(c2 AS DOUBLE))
+         |             + 2.0 * ln(CAST(t_toks AS DOUBLE)), 9) AS pmi
+         |FROM c12
+         |JOIN (SELECT tok AS w1, c AS c1 FROM uni) USING (w1)
+         |JOIN (SELECT tok AS w2, c AS c2 FROM uni) USING (w2)
+         |CROSS JOIN tot CROSS JOIN btot
+         |WHERE c12 >= $PmiMinCount
+         |ORDER BY pmi DESC, w1, w2 LIMIT $PmiTopK""".stripMargin,
 
     "txt_winnow" ->
       s"""WITH wfp AS ($winnowFpsSql)

@@ -254,6 +254,81 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("agg_iqr_outlier matches an in-memory Tukey-fence fold") {
+    val out = SparkEntry.queries("agg_iqr_outlier")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(3))).toMap
+    val ev = graft.core.Core.table(spark, dir, "events")
+      .select("event_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        math.round(r.getDouble(2) * 100)))
+    def quantile(sorted: Array[Long], p: Double): Double = {
+      val idx = p * (sorted.length - 1)
+      val lo = idx.toInt
+      val hi = math.ceil(idx).toInt
+      sorted(lo) + (sorted(hi) - sorted(lo)) * (idx - lo)
+    }
+    val expect = ev.groupBy(_._2).toSeq.flatMap { case (_, rs) =>
+      val s0 = rs.map(_._3).sorted
+      val (q1, q3) = (quantile(s0, 0.25), quantile(s0, 0.75))
+      val (lo, hi) = (q1 - (q3 - q1) * 1.5, q3 + (q3 - q1) * 1.5)
+      rs.toSeq.collect {
+        case (id, _, c) if c < lo => id -> "low"
+        case (id, _, c) if c > hi => id -> "high"
+      }
+    }.toMap
+    assert(out == expect)
+    assert(out.nonEmpty)
+  }
+
+  test("txt_pmi_colloc matches an in-memory PMI ranking") {
+    val out = SparkEntry.queries("txt_pmi_colloc")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    val tokLists = docs().map(_._2.toLowerCase.split(" ", -1).toSeq)
+    val uni = tokLists.flatten.groupBy(identity)
+      .map { case (t, xs) => t -> xs.length.toLong }
+    val tTot = uni.values.sum
+    val bgs = tokLists.flatMap(ts => ts.zip(ts.drop(1)))
+    val c12 = bgs.groupBy(identity)
+      .map { case (b, xs) => b -> xs.length.toLong }
+    val bTot = bgs.length.toLong
+    val expect = c12.toSeq
+      .filter(_._2 >= graft.operators.TextOps.PmiMinCount)
+      .map { case ((w1, w2), c) =>
+        val pmi = math.log(c.toDouble) - math.log(bTot.toDouble) -
+          math.log(uni(w1).toDouble) - math.log(uni(w2).toDouble) +
+          2.0 * math.log(tTot.toDouble)
+        (w1, w2, c, pmi)
+      }
+      .sortBy { case (w1, w2, _, pmi) => (-pmi, w1, w2) }
+      .take(graft.operators.TextOps.PmiTopK)
+    assert(out.length == expect.length)
+    out.zip(expect).foreach { case (g, e) =>
+      assert(g._1 == e._1 && g._2 == e._2 && g._3 == e._3, s"$g vs $e")
+      assert(math.abs(g._4 - e._4) < 1e-9, s"$g vs $e")
+    }
+  }
+
+  test("sample_class_balance keeps exactly the min-class quota per label") {
+    val out = SparkEntry.queries("sample_class_balance")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val labels = graft.core.Core.table(spark, dir, "embeddings")
+      .select("vec_id", "label").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    val byLabel = labels.groupBy(_._2)
+    val quota = byLabel.values.map(_.length).min
+    // every label contributes exactly quota rows
+    assert(out.groupBy(_._2).values.forall(_.length == quota))
+    assert(out.length == quota * byLabel.size)
+    // and they are the quota LOWEST under the deterministic hash order
+    def h(id: Long): Long =
+      (id % P) * graft.operators.SimilarityOps.BalanceHashMul % P
+    byLabel.foreach { case (l, xs) =>
+      val expect = xs.map(_._1).sortBy(id => (h(id), id)).take(quota).toSet
+      assert(out.filter(_._2 == l).map(_._1).toSet == expect, s"label $l")
+    }
+  }
+
   test("multimodal_audio_segments matches an in-memory gaps-and-islands fold") {
     val out = SparkEntry.queries("multimodal_audio_segments")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
