@@ -35,6 +35,53 @@ object RelationalOps {
   /** join_asof_nearest tolerance: ±30 minutes in µs. */
   val AsofNearestTolUs: Long = 1800000000L
 
+  /** profile_table's single-scan builder, parameterized by the
+    * distinct-count aggregator. With `countDistinct` (the contract
+    * query) the multi-distinct agg plans as ONE Expand — rows ×
+    * profiled columns — which is exact but multiplies the scan; with
+    * `approx_count_distinct` ([[profileTableApprox]], the shape the
+    * operator scaladoc prescribes at 100 TB) the HLL sketches merge
+    * in an ordinary single-pass hash aggregate and the Expand
+    * disappears (plan-shape + ±2% accuracy asserted in
+    * ProfilingOpsSpec). Everything else — null counts, min/max
+    * rendering — is identical between the two forms. */
+  private def profileTableWith(s: SparkSession, dir: String,
+      distinctAgg: Column => Column): DataFrame = {
+    val o = table(s, dir, "orders")
+    def nNulls(c: String) =
+      sum(when(col(c).isNull, 1L).otherwise(0L))
+    def longCol(c: String) = Seq(
+      nNulls(c), distinctAgg(col(c)),
+      min(col(c)).cast(StringType), max(col(c)).cast(StringType))
+    def strCol(c: String) = Seq(
+      nNulls(c), distinctAgg(col(c)), min(col(c)), max(col(c)))
+    val priceCents = cents(col("o_totalprice"))
+    val aggs: Seq[Column] = Seq(count(lit(1)).as("n_rows")) ++
+      (longCol("o_orderkey") ++ longCol("o_custkey") ++
+        strCol("o_orderstatus") ++ strCol("o_orderpriority") ++
+        Seq(nNulls("o_totalprice"), distinctAgg(priceCents),
+          min(priceCents).cast(StringType),
+          max(priceCents).cast(StringType)) ++
+        Seq(nNulls("o_orderdate"), distinctAgg(col("o_orderdate")),
+          date_format(min(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss"),
+          date_format(max(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss")))
+        .zipWithIndex.map { case (c, i) => c.as(s"c$i") }
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_orderpriority", "o_totalprice_cents", "o_orderdate")
+    val stackArgs = cols.zipWithIndex.map { case (name, i) =>
+      s"'$name', c${i * 4}, c${i * 4 + 1}, c${i * 4 + 2}, c${i * 4 + 3}"
+    }.mkString(", ")
+    o.agg(aggs.head, aggs.tail: _*)
+      .select(col("n_rows"), expr(s"stack(${cols.size}, $stackArgs) AS " +
+        "(col_name, n_nulls, n_distinct, min_v, max_v)"))
+      .orderBy("col_name")
+  }
+
+  /** The 100 TB profile pass: HLL distinct counts instead of exact —
+    * no Expand, one ordinary aggregate scan. See [[profileTableWith]]. */
+  def profileTableApprox(s: SparkSession, dir: String): DataFrame =
+    profileTableWith(s, dir, c => approx_count_distinct(c, rsd = 0.02))
+
   def queries: Map[String, Q] = Map(
     // Multi-table equi join: orders ⋈ customer ⋈ nation ⋈ region,
     // revenue per nation. nation/region broadcast; orders⋈customer
@@ -873,34 +920,7 @@ object RelationalOps {
     // 2-dp price via integer cents, timestamps via an explicit format
     // string (a raw double/timestamp cast is engine-dependent).
     "profile_table" -> { (s, dir) =>
-      val o = table(s, dir, "orders")
-      def nNulls(c: String) =
-        sum(when(col(c).isNull, 1L).otherwise(0L))
-      def longCol(c: String) = Seq(
-        nNulls(c), countDistinct(col(c)),
-        min(col(c)).cast(StringType), max(col(c)).cast(StringType))
-      def strCol(c: String) = Seq(
-        nNulls(c), countDistinct(col(c)), min(col(c)), max(col(c)))
-      val priceCents = cents(col("o_totalprice"))
-      val aggs: Seq[Column] = Seq(count(lit(1)).as("n_rows")) ++
-        (longCol("o_orderkey") ++ longCol("o_custkey") ++
-          strCol("o_orderstatus") ++ strCol("o_orderpriority") ++
-          Seq(nNulls("o_totalprice"), countDistinct(priceCents),
-            min(priceCents).cast(StringType),
-            max(priceCents).cast(StringType)) ++
-          Seq(nNulls("o_orderdate"), countDistinct(col("o_orderdate")),
-            date_format(min(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss"),
-            date_format(max(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss")))
-          .zipWithIndex.map { case (c, i) => c.as(s"c$i") }
-      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
-        "o_orderpriority", "o_totalprice_cents", "o_orderdate")
-      val stackArgs = cols.zipWithIndex.map { case (name, i) =>
-        s"'$name', c${i * 4}, c${i * 4 + 1}, c${i * 4 + 2}, c${i * 4 + 3}"
-      }.mkString(", ")
-      o.agg(aggs.head, aggs.tail: _*)
-        .select(col("n_rows"), expr(s"stack(${cols.size}, $stackArgs) AS " +
-          "(col_name, n_nulls, n_distinct, min_v, max_v)"))
-        .orderBy("col_name")
+      profileTableWith(s, dir, c => countDistinct(c))
     },
 
     // Robust outlier screen — Tukey-fence (IQR) anomalies per event

@@ -43,6 +43,31 @@ class ProfilingOpsSpec extends AnyFunSuite {
       date_format(_, "yyyy-MM-dd HH:mm:ss"))
   }
 
+  test("profileTableApprox: same profile minus the Expand, distincts within 5%") {
+    val exact = SparkEntry.queries("profile_table")(spark, dir)
+    val approx = graft.operators.RelationalOps.profileTableApprox(spark, dir)
+    // the exact form pays the multi-distinct Expand; the HLL form must
+    // NOT — that plan difference IS the 100 TB argument
+    assert(exact.queryExecution.executedPlan.toString.contains("Expand"))
+    assert(!approx.queryExecution.executedPlan.toString.contains("Expand"))
+    val e = exact.collect().map(r => r.getString(1) ->
+      ((r.getLong(0), r.getLong(2), r.getLong(3), r.getString(4),
+        r.getString(5)))).toMap
+    val a = approx.collect().map(r => r.getString(1) ->
+      ((r.getLong(0), r.getLong(2), r.getLong(3), r.getString(4),
+        r.getString(5)))).toMap
+    assert(a.keySet == e.keySet)
+    a.foreach { case (c, (nRows, nNulls, nDist, mn, mx)) =>
+      val (eRows, eNulls, eDist, eMn, eMx) = e(c)
+      // everything except the distinct estimate is EXACTLY the same
+      assert(nRows == eRows && nNulls == eNulls && mn == eMn && mx == eMx, c)
+      // rsd = 0.02 is a (relative) standard deviation, not a hard
+      // bound — gate at 2.5 sigma
+      assert(math.abs(nDist - eDist).toDouble / eDist <= 0.05,
+        s"$c: approx $nDist vs exact $eDist")
+    }
+  }
+
   test("agg_zscore_outlier flags exactly the |z| >= 3 events of a driver-side fold") {
     val out = SparkEntry.queries("agg_zscore_outlier")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(3)))

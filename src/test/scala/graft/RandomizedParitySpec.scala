@@ -200,6 +200,142 @@ class RandomizedParitySpec extends AnyFunSuite {
     dir
   }
 
+  /** Events corpus WITH values: heavy-tailed per-type scales plus a
+    * constant-value type (bmax == bmin ⇒ single PSI bin, the edge the
+    * real corpus never hits) and a rare type with very few rows. */
+  private def valuedEventsCorpus(seed: Int, n: Int): String = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    val types = Seq("click", "view", "rare", "flat")
+    val rows = (0 until n).map { i =>
+      val t =
+        if (i % 97 == 0) "rare"
+        else types(rnd.nextInt(2)) // mostly click/view
+      val tt = if (i % 31 == 0) "flat" else t
+      val v = tt match {
+        case "flat" => 7.0 // constant: one bin for the whole type
+        case "rare" => rnd.nextInt(10) + 0.5
+        case _ => math.pow(10.0, rnd.nextDouble() * 3) // heavy tail
+      }
+      val us = rnd.nextInt(25).toLong * 86400000000L +
+        rnd.nextInt(86400).toLong * 1000000L
+      (i.toLong, rnd.nextInt(40).toLong, tt,
+        new java.sql.Timestamp(us / 1000), math.round(v * 100) / 100.0)
+    }
+    val dir = java.nio.file.Files
+      .createTempDirectory(s"graft_vev$seed").toString
+    rows.toDF("event_id", "user_id", "event_type", "ts", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("agg_drift_psi == an in-memory PSI fold on random event corpora " +
+    "(incl. single-bin and rare types)") {
+    for (seed <- Seq(21, 22, 23)) {
+      val dir = valuedEventsCorpus(seed, n = 800)
+      val got = SparkEntry.queries("agg_drift_psi")(spark, dir)
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+          r.getInt(3), r.getDouble(4)))).toMap
+      val ev = graft.core.Core.table(spark, dir, "events")
+        .select(col("event_type"), unix_micros(col("ts")),
+          graft.core.Core.cents(col("value"))).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val bus = (ev.map(_._2).min + ev.map(_._2).max) / 2
+      val byType = ev.groupBy(_._1)
+      assert(got.keySet == byType.keySet, s"seed=$seed")
+      byType.foreach { case (t, rs) =>
+        val (bmin, bmax) = (rs.map(_._3).min, rs.map(_._3).max)
+        val w = (bmax - bmin) / 10 + 1
+        val bins = rs.groupBy(r => ((r._3 - bmin) / w).toInt)
+        val ca = bins.map { case (b, xs) => b -> xs.count(_._2 < bus).toLong }
+        val cb = bins.map { case (b, xs) => b -> xs.count(_._2 >= bus).toLong }
+        val (nA, nB, k) = (ca.values.sum, cb.values.sum, bins.size)
+        val psi = bins.keys.toSeq.sorted.foldLeft(0.0) { (acc, b) =>
+          val pa = (ca(b) + 1).toDouble / (nA + k)
+          val pb = (cb(b) + 1).toDouble / (nB + k)
+          acc + (pa - pb) * math.log(pa / pb)
+        }
+        val (gA, gB, gK, gPsi) = got(t)
+        assert(gA == nA && gB == nB && gK == k, s"seed=$seed $t")
+        assert(math.abs(gPsi - psi) < 1e-9 && gPsi >= -1e-12,
+          s"seed=$seed $t")
+      }
+      // the single-bin type really collapsed to one bin
+      assert(got("flat")._3 == 1, s"seed=$seed flat bins")
+    }
+  }
+
+  /** Embeddings corpus with skewed label sizes INCLUDING singleton
+    * labels — the pos_id-null branch of the contrastive ring and the
+    * quota=1 regime of class balancing, which the driver corpus
+    * (50 vectors/label) never exercises. */
+  private def labeledCorpus(seed: Int, n: Int, labels: Int): String = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    val rows = (0 until n).map { i =>
+      // labels 0/1 get most vectors; the top label ids get ~1 member
+      val l =
+        if (i < labels) i // guarantee every label has >= 1
+        else rnd.nextInt(2)
+      (i.toLong, l)
+    }
+    val dir = java.nio.file.Files
+      .createTempDirectory(s"graft_lab$seed").toString
+    rows.toDF("vec_id", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("sample_contrastive_pairs ring holds on random label corpora " +
+    "incl. singleton labels") {
+    val P = graft.functions.TextHash.P
+    val mul = graft.operators.SimilarityOps.PairHashMul
+    def h(id: Long): Long = (((id % P) * mul) % P) * mul % P
+    for (seed <- Seq(31, 32, 33)) {
+      val dir = labeledCorpus(seed, n = 50, labels = 8)
+      val got = SparkEntry.queries("sample_contrastive_pairs")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getInt(1),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          r.getInt(4), r.getLong(5)))
+      val vs = graft.core.Core.table(spark, dir, "embeddings")
+        .select("vec_id", "label").collect()
+        .map(r => (r.getLong(0), r.getInt(1)))
+      val byLabel = vs.groupBy(_._2).view
+        .mapValues(_.map(_._1).sortBy(id => (h(id), id))).toMap
+      val labels = byLabel.keys.toSeq.sorted
+      val nextLabel = labels.zip(labels.drop(1) :+ labels.head).toMap
+      assert(got.length == vs.length, s"seed=$seed")
+      var sawSingleton = false
+      got.foreach { case (id, l, pos, negL, negId) =>
+        val ring = byLabel(l)
+        if (ring.length == 1) { sawSingleton = true
+          assert(pos.isEmpty, s"seed=$seed vec $id singleton positive")
+        } else {
+          val idx = ring.indexOf(id)
+          assert(pos.contains(ring((idx + 1) % ring.length)),
+            s"seed=$seed vec $id")
+        }
+        assert(negL == nextLabel(l) && negId == byLabel(negL).head,
+          s"seed=$seed vec $id negative")
+      }
+      assert(sawSingleton, s"seed=$seed no singleton label — weak test")
+    }
+  }
+
+  test("sample_class_balance degrades to quota=1 on singleton-label corpora") {
+    for (seed <- Seq(41, 42)) {
+      val dir = labeledCorpus(seed, n = 50, labels = 8)
+      val got = SparkEntry.queries("sample_class_balance")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(4)))
+      // singleton labels force quota 1: exactly one row per label
+      assert(got.forall(_._3 == 1), s"seed=$seed")
+      val labels = graft.core.Core.table(spark, dir, "embeddings")
+        .select("label").distinct().count()
+      assert(got.length == labels, s"seed=$seed")
+      assert(got.map(_._2).distinct.length == labels, s"seed=$seed")
+    }
+  }
+
   test("agg_funnel_conversion == an in-memory reference fold on " +
     "random event corpora") {
     def round9(x: Double): Double =
