@@ -39,6 +39,49 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_winnow joins on the salted fingerprint key, never broadcast") {
+    val p = plan("dedup_winnow")
+    assert(p.contains("ShuffledHashJoin"), "winnow candidate join lost SHJ")
+    assert(p.contains("__salt"), "winnow candidate join not salted")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("map-side expression operators stay shuffle-free bar the contract sort") {
+    // txt_winnow (graft_winnow) and txt_repetition (graft_tok_stats)
+    // are single-scan expression passes: a hash exchange appearing
+    // here means the codegen'd-expression rewrite regressed to an
+    // explode/groupBy shape
+    for (q <- Seq("txt_winnow", "txt_repetition")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$q reintroduced a hash shuffle:\n$p")
+      assert(!p.contains("Generate"), s"$q exploded its payload:\n$p")
+    }
+  }
+
+  test("drift/outlier monitors broadcast their type-dim stats back") {
+    // the per-type stats relations are dimension-sized: the join back
+    // to the fact scan must be a broadcast, never a fact-side shuffle
+    // pairing with a window over the corpus
+    for (q <- Seq("agg_drift_psi", "agg_iqr_outlier", "agg_zscore_outlier")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin") ||
+        p.contains("BroadcastNestedLoopJoin"),
+        s"$q: stats join-back is not broadcast:\n$p")
+      assert(!p.contains("Window"), s"$q windows over the corpus:\n$p")
+    }
+  }
+
+  test("pipeline_pack's only corpus windows are shard-partitioned") {
+    val p = plan("pipeline_pack")
+    // the rank + cumulative-sum windows must partition by the shard
+    // key (thousands of shards at 100 TB); an empty partition spec
+    // would be a one-reducer global sort
+    assert(p.contains("Window"), "pack lost its window")
+    assert(p.contains("Exchange hashpartitioning(shard"),
+      s"pack window not shard-partitioned:\n$p")
+  }
+
   test("txt_split_assign never shuffles on a hash key (map-side + sort only)") {
     val p = plan("txt_split_assign")
     assert(!p.contains("Exchange hashpartitioning"),
