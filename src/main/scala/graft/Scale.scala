@@ -66,7 +66,8 @@ object Scale {
     "txt_containment", "txt_containment_prefix",
     "dedup_minhash_lsh", "dedup_simhash64",
     "dedup_cluster_cc", "dedup_incremental", "dedup_incremental_indexed",
-    "dedup_substring", "multimodal_phash_dedup", "txt_span_dedup")
+    "dedup_substring", "multimodal_phash_dedup", "txt_span_dedup",
+    "dedup_winnow")
 
   private val extraQueries: Map[String, core.Core.Q] = Map(
     // the documented bucket-sizing knob turned: at n=8000 vectors the
