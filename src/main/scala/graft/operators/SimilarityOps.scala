@@ -74,6 +74,16 @@ object SimilarityOps {
   val SemBenchVecs = 10
   val SemDecontamTau = 0.25
 
+  /** sim_knn_eval probe-set size and neighbor count: the bounded eval
+    * set (lowest vec_ids — a deployment embeds its labeled eval
+    * suite) scored against the whole corpus, k-NN majority vote. The
+    * probe set being BOUNDED is the scale structure: queries
+    * broadcast, the corpus is scanned once — linear in corpus size,
+    * never corpus×corpus (the contrast with sim_topk_cosine's
+    * within-label all-pairs baseline). */
+  val KnnEvalProbes = 50
+  val KnnEvalK = 5
+
   /** sample_contrastive_pairs hash multiplier: L'Ecuyer's 40014 (the
     * first component multiplier of the MRG CombLec88 generator, public
     * LCG literature) — an independent stream from every TextOps
@@ -565,6 +575,45 @@ object SimilarityOps {
         .orderBy("vec_id")
     },
 
+    // k-NN label-prediction eval — the embedding-quality probe every
+    // representation pipeline runs (does nearest-neighbor structure
+    // recover labels?): a BOUNDED probe set (the embedded eval suite,
+    // see [[KnnEvalProbes]]) scores against the whole corpus, each
+    // probe takes the majority label of its k nearest neighbors
+    // (exact cosine, self excluded; ties by (count desc, label asc),
+    // neighbor rank ties by (cos desc, vec_id)) and reports agreement
+    // with its true label. Scale structure: probes BROADCAST, the
+    // corpus scans ONCE — |probes|×n map-side work, linear in corpus;
+    // the per-probe top-k window partitions on q_id (probe-bounded).
+    // At 10⁹ vectors the same probe set reranks ANN candidates
+    // instead (sim_ann_lsh's bucket path) — the eval harness shape is
+    // identical.
+    "sim_knn_eval" -> { (s, dir) =>
+      val e = vecs(s, dir)
+      val probes = e.filter(col("vec_id") < KnnEvalProbes)
+        .select(col("vec_id").as("q_id"), col("label").as("true_label"),
+          col("v").as("a_v"), col("norm").as("a_norm"))
+      val byQ = Window.partitionBy("q_id")
+        .orderBy(col("cos").desc, col("vec_id"))
+      val neigh = e.select(col("vec_id"), col("label"),
+          col("v").as("b_v"), col("norm").as("b_norm"))
+        .crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", cosine)
+        .withColumn("rk", row_number().over(byQ))
+        .filter(col("rk") <= KnnEvalK)
+      val byVote = Window.partitionBy("q_id")
+        .orderBy(col("votes").desc, col("label"))
+      neigh.groupBy("q_id", "true_label", "label")
+        .agg(count(lit(1)).as("votes"))
+        .withColumn("vrk", row_number().over(byVote))
+        .filter(col("vrk") === 1)
+        .select(col("q_id"), col("true_label"),
+          col("label").as("pred_label"), col("votes"),
+          (col("label") === col("true_label")).as("correct"))
+        .orderBy("q_id")
+    },
+
     // Class-balanced downsampling — equalize label frequencies before
     // training a classifier/probe head (the majority-undersampling
     // every imbalanced-label pipeline runs): quota = the SMALLEST
@@ -790,6 +839,28 @@ object SimilarityOps {
            |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
            |    ORDER BY ccos DESC, cid ASC) AS crn FROM aff)
            |WHERE crn = 1 ORDER BY vec_id""".stripMargin,
+
+      "sim_knn_eval" ->
+        s"""WITH e AS ($vecsSql),
+           |p AS (SELECT vec_id AS q_id, label AS true_label, v, norm
+           |      FROM e WHERE vec_id < $KnnEvalProbes),
+           |sc AS (SELECT a.q_id, a.true_label, b.vec_id, b.label,
+           |         round(list_dot_product(a.v, b.v)
+           |               / (a.norm * b.norm), 9) AS cos
+           |       FROM p a CROSS JOIN e b WHERE b.vec_id <> a.q_id),
+           |nn AS (SELECT * FROM (
+           |         SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+           |           ORDER BY cos DESC, vec_id) AS INTEGER) AS rk
+           |         FROM sc)
+           |       WHERE rk <= $KnnEvalK),
+           |v AS (SELECT q_id, true_label, label,
+           |        CAST(COUNT(*) AS BIGINT) AS votes
+           |      FROM nn GROUP BY 1, 2, 3)
+           |SELECT q_id, true_label, label AS pred_label, votes,
+           |       label = true_label AS correct
+           |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+           |        ORDER BY votes DESC, label) AS vrk FROM v)
+           |WHERE vrk = 1 ORDER BY q_id""".stripMargin,
 
       "sample_class_balance" -> {
         val P = graft.functions.TextHash.P
