@@ -123,7 +123,8 @@ object Scale {
         "join_interval", "join_asof_nearest", "agg_zscore_outlier",
         "txt_decontaminate_sem", "sample_contrastive_pairs",
         "agg_drift_psi", "join_skew_salted", "agg_iqr_outlier",
-        "txt_pmi_colloc", "sample_class_balance", "sim_knn_eval")
+        "txt_pmi_colloc", "sample_class_balance", "sim_knn_eval",
+        "sim_ann_recall")
 
   /** Growth-model bands (docs/SCALE.md): max allowed 10x-corpus growth
     * factor vs the sf0.1 median, per regime — (dense, wide); a
@@ -269,7 +270,9 @@ object Scale {
     // label-bounded count agg + per-label rank window: sampler class
     "sample_class_balance" -> (15.0, 15.0),
     // bounded probe broadcast + one corpus scan: linear in corpus
-    "sim_knn_eval" -> (15.0, 15.0))
+    "sim_knn_eval" -> (15.0, 15.0),
+    // exact probe scan + the linear ANN path: the LSH family's band
+    "sim_ann_recall" -> (16.0, 16.0))
 
   /** `check` mode: replay docs/scale_results.jsonl against
     * [[growthBands]] (per-(tag, query) medians of the last 7 ok runs,

@@ -614,6 +614,58 @@ object SimilarityOps {
         .orderBy("q_id")
     },
 
+    // ANN recall measurement — the acceptance gate of every ANN
+    // deployment (an index nobody has measured recall for is not a
+    // scale path, it's a hope): for the bounded probe set, exact top-k
+    // by brute-force cosine vs the hyperplane-LSH top-k
+    // (`sim_ann_lsh`'s own plan), per-probe overlap and recall@k.
+    // Both sides are deterministic, so recall itself is oracle-exact —
+    // the LSH tradeoff becomes a pinned, regression-gated number
+    // instead of prose. Measured: mean recall@3 ≈ 0.13 at sf0.01 —
+    // and the Goemans–Williamson collision bound PREDICTS it: this
+    // synthetic corpus's true top neighbors sit at cos ≈ 0.3
+    // (θ ≈ 72.5°), so one plane agrees w.p. 1 − θ/π ≈ 0.60 and the
+    // ±1-bit multiprobe needs ≥ 7 of 8 agreements:
+    // 0.60⁸ + 8·0.60⁷·0.40 ≈ 0.10. Production embedding neighbors at
+    // cos ≥ 0.9 (θ ≈ 26°) give 0.86⁸ + 8·0.86⁷·0.14 ≈ 0.63 before
+    // widening probes — hyperplane LSH is an angular-locality method
+    // and this operator is how a deployment finds out whether its
+    // vectors have that locality (CurationOpsSpec pins the band, so a
+    // silently-broken index OR an accidentally-exhaustive one fails).
+    // Shape: the exact side is the bounded-probe broadcast scan
+    // (sim_knn_eval's), the ANN side is the linear
+    // sketch→bucket→rerank path; the comparison join is probe-bounded.
+    "sim_ann_recall" -> { (s, dir) =>
+      val k = 3
+      val e = vecs(s, dir)
+      val probes = e.filter(col("vec_id") < KnnEvalProbes)
+        .select(col("vec_id").as("a_id"), col("v").as("a_v"),
+          col("norm").as("a_norm"))
+      val byQ = Window.partitionBy("a_id")
+        .orderBy(col("cos").desc, col("b_id"))
+      val exact = e.select(col("vec_id").as("b_id"), col("v").as("b_v"),
+          col("norm").as("b_norm"))
+        .crossJoin(broadcast(probes))
+        .filter(col("b_id") =!= col("a_id"))
+        .withColumn("cos", cosine)
+        .withColumn("rk", row_number().over(byQ))
+        .filter(col("rk") <= k)
+        .select(col("a_id"), col("b_id"), lit(1L).as("in_exact"))
+      val ann = annLsh(s, dir, topK = k)
+        .filter(col("a_id") < KnnEvalProbes)
+        .select(col("a_id"), col("b_id"), lit(1L).as("in_ann"))
+      exact.join(ann, Seq("a_id", "b_id"), "full_outer")
+        .groupBy("a_id")
+        .agg(sum(coalesce(col("in_exact"), lit(0L))).as("n_exact"),
+          sum(coalesce(col("in_ann"), lit(0L))).as("n_ann"),
+          sum(when(col("in_exact").isNotNull && col("in_ann").isNotNull,
+            1L).otherwise(0L)).as("n_overlap"))
+        .select(col("a_id"), col("n_exact"), col("n_ann"),
+          col("n_overlap"),
+          round(col("n_overlap").cast(DoubleType) / k, 9).as("recall"))
+        .orderBy("a_id")
+    },
+
     // Class-balanced downsampling — equalize label frequencies before
     // training a classifier/probe head (the majority-undersampling
     // every imbalanced-label pipeline runs): quota = the SMALLEST
@@ -839,6 +891,35 @@ object SimilarityOps {
            |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
            |    ORDER BY ccos DESC, cid ASC) AS crn FROM aff)
            |WHERE crn = 1 ORDER BY vec_id""".stripMargin,
+
+      "sim_ann_recall" ->
+        s"""WITH ann0 AS (
+           |  SELECT a_id, b_id FROM ($annLshFullSql)
+           |  WHERE a_id < $KnnEvalProbes),
+           |e AS ($vecsSql),
+           |p AS (SELECT vec_id AS a_id, v, norm FROM e
+           |      WHERE vec_id < $KnnEvalProbes),
+           |sc AS (SELECT a.a_id, b.vec_id AS b_id,
+           |         round(list_dot_product(a.v, b.v)
+           |               / (a.norm * b.norm), 9) AS cos
+           |       FROM p a CROSS JOIN e b WHERE b.vec_id <> a.a_id),
+           |ex AS (SELECT a_id, b_id FROM (
+           |         SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id
+           |           ORDER BY cos DESC, b_id) AS rk FROM sc)
+           |       WHERE rk <= 3),
+           |j AS (SELECT COALESCE(ex.a_id, ann0.a_id) AS a_id,
+           |        CASE WHEN ex.a_id IS NOT NULL THEN 1 ELSE 0 END
+           |          AS in_exact,
+           |        CASE WHEN ann0.a_id IS NOT NULL THEN 1 ELSE 0 END
+           |          AS in_ann
+           |      FROM ex FULL OUTER JOIN ann0
+           |        ON ex.a_id = ann0.a_id AND ex.b_id = ann0.b_id)
+           |SELECT a_id, CAST(SUM(in_exact) AS BIGINT) AS n_exact,
+           |       CAST(SUM(in_ann) AS BIGINT) AS n_ann,
+           |       CAST(SUM(in_exact * in_ann) AS BIGINT) AS n_overlap,
+           |       round(CAST(SUM(in_exact * in_ann) AS DOUBLE) / 3, 9)
+           |         AS recall
+           |FROM j GROUP BY 1 ORDER BY a_id""".stripMargin,
 
       "sim_knn_eval" ->
         s"""WITH e AS ($vecsSql),

@@ -203,6 +203,25 @@ class CurationOpsSpec extends AnyFunSuite {
       && o._4 <= graft.operators.SimilarityOps.KnnEvalK))
   }
 
+  test("sim_ann_recall is internally consistent and lands in the theory band") {
+    val out = SparkEntry.queries("sim_ann_recall")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(out.length == graft.operators.SimilarityOps.KnnEvalProbes)
+    out.foreach { case (q, nExact, nAnn, nOv, recall) =>
+      assert(nExact == 3, s"probe $q exact top-k size")
+      assert(nAnn <= 3 && nOv <= math.min(nExact, nAnn), s"probe $q")
+      assert(math.abs(recall - nOv / 3.0) < 1e-9, s"probe $q recall")
+    }
+    // the Goemans–Williamson collision bound for this corpus's
+    // near-orthogonal neighbors (cos ~ 0.3) predicts ~0.10 mean
+    // recall@3 under 8-plane ±1-bit multiprobe; gate a broad band so
+    // a silently-broken index (→ ~0) or an accidentally exhaustive
+    // scan (→ ~1) both fail loudly
+    val mean = out.map(_._5).sum / out.length
+    assert(mean > 0.03 && mean < 0.5, s"mean recall $mean out of band")
+  }
+
   test("sample_contrastive_pairs matches the in-memory ring construction") {
     val out = SparkEntry.queries("sample_contrastive_pairs")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
