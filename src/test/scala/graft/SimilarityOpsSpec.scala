@@ -66,6 +66,16 @@ class SimilarityOpsSpec extends AnyFunSuite {
     // floor, not an absolute recall a clustered corpus would give.
     assert(multi >= 0.12)
 
+    // the sizing knob a deployment turns when sim_ann_recall reads
+    // low: fewer planes = coarser buckets = more rerank candidates =
+    // recall can only rise (at more in-bucket pairing cost)
+    val p4 = recall(
+      annMap(SimilarityOps.annLsh(spark, TestSpark.sfDir, nPlanes = 4)),
+      truth)
+    info(f"recall: planes4=$p4%.3f planes8=$multi%.3f")
+    assert(p4 >= multi,
+      f"4 planes ($p4%.3f) must not lose to 8 ($multi%.3f)")
+
     // production plane count: the scheme extends mechanically — valid
     // ranks, self-excluded, deterministic across two builds
     val p16 = SimilarityOps.annLsh(spark, TestSpark.sfDir, nPlanes = 16)
