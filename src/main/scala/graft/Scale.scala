@@ -53,7 +53,8 @@ object Scale {
     "txt_vocab_coverage", "pipeline_full",
     "sample_reservoir", "pipeline_stats",
     "txt_winnow", "agg_label_balance", "multimodal_audio_segments",
-    "dedup_winnow", "pipeline_pack", "multimodal_video_scenes")
+    "dedup_winnow", "pipeline_pack", "multimodal_video_scenes",
+    "txt_source_overlap")
 
   /** DENSE subset: dedup_near_auto only re-picks a branch of near/
     * prefix, dedup_ngram/minhash_est/simhash share their families'
@@ -123,6 +124,7 @@ object Scale {
         "join_interval", "join_asof_nearest", "agg_zscore_outlier",
         "txt_decontaminate_sem", "sample_contrastive_pairs",
         "agg_drift_psi", "join_skew_salted", "agg_iqr_outlier",
+        "agg_seasonality",
         "txt_pmi_colloc", "sample_class_balance", "sim_knn_eval",
         "sim_ann_recall")
 
@@ -272,7 +274,13 @@ object Scale {
     // bounded probe broadcast + one corpus scan: linear in corpus
     "sim_knn_eval" -> (15.0, 15.0),
     // exact probe scan + the linear ANN path: the LSH family's band
-    "sim_ann_recall" -> (16.0, 16.0))
+    "sim_ann_recall" -> (16.0, 16.0),
+    // one events groupBy, bounded output: linear
+    "agg_seasonality" -> (15.0, 15.0),
+    // per-token source-list salted join; WIDE multiplies SOURCES, so
+    // pair count grows ~100x at 10x sources — the sources² class, NOT
+    // the doc-pair near-family: gate at its model + spread
+    "txt_source_overlap" -> (-1.0, 140.0))
 
   /** `check` mode: replay docs/scale_results.jsonl against
     * [[growthBands]] (per-(tag, query) medians of the last 7 ok runs,

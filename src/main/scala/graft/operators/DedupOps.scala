@@ -570,6 +570,42 @@ object DedupOps {
         .orderBy("a_id", "b_id")
     },
 
+    // SOURCE-level vocabulary overlap — the crawl-dedup screen run at
+    // corpus-composition time ("are these two sources the same
+    // underlying site / mirrored dump?"): per-source distinct-token
+    // vocabulary, pairwise Jaccard across ALL source pairs. Sources
+    // are bounded (thousands, not billions), so the OUTPUT is bounded;
+    // the work term is the per-token source-list join — near-universal
+    // tokens (stopwords) make `tok` the canonical skewed key, so the
+    // join is the salted/pinned candidate join like every
+    // corpus-scaled pairing here. At real scale the vocabulary is
+    // capped per source (top-V by tf) before pairing — the relational
+    // shape is identical; this corpus's 31-word vocab needs no cap.
+    "txt_source_overlap" -> { (s, dir) =>
+      val st = shared(table(s, dir, "documents")
+        .select(col("source"),
+          explode(array_distinct(split(lower(col("text")), " ")))
+            .as("tok"))
+        .distinct())
+      val sizes = st.groupBy("source").agg(count(lit(1)).as("sz"))
+      val inter = SkewJoin.saltedCandidateJoin(
+          st.select(col("tok"), col("source").as("a_src")),
+          st.select(col("tok"), col("source").as("b_src")),
+          Seq("tok"), leftSaltBy = col("a_src"))
+        .filter(col("a_src") < col("b_src"))
+        .groupBy("a_src", "b_src").agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.select(col("source").as("a_src"), col("sz").as("a_sz")),
+          "a_src")
+        .join(sizes.select(col("source").as("b_src"), col("sz").as("b_sz")),
+          "b_src")
+        .select(col("a_src"), col("b_src"), col("inter"), col("a_sz"),
+          col("b_sz"),
+          round(col("inter").cast(DoubleType)
+            / (col("a_sz") + col("b_sz") - col("inter")), 9).as("jaccard"))
+        .orderBy("a_src", "b_src")
+    },
+
     // MinHash + LSH dedup: 16 permuted min-hashes per doc -> 4 bands of
     // 4 -> per-bucket keep-min canonical -> each doc's canonical = min
     // over its buckets -> verify doc-vs-canonical Jaccard. Output is one
@@ -1444,6 +1480,27 @@ object DedupOps {
           |  JOIN sizes sb ON sb.doc_id = b_id)
           |WHERE jaccard >= 0.3
           |ORDER BY a_id, b_id""".stripMargin,
+
+      "txt_source_overlap" ->
+        """WITH st AS (
+          |  SELECT DISTINCT source,
+          |         unnest(list_distinct(string_split(lower(text), ' ')))
+          |           AS tok
+          |  FROM documents),
+          |sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS sz
+          |       FROM st GROUP BY 1),
+          |i AS (SELECT a.source AS a_src, b.source AS b_src,
+          |        CAST(COUNT(*) AS BIGINT) AS inter
+          |      FROM st a JOIN st b
+          |        ON a.tok = b.tok AND a.source < b.source
+          |      GROUP BY 1, 2)
+          |SELECT a_src, b_src, inter, sa.sz AS a_sz, sb.sz AS b_sz,
+          |       round(CAST(inter AS DOUBLE)
+          |             / (sa.sz + sb.sz - inter), 9) AS jaccard
+          |FROM i
+          |JOIN sz sa ON sa.source = a_src
+          |JOIN sz sb ON sb.source = b_src
+          |ORDER BY a_src, b_src""".stripMargin,
 
       "dedup_winnow" ->
         s"""WITH wfp AS (${TextOps.winnowFpsSql}),

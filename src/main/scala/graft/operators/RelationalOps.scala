@@ -923,6 +923,31 @@ object RelationalOps {
       profileTableWith(s, dir, c => countDistinct(c))
     },
 
+    // Activity-seasonality profile — the (event type × day-of-week ×
+    // hour) matrix an ops dashboard renders and a capacity planner /
+    // anomaly baseline consumes: exact counts per cell plus each
+    // cell's share of its type (9-dp). Portable calendar arithmetic:
+    // dow = (epoch_days + 4) % 7 (0 = Sunday — Spark's dayofweek and
+    // DuckDB's dow disagree on numbering; integer epoch math doesn't),
+    // hour = in-day micros DIV 3600000000. One groupBy, output
+    // bounded by types × 7 × 24 at any corpus size; the per-type
+    // totals broadcast back for the share division.
+    "agg_seasonality" -> { (s, dir) =>
+      val ev = shared(table(s, dir, "events")
+        .select(col("event_type"), unix_micros(col("ts")).as("us"))
+        .withColumn("dow",
+          expr("CAST((us DIV 86400000000 + 4) % 7 AS INT)"))
+        .withColumn("hour",
+          expr("CAST((us % 86400000000) DIV 3600000000 AS INT)")))
+      val totals = ev.groupBy("event_type").agg(count(lit(1)).as("n_type"))
+      ev.groupBy("event_type", "dow", "hour")
+        .agg(count(lit(1)).as("n"))
+        .join(broadcast(totals), "event_type")
+        .select(col("event_type"), col("dow"), col("hour"), col("n"),
+          round(col("n").cast(DoubleType) / col("n_type"), 9).as("share"))
+        .orderBy("event_type", "dow", "hour")
+    },
+
     // Robust outlier screen — Tukey-fence (IQR) anomalies per event
     // type: the median/quartile twin of agg_zscore_outlier for the
     // heavy-tailed distributions where mean/stddev are themselves
@@ -1645,6 +1670,23 @@ object RelationalOps {
         |  FROM orders)
         |SELECT col_name, n_rows, n_nulls, n_distinct, min_v, max_v
         |FROM p, t ORDER BY col_name""".stripMargin,
+
+    "agg_seasonality" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |         CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS INTEGER)
+        |           AS dow,
+        |         CAST((epoch_us(ts) % 86400000000) // 3600000000
+        |           AS INTEGER) AS hour
+        |  FROM events),
+        |t AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_type
+        |      FROM ev GROUP BY 1)
+        |SELECT ev.event_type, dow, hour, CAST(COUNT(*) AS BIGINT) AS n,
+        |       round(CAST(COUNT(*) AS DOUBLE) / any_value(n_type), 9)
+        |         AS share
+        |FROM ev JOIN t USING (event_type)
+        |GROUP BY 1, 2, 3
+        |ORDER BY event_type, dow, hour""".stripMargin,
 
     "agg_iqr_outlier" ->
       """WITH st AS (

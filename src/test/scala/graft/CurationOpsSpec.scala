@@ -387,6 +387,55 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("agg_seasonality matches an in-memory calendar fold") {
+    val out = SparkEntry.queries("agg_seasonality")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2)) ->
+        ((r.getLong(3), r.getDouble(4)))).toMap
+    val ev = graft.core.Core.table(spark, dir, "events")
+      .select(col("event_type"), unix_micros(col("ts"))).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val expect = ev.groupBy { case (t, us) =>
+      (t, ((us / 86400000000L + 4) % 7).toInt,
+        ((us % 86400000000L) / 3600000000L).toInt)
+    }.view.mapValues(_.length.toLong).toMap
+    val totals = ev.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    assert(out.keySet == expect.keySet)
+    out.foreach { case (k @ (t, _, _), (n, share)) =>
+      assert(n == expect(k), k)
+      assert(math.abs(share - n.toDouble / totals(t)) < 1e-9, k)
+    }
+    // shares per type sum to ~1
+    out.groupBy(_._1._1).values.foreach { cells =>
+      assert(math.abs(cells.map(_._2._2).sum - 1.0) < 1e-6)
+    }
+  }
+
+  test("txt_source_overlap matches a brute-force vocabulary Jaccard") {
+    val out = SparkEntry.queries("txt_source_overlap")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    val vocab = graft.core.Core.table(spark, dir, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).view
+      .mapValues(_.flatMap(_._2.toLowerCase.split(" ", -1)).toSet).toMap
+    val srcs = vocab.keys.toSeq.sorted
+    val expect = (for {
+      i <- srcs.indices; j <- (i + 1) until srcs.length
+      (a, b) = (srcs(i), srcs(j))
+      inter = vocab(a).intersect(vocab(b)).size.toLong
+      if inter > 0
+    } yield (a, b) -> ((inter, vocab(a).size.toLong, vocab(b).size.toLong,
+      inter.toDouble / (vocab(a).size + vocab(b).size - inter)))).toMap
+    assert(out.keySet == expect.keySet)
+    out.foreach { case (k, (i0, a0, b0, j0)) =>
+      val (ei, ea, eb, ej) = expect(k)
+      assert(i0 == ei && a0 == ea && b0 == eb, k)
+      assert(math.abs(j0 - ej) < 1e-9, k)
+    }
+  }
+
   test("multimodal_audio_segments matches an in-memory gaps-and-islands fold") {
     val out = SparkEntry.queries("multimodal_audio_segments")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
