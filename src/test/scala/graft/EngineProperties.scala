@@ -46,6 +46,49 @@ object EngineProperties extends Properties("engine") {
         math.round(x * 100) == units.toLong * 100 + c
     }
 
+  /** Pure-Scala mirror of plans/Winnow.fingerprints over BMP chars
+    * (the JVM expression is asserted against the HOF/driver-side fold
+    * in DotProductSpec; this pins the ALGORITHM's properties on
+    * arbitrary strings). */
+  private def winnowRef(text: String): Seq[Long] = {
+    val (k, w) = (graft.plans.Winnow.K, graft.plans.Winnow.W)
+    val P = TextHash.P
+    val codes = text.map(_.toLong)
+    if (codes.length < k) return Seq.empty
+    val gh = (0 to codes.length - k).map(i =>
+      codes.slice(i, i + k).foldLeft(0L)((a, c) => (a * 31 + c) % P))
+    (0 until math.max(gh.length - w + 1, 1))
+      .map(j => gh.slice(j, j + w).min).distinct
+  }
+
+  private val docText: Gen[String] =
+    Gen.chooseNum(20, 120).flatMap(n =>
+      Gen.stringOfN(n, Gen.frequency(9 -> Gen.alphaLowerChar,
+        1 -> Gen.const(' '))))
+
+  /** The Schleimer et al. selection guarantee, property-tested: any
+    * two strings sharing a >= K+W-1-char run share a fingerprint. */
+  property("winnowing guarantee on arbitrary strings") =
+    Prop.forAll(docText, docText, Gen.stringOfN(
+      graft.plans.Winnow.K + graft.plans.Winnow.W - 1,
+      Gen.alphaUpperChar)) { (a, b, shared) =>
+      val fa = winnowRef(a + shared + b).toSet
+      val fb = winnowRef(b.reverse + shared + a.reverse).toSet
+      fa.intersect(fb).nonEmpty
+    }
+
+  /** The position-robustness the SURVEY row claims over stride
+    * sampling: a single-char PREFIX insertion preserves the tail's
+    * fingerprints — selection follows hash minima, so only the
+    * boundary-region windows (~K+W chars of a 100+-char doc) can
+    * change, where a fixed-stride sampler reshifts every window. */
+  property("winnowing is position-robust under prefix insertion") =
+    Prop.forAll(docText) { t =>
+      val f1 = winnowRef(t).toSet
+      val f2 = winnowRef("x" + t).toSet
+      f1.isEmpty || f1.intersect(f2).size.toDouble / f1.size >= 0.7
+    }
+
   /** measure_text_spaced (weather.py:226-231) fencepost invariant:
     * width(s) == sum(widths) + (len-1)*spacing for non-empty s. */
   property("text width fold fencepost") =
