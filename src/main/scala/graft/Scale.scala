@@ -124,7 +124,7 @@ object Scale {
         "join_interval", "join_asof_nearest", "agg_zscore_outlier",
         "txt_decontaminate_sem", "sample_contrastive_pairs",
         "agg_drift_psi", "join_skew_salted", "agg_iqr_outlier",
-        "agg_seasonality",
+        "agg_seasonality", "txt_bm25_rank",
         "txt_pmi_colloc", "sample_class_balance", "sim_knn_eval",
         "sim_ann_recall")
 
@@ -277,6 +277,8 @@ object Scale {
     "sim_ann_recall" -> (16.0, 16.0),
     // one events groupBy, bounded output: linear
     "agg_seasonality" -> (15.0, 15.0),
+    // bounded-term filter + 1-row stats broadcast + TakeOrdered
+    "txt_bm25_rank" -> (15.0, 15.0),
     // per-token source-list salted join; WIDE multiplies SOURCES, so
     // pair count grows ~100x at 10x sources — the sources² class, NOT
     // the doc-pair near-family: gate at its model + spread

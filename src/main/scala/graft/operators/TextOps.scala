@@ -250,6 +250,16 @@ object TextOps {
   val TierFractions: Seq[Double] =
     (1 until QualityTiers).map(_ * 1.0 / QualityTiers)
 
+  /** txt_bm25_rank configuration: the standard Okapi constants
+    * (k1 = 1.2, b = 0.75 — Robertson et al., the Lucene defaults, as
+    * exact double literals shared with the oracle) and a fixed query
+    * mixing common terms with the corpus's one rare discriminator
+    * ('dup', df ≈ 5% — high idf, so ranking exercises both the tf
+    * saturation and the idf separation). A deployment binds the query
+    * per request; the plan is query-independent. */
+  val Bm25QueryTerms: Seq[String] = Seq("dup", "query", "spark", "vector")
+  val Bm25TopK = 20
+
   /** txt_pmi_colloc thresholds: bigrams below the count floor are PMI
     * noise (a 1-count bigram of two rare words gets an enormous PMI —
     * the classic pathology every collocation extractor floors away);
@@ -985,6 +995,55 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // Okapi BM25 retrieval ranking — the scorer behind every lexical
+    // search / RAG-retrieval pass over a curated corpus: for a bounded
+    // query-term set, score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 −
+    // b + b·dl/avgdl)) with the Lucene idf form ln((N−df+0.5)/(df+0.5)
+    // + 1), top-K docs. Exactness: tf/df/dl/N are exact integers; the
+    // per-doc Σ folds over the term-SORTED struct list (identical IEEE
+    // addition order both engines), one 9-dp round before the ranked
+    // sort with a doc_id tiebreak. Shape: query terms are BOUNDED —
+    // df/tf filter to |q| terms before any shuffle, the corpus stats
+    // (N, Σdl) are a 1-row broadcast, and top-K plans as TakeOrdered —
+    // one linear scan at any corpus size, the inverted-index-free
+    // relational form (a deployment materializes `terms` once as its
+    // index and reuses it per query).
+    "txt_bm25_rank" -> { (s, dir) =>
+      val q = Bm25QueryTerms
+      val terms = shared(toks(s, dir)
+        .select(col("doc_id"), explode(col("toks")).as("tok")))
+      val dl = terms.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("t_toks"))
+      val df = terms.filter(col("tok").isin(q: _*))
+        .groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
+      val tf = terms.filter(col("tok").isin(q: _*))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      tf.join(broadcast(df), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .groupBy("doc_id")
+        .agg(first(col("dl")).as("dl"),
+          first(col("n_docs")).as("n_docs"),
+          first(col("t_toks")).as("t_toks"),
+          sort_array(collect_list(
+            struct(col("tok"), col("tf"), col("df")))).as("ts0"))
+        .select(col("doc_id"), col("dl"),
+          round(aggregate(col("ts0"), lit(0.0d), (acc, x) => {
+            val ndD = col("n_docs").cast(DoubleType)
+            val dfD = x.getField("df").cast(DoubleType)
+            val tfD = x.getField("tf").cast(DoubleType)
+            val idf = log((ndD - dfD + lit(0.5)) / (dfD + lit(0.5))
+              + lit(1.0))
+            val norm = tfD + lit(1.2) * (lit(1.0) - lit(0.75)
+              + lit(0.75) * col("dl").cast(DoubleType)
+                / (col("t_toks").cast(DoubleType) / ndD))
+            acc + idf * (tfD * lit(2.2)) / norm
+          }), 9).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(Bm25TopK)
+    },
+
     // Collocation extraction by pointwise mutual information — the
     // corpus-linguistics staple (Church & Hanks 1990) a tokenizer/
     // phrase-mining pipeline runs to find multi-word units worth
@@ -1526,6 +1585,40 @@ object TextOps {
          |       COALESCE(sh.n_shared, 0) > 0 AS contaminated
          |FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id
          |ORDER BY d.doc_id""".stripMargin
+    },
+
+    "txt_bm25_rank" -> {
+      val inList = Bm25QueryTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH terms AS (
+         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+         |  FROM documents),
+         |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+         |       FROM terms GROUP BY 1),
+         |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |              CAST(SUM(dl) AS BIGINT) AS t_toks FROM dl),
+         |df AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+         |       FROM terms WHERE tok IN ($inList) GROUP BY 1),
+         |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+         |       FROM terms WHERE tok IN ($inList) GROUP BY 1, 2),
+         |g AS (SELECT tf.doc_id, any_value(dl.dl) AS dl,
+         |        any_value(n_docs) AS n_docs,
+         |        any_value(t_toks) AS t_toks,
+         |        list(struct_pack(tok := tf.tok, tf := tf.tf,
+         |          df := df.df) ORDER BY tf.tok) AS ts0
+         |      FROM tf JOIN df USING (tok) JOIN dl USING (doc_id)
+         |      CROSS JOIN st GROUP BY 1)
+         |SELECT doc_id, dl,
+         |       round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |           list_transform(ts0, x ->
+         |             ln((CAST(n_docs AS DOUBLE) - CAST(x.df AS DOUBLE)
+         |                  + 0.5) / (CAST(x.df AS DOUBLE) + 0.5) + 1.0)
+         |             * (CAST(x.tf AS DOUBLE) * 2.2)
+         |             / (CAST(x.tf AS DOUBLE) + 1.2 * (1.0 - 0.75
+         |                + 0.75 * CAST(dl AS DOUBLE)
+         |                  / (CAST(t_toks AS DOUBLE)
+         |                     / CAST(n_docs AS DOUBLE)))))),
+         |         (a, b) -> a + b), 9) AS score
+         |FROM g ORDER BY score DESC, doc_id LIMIT $Bm25TopK""".stripMargin
     },
 
     "txt_pmi_colloc" ->

@@ -387,6 +387,45 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("txt_bm25_rank matches an in-memory Okapi fold") {
+    val out = SparkEntry.queries("txt_bm25_rank")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val q = graft.operators.TextOps.Bm25QueryTerms
+    val tokLists = docs().map { case (id, t) =>
+      id -> t.toLowerCase.split(" ", -1).toSeq }
+    val n = tokLists.length.toLong
+    val tToks = tokLists.map(_._2.length.toLong).sum
+    val avgdl = tToks.toDouble / n
+    val dfm = q.map(t =>
+      t -> tokLists.count(_._2.contains(t)).toLong).toMap
+    val scored = tokLists.flatMap { case (id, toks) =>
+      val ts0 = q.sorted.flatMap { t =>
+        val tf = toks.count(_ == t).toLong
+        if (tf > 0) Some((t, tf, dfm(t))) else None
+      }
+      if (ts0.isEmpty) None
+      else {
+        val dl = toks.length.toLong
+        val s0 = ts0.foldLeft(0.0) { case (acc, (_, tf, df)) =>
+          val idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+          acc + idf * (tf * 2.2) /
+            (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        }
+        Some((id, dl, s0))
+      }
+    }
+    val expect = scored.sortBy { case (id, _, s0) => (-s0, id) }
+      .take(graft.operators.TextOps.Bm25TopK)
+    assert(out.length == expect.length)
+    out.zip(expect).foreach { case ((gId, gDl, gS), (eId, eDl, eS)) =>
+      assert(gId == eId && gDl == eDl, s"doc $gId vs $eId")
+      assert(math.abs(gS - eS) < 1e-9, s"doc $gId")
+    }
+    // the rare high-idf term dominates: docs containing 'dup' rank first
+    val dupDocs = tokLists.filter(_._2.contains("dup")).map(_._1).toSet
+    assert(dupDocs.nonEmpty && out.take(3).forall(r => dupDocs(r._1)))
+  }
+
   test("agg_seasonality matches an in-memory calendar fold") {
     val out = SparkEntry.queries("agg_seasonality")(spark, dir).collect()
       .map(r => (r.getString(0), r.getInt(1), r.getInt(2)) ->
