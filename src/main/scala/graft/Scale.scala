@@ -126,7 +126,7 @@ object Scale {
         "agg_drift_psi", "join_skew_salted", "agg_iqr_outlier",
         "agg_seasonality", "txt_bm25_rank",
         "txt_pmi_colloc", "sample_class_balance", "sim_knn_eval",
-        "sim_ann_recall")
+        "sim_ann_recall", "sample_hard_negatives")
 
   /** Growth-model bands (docs/SCALE.md): max allowed 10x-corpus growth
     * factor vs the sf0.1 median, per regime — (dense, wide); a
@@ -273,6 +273,7 @@ object Scale {
     "sample_class_balance" -> (15.0, 15.0),
     // bounded probe broadcast + one corpus scan: linear in corpus
     "sim_knn_eval" -> (15.0, 15.0),
+    "sample_hard_negatives" -> (15.0, 15.0),
     // exact probe scan + the linear ANN path: the LSH family's band
     "sim_ann_recall" -> (16.0, 16.0),
     // one events groupBy, bounded output: linear

@@ -666,6 +666,36 @@ object SimilarityOps {
         .orderBy("a_id")
     },
 
+    // Hard-negative mining — the production upgrade of
+    // sample_contrastive_pairs' hash-ring negatives (random negatives
+    // saturate early; contrastive training quality hinges on hard
+    // ones): for each probe, the MOST SIMILAR different-label vector
+    // by exact cosine (ties by vec_id) — the near-boundary example the
+    // loss actually learns from. Bounded probe set broadcast, one
+    // corpus scan, per-probe top-1 window — linear in corpus (the
+    // sim_knn_eval shape); at ANN scale the same mining reranks
+    // bucket candidates with the label-mismatch filter pushed into
+    // the bucket join.
+    "sample_hard_negatives" -> { (s, dir) =>
+      val e = vecs(s, dir)
+      val probes = e.filter(col("vec_id") < KnnEvalProbes)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("v").as("a_v"), col("norm").as("a_norm"))
+      val byQ = Window.partitionBy("q_id")
+        .orderBy(col("cos").desc, col("vec_id"))
+      e.select(col("vec_id"), col("label"), col("v").as("b_v"),
+          col("norm").as("b_norm"))
+        .crossJoin(broadcast(probes))
+        .filter(col("label") =!= col("q_label"))
+        .withColumn("cos", cosine)
+        .withColumn("rk", row_number().over(byQ))
+        .filter(col("rk") === 1)
+        .select(col("q_id"), col("q_label"),
+          col("vec_id").as("neg_id"), col("label").as("neg_label"),
+          col("cos"))
+        .orderBy("q_id")
+    },
+
     // Class-balanced downsampling — equalize label frequencies before
     // training a classifier/probe head (the majority-undersampling
     // every imbalanced-label pipeline runs): quota = the SMALLEST
@@ -942,6 +972,20 @@ object SimilarityOps {
            |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
            |        ORDER BY votes DESC, label) AS vrk FROM v)
            |WHERE vrk = 1 ORDER BY q_id""".stripMargin,
+
+      "sample_hard_negatives" ->
+        s"""WITH e AS ($vecsSql),
+           |p AS (SELECT vec_id AS q_id, label AS q_label, v, norm
+           |      FROM e WHERE vec_id < $KnnEvalProbes),
+           |sc AS (SELECT a.q_id, a.q_label, b.vec_id, b.label,
+           |         round(list_dot_product(a.v, b.v)
+           |               / (a.norm * b.norm), 9) AS cos
+           |       FROM p a CROSS JOIN e b WHERE b.label <> a.q_label)
+           |SELECT q_id, q_label, vec_id AS neg_id, label AS neg_label,
+           |       cos
+           |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+           |        ORDER BY cos DESC, vec_id) AS rk FROM sc)
+           |WHERE rk = 1 ORDER BY q_id""".stripMargin,
 
       "sample_class_balance" -> {
         val P = graft.functions.TextHash.P

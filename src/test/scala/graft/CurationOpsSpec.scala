@@ -222,6 +222,36 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(mean > 0.03 && mean < 0.5, s"mean recall $mean out of band")
   }
 
+  test("sample_hard_negatives matches an in-memory argmax scan") {
+    val out = SparkEntry.queries("sample_hard_negatives")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getInt(3), r.getDouble(4)))
+    val vs = graft.core.Core.table(spark, dir, "embeddings")
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    val norms = vs.map(v => v._1 -> math.sqrt(dot(v._3, v._3))).toMap
+    val probes = vs.filter(_._1 < graft.operators.SimilarityOps.KnnEvalProbes)
+    assert(out.length == probes.length)
+    val byId = out.map(o => o._1 -> o).toMap
+    probes.foreach { case (qId, qL, qv) =>
+      val best = vs.filter(_._2 != qL).map { case (id, l, v) =>
+        val c = BigDecimal(dot(qv, v) / (norms(qId) * norms(id)))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (id, l, c)
+      }.minBy { case (id, _, c) => (-c, id) }
+      val (_, gQl, gNeg, gNegL, gCos) = byId(qId)
+      assert(gQl == qL && gNeg == best._1 && gNegL == best._2, s"probe $qId")
+      assert(math.abs(gCos - best._3) < 1e-9, s"probe $qId")
+      // hard means hard: the mined negative is at least as close as a
+      // random different-label vector would be on average (cos > 0
+      // on this corpus's near-orthogonal vectors)
+      assert(gCos > 0.0, s"probe $qId cos $gCos")
+    }
+  }
+
   test("sample_contrastive_pairs matches the in-memory ring construction") {
     val out = SparkEntry.queries("sample_contrastive_pairs")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
