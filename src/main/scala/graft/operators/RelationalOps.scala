@@ -35,6 +35,28 @@ object RelationalOps {
   /** join_asof_nearest tolerance: ±30 minutes in µs. */
   val AsofNearestTolUs: Long = 1800000000L
 
+  /** agg_seasonality's calendar cells from an epoch-micros column, with
+    * EXPLICIT floor-division semantics (ADVICE round 8): Spark's `DIV`
+    * and DuckDB's `//` both truncate toward zero, so the naive
+    * `(us DIV day + 4) % 7` yields negative dow (and a wrong day index)
+    * for pre-1970 timestamps. `dayidx` corrects truncation to floor
+    * (subtract 1 when the remainder is negative), `pmod` folds both
+    * cells into [0,7) / in-day micros into [0,day) for any epoch sign.
+    * Unit-tested on pre-1970 literals in ProfilingOpsSpec; the oracle
+    * SQL repeats the identical algebra with `//` and `((x%n)+n)%n`. */
+  private[graft] def seasonDowHour(us: Column): (Column, Column) = {
+    val day = lit(86400000000L)
+    val hourUs = lit(3600000000L)
+    // exact floor division: subtracting the (non-negative) pmod leaves
+    // an exact multiple, and a double quotient of two exactly-
+    // representable longs (< 2^53) with an integer result is exact
+    val inDay = pmod(us, day)
+    val dayidx = ((us - inDay) / day).cast(LongType)
+    val dow = pmod(dayidx + 4, lit(7L)).cast(IntegerType)
+    val hour = ((inDay - pmod(inDay, hourUs)) / hourUs).cast(IntegerType)
+    (dow, hour)
+  }
+
   /** profile_table's single-scan builder, parameterized by the
     * distinct-count aggregator. With `countDistinct` (the contract
     * query) the multi-distinct agg plans as ONE Expand — rows ×
@@ -927,18 +949,23 @@ object RelationalOps {
     // hour) matrix an ops dashboard renders and a capacity planner /
     // anomaly baseline consumes: exact counts per cell plus each
     // cell's share of its type (9-dp). Portable calendar arithmetic:
-    // dow = (epoch_days + 4) % 7 (0 = Sunday — Spark's dayofweek and
+    // dow = (epoch_days + 4) mod 7 (0 = Sunday — Spark's dayofweek and
     // DuckDB's dow disagree on numbering; integer epoch math doesn't),
-    // hour = in-day micros DIV 3600000000. One groupBy, output
+    // hour = in-day micros DIV 3600000000. FLOOR-division semantics
+    // throughout (ADVICE round 8): both engines' integer division
+    // truncates toward zero, so a raw `us DIV day` day index and a raw
+    // `%`-remainder go negative for pre-1970 timestamps — the explicit
+    // floor correction + pmod make dow ∈ [0,7) and hour ∈ [0,24) for
+    // ANY epoch sign (asserted on pre-1970 literals in
+    // ProfilingOpsSpec via [[seasonDowHour]]). One groupBy, output
     // bounded by types × 7 × 24 at any corpus size; the per-type
     // totals broadcast back for the share division.
     "agg_seasonality" -> { (s, dir) =>
+      val (dowC, hourC) = seasonDowHour(col("us"))
       val ev = shared(table(s, dir, "events")
         .select(col("event_type"), unix_micros(col("ts")).as("us"))
-        .withColumn("dow",
-          expr("CAST((us DIV 86400000000 + 4) % 7 AS INT)"))
-        .withColumn("hour",
-          expr("CAST((us % 86400000000) DIV 3600000000 AS INT)")))
+        .withColumn("dow", dowC)
+        .withColumn("hour", hourC))
       val totals = ev.groupBy("event_type").agg(count(lit(1)).as("n_type"))
       ev.groupBy("event_type", "dow", "hour")
         .agg(count(lit(1)).as("n"))
@@ -1672,13 +1699,15 @@ object RelationalOps {
         |FROM p, t ORDER BY col_name""".stripMargin,
 
     "agg_seasonality" ->
-      """WITH ev AS (
+      """WITH us0 AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+        |ev AS (
         |  SELECT event_type,
-        |         CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS INTEGER)
-        |           AS dow,
-        |         CAST((epoch_us(ts) % 86400000000) // 3600000000
-        |           AS INTEGER) AS hour
-        |  FROM events),
+        |         CAST(((((us // 86400000000
+        |             - CASE WHEN us % 86400000000 < 0 THEN 1 ELSE 0 END)
+        |           + 4) % 7) + 7) % 7 AS INTEGER) AS dow,
+        |         CAST(((us % 86400000000 + 86400000000) % 86400000000)
+        |           // 3600000000 AS INTEGER) AS hour
+        |  FROM us0),
         |t AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_type
         |      FROM ev GROUP BY 1)
         |SELECT ev.event_type, dow, hour, CAST(COUNT(*) AS BIGINT) AS n,

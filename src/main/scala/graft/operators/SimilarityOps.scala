@@ -84,6 +84,14 @@ object SimilarityOps {
   val KnnEvalProbes = 50
   val KnnEvalK = 5
 
+  /** The ANN index's contract top-k: [[annLsh]]'s default, the oracle's
+    * rank cutoff, AND sim_ann_recall's k (recall@k is measured at the
+    * index's own k) — ONE constant, because three independently
+    * hard-coded 3s (the Scala plan's `val k`, the annLsh default, the
+    * SQL literal) could drift separately and silently skew the recall
+    * metric instead of failing (ADVICE round 8). */
+  val AnnTopK = 3
+
   /** sample_contrastive_pairs hash multiplier: L'Ecuyer's 40014 (the
     * first component multiplier of the MRG CombLec88 generator, public
     * LCG literature) — an independent stream from every TextOps
@@ -244,7 +252,7 @@ object SimilarityOps {
     * corpus in SimilarityOpsSpec. The contract query keeps the full
     * probe set (probePlanes = 0) — its oracle replays every flip. */
   def annLsh(s: SparkSession, dir: String, nPlanes: Int = Planes,
-      multiprobe: Boolean = true, topK: Int = 3,
+      multiprobe: Boolean = true, topK: Int = AnnTopK,
       probePlanes: Int = 0,
       source: Option[DataFrame] = None): DataFrame = {
     val ps = planesFor(nPlanes)
@@ -342,7 +350,8 @@ object SimilarityOps {
     * schedule. Each branch is result-identical to annLsh at its plane
     * count (asserted in SimilarityOpsSpec), so routing is pure
     * planning. */
-  def annLshAuto(s: SparkSession, dir: String, topK: Int = 3): DataFrame = {
+  def annLshAuto(s: SparkSession, dir: String,
+      topK: Int = AnnTopK): DataFrame = {
     val cap = (AutoOccupancy.toLong << AutoPlaneConfigs.last).toInt + 1
     val nStat = table(s, dir, "embeddings")
       .select(lit(1).as("one")).limit(cap)
@@ -388,6 +397,55 @@ object SimilarityOps {
     // no-broadcast/no-coalesce rule as [[annLsh]]'s bucket join
     SkewJoin.saltedCandidateJoin(a, b, Seq(joinKey),
       leftSaltBy = col("a_id"))
+  }
+
+  /** sample_contrastive_pairs core over any (vec_id, label) relation —
+    * factored so the single-label degenerate case is spec-testable
+    * (SimilarityOpsSpec) without a bespoke corpus dir. Guards (ADVICE
+    * round 8): `pos_id` is null when the in-label ring has one member
+    * (wraps to itself), and `neg_label`/`neg_id` are null when the
+    * LABEL ring has one member (a single-label corpus) — the ring
+    * neighbor would be the anchor's own label, so the "negative" would
+    * be same-label (and possibly the anchor itself), an invalid triple
+    * a training job must see as missing, not as data. */
+  private[graft] def contrastivePairsOf(e0: DataFrame): DataFrame = {
+    val P = graft.functions.TextHash.P
+    val e = e0
+      .withColumn("h",
+        ((((col("vec_id") % P) * PairHashMul) % P) * PairHashMul) % P)
+    val wLead = Window.partitionBy("label").orderBy(col("h"), col("vec_id"))
+    val wFull = wLead.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val withPos = e
+      .withColumn("nxt", lead(col("vec_id"), 1).over(wLead))
+      .withColumn("fst", first(col("vec_id")).over(wFull))
+      .withColumn("pos_id",
+        when(coalesce(col("nxt"), col("fst")) =!= col("vec_id"),
+          coalesce(col("nxt"), col("fst"))))
+    val reps = e.groupBy("label")
+      .agg(min(struct(col("h"), col("vec_id"))).as("r"))
+      .select(col("label"), col("r.vec_id").as("rep_id"))
+    // the ring over label reps is label-bounded — a single-partition
+    // window over a broadcast-sized dim, like pipeline_stats' stage walk
+    val wRing = Window.orderBy("label")
+    val wRingFull = wRing.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val ring = reps
+      .withColumn("nl",
+        coalesce(lead(col("label"), 1).over(wRing),
+          first(col("label")).over(wRingFull)))
+      .withColumn("ni",
+        coalesce(lead(col("rep_id"), 1).over(wRing),
+          first(col("rep_id")).over(wRingFull)))
+      // single-label ring: the "next label" is the anchor's own — null
+      // out both fields (mirror of pos_id's self-pair guard above)
+      .select(col("label"),
+        when(col("nl") =!= col("label"), col("nl")).as("neg_label"),
+        when(col("nl") =!= col("label"), col("ni")).as("neg_id"))
+    withPos.join(broadcast(ring), "label")
+      .select(col("vec_id"), col("label"), col("h"), col("pos_id"),
+        col("neg_label"), col("neg_id"))
+      .orderBy("vec_id")
   }
 
   def queries: Map[String, Q] = Map(
@@ -636,7 +694,7 @@ object SimilarityOps {
     // (sim_knn_eval's), the ANN side is the linear
     // sketch→bucket→rerank path; the comparison join is probe-bounded.
     "sim_ann_recall" -> { (s, dir) =>
-      val k = 3
+      val k = AnnTopK
       val e = vecs(s, dir)
       val probes = e.filter(col("vec_id") < KnnEvalProbes)
         .select(col("vec_id").as("a_id"), col("v").as("a_v"),
@@ -651,7 +709,7 @@ object SimilarityOps {
         .withColumn("rk", row_number().over(byQ))
         .filter(col("rk") <= k)
         .select(col("a_id"), col("b_id"), lit(1L).as("in_exact"))
-      val ann = annLsh(s, dir, topK = k)
+      val ann = annLsh(s, dir, topK = AnnTopK)
         .filter(col("a_id") < KnnEvalProbes)
         .select(col("a_id"), col("b_id"), lit(1L).as("in_ann"))
       exact.join(ann, Seq("a_id", "b_id"), "full_outer")
@@ -737,39 +795,8 @@ object SimilarityOps {
     // boundary row stitched per bucket — the standard distributed
     // adjacent-pairs rewrite; the contract ships the direct form.
     "sample_contrastive_pairs" -> { (s, dir) =>
-      val P = graft.functions.TextHash.P
-      val e = table(s, dir, "embeddings").select(col("vec_id"), col("label"))
-        .withColumn("h",
-          ((((col("vec_id") % P) * PairHashMul) % P) * PairHashMul) % P)
-      val wLead = Window.partitionBy("label").orderBy(col("h"), col("vec_id"))
-      val wFull = wLead.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing)
-      val withPos = e
-        .withColumn("nxt", lead(col("vec_id"), 1).over(wLead))
-        .withColumn("fst", first(col("vec_id")).over(wFull))
-        .withColumn("pos_id",
-          when(coalesce(col("nxt"), col("fst")) =!= col("vec_id"),
-            coalesce(col("nxt"), col("fst"))))
-      val reps = e.groupBy("label")
-        .agg(min(struct(col("h"), col("vec_id"))).as("r"))
-        .select(col("label"), col("r.vec_id").as("rep_id"))
-      // the ring over label reps is label-bounded — a single-partition
-      // window over a broadcast-sized dim, like pipeline_stats' stage walk
-      val wRing = Window.orderBy("label")
-      val wRingFull = wRing.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing)
-      val ring = reps
-        .withColumn("neg_label",
-          coalesce(lead(col("label"), 1).over(wRing),
-            first(col("label")).over(wRingFull)))
-        .withColumn("neg_id",
-          coalesce(lead(col("rep_id"), 1).over(wRing),
-            first(col("rep_id")).over(wRingFull)))
-        .select(col("label"), col("neg_label"), col("neg_id"))
-      withPos.join(broadcast(ring), "label")
-        .select(col("vec_id"), col("label"), col("h"), col("pos_id"),
-          col("neg_label"), col("neg_id"))
-        .orderBy("vec_id")
+      contrastivePairsOf(
+        table(s, dir, "embeddings").select(col("vec_id"), col("label")))
     },
 
     // Pair-alignment curation (the CLIP-score filter of an image-text
@@ -834,7 +861,7 @@ object SimilarityOps {
          |           AS rank
          |  FROM p a JOIN e b
          |    ON b.bucket = a.probe AND a.vec_id <> b.vec_id)
-         |WHERE rank <= 3 ORDER BY a_id, rank""".stripMargin
+         |WHERE rank <= $AnnTopK ORDER BY a_id, rank""".stripMargin
     }
 
     Map(
@@ -882,7 +909,7 @@ object SimilarityOps {
            |           AS rank
            |  FROM p a JOIN e b
            |    ON b.bucket = a.probe AND a.vec_id <> b.vec_id)
-           |WHERE rank <= 3 ORDER BY a_id, rank""".stripMargin
+           |WHERE rank <= $AnnTopK ORDER BY a_id, rank""".stripMargin
       },
 
       "sim_ivf_knn" ->
@@ -936,7 +963,7 @@ object SimilarityOps {
            |ex AS (SELECT a_id, b_id FROM (
            |         SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id
            |           ORDER BY cos DESC, b_id) AS rk FROM sc)
-           |       WHERE rk <= 3),
+           |       WHERE rk <= $AnnTopK),
            |j AS (SELECT COALESCE(ex.a_id, ann0.a_id) AS a_id,
            |        CASE WHEN ex.a_id IS NOT NULL THEN 1 ELSE 0 END
            |          AS in_exact,
@@ -947,8 +974,8 @@ object SimilarityOps {
            |SELECT a_id, CAST(SUM(in_exact) AS BIGINT) AS n_exact,
            |       CAST(SUM(in_ann) AS BIGINT) AS n_ann,
            |       CAST(SUM(in_exact * in_ann) AS BIGINT) AS n_overlap,
-           |       round(CAST(SUM(in_exact * in_ann) AS DOUBLE) / 3, 9)
-           |         AS recall
+           |       round(CAST(SUM(in_exact * in_ann) AS DOUBLE)
+           |             / $AnnTopK, 9) AS recall
            |FROM j GROUP BY 1 ORDER BY a_id""".stripMargin,
 
       "sim_knn_eval" ->
@@ -1031,16 +1058,20 @@ object SimilarityOps {
            |           (min(struct_pack(h := h, vec_id := vec_id))).vec_id
            |             AS rep_id
            |         FROM e GROUP BY 1),
-           |ring AS (SELECT label,
+           |ring0 AS (SELECT label,
            |           COALESCE(LEAD(label, 1) OVER (ORDER BY label),
            |             FIRST_VALUE(label) OVER (ORDER BY label
            |               ROWS BETWEEN UNBOUNDED PRECEDING
-           |               AND UNBOUNDED FOLLOWING)) AS neg_label,
+           |               AND UNBOUNDED FOLLOWING)) AS nl,
            |           COALESCE(LEAD(rep_id, 1) OVER (ORDER BY label),
            |             FIRST_VALUE(rep_id) OVER (ORDER BY label
            |               ROWS BETWEEN UNBOUNDED PRECEDING
-           |               AND UNBOUNDED FOLLOWING)) AS neg_id
-           |         FROM reps)
+           |               AND UNBOUNDED FOLLOWING)) AS ni
+           |         FROM reps),
+           |ring AS (SELECT label,
+           |           CASE WHEN nl <> label THEN nl END AS neg_label,
+           |           CASE WHEN nl <> label THEN ni END AS neg_id
+           |         FROM ring0)
            |SELECT wp.vec_id, wp.label, wp.h,
            |       CASE WHEN COALESCE(nxt, fst) <> wp.vec_id
            |         THEN COALESCE(nxt, fst) END AS pos_id,

@@ -152,15 +152,33 @@ object StreamingOps {
     * corpus, the output is value-identical to the contract query's
     * (asserted exactly in StreamingOpsSpec). Shape: one batch scan +
     * a broadcast edges join + a (type, bin) agg vs the bounded
-    * reference — linear in the batch, never touching the corpus. */
+    * reference — linear in the batch, never touching the corpus.
+    *
+    * Batch types ABSENT from the reference (no pre-boundary rows, or a
+    * brand-new type appearing mid-stream — the strongest drift signal
+    * there is) must not vanish through the edges inner join (ADVICE
+    * round 8): they surface as a SENTINEL row — n_a = 0, n_b = the
+    * type's batch count, n_bins = 0, psi = null (PSI against an empty
+    * reference is undefined, and null is un-ignorable in a metrics
+    * store where any numeric sentinel could be graphed as a value). */
   def driftPsi(batch: DataFrame, ref: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.{DoubleType, IntegerType}
     val edges = ref.select("event_type", "bmin", "w").distinct()
-    val cb = batch
+    val binned = batch
       .select(col("event_type"), graft.core.Core.cents(col("value")).as("vc"))
+    val cb = binned
       .join(broadcast(edges), "event_type")
       .withColumn("bin", expr("CAST((vc - bmin) DIV w AS INT)"))
       .groupBy("event_type", "bin").agg(count(lit(1)).as("cb"))
+    // the novel-type sentinel leg: one extra broadcast anti-join over
+    // the same micro-batch projection — still linear in the batch
+    val novel = binned
+      .join(broadcast(edges.select("event_type")), Seq("event_type"),
+        "left_anti")
+      .groupBy("event_type")
+      .agg(lit(0L).as("n_a"), count(lit(1)).as("n_b"),
+        lit(0).cast(IntegerType).as("n_bins"),
+        lit(null).cast(DoubleType).as("psi"))
     ref.select(col("event_type"), col("bin"), col("ref_cnt").as("ca"))
       .join(cb, Seq("event_type", "bin"), "full_outer")
       .select(col("event_type"), col("bin"),
@@ -179,6 +197,7 @@ object StreamingOps {
             (col("n_b") + col("n_bins")).cast(DoubleType)
           acc + (pa - pb) * log(pa / pb)
         }), 9).as("psi"))
+      .unionByName(novel)
       .orderBy("event_type")
   }
 

@@ -98,4 +98,26 @@ class ProfilingOpsSpec extends AnyFunSuite {
     // least the heavy upper tail of the exponential-ish values
     assert(out.forall { case (_, _, z) => math.abs(z) >= 3.0 })
   }
+
+  test("seasonDowHour: floor semantics hold either side of the 1970 epoch") {
+    import spark.implicits._
+    val day = 86400000000L
+    // boundary-heavy probes: the last micro of 1969, midnight and the
+    // day before it, epoch zero, and plain positive/negative offsets —
+    // the naive truncating DIV/% arithmetic (ADVICE round 8) yields
+    // negative dow/hour on every pre-1970 member of this list
+    val us = Seq(-1L, -day, -day - 1L, -3L * day + 3600000000L,
+      0L, 1L, 3600000000L, day - 1L, 17L * day + 5L * 3600000000L + 7L)
+    val (dowC, hourC) = graft.operators.RelationalOps.seasonDowHour(col("us"))
+    val got = us.toDF("us").select(col("us"), dowC.as("dow"), hourC.as("hour"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    us.foreach { u =>
+      val z = java.time.Instant.EPOCH
+        .plus(u, java.time.temporal.ChronoUnit.MICROS)
+        .atZone(java.time.ZoneOffset.UTC)
+      // java.time DayOfWeek: MONDAY=1..SUNDAY=7; the operator's scheme
+      // is 0=Sunday, so %7 aligns the two numberings
+      assert(got(u) == ((z.getDayOfWeek.getValue % 7, z.getHour)), s"us=$u")
+    }
+  }
 }

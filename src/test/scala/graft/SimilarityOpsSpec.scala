@@ -164,4 +164,31 @@ class SimilarityOpsSpec extends AnyFunSuite {
     assert(sql.contains(s"cents${SimilarityOps.IvfIters} "))
     assert(!sql.contains(s"cents${SimilarityOps.IvfIters + 1}"))
   }
+
+  test("contrastive pairs degrade to nulls, not invalid triples, on a single-label corpus") {
+    import spark.implicits._
+    // ADVICE round 8: with one label the label ring wraps to itself, so
+    // the "negative" used to be same-label (and could be the anchor) —
+    // both fields must be null instead, mirroring pos_id's self guard
+    val one = Seq((0L, 5), (1L, 5), (2L, 5)).toDF("vec_id", "label")
+    val got1 = SimilarityOps.contrastivePairsOf(one).collect()
+    assert(got1.length == 3)
+    got1.foreach { r =>
+      assert(r.isNullAt(4) && r.isNullAt(5), s"vec ${r.getLong(0)}")
+      assert(!r.isNullAt(3) && r.getLong(3) != r.getLong(0)) // pos: ring of 3
+    }
+    // and the single-MEMBER label: pos_id null too (ring of one wraps
+    // to the anchor itself)
+    val lone = Seq((0L, 5)).toDF("vec_id", "label")
+    val gotLone = SimilarityOps.contrastivePairsOf(lone).collect()
+    assert(gotLone.length == 1 && gotLone.head.isNullAt(3)
+      && gotLone.head.isNullAt(4) && gotLone.head.isNullAt(5))
+    // two labels: negatives come back, and are never the anchor nor its
+    // label — the validity invariant the guard exists to protect
+    val two = Seq((0L, 1), (1L, 1), (2L, 2), (3L, 2)).toDF("vec_id", "label")
+    SimilarityOps.contrastivePairsOf(two).collect().foreach { r =>
+      assert(r.getInt(4) != r.getInt(1), s"vec ${r.getLong(0)} neg label")
+      assert(r.getLong(5) != r.getLong(0), s"vec ${r.getLong(0)} neg id")
+    }
+  }
 }

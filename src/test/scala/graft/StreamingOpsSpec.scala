@@ -298,6 +298,34 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(got(0L).map(_._1) == contract.map(_._1))
   }
 
+  test("driftPsi emits a null-psi sentinel for batch types absent from the reference") {
+    import spark.implicits._
+    import StreamingOpsSpec.Ev
+    val dir = TestSpark.sfDir
+    val ref = StreamingOps.driftRef(graft.core.Core.table(spark, dir, "events"))
+    val batch = Seq(Ev("click", ts(10), 12.0), Ev("brandnew", ts(11), 5.0),
+      Ev("brandnew", ts(12), 7.5))
+    val out = StreamingOps.driftPsi(batch.toDF(), ref).collect()
+    // the novel type surfaces (the strongest drift signal there is —
+    // ADVICE round 8: it used to vanish through the edges inner join)
+    // as exactly one sentinel row: n_a = 0, n_b = its batch count,
+    // n_bins = 0, psi null (undefined vs an empty reference)
+    val novel = out.filter(_.getString(0) == "brandnew")
+    assert(novel.length == 1)
+    assert(novel.head.getLong(1) == 0L && novel.head.getLong(2) == 2L)
+    assert(novel.head.getInt(3) == 0 && novel.head.isNullAt(4))
+    // and the sentinel leg changes NOTHING for known types: the rest of
+    // the output equals scoring the batch with the novel rows removed
+    val known = StreamingOps.driftPsi(
+      batch.filter(_.event_type != "brandnew").toDF(), ref).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3),
+        r.getDouble(4))).toSet
+    val outKnown = out.filter(_.getString(0) != "brandnew")
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3),
+        r.getDouble(4))).toSet
+    assert(outKnown == known)
+  }
+
   test("stream-stream interval join matches the batch join and bounds state by watermark") {
     import spark.implicits._
     import graft.streaming.StreamingOps.Alert
