@@ -54,7 +54,7 @@ object Scale {
     "sample_reservoir", "pipeline_stats",
     "txt_winnow", "agg_label_balance", "multimodal_audio_segments",
     "dedup_winnow", "pipeline_pack", "multimodal_video_scenes",
-    "txt_source_overlap")
+    "txt_source_overlap", "txt_source_overlap_topv")
 
   /** DENSE subset: dedup_near_auto only re-picks a branch of near/
     * prefix, dedup_ngram/minhash_est/simhash share their families'
@@ -91,7 +91,12 @@ object Scale {
     // (at most the delta's one (lang, tok) exchange — the corpus side
     // must read bucket-aligned at every scale)
     "dedup_incremental_indexed" -> ((s, dir) =>
-      operators.DedupOps.dedupIncrementalIndexed(s, dir, IdxTable)))
+      operators.DedupOps.dedupIncrementalIndexed(s, dir, IdxTable)),
+    // the Expand-free profile comparator: swept next to profile_docs
+    // so docs/SCALE.md records the measured Expand-elimination delta
+    // the profileTableApprox scaladoc promises (round-8 watch item #3)
+    "profile_docs_approx" -> ((s, dir) =>
+      operators.RelationalOps.profileDocsApprox(s, dir)))
 
   /** Un-timed per-(query, corpus) setup. */
   private val prepare: Map[String, (SparkSession, String) => Unit] = Map(
@@ -126,7 +131,8 @@ object Scale {
         "agg_drift_psi", "join_skew_salted", "agg_iqr_outlier",
         "agg_seasonality", "txt_bm25_rank",
         "txt_pmi_colloc", "sample_class_balance", "sim_knn_eval",
-        "sim_ann_recall", "sample_hard_negatives")
+        "sim_ann_recall", "sample_hard_negatives",
+        "profile_docs", "profile_docs_approx")
 
   /** Growth-model bands (docs/SCALE.md): max allowed 10x-corpus growth
     * factor vs the sf0.1 median, per regime — (dense, wide); a
@@ -283,7 +289,19 @@ object Scale {
     // per-token source-list salted join; WIDE multiplies SOURCES, so
     // pair count grows ~100x at 10x sources — the sources² class, NOT
     // the doc-pair near-family: gate at its model + spread
-    "txt_source_overlap" -> (-1.0, 140.0))
+    "txt_source_overlap" -> (-1.0, 140.0),
+    // one single-scan aggregate each, linear in rows in both regimes:
+    // the exact form's Expand multiplies the scan by the profiled
+    // column count (a constant), the HLL form is one ordinary agg —
+    // the measured delta between them is the SCALE.md datapoint
+    "profile_docs" -> (15.0, 15.0),
+    "profile_docs_approx" -> (15.0, 15.0),
+    // the capped variant is the SAME sources² pairing class in WIDE
+    // (the cap bounds per-token chains and the join input at
+    // sources × V, not the pair count), so it shares the class
+    // ceiling; the scale evidence is the measured absolute delta vs
+    // the uncapped query at sf1wide (docs/SCALE.md round-9 section)
+    "txt_source_overlap_topv" -> (-1.0, 140.0))
 
   /** `check` mode: replay docs/scale_results.jsonl against
     * [[growthBands]] (per-(tag, query) medians of the last 7 ok runs,

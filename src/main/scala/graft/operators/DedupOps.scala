@@ -63,6 +63,60 @@ object DedupOps {
     * threshold-independent. */
   val WinnowMinShared = 25
 
+  /** txt_source_overlap_topv's per-source vocabulary cap. 10 < the
+    * corpus's 31-word vocabulary, so the cap genuinely prunes on the
+    * contract corpus (a V ≥ vocab setting would make the capped query
+    * indistinguishable from the exact one — that equality is the SPEC
+    * assertion, not the contract). */
+  val SourceOverlapTopV = 10
+
+  /** Per-source top-`v` vocabulary by raw term frequency (ties by
+    * token asc): the bounded (source, tok) relation the capped overlap
+    * pairs on — sources × v rows regardless of corpus vocabulary. */
+  private[graft] def sourceTopV(s: SparkSession, dir: String,
+      v: Int): DataFrame = {
+    val tf = table(s, dir, "documents")
+      .select(col("source"),
+        explode(split(lower(col("text")), " ")).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("tf"))
+    val byTf = Window.partitionBy("source")
+      .orderBy(col("tf").desc, col("tok"))
+    shared(tf.withColumn("rn", row_number().over(byTf))
+      .filter(col("rn") <= v).select("source", "tok"))
+  }
+
+  /** Capped source overlap at an explicit V — the spec/Scale entry
+    * point ([[queries]] txt_source_overlap_topv pins
+    * [[SourceOverlapTopV]]). */
+  private[graft] def sourceJaccardTopV(s: SparkSession, dir: String,
+      v: Int): DataFrame =
+    sourceJaccard(sourceTopV(s, dir, v))
+
+  /** The pairwise source-Jaccard tail shared by txt_source_overlap and
+    * its top-V capped variant: per-source vocabulary sizes, salted
+    * per-token candidate join (tok is the canonical skewed key —
+    * near-universal tokens chain across every source), intersection
+    * counts, Jaccard. Input: a deduplicated (source, tok) relation. */
+  private def sourceJaccard(st: DataFrame): DataFrame = {
+    val sizes = st.groupBy("source").agg(count(lit(1)).as("sz"))
+    val inter = SkewJoin.saltedCandidateJoin(
+        st.select(col("tok"), col("source").as("a_src")),
+        st.select(col("tok"), col("source").as("b_src")),
+        Seq("tok"), leftSaltBy = col("a_src"))
+      .filter(col("a_src") < col("b_src"))
+      .groupBy("a_src", "b_src").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("source").as("a_src"), col("sz").as("a_sz")),
+        "a_src")
+      .join(sizes.select(col("source").as("b_src"), col("sz").as("b_sz")),
+        "b_src")
+      .select(col("a_src"), col("b_src"), col("inter"), col("a_sz"),
+        col("b_sz"),
+        round(col("inter").cast(DoubleType)
+          / (col("a_sz") + col("b_sz") - col("inter")), 9).as("jaccard"))
+      .orderBy("a_src", "b_src")
+  }
+
   /** doc_id, source, distinct lowercase token set. */
   private def tokSets(s: SparkSession, dir: String): DataFrame =
     tokSetsOf(table(s, dir, "documents"))
@@ -582,28 +636,28 @@ object DedupOps {
     // capped per source (top-V by tf) before pairing — the relational
     // shape is identical; this corpus's 31-word vocab needs no cap.
     "txt_source_overlap" -> { (s, dir) =>
-      val st = shared(table(s, dir, "documents")
+      sourceJaccard(shared(table(s, dir, "documents")
         .select(col("source"),
           explode(array_distinct(split(lower(col("text")), " ")))
             .as("tok"))
-        .distinct())
-      val sizes = st.groupBy("source").agg(count(lit(1)).as("sz"))
-      val inter = SkewJoin.saltedCandidateJoin(
-          st.select(col("tok"), col("source").as("a_src")),
-          st.select(col("tok"), col("source").as("b_src")),
-          Seq("tok"), leftSaltBy = col("a_src"))
-        .filter(col("a_src") < col("b_src"))
-        .groupBy("a_src", "b_src").agg(count(lit(1)).as("inter"))
-      inter
-        .join(sizes.select(col("source").as("a_src"), col("sz").as("a_sz")),
-          "a_src")
-        .join(sizes.select(col("source").as("b_src"), col("sz").as("b_sz")),
-          "b_src")
-        .select(col("a_src"), col("b_src"), col("inter"), col("a_sz"),
-          col("b_sz"),
-          round(col("inter").cast(DoubleType)
-            / (col("a_sz") + col("b_sz") - col("inter")), 9).as("jaccard"))
-        .orderBy("a_src", "b_src")
+        .distinct()))
+    },
+
+    // The 100 TB form of txt_source_overlap (round-8 verdict ask #2 —
+    // previously prose in SURVEY.md only): cap each source's
+    // vocabulary at its top-[[SourceOverlapTopV]] tokens by term
+    // frequency (ties by token asc — deterministic cross-engine)
+    // BEFORE the pairwise join. On a real web vocabulary the uncapped
+    // per-token source-list join is sources²-universal on stopwords
+    // even salted; the cap bounds every token chain at the number of
+    // sources that rank it top-V, and the st relation itself at
+    // sources × V rows — the join input no longer grows with
+    // vocabulary at all. Same pairing tail as the exact variant
+    // ([[sourceJaccard]] — shared code, so the algebra cannot drift);
+    // capped-vs-exact agreement when V ≥ vocab and the WIDE-regime
+    // delta are asserted/measured in DedupOpsSpec + docs/SCALE.md. */
+    "txt_source_overlap_topv" -> { (s, dir) =>
+      sourceJaccardTopV(s, dir, SourceOverlapTopV)
     },
 
     // MinHash + LSH dedup: 16 permuted min-hashes per doc -> 4 bands of
@@ -1501,6 +1555,32 @@ object DedupOps {
           |JOIN sz sa ON sa.source = a_src
           |JOIN sz sb ON sb.source = b_src
           |ORDER BY a_src, b_src""".stripMargin,
+
+      "txt_source_overlap_topv" ->
+        s"""WITH tf AS (
+           |  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS tf
+           |  FROM (SELECT source, unnest(string_split(lower(text), ' '))
+           |          AS tok FROM documents)
+           |  GROUP BY 1, 2),
+           |st AS (SELECT source, tok FROM (
+           |         SELECT source, tok, ROW_NUMBER() OVER (
+           |           PARTITION BY source ORDER BY tf DESC, tok) AS rn
+           |         FROM tf)
+           |       WHERE rn <= $SourceOverlapTopV),
+           |sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS sz
+           |       FROM st GROUP BY 1),
+           |i AS (SELECT a.source AS a_src, b.source AS b_src,
+           |        CAST(COUNT(*) AS BIGINT) AS inter
+           |      FROM st a JOIN st b
+           |        ON a.tok = b.tok AND a.source < b.source
+           |      GROUP BY 1, 2)
+           |SELECT a_src, b_src, inter, sa.sz AS a_sz, sb.sz AS b_sz,
+           |       round(CAST(inter AS DOUBLE)
+           |             / (sa.sz + sb.sz - inter), 9) AS jaccard
+           |FROM i
+           |JOIN sz sa ON sa.source = a_src
+           |JOIN sz sb ON sb.source = b_src
+           |ORDER BY a_src, b_src""".stripMargin,
 
       "dedup_winnow" ->
         s"""WITH wfp AS (${TextOps.winnowFpsSql}),

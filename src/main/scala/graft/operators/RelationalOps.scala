@@ -104,6 +104,44 @@ object RelationalOps {
   def profileTableApprox(s: SparkSession, dir: String): DataFrame =
     profileTableWith(s, dir, c => approx_count_distinct(c, rsd = 0.02))
 
+  /** [[profileTableWith]]'s shape over `documents` — the CORPUS-SCALED
+    * profile. `orders` is a fixed dimension ScaleData never grows, so
+    * profile_table had no 10× datapoint (round-8 verdict watch item
+    * #3); this one sweeps at sf1 in both regimes, exact vs approx, and
+    * docs/SCALE.md records the Expand-elimination delta the
+    * profileTableApprox scaladoc promises. The exact multi-distinct
+    * plans as ONE Expand — rows × 5 profiled columns, including the
+    * full text strings — which is precisely the term the HLL swap
+    * removes at scale. */
+  private def profileDocsWith(s: SparkSession, dir: String,
+      distinctAgg: Column => Column): DataFrame = {
+    val d = table(s, dir, "documents")
+    def nNulls(c: String) =
+      sum(when(col(c).isNull, 1L).otherwise(0L))
+    def longCol(c: String) = Seq(
+      nNulls(c), distinctAgg(col(c)),
+      min(col(c)).cast(StringType), max(col(c)).cast(StringType))
+    def strCol(c: String) = Seq(
+      nNulls(c), distinctAgg(col(c)), min(col(c)), max(col(c)))
+    val aggs: Seq[Column] = Seq(count(lit(1)).as("n_rows")) ++
+      (longCol("doc_id") ++ strCol("lang") ++ longCol("n_chars") ++
+        strCol("source") ++ strCol("text"))
+        .zipWithIndex.map { case (c, i) => c.as(s"c$i") }
+    val cols = Seq("doc_id", "lang", "n_chars", "source", "text")
+    val stackArgs = cols.zipWithIndex.map { case (name, i) =>
+      s"'$name', c${i * 4}, c${i * 4 + 1}, c${i * 4 + 2}, c${i * 4 + 3}"
+    }.mkString(", ")
+    d.agg(aggs.head, aggs.tail: _*)
+      .select(col("n_rows"), expr(s"stack(${cols.size}, $stackArgs) AS " +
+        "(col_name, n_nulls, n_distinct, min_v, max_v)"))
+      .orderBy("col_name")
+  }
+
+  /** HLL variant of the documents profile — the Scale sweep's
+    * Expand-free comparator. */
+  def profileDocsApprox(s: SparkSession, dir: String): DataFrame =
+    profileDocsWith(s, dir, c => approx_count_distinct(c, rsd = 0.02))
+
   def queries: Map[String, Q] = Map(
     // Multi-table equi join: orders ⋈ customer ⋈ nation ⋈ region,
     // revenue per nation. nation/region broadcast; orders⋈customer
@@ -945,6 +983,13 @@ object RelationalOps {
       profileTableWith(s, dir, c => countDistinct(c))
     },
 
+    // The corpus-scaled profile (documents): same single-scan stack as
+    // profile_table, over the one table ScaleData grows — see
+    // [[profileDocsWith]] for the Expand-vs-HLL scale story.
+    "profile_docs" -> { (s, dir) =>
+      profileDocsWith(s, dir, c => countDistinct(c))
+    },
+
     // Activity-seasonality profile — the (event type × day-of-week ×
     // hour) matrix an ops dashboard renders and a capacity planner /
     // anomaly baseline consumes: exact counts per cell plus each
@@ -1695,6 +1740,40 @@ object RelationalOps {
         |         strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S'),
         |         strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S')
         |  FROM orders)
+        |SELECT col_name, n_rows, n_nulls, n_distinct, min_v, max_v
+        |FROM p, t ORDER BY col_name""".stripMargin,
+
+    "profile_docs" ->
+      """WITH t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows
+        |           FROM documents),
+        |p AS (
+        |  SELECT 'doc_id' AS col_name,
+        |         CAST(COUNT(*) - COUNT(doc_id) AS BIGINT) AS n_nulls,
+        |         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+        |         CAST(MIN(doc_id) AS VARCHAR) AS min_v,
+        |         CAST(MAX(doc_id) AS VARCHAR) AS max_v
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'lang', CAST(COUNT(*) - COUNT(lang) AS BIGINT),
+        |         CAST(COUNT(DISTINCT lang) AS BIGINT),
+        |         MIN(lang), MAX(lang)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'n_chars', CAST(COUNT(*) - COUNT(n_chars) AS BIGINT),
+        |         CAST(COUNT(DISTINCT n_chars) AS BIGINT),
+        |         CAST(MIN(n_chars) AS VARCHAR),
+        |         CAST(MAX(n_chars) AS VARCHAR)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'source', CAST(COUNT(*) - COUNT(source) AS BIGINT),
+        |         CAST(COUNT(DISTINCT source) AS BIGINT),
+        |         MIN(source), MAX(source)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'text', CAST(COUNT(*) - COUNT(text) AS BIGINT),
+        |         CAST(COUNT(DISTINCT text) AS BIGINT),
+        |         MIN(text), MAX(text)
+        |  FROM documents)
         |SELECT col_name, n_rows, n_nulls, n_distinct, min_v, max_v
         |FROM p, t ORDER BY col_name""".stripMargin,
 

@@ -436,4 +436,28 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(fullCand == 80L * 79 / 2, s"hot token should pair everyone: $fullCand")
     assert(prefCand == 1L, s"prefix candidates should collapse: $prefCand")
   }
+
+  test("source overlap top-V cap: exact at V >= vocab, bounded below it") {
+    val dir = TestSpark.sfDir
+    // V past the corpus's whole vocabulary: the cap selects every
+    // (source, token) pair the exact query pairs on, so the capped
+    // operator IS the exact one — the agreement that licenses swapping
+    // it in at scale
+    val exact = SparkEntry.queries("txt_source_overlap")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val wide = graft.operators.DedupOps.sourceJaccardTopV(spark, dir, 1000)
+      .collect().map(_.toSeq).toSeq
+    assert(wide == exact)
+    // the contract V = 10 genuinely prunes: every capped vocabulary is
+    // exactly V (each source has >= V distinct tokens here), so the
+    // join input is sources x V regardless of corpus vocabulary
+    val capped = SparkEntry.queries("txt_source_overlap_topv")(spark, dir)
+      .collect()
+    assert(capped.nonEmpty)
+    capped.foreach { r =>
+      assert(r.getLong(3) == graft.operators.DedupOps.SourceOverlapTopV
+        && r.getLong(4) == graft.operators.DedupOps.SourceOverlapTopV)
+      assert(r.getLong(2) <= graft.operators.DedupOps.SourceOverlapTopV)
+    }
+  }
 }

@@ -68,6 +68,39 @@ class ProfilingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("profile_docs: per-column replay; approx twin drops the Expand") {
+    val out = SparkEntry.queries("profile_docs")(spark, dir)
+      .collect().map(r => r.getString(1) -> ((r.getLong(0), r.getLong(2),
+        r.getLong(3), r.getString(4), r.getString(5)))).toMap
+    assert(out.keySet == Set("doc_id", "lang", "n_chars", "source", "text"))
+    val d = graft.core.Core.table(spark, dir, "documents")
+    val nRows = d.count()
+    def check(colName: String, render: org.apache.spark.sql.Column
+        => org.apache.spark.sql.Column): Unit = {
+      val c = col(colName)
+      val r = d.agg(sum(when(c.isNull, 1L).otherwise(0L)),
+        countDistinct(c), render(min(c)), render(max(c))).head()
+      assert(out(colName) == ((nRows, r.getLong(0), r.getLong(1),
+        r.getString(2), r.getString(3))), colName)
+    }
+    check("doc_id", _.cast("string"))
+    check("lang", identity)
+    check("n_chars", _.cast("string"))
+    check("source", identity)
+    check("text", identity)
+    // the scaled-table profile carries the same Expand-vs-HLL plan
+    // contrast as profile_table — this pair is what Scale sweeps at 10x
+    val exact = SparkEntry.queries("profile_docs")(spark, dir)
+    val approx = graft.operators.RelationalOps.profileDocsApprox(spark, dir)
+    assert(exact.queryExecution.executedPlan.toString.contains("Expand"))
+    assert(!approx.queryExecution.executedPlan.toString.contains("Expand"))
+    val a = approx.collect().map(r => r.getString(1) -> r.getLong(3)).toMap
+    a.foreach { case (c, nDist) =>
+      assert(math.abs(nDist - out(c)._3).toDouble
+        / math.max(out(c)._3, 1L) <= 0.05, s"$c approx distinct")
+    }
+  }
+
   test("agg_zscore_outlier flags exactly the |z| >= 3 events of a driver-side fold") {
     val out = SparkEntry.queries("agg_zscore_outlier")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(3)))
