@@ -90,6 +90,37 @@ object ScaleData {
     }.write.mode(SaveMode.Overwrite).parquet(s"$outDir/events.parquet")
   }
 
+  /** One clustered embedding: cluster centers are deterministic
+    * uniform [-0.5, 0.5)^64 vectors (their own rng stream, keyed by
+    * cluster id), members are center + uniform [-noise, noise]^64
+    * jitter. With noise = 0.12 the jitter norm² is ~0.31 against a
+    * center norm² of ~5.33, so member-to-center cosine lands ≈ 0.97
+    * and PAIRWISE same-cluster cosine ≈ 0.94 — the planted-neighbor
+    * regime (cos ≥ 0.8, round-8 verdict ask #1) where hyperplane LSH's
+    * collision probability p = 1 − θ/π ≈ 0.89 per plane actually
+    * bites, unlike the shipped corpus's near-orthogonal cos ≈ 0.3
+    * neighbors. label = cluster % 10 keeps the embeddings-table shape. */
+  def clusteredEmb(variant: Long, id: Long, nClusters: Int): Emb = {
+    val k = (id % nClusters).toInt
+    val rc = rng(variant + 3, 1000000L + k)
+    val r = rng(variant + 4, id)
+    val noise = 0.12f
+    Emb(id, Array.fill(64)(
+      (rc.nextFloat() - 0.5f) + (r.nextFloat() - 0.5f) * 2f * noise),
+      k % 10)
+  }
+
+  /** Clustered embeddings relation (no files — the recall harness and
+    * spec consume it directly): nVec vectors over nClusters planted
+    * clusters, cluster membership id % nClusters so any vec_id prefix
+    * (the bounded probe convention) spans many clusters. */
+  def clusteredDf(s: SparkSession, nVec: Long, nClusters: Int)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    s.range(0, nVec, 1, graft.operators.SkewJoin.defaultParts(s))
+      .map(id => clusteredEmb(variant = 9, id, nClusters)).toDF()
+  }
+
   /** sf0.1 shape x10 rows, sources UNCHANGED: blocks grow 10x. */
   def generateDense(s: SparkSession, outDir: String, refDir: String): Unit =
     generate(s, outDir, refDir, nDocs = 50000, nSources = 20,
