@@ -54,7 +54,8 @@ object Scale {
     "sample_reservoir", "pipeline_stats",
     "txt_winnow", "agg_label_balance", "multimodal_audio_segments",
     "dedup_winnow", "pipeline_pack", "multimodal_video_scenes",
-    "txt_source_overlap", "txt_source_overlap_topv")
+    "txt_source_overlap", "txt_source_overlap_topv",
+    "txt_bpe_vocab", "txt_bpe_encode")
 
   /** DENSE subset: dedup_near_auto only re-picks a branch of near/
     * prefix, dedup_ngram/minhash_est/simhash share their families'
@@ -132,7 +133,7 @@ object Scale {
         "agg_seasonality", "txt_bm25_rank",
         "txt_pmi_colloc", "sample_class_balance", "sim_knn_eval",
         "sim_ann_recall", "sample_hard_negatives",
-        "profile_docs", "profile_docs_approx")
+        "profile_docs", "profile_docs_approx", "sim_pq_topk")
 
   /** Growth-model bands (docs/SCALE.md): max allowed 10x-corpus growth
     * factor vs the sf0.1 median, per regime — (dense, wide); a
@@ -279,6 +280,11 @@ object Scale {
     "sample_class_balance" -> (15.0, 15.0),
     // bounded probe broadcast + one corpus scan: linear in corpus
     "sim_knn_eval" -> (15.0, 15.0),
+    // PQ: n·M-row subvector k-means (centroids broadcast) + map-side
+    // encode + probe-table-broadcast ADC — linear in vectors at fixed
+    // (M, k); sweeps the unscaled embeddings like its family, so the
+    // datapoint is plan stability
+    "sim_pq_topk" -> (15.0, 15.0),
     "sample_hard_negatives" -> (15.0, 15.0),
     // exact probe scan + the linear ANN path: the LSH family's band
     "sim_ann_recall" -> (16.0, 16.0),
@@ -290,6 +296,13 @@ object Scale {
     // pair count grows ~100x at 10x sources — the sources² class, NOT
     // the doc-pair near-family: gate at its model + spread
     "txt_source_overlap" -> (-1.0, 140.0),
+    // BPE training: ONE corpus scan into the vocab-bounded histogram,
+    // then 8 rounds over the histogram only — corpus growth touches
+    // only the first scan (linear); encode adds one broadcast join
+    // over the exploded token stream (linear). Swept WIDE (DENSE has
+    // the same vocabulary, so rounds cost identically there).
+    "txt_bpe_vocab" -> (-1.0, 15.0),
+    "txt_bpe_encode" -> (-1.0, 15.0),
     // one single-scan aggregate each, linear in rows in both regimes:
     // the exact form's Expand multiplies the scan by the profiled
     // column count (a constant), the HLL form is one ordinary agg —

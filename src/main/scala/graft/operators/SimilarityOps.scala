@@ -399,6 +399,98 @@ object SimilarityOps {
       leftSaltBy = col("a_id"))
   }
 
+  /** Product-quantization configuration (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search", IEEE TPAMI): [[PqM]]
+    * subspaces of [[PqSub]] dims, [[PqK]] centroids per subspace
+    * trained with [[PqIters]] Lloyd rounds (seeded init = the first
+    * PqK vectors' subvectors, the kmeansCentroids convention). The
+    * contract pins the small configuration because the oracle unrolls
+    * every round; a deployment raises k to 256 (8-bit codes) through
+    * the same parameters — the algebra is k-independent. */
+  val PqM = 4
+  val PqSub: Int = Dims / PqM
+  val PqK = 4
+  val PqIters = 2
+
+  /** PQ top-k by asymmetric distance computation (ADC): the THIRD ANN
+    * family next to IVF (sim_ivf_knn) and hyperplane LSH (sim_ann_lsh)
+    * — the memory-compression scale path. Each vector is reduced to
+    * [[PqM]] small integer codes (here 4×2 bits; 8-bit production
+    * codes shrink a 256-byte float64 vector 32×), so at 100 TB the
+    * CODE table fits executor memory where the vector corpus cannot;
+    * queries keep their exact subvectors and score candidates by
+    * summing M table lookups instead of a 64-dim dot product.
+    *
+    * Cross-engine exactness: subspace k-means uses the established
+    * recipe (9-dp-rounded L2² with cid tiebreak for assignment,
+    * integer-quantized component means), and the ADC sum quantizes
+    * each subspace dot product to integer MICROS before the M-way sum
+    * — a 4-double sum is addition-order-dependent across engines, an
+    * integer sum is not. Output ranks on the exact long `adc_micro`.
+    *
+    * Scale shape: training is linear per round over n·M subvector rows
+    * with k·M centroids broadcast; encoding is one map-side assign;
+    * ADC is the bounded probe table (probes × M × k lookups) BROADCAST
+    * against the linear code relation — never corpus×corpus, and the
+    * shuffled rows carry (a_id, vec_id, micros) longs, not vectors. */
+  private[graft] def pqTopK(s: SparkSession, dir: String,
+      source: Option[DataFrame] = None): DataFrame = {
+    val e = vecsOf(s, source.getOrElse(table(s, dir, "embeddings")))
+    // subvector explode: (vec_id, s, u) — n·M rows, map-side
+    val subs = array((0 until PqM).map(j =>
+      struct(lit(j).as("s"), slice(col("v"), j * PqSub + 1, PqSub)
+        .as("u"))): _*)
+    val sv = shared(e.select(col("vec_id"), explode(subs).as("p"))
+      .select(col("vec_id"), col("p.s").as("s"), col("p.u").as("u")))
+    // subspace-keyed Lloyd rounds: ONE relational k-means over all
+    // subspaces at once (cid key = (s, cid)); linear plan growth —
+    // each round references the previous centroids exactly once
+    val byVec = Window.partitionBy("s", "vec_id")
+      .orderBy(col("l2").asc, col("cid").asc)
+    def assign(cents: DataFrame): DataFrame = sv
+      .join(broadcast(cents), "s")
+      .withColumn("l2", round(
+        dot(col("u"), col("u")) - lit(2.0) * dot(col("u"), col("cu"))
+          + dot(col("cu"), col("cu")), 9))
+      .withColumn("rn", row_number().over(byVec))
+      .filter(col("rn") === 1)
+    var cents = shared(sv.filter(col("vec_id") < PqK)
+      .select(col("s"), col("vec_id").as("cid"), col("u").as("cu")))
+    for (_ <- 0 until PqIters) {
+      val comps = assign(cents)
+        .select(col("s"), col("cid"),
+          posexplode(col("u")).as(Seq("dim", "x")))
+        .withColumn("ec", round(col("x") * 1e6).cast(LongType))
+        .groupBy("s", "cid", "dim")
+        .agg((sum(col("ec")) / (count(lit(1)) * 1e6)).as("comp"))
+      cents = shared(comps.groupBy("s", "cid")
+        .agg(array_sort(collect_list(struct(col("dim"), col("comp"))))
+          .as("dc"))
+        .select(col("s"), col("cid"),
+          expr("transform(dc, t -> t.comp)").as("cu")))
+    }
+    // encode: final assignment — the n·M-row integer code relation
+    val codes = assign(cents)
+      .select(col("vec_id"), col("s"), col("cid"))
+    // ADC tables for the bounded probe set: micro-quantized dot of the
+    // probe's EXACT subvector against every (s, cid) centroid
+    val dt = sv.filter(col("vec_id") < KnnEvalProbes)
+      .join(broadcast(cents), "s")
+      .select(col("vec_id").as("a_id"), col("s"), col("cid"),
+        round(dot(col("u"), col("cu")) * 1e6).cast(LongType).as("dm"))
+    val byA = Window.partitionBy("a_id")
+      .orderBy(col("adc_micro").desc, col("b_id").asc)
+    codes.join(broadcast(dt), Seq("s", "cid"))
+      .filter(col("vec_id") =!= col("a_id"))
+      .groupBy(col("a_id"), col("vec_id").as("b_id"))
+      .agg(sum(col("dm")).as("adc_micro"))
+      .withColumn("rank", row_number().over(byA))
+      .filter(col("rank") <= AnnTopK)
+      .select(col("a_id"), col("rank").cast(IntegerType).as("rank"),
+        col("b_id"), col("adc_micro"))
+      .orderBy("a_id", "rank")
+  }
+
   /** Mean recall@[[AnnTopK]] of an [[annLsh]] configuration against
     * brute-force exact top-k, over the bounded [[KnnEvalProbes]] probe
     * prefix of an arbitrary embeddings-shaped relation — the
@@ -488,6 +580,9 @@ object SimilarityOps {
   }
 
   def queries: Map[String, Q] = Map(
+    // Product-quantization ADC top-k — see [[pqTopK]].
+    "sim_pq_topk" -> { (s, dir) => pqTopK(s, dir) },
+
     // Brute-force cosine top-5 neighbors per vector, within label
     // blocks (the IVF-style partition: label ≈ coarse centroid).
     "sim_topk_cosine" -> { (s, dir) =>
@@ -909,7 +1004,64 @@ object SimilarityOps {
          |WHERE rank <= $AnnTopK ORDER BY a_id, rank""".stripMargin
     }
 
+    // PQ oracle: subspace-keyed Lloyd rounds unrolled from the same
+    // constants as [[pqTopK]] (the kmeansSql convention), integer-micro
+    // ADC sums so the M-way addition is order-independent cross-engine
+    val pqAssignSql: String => String = prev =>
+      s"""SELECT s, vec_id, u, cid FROM (
+         |  SELECT sv.s, sv.vec_id, sv.u, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY sv.s, sv.vec_id ORDER BY
+         |      round(list_dot_product(sv.u, sv.u)
+         |        - 2.0 * list_dot_product(sv.u, c.cu)
+         |        + list_dot_product(c.cu, c.cu), 9) ASC, c.cid ASC)
+         |      AS rn
+         |  FROM sv JOIN $prev c ON c.s = sv.s)
+         |WHERE rn = 1""".stripMargin
+    val pqRounds = (1 to PqIters).map { r =>
+      s"""pa$r AS (${pqAssignSql(s"pc${r - 1}")}),
+         |pm$r AS (SELECT s, cid, dim,
+         |           SUM(ec) / (COUNT(*) * 1000000.0) AS comp
+         |         FROM (SELECT s, cid, generate_subscripts(u, 1) AS dim,
+         |                 CAST(round(unnest(u) * 1000000.0) AS BIGINT)
+         |                   AS ec
+         |               FROM pa$r)
+         |         GROUP BY 1, 2, 3),
+         |pc$r AS (SELECT s, cid, list(comp ORDER BY dim) AS cu
+         |         FROM pm$r GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val pqTopKSql =
+      s"""WITH e AS ($vecsSql),
+         |sv AS (SELECT vec_id, s,
+         |         list_slice(v, s * $PqSub + 1, (s + 1) * $PqSub) AS u
+         |       FROM e CROSS JOIN
+         |         (SELECT unnest(${(0 until PqM).mkString("[", ", ", "]")})
+         |            AS s)),
+         |pc0 AS (SELECT s, vec_id AS cid, u AS cu FROM sv
+         |        WHERE vec_id < $PqK),
+         |$pqRounds,
+         |codes AS (SELECT s, vec_id, cid
+         |          FROM (${pqAssignSql(s"pc$PqIters")})),
+         |dt AS (SELECT sv.vec_id AS a_id, sv.s, c.cid,
+         |         CAST(round(list_dot_product(sv.u, c.cu) * 1000000.0)
+         |           AS BIGINT) AS dm
+         |       FROM sv JOIN pc$PqIters c ON c.s = sv.s
+         |       WHERE sv.vec_id < $KnnEvalProbes),
+         |adc AS (SELECT dt.a_id, codes.vec_id AS b_id,
+         |          CAST(SUM(dm) AS BIGINT) AS adc_micro
+         |        FROM codes JOIN dt
+         |          ON dt.s = codes.s AND dt.cid = codes.cid
+         |        WHERE codes.vec_id <> dt.a_id
+         |        GROUP BY 1, 2)
+         |SELECT a_id, rank, b_id, adc_micro FROM (
+         |  SELECT a_id, b_id, adc_micro,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY a_id
+         |      ORDER BY adc_micro DESC, b_id ASC) AS INTEGER) AS rank
+         |  FROM adc)
+         |WHERE rank <= $AnnTopK ORDER BY a_id, rank""".stripMargin
+
     Map(
+      "sim_pq_topk" -> pqTopKSql,
+
       "sim_topk_cosine" ->
         s"""WITH e AS ($vecsSql)
            |SELECT a_id, rank, b_id, cos FROM (

@@ -165,6 +165,32 @@ class SimilarityOpsSpec extends AnyFunSuite {
     assert(!sql.contains(s"cents${SimilarityOps.IvfIters + 1}"))
   }
 
+  test("PQ ADC retrieves planted clusters; ranking is integer-deterministic") {
+    // Coarse PQ (4 subspaces × 4 centroids = 256 codes) cannot rank
+    // WITHIN a cluster — same-cluster members often share the exact
+    // code, which is why production PQ reranks its candidates exactly
+    // — so the correct claim at this k is CLUSTER RETRIEVAL: a probe's
+    // ADC top-3 should come from the probe's own planted cluster.
+    val emb = graft.ScaleData.clusteredDf(spark, 500, 25)
+    val out = SimilarityOps.pqTopK(spark, dir = "", source = Some(emb))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3)))
+    val probes = out.groupBy(_._1)
+    assert(probes.size == graft.operators.SimilarityOps.KnnEvalProbes)
+    probes.values.foreach { rows =>
+      assert(rows.length == graft.operators.SimilarityOps.AnnTopK)
+      val sorted = rows.sortBy(_._2)
+      // rank order IS adc order (desc, b_id tiebreak) — integer micros,
+      // so there is no float ambiguity to hide in
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        assert(a._4 > b._4 || (a._4 == b._4 && a._3 < b._3)) }
+    }
+    val clusterHit = out.count { case (a, _, b, _) => a % 25 == b % 25 }
+      .toDouble / out.length
+    info(f"PQ cluster retrieval @3 on planted clusters: $clusterHit%.3f")
+    assert(clusterHit >= 0.8, s"cluster retrieval $clusterHit")
+  }
+
   test("contrastive pairs degrade to nulls, not invalid triples, on a single-label corpus") {
     import spark.implicits._
     // ADVICE round 8: with one label the label ring wraps to itself, so
