@@ -133,7 +133,8 @@ object Scale {
         "agg_seasonality", "txt_bm25_rank",
         "txt_pmi_colloc", "sample_class_balance", "sim_knn_eval",
         "sim_ann_recall", "sample_hard_negatives",
-        "profile_docs", "profile_docs_approx", "sim_pq_topk")
+        "profile_docs", "profile_docs_approx", "sim_pq_topk",
+        "sim_ivfpq_topk")
 
   /** Growth-model bands (docs/SCALE.md): max allowed 10x-corpus growth
     * factor vs the sf0.1 median, per regime — (dense, wide); a
@@ -285,6 +286,10 @@ object Scale {
     // (M, k); sweeps the unscaled embeddings like its family, so the
     // datapoint is plan stability
     "sim_pq_topk" -> (15.0, 15.0),
+    // IVF-PQ adds the n×k coarse assignment (centroids broadcast) and
+    // the residual join to PQ's linear shape — still linear in vectors
+    // at fixed (k, M); same unscaled-table plan-stability datapoint
+    "sim_ivfpq_topk" -> (15.0, 15.0),
     "sample_hard_negatives" -> (15.0, 15.0),
     // exact probe scan + the linear ANN path: the LSH family's band
     "sim_ann_recall" -> (16.0, 16.0),

@@ -433,31 +433,40 @@ object SimilarityOps {
     * ADC is the bounded probe table (probes × M × k lookups) BROADCAST
     * against the linear code relation — never corpus×corpus, and the
     * shuffled rows carry (a_id, vec_id, micros) longs, not vectors. */
-  private[graft] def pqTopK(s: SparkSession, dir: String,
-      source: Option[DataFrame] = None): DataFrame = {
-    val e = vecsOf(s, source.getOrElse(table(s, dir, "embeddings")))
-    // subvector explode: (vec_id, s, u) — n·M rows, map-side
+  /** Subvector explode of a (vec_id, <vecCol>) relation → (vec_id, s,
+    * u): n·M rows, map-side. Shared by PQ and IVF-PQ (which feeds
+    * RESIDUALS instead of raw vectors). */
+  private def pqSubvectors(rel: DataFrame, vecCol: String): DataFrame = {
     val subs = array((0 until PqM).map(j =>
-      struct(lit(j).as("s"), slice(col("v"), j * PqSub + 1, PqSub)
+      struct(lit(j).as("s"), slice(col(vecCol), j * PqSub + 1, PqSub)
         .as("u"))): _*)
-    val sv = shared(e.select(col("vec_id"), explode(subs).as("p"))
-      .select(col("vec_id"), col("p.s").as("s"), col("p.u").as("u")))
-    // subspace-keyed Lloyd rounds: ONE relational k-means over all
-    // subspaces at once (cid key = (s, cid)); linear plan growth —
-    // each round references the previous centroids exactly once
+    rel.select(col("vec_id"), explode(subs).as("p"))
+      .select(col("vec_id"), col("p.s").as("s"), col("p.u").as("u"))
+  }
+
+  /** Nearest PQ centroid per (s, vec_id) by 9-dp-rounded L2² with cid
+    * tiebreak — the assignment used by every Lloyd round AND the final
+    * encode, so training and encoding cannot drift. */
+  private def pqAssign(sv: DataFrame, cents: DataFrame): DataFrame = {
     val byVec = Window.partitionBy("s", "vec_id")
       .orderBy(col("l2").asc, col("cid").asc)
-    def assign(cents: DataFrame): DataFrame = sv
-      .join(broadcast(cents), "s")
+    sv.join(broadcast(cents), "s")
       .withColumn("l2", round(
         dot(col("u"), col("u")) - lit(2.0) * dot(col("u"), col("cu"))
           + dot(col("cu"), col("cu")), 9))
       .withColumn("rn", row_number().over(byVec))
       .filter(col("rn") === 1)
+  }
+
+  /** Subspace-keyed Lloyd rounds over a (vec_id, s, u) relation: ONE
+    * relational k-means for all [[PqM]] subspaces at once (centroid
+    * key = (s, cid)); linear plan growth — each round references the
+    * previous centroids exactly once. Returns (s, cid, cu). */
+  private def pqCentroids(sv: DataFrame): DataFrame = {
     var cents = shared(sv.filter(col("vec_id") < PqK)
       .select(col("s"), col("vec_id").as("cid"), col("u").as("cu")))
     for (_ <- 0 until PqIters) {
-      val comps = assign(cents)
+      val comps = pqAssign(sv, cents)
         .select(col("s"), col("cid"),
           posexplode(col("u")).as(Seq("dim", "x")))
         .withColumn("ec", round(col("x") * 1e6).cast(LongType))
@@ -469,26 +478,174 @@ object SimilarityOps {
         .select(col("s"), col("cid"),
           expr("transform(dc, t -> t.comp)").as("cu")))
     }
-    // encode: final assignment — the n·M-row integer code relation
-    val codes = assign(cents)
-      .select(col("vec_id"), col("s"), col("cid"))
-    // ADC tables for the bounded probe set: micro-quantized dot of the
-    // probe's EXACT subvector against every (s, cid) centroid
-    val dt = sv.filter(col("vec_id") < KnnEvalProbes)
-      .join(broadcast(cents), "s")
-      .select(col("vec_id").as("a_id"), col("s"), col("cid"),
-        round(dot(col("u"), col("cu")) * 1e6).cast(LongType).as("dm"))
+    cents
+  }
+
+  /** The ADC tail shared by PQ and IVF-PQ: micro-sum the per-subspace
+    * table lookups, rank top-[[AnnTopK]] per probe. `codes` carries
+    * (b_id, <joinCols...>, s, pcid); `dt` carries (a_id,
+    * <joinCols...>, s, pcid, dm). */
+  private def adcTopK(codes: DataFrame, dt: DataFrame,
+      joinCols: Seq[String]): DataFrame = {
     val byA = Window.partitionBy("a_id")
       .orderBy(col("adc_micro").desc, col("b_id").asc)
-    codes.join(broadcast(dt), Seq("s", "cid"))
-      .filter(col("vec_id") =!= col("a_id"))
-      .groupBy(col("a_id"), col("vec_id").as("b_id"))
+    codes.join(broadcast(dt), joinCols ++ Seq("s", "pcid"))
+      .filter(col("b_id") =!= col("a_id"))
+      .groupBy(col("a_id"), col("b_id"))
       .agg(sum(col("dm")).as("adc_micro"))
       .withColumn("rank", row_number().over(byA))
       .filter(col("rank") <= AnnTopK)
       .select(col("a_id"), col("rank").cast(IntegerType).as("rank"),
         col("b_id"), col("adc_micro"))
       .orderBy("a_id", "rank")
+  }
+
+  private[graft] def pqTopK(s: SparkSession, dir: String,
+      source: Option[DataFrame] = None): DataFrame = {
+    val e = vecsOf(s, source.getOrElse(table(s, dir, "embeddings")))
+    val sv = shared(pqSubvectors(e.select(col("vec_id"), col("v")), "v"))
+    val cents = pqCentroids(sv)
+    // encode: final assignment — the n·M-row integer code relation
+    val codes = pqAssign(sv, cents)
+      .select(col("vec_id").as("b_id"), col("s"), col("cid").as("pcid"))
+    // ADC tables for the bounded probe set: micro-quantized dot of the
+    // probe's EXACT subvector against every (s, cid) centroid
+    val dt = sv.filter(col("vec_id") < KnnEvalProbes)
+      .join(broadcast(cents), "s")
+      .select(col("vec_id").as("a_id"), col("s"), col("cid").as("pcid"),
+        round(dot(col("u"), col("cu")) * 1e6).cast(LongType).as("dm"))
+    adcTopK(codes, dt, Seq.empty)
+  }
+
+  /** IVF-PQ (IVFADC — Jégou TPAMI'11 §IV): THE production vector-index
+    * composition. The coarse IVF quantizer ([[kmeansCentroids]], the
+    * sim_ivf_knn machinery verbatim) routes each vector to a list; PQ
+    * encodes the RESIDUAL v − c_list (residuals are centered, so the
+    * same code budget quantizes far finer than raw vectors); a query
+    * probes its nprobe=2 nearest lists, computes one distance table
+    * per probed list from its OWN residual against that list's
+    * centroid, and ADC-scores only vectors IN probed lists. Scale: the
+    * coarse assignment is n×k with centroids broadcast, PQ training/
+    * encode is linear over n·M residual subvectors, and the ADC join
+    * is (list, subspace, code)-keyed — candidates are bounded by list
+    * occupancy × nprobe, the IVF pruning, while shuffled rows stay
+    * (id, id, long). The spec pins cluster retrieval ≥ the flat-PQ
+    * figure on the planted corpus (residual coding + routing must not
+    * LOSE accuracy vs flat PQ). */
+  private[graft] def ivfpqTopK(s: SparkSession, dir: String,
+      source: Option[DataFrame] = None): DataFrame = {
+    val e = vecsOf(s, source.getOrElse(table(s, dir, "embeddings")))
+    // DRIVER-COORDINATED training (the txt_bpe_vocab / MLlib-KMeans
+    // pattern, LazinessSpec-exempted): the fully-lazy relational
+    // composition of coarse k-means × residual join × subspace k-means
+    // × ADC references each trained relation multiplicatively — the
+    // measured plan carried 2,671 broadcast exchanges at sf0.1 and
+    // spent seconds in planning alone. Collecting the BOUNDED trained
+    // state (IvfK coarse centroids, then PqM·PqK sub-centroids per
+    // Lloyd round) and embedding it as literals collapses every
+    // downstream step to a map-side expression; the values are bitwise
+    // the relational fixpoint's (the collect just materializes the
+    // same plan the oracle replays), so oracle equality is untouched.
+    val coarse = kmeansCentroids(e, IvfK, IvfIters)
+      .collect().sortBy(_.getLong(0))
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    // per-vector coarse ranking as ONE map-side expression: the
+    // (−ccos, cid) struct array sorts ascending ⇒ (ccos desc, cid asc)
+    val rankArr = sort_array(array(coarse.map { case (cid, cv, cn) =>
+      struct((lit(0.0) - round(dot(col("v"), typedLit(cv.toSeq))
+        / (col("norm") * cn), 9)).as("negccos"), lit(cid).as("cid"))
+    }: _*))
+    def cvFor(lcid: Column): Column = coarse.tail.foldLeft(
+      typedLit(coarse.head._2.toSeq): Column) { case (acc, (cid, cv, _)) =>
+      when(lcid === cid, typedLit(cv.toSeq)).otherwise(acc)
+    }
+    // NOT cached: e already caches the vector corpus, and rk is one
+    // map-side expression over it — caching ranked would duplicate
+    // every vector in memory (the round-3 wide-cache rule)
+    val ranked = e.select(col("vec_id"), col("v"), col("norm"))
+      .withColumn("rk", rankArr).drop("norm")
+    val lists = ranked
+      .select(col("vec_id"), element_at(col("rk"), 1).getField("cid")
+        .as("lcid"), col("v"))
+      .withColumn("res", zip_with(col("v"), cvFor(col("lcid")),
+        (a, b) => a - b))
+      .select(col("vec_id"), col("lcid"), col("res"))
+    val sv = shared(pqSubvectors(lists.select(col("vec_id"),
+        col("res")), "res")
+      .join(lists.select(col("vec_id"), col("lcid")), "vec_id"))
+    // residual-PQ Lloyd rounds, each a map-side assign + one bounded
+    // (s, cid, dim) agg collected back (PqM·PqK·PqSub rows)
+    var pcents: Seq[(Int, Long, Array[Double])] =
+      lists.filter(col("vec_id") < PqK)
+        .select(col("vec_id"), col("res")).collect()
+        .sortBy(_.getLong(0))
+        .flatMap { r =>
+          val res = r.getSeq[Double](1).toArray
+          (0 until PqM).map(j =>
+            (j, r.getLong(0), res.slice(j * PqSub, (j + 1) * PqSub)))
+        }.toSeq
+    // map-side argmin vs literal sub-centroids: per subspace, the
+    // (l2, cid) struct array sorts ascending ⇒ (l2 asc, cid asc)
+    def pcodeFor(sCol: Column, uCol: Column,
+        cs: Seq[(Int, Long, Array[Double])]): Column = {
+      def argmin(j: Int): Column = element_at(sort_array(array(
+        cs.filter(_._1 == j).map { case (_, cid, cu) =>
+          struct(round(dot(uCol, uCol)
+            - lit(2.0) * dot(uCol, typedLit(cu.toSeq))
+            + dot(typedLit(cu.toSeq), typedLit(cu.toSeq)), 9).as("l2"),
+            lit(cid).as("cid"))
+        }: _*)), 1).getField("cid")
+      (0 until PqM).tail.foldLeft(argmin(0)) { (acc, j) =>
+        when(sCol === j, argmin(j)).otherwise(acc)
+      }
+    }
+    for (_ <- 0 until PqIters) {
+      val rows = sv
+        .withColumn("pcid", pcodeFor(col("s"), col("u"), pcents))
+        .select(col("s"), col("pcid"),
+          posexplode(col("u")).as(Seq("dim", "x")))
+        .withColumn("ec", round(col("x") * 1e6).cast(LongType))
+        .groupBy("s", "pcid", "dim")
+        .agg((sum(col("ec")) / (count(lit(1)) * 1e6)).as("comp"))
+        .collect()
+      pcents = rows.map(r => ((r.getInt(0), r.getLong(1)),
+          (r.getInt(2), r.getDouble(3))))
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case ((j, cid), comps) =>
+          (j, cid, comps.map(_._2).sortBy(_._1).map(_._2).toArray) }
+    }
+    // encode + probe tables, both map-side against the trained literals
+    val codes = sv
+      .select(col("vec_id").as("b_id"), col("lcid"), col("s"),
+        pcodeFor(col("s"), col("u"), pcents).as("pcid"))
+    def dmOne(uCol: Column, cu: Array[Double]): Column =
+      round(dot(uCol, typedLit(cu.toSeq)) * 1e6).cast(LongType)
+    // per-subspace table rows: ONLY the (s, cid) combinations that
+    // survived training (an empty sub-cluster simply has no row —
+    // exactly the oracle's missing-CTE-row semantics)
+    def dtArr(sCol: Column, uCol: Column): Column =
+      (0 until PqM).tail.foldLeft(
+        array(pcents.filter(_._1 == 0).map { case (_, cid, cu) =>
+          struct(lit(cid).as("pcid"), dmOne(uCol, cu).as("dm")) }: _*)) {
+        (acc, j) => when(sCol === j,
+          array(pcents.filter(_._1 == j).map { case (_, cid, cu) =>
+            struct(lit(cid).as("pcid"), dmOne(uCol, cu).as("dm")) }: _*))
+          .otherwise(acc)
+      }
+    val dt = ranked.filter(col("vec_id") < KnnEvalProbes)
+      .select(col("vec_id").as("a_id"), col("v"),
+        explode(slice(col("rk"), 1, 2)).as("p"))
+      .withColumn("lcid", col("p.cid"))
+      .withColumn("res", zip_with(col("v"), cvFor(col("lcid")),
+        (a, b) => a - b))
+      .select(col("a_id"), col("lcid"),
+        explode(array((0 until PqM).map(j => struct(lit(j).as("s"),
+          slice(col("res"), j * PqSub + 1, PqSub).as("u"))): _*)).as("q"))
+      .select(col("a_id"), col("lcid"), col("q.s").as("s"),
+        explode(dtArr(col("q.s"), col("q.u"))).as("t"))
+      .select(col("a_id"), col("lcid"), col("s"),
+        col("t.pcid").as("pcid"), col("t.dm").as("dm"))
+    adcTopK(codes, dt, Seq("lcid"))
   }
 
   /** Mean recall@[[AnnTopK]] of an [[annLsh]] configuration against
@@ -582,6 +739,9 @@ object SimilarityOps {
   def queries: Map[String, Q] = Map(
     // Product-quantization ADC top-k — see [[pqTopK]].
     "sim_pq_topk" -> { (s, dir) => pqTopK(s, dir) },
+
+    // IVF-PQ (IVFADC): coarse routing + residual PQ — see [[ivfpqTopK]].
+    "sim_ivfpq_topk" -> { (s, dir) => ivfpqTopK(s, dir) },
 
     // Brute-force cosine top-5 neighbors per vector, within label
     // blocks (the IVF-style partition: label ≈ coarse centroid).
@@ -1059,8 +1219,65 @@ object SimilarityOps {
          |  FROM adc)
          |WHERE rank <= $AnnTopK ORDER BY a_id, rank""".stripMargin
 
+    val sList = (0 until PqM).mkString("[", ", ", "]")
+    val ivfpqSql =
+      s"""WITH e AS ($vecsSql),
+         |${kmeansSql(k = IvfK, iters = IvfIters)},
+         |ranked AS (
+         |  SELECT e.vec_id, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |      round(list_dot_product(e.v, c.cv) / (e.norm * c.cnorm), 9)
+         |        DESC, c.cid ASC) AS crn
+         |  FROM e CROSS JOIN cents c),
+         |lists AS (
+         |  SELECT r.vec_id, r.cid,
+         |    list_transform(generate_series(1, $Dims),
+         |      i -> e.v[i] - c.cv[i]) AS res
+         |  FROM ranked r JOIN e ON e.vec_id = r.vec_id
+         |  JOIN cents c ON c.cid = r.cid
+         |  WHERE r.crn = 1),
+         |sv AS (SELECT vec_id, s,
+         |         list_slice(res, s * $PqSub + 1, (s + 1) * $PqSub) AS u
+         |       FROM lists CROSS JOIN (SELECT unnest($sList) AS s)),
+         |pc0 AS (SELECT s, vec_id AS cid, u AS cu FROM sv
+         |        WHERE vec_id < $PqK),
+         |$pqRounds,
+         |codes AS (SELECT a.vec_id AS b_id, l.cid AS lcid, a.s,
+         |            a.cid AS pcid
+         |          FROM (${pqAssignSql(s"pc$PqIters")}) a
+         |          JOIN lists l ON l.vec_id = a.vec_id),
+         |qres AS (
+         |  SELECT r.vec_id AS a_id, r.cid AS lcid,
+         |    list_transform(generate_series(1, $Dims),
+         |      i -> e.v[i] - c.cv[i]) AS res
+         |  FROM ranked r JOIN e ON e.vec_id = r.vec_id
+         |  JOIN cents c ON c.cid = r.cid
+         |  WHERE r.crn <= 2 AND r.vec_id < $KnnEvalProbes),
+         |dt AS (SELECT q.a_id, q.lcid, sub.s, c.cid AS pcid,
+         |         CAST(round(list_dot_product(
+         |             list_slice(q.res, sub.s * $PqSub + 1,
+         |                        (sub.s + 1) * $PqSub),
+         |             c.cu) * 1000000.0) AS BIGINT) AS dm
+         |       FROM qres q
+         |       CROSS JOIN (SELECT unnest($sList) AS s) sub
+         |       JOIN pc$PqIters c ON c.s = sub.s),
+         |adc AS (SELECT dt.a_id, codes.b_id,
+         |          CAST(SUM(dm) AS BIGINT) AS adc_micro
+         |        FROM codes JOIN dt ON dt.lcid = codes.lcid
+         |          AND dt.s = codes.s AND dt.pcid = codes.pcid
+         |        WHERE codes.b_id <> dt.a_id
+         |        GROUP BY 1, 2)
+         |SELECT a_id, rank, b_id, adc_micro FROM (
+         |  SELECT a_id, b_id, adc_micro,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY a_id
+         |      ORDER BY adc_micro DESC, b_id ASC) AS INTEGER) AS rank
+         |  FROM adc)
+         |WHERE rank <= $AnnTopK ORDER BY a_id, rank""".stripMargin
+
     Map(
       "sim_pq_topk" -> pqTopKSql,
+
+      "sim_ivfpq_topk" -> ivfpqSql,
 
       "sim_topk_cosine" ->
         s"""WITH e AS ($vecsSql)

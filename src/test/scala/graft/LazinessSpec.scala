@@ -21,7 +21,11 @@ class LazinessSpec extends AnyFunSuite {
     // (exponential plan growth / AQE eager checkpoint stages). Every
     // other query is zero-multi-stage-job at build (dedup_near_auto's
     // former stat job stays deferred via AQE empty-relation guards).
-    val exempt = Set("txt_bpe_vocab", "txt_bpe_encode")
+    // sim_ivfpq_topk trains two quantizers (IvfK coarse centroids +
+    // PqM·PqK sub-centroids per Lloyd round) — same bounded-state
+    // collect pattern; its fully-lazy form measured 2,671 broadcast
+    // exchanges from multiplicative plan duplication
+    val exempt = Set("txt_bpe_vocab", "txt_bpe_encode", "sim_ivfpq_topk")
     val tracker = spark.sparkContext.statusTracker
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(kv => exempt(kv._1)).flatMap {
