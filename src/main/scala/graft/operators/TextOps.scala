@@ -539,6 +539,26 @@ object TextOps {
     (w0 +: rounds).mkString(",\n")
   }
 
+  /** Apply a trained BPE vocabulary (the `words` relation of
+    * [[bpeTrainOf]]) to any documents relation: one broadcast join of
+    * the per-word subword counts against the exploded token stream.
+    * ONE definition feeds the txt_bpe_encode contract query AND
+    * [[graft.streaming.StreamingOps.bpeEncodeStream]], so batch and
+    * streaming encodes cannot drift. */
+  private[graft] def bpeEncodeOf(docs: DataFrame,
+      words: DataFrame): DataFrame = {
+    val vocab = words.select(col("word"),
+      size(split(trim(col("seq")), "  ")).as("n_sub"))
+    docs
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("word"))
+      .join(broadcast(vocab), "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_sub")).as("n_subwords"))
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, Q] = Map(
     // BPE vocabulary induction (tokenizer training): the merge table —
     // round, pair, merged symbol, weighted pair count. See
@@ -562,16 +582,7 @@ object TextOps {
     // re-runs per batch; the vocab relation is the artifact).
     "txt_bpe_encode" -> { (s, dir) =>
       val (words, _) = bpeTrainOf(table(s, dir, "documents"))
-      val vocab = words.select(col("word"),
-        size(split(trim(col("seq")), "  ")).as("n_sub"))
-      table(s, dir, "documents")
-        .select(col("doc_id"),
-          explode(split(lower(col("text")), " ")).as("word"))
-        .join(broadcast(vocab), "word")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_words"),
-          sum(col("n_sub")).as("n_subwords"))
-        .orderBy("doc_id")
+      bpeEncodeOf(table(s, dir, "documents"), words)
     },
 
     // Repetition filtering (Gopher-style quality signal): fraction of

@@ -216,6 +216,22 @@ object StreamingOps {
     stream.writeStream.outputMode("append")
       .foreachBatch((b: DataFrame, id: Long) => sink(driftPsi(b, ref), id))
 
+  /** Streaming BPE encode — the train-once / encode-forever shape a
+    * tokenization service runs: the vocabulary trained ONCE on the
+    * static corpus ([[graft.operators.TextOps.bpeTrainOf]]'s words
+    * relation — the artifact) is applied to every arriving micro-batch
+    * with the IDENTICAL batch encode ([[graft.operators.TextOps
+    * .bpeEncodeOf]] — one shared definition, so batch ≡ stream is
+    * structural and asserted in StreamingOpsSpec). Map-side per batch:
+    * explode + broadcast vocab join + per-doc agg over batch rows
+    * only — no state, no corpus access after training. */
+  def bpeEncodeStream(stream: DataFrame, words: DataFrame)
+      (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    stream.writeStream.outputMode("append")
+      .foreachBatch((b: DataFrame, id: Long) =>
+        sink(graft.operators.TextOps.bpeEncodeOf(b, words), id))
+
   /** A weather alert tick — the second stream of the stream-stream
     * join demo (a real deployment joins observations against an alert
     * or request stream arriving independently). */

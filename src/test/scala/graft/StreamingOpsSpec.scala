@@ -298,6 +298,43 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(got(0L).map(_._1) == contract.map(_._1))
   }
 
+  test("streaming BPE encode matches the batch encode per micro-batch") {
+    import spark.implicits._
+    import graft.streaming.StreamingOps.IncomingDoc
+    implicit val sc = spark.sqlContext
+    val dir = TestSpark.sfDir
+    // train ONCE on the static corpus — the artifact a tokenization
+    // service ships; every batch below encodes against it
+    val (words, _) = graft.operators.TextOps.bpeTrainOf(
+      graft.core.Core.table(spark, dir, "documents"))
+    val in = MemoryStream[IncomingDoc]
+    val got = scala.collection.mutable.Map
+      .empty[Long, Set[(Long, Long, Long)]]
+    val q = graft.streaming.StreamingOps.bpeEncodeStream(in.toDF(), words) {
+      (df, id) =>
+        got(id) = df.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }.start()
+    val b1 = Seq(
+      IncomingDoc(9000L, "en", "src0", "the data table join join", ts(1)),
+      IncomingDoc(9001L, "en", "src1", "a", ts(2)))
+    val b2 = Seq(
+      IncomingDoc(9002L, "en", "src0", "spark spark spark", ts(3)))
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    Seq(b1, b2).zipWithIndex.foreach { case (rows, i) =>
+      val expect = graft.operators.TextOps
+        .bpeEncodeOf(rows.toDF(), words).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got(i.toLong) == expect, s"batch $i")
+      assert(got(i.toLong).nonEmpty, s"batch $i empty")
+    }
+    // subwords strictly compress vs characters and never undercut the
+    // word count — the invariant a broken vocab join would break
+    got.values.flatten.foreach { case (_, nw, ns) => assert(ns >= nw) }
+  }
+
   test("driftPsi emits a null-psi sentinel for batch types absent from the reference") {
     import spark.implicits._
     import StreamingOpsSpec.Ev
