@@ -55,7 +55,7 @@ object Scale {
     "txt_winnow", "agg_label_balance", "multimodal_audio_segments",
     "dedup_winnow", "pipeline_pack", "multimodal_video_scenes",
     "txt_source_overlap", "txt_source_overlap_topv",
-    "txt_bpe_vocab", "txt_bpe_encode")
+    "txt_bpe_vocab", "txt_bpe_encode", "pipeline_tokenize", "table_diff")
 
   /** DENSE subset: dedup_near_auto only re-picks a branch of near/
     * prefix, dedup_ngram/minhash_est/simhash share their families'
@@ -308,6 +308,11 @@ object Scale {
     // the same vocabulary, so rounds cost identically there).
     "txt_bpe_vocab" -> (-1.0, 15.0),
     "txt_bpe_encode" -> (-1.0, 15.0),
+    // curate scan + BPE broadcast-join encode + ONE shard-keyed
+    // window: the pipeline_pack class plus histogram-bounded training
+    "pipeline_tokenize" -> (-1.0, 15.0),
+    // map-side md5 + one key-keyed full-outer join: linear
+    "table_diff" -> (-1.0, 15.0),
     // one single-scan aggregate each, linear in rows in both regimes:
     // the exact form's Expand multiplies the scan by the profiled
     // column count (a constant), the HLL form is one ordinary agg —

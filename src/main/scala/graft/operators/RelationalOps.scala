@@ -990,6 +990,40 @@ object RelationalOps {
       profileDocsWith(s, dir, c => countDistinct(c))
     },
 
+    // Snapshot diff — the corpus-version reconciliation every dataset
+    // release runs ("what changed between v1 and v2?"): full-outer
+    // join on the key, content compared by md5 (identical hex in both
+    // engines), one status row per added/removed/changed doc,
+    // unchanged rows never emitted. The v2 snapshot is derived
+    // IN-QUERY by a deterministic mutation (drop doc_id ≡ 0 mod 97,
+    // append-edit ≡ 0 mod 31, re-add ≡ 0 mod 101 under shifted ids) —
+    // the txt_pii_redact injection convention: the corpus ships only
+    // one version, so the machinery must manufacture its fixture in
+    // BOTH engines to be observable rather than vacuous. Scale shape:
+    // map-side hashing + ONE key-keyed full-outer join — linear; at
+    // 100 TB both sides prune by partition (a versioned lake diffs
+    // only changed partitions) and the hash column is bytes, not
+    // documents, through the shuffle.
+    "table_diff" -> { (s, dir) =>
+      val v1 = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val v2 = v1.filter(col("doc_id") % 97 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 31 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+        .unionByName(v1.filter(col("doc_id") % 101 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      v1.select(col("doc_id"), md5(col("text")).as("h1"))
+        .join(v2.select(col("doc_id"), md5(col("text")).as("h2")),
+          Seq("doc_id"), "full_outer")
+        .withColumn("status",
+          when(col("h1").isNull, "added")
+            .when(col("h2").isNull, "removed")
+            .when(col("h1") =!= col("h2"), "changed"))
+        .filter(col("status").isNotNull)
+        .select(col("doc_id"), col("status"))
+        .orderBy("doc_id")
+    },
+
     // Activity-seasonality profile — the (event type × day-of-week ×
     // hour) matrix an ops dashboard renders and a capacity planner /
     // anomaly baseline consumes: exact counts per cell plus each
@@ -1742,6 +1776,25 @@ object RelationalOps {
         |  FROM orders)
         |SELECT col_name, n_rows, n_nulls, n_distinct, min_v, max_v
         |FROM p, t ORDER BY col_name""".stripMargin,
+
+    "table_diff" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents),
+        |v2 AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 31 = 0 THEN text || ' v2'
+        |              ELSE text END AS text
+        |  FROM v1 WHERE doc_id % 97 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text
+        |  FROM v1 WHERE doc_id % 101 = 0),
+        |d AS (SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+        |        CASE WHEN a.doc_id IS NULL THEN 'added'
+        |             WHEN b.doc_id IS NULL THEN 'removed'
+        |             WHEN md5(a.text) <> md5(b.text) THEN 'changed'
+        |        END AS status
+        |      FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+        |SELECT doc_id, status FROM d WHERE status IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
 
     "profile_docs" ->
       """WITH t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows

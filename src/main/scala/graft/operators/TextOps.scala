@@ -144,6 +144,12 @@ object TextOps {
   /** txt_pack training-sequence token budget. */
   val PackBudget = 256
 
+  /** pipeline_tokenize training-sequence SUBWORD budget: the contract
+    * corpus segments to ~3.8 subwords per word under the 8-round BPE
+    * vocab, so 4× [[PackBudget]] keeps sequence counts comparable to
+    * the whitespace-token packing. */
+  val BpePackBudget = 1024
+
   /** txt_split_assign percent boundaries: bucket < 90 → train,
     * < 95 → val, else test. */
   val SplitTrainPct = 90
@@ -1293,6 +1299,41 @@ object TextOps {
     // kept doc: shard, training position, token offsets, sequence id.
     // Composes three shipped operators into the end-product; agreement
     // with each standalone piece is asserted in CurationOpsSpec.
+    // The TOKENIZER-AWARE packing endgame: curate-kept docs, measured
+    // in SUBWORDS of the trained BPE vocabulary (not whitespace
+    // tokens — what the training job actually consumes), packed into
+    // fixed-subword-budget sequences per shard in the deterministic
+    // shuffle order. Composes three trained/derived artifacts through
+    // their SHARED definitions (curateWithReasons keep set ≡
+    // pipeline_curate's; bpeTrainOf/bpeEncodeOf ≡ txt_bpe_vocab/
+    // _encode's; the pack window ≡ pipeline_pack's), so the
+    // composition provably equals its pieces. Scale shape: the curate
+    // scan + the BPE broadcast-join encode + ONE shard-partitioned
+    // cumulative-sum window — pipeline_pack's linear class plus the
+    // histogram-bounded training.
+    "pipeline_tokenize" -> { (s, dir) =>
+      val (words, _) = bpeTrainOf(table(s, dir, "documents"))
+      val enc = bpeEncodeOf(table(s, dir, "documents"), words)
+        .select(col("doc_id"), col("n_subwords"))
+      val kept = curateWithReasons(s, dir)
+        .filter(col("drop_reason").isNull)
+        .select(col("doc_id"),
+          (col("h_shard") % ShuffleShards).cast(IntegerType).as("shard"),
+          col("h_shard").as("h"))
+      val w = Window.partitionBy("shard").orderBy(col("h"), col("doc_id"))
+      kept.join(enc, "doc_id")
+        .withColumn("pos", row_number().over(w).cast(IntegerType))
+        .withColumn("start_offset",
+          sum(col("n_subwords")).over(w.rowsBetween(
+            Window.unboundedPreceding, Window.currentRow))
+            - col("n_subwords"))
+        .select(col("doc_id"), col("shard"), col("pos"),
+          col("n_subwords"), col("start_offset"),
+          expr(s"start_offset DIV $BpePackBudget").as("seq_id"),
+          expr(s"start_offset % $BpePackBudget").as("offset_in_seq"))
+        .orderBy("shard", "pos")
+    },
+
     "pipeline_pack" -> { (s, dir) =>
       val kept = curateWithReasons(s, dir)
         .filter(col("drop_reason").isNull)
@@ -2313,6 +2354,33 @@ object TextOps {
         |       start_offset // $PackBudget AS seq_id,
         |       start_offset % $PackBudget AS offset_in_seq
         |FROM w ORDER BY shard, pos""".stripMargin) +
+   ("pipeline_tokenize" ->
+     s"""WITH $bpeSqlCtes,
+        |enc AS (
+        |  SELECT d.doc_id,
+        |         CAST(SUM(len(string_split(trim(wv.seq), '  ')))
+        |           AS BIGINT) AS n_subwords
+        |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' '))
+        |          AS word FROM documents) d
+        |  JOIN w$BpeRounds wv USING (word)
+        |  GROUP BY d.doc_id),
+        |cur AS (SELECT * FROM (${base("pipeline_curate")})),
+        |k AS (SELECT cur.doc_id, cur.shard, enc.n_subwords,
+        |        ((((cur.doc_id % ${TextHash.P}) * $ShuffleHashMul)
+        |          % ${TextHash.P}) * $ShuffleHashMul) % ${TextHash.P} AS h
+        |      FROM cur JOIN enc USING (doc_id) WHERE cur.keep),
+        |pk AS (SELECT doc_id, shard, n_subwords, h,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY shard
+        |          ORDER BY h, doc_id) AS INTEGER) AS pos,
+        |        CAST(SUM(n_subwords) OVER (PARTITION BY shard
+        |          ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+        |          AND CURRENT ROW) AS BIGINT) - n_subwords
+        |          AS start_offset
+        |      FROM k)
+        |SELECT doc_id, shard, pos, n_subwords, start_offset,
+        |       start_offset // $BpePackBudget AS seq_id,
+        |       start_offset % $BpePackBudget AS offset_in_seq
+        |FROM pk ORDER BY shard, pos""".stripMargin) +
    ("txt_bpe_vocab" ->
      s"""WITH $bpeSqlCtes
         |SELECT round, x AS lhs, y AS rhs, x || y AS merged,

@@ -374,6 +374,58 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pipeline_tokenize agrees with its pieces and packs by subword budget") {
+    val out = SparkEntry.queries("pipeline_tokenize")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    // keep set + shard == pipeline_curate's keeps (the shared
+    // curateWithReasons core)
+    val keeps = SparkEntry.queries("pipeline_curate")(spark, dir)
+      .filter(col("keep")).select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out.map(_._1).toSet == keeps.keySet)
+    out.foreach { case (id, shard, _, _, _, _, _) =>
+      assert(shard == keeps(id), s"doc $id shard") }
+    // subword counts == txt_bpe_encode's (the shared bpeEncodeOf core)
+    val enc = SparkEntry.queries("txt_bpe_encode")(spark, dir)
+      .select("doc_id", "n_subwords").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { case (id, _, _, n, _, _, _) =>
+      assert(n == enc(id), s"doc $id subwords") }
+    // per-shard contiguity under the SUBWORD budget
+    out.groupBy(_._2).values.foreach { rows =>
+      var offset = 0L
+      rows.sortBy(_._3).foreach {
+        case (id, _, _, n, start, seqId, offInSeq) =>
+          assert(start == offset, s"doc $id start")
+          assert(seqId == start / graft.operators.TextOps.BpePackBudget,
+            s"doc $id")
+          assert(offInSeq == start % graft.operators.TextOps.BpePackBudget,
+            s"doc $id")
+          offset += n
+      }
+    }
+    // and pack ORDER matches pipeline_pack's for the same shard (both
+    // rank by the same shuffle stream, so positions must agree)
+    val packPos = SparkEntry.queries("pipeline_pack")(spark, dir)
+      .select("doc_id", "pos").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out.foreach { case (id, _, pos, _, _, _, _) =>
+      assert(pos == packPos(id), s"doc $id pos") }
+  }
+
+  test("table_diff reports exactly the manufactured v2 mutations") {
+    val out = SparkEntry.queries("table_diff")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val ids = graft.core.Core.table(spark, dir, "documents")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val expect = (ids.filter(_ % 97 == 0).map(_ -> "removed") ++
+      ids.filter(i => i % 97 != 0 && i % 31 == 0).map(_ -> "changed") ++
+      ids.filter(_ % 101 == 0).map(i => (i + 1000000L) -> "added"))
+      .sortBy(_._1)
+    assert(out.toSeq == expect.toSeq)
+  }
+
   test("agg_iqr_outlier matches an in-memory Tukey-fence fold") {
     val out = SparkEntry.queries("agg_iqr_outlier")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getString(3))).toMap
