@@ -82,6 +82,21 @@ class PlanShapeSpec extends AnyFunSuite {
       s"pack window not shard-partitioned:\n$p")
   }
 
+  test("pipeline_tokenize keeps the shard-partitioned pack window and broadcasts the vocab") {
+    val p = plan("pipeline_tokenize")
+    // same invariant as pipeline_pack: the rank + cumulative-sum
+    // windows partition by shard (parallel at thousands of shards),
+    // never an empty partition spec
+    assert(p.contains("Window"), "tokenize lost its pack window")
+    assert(p.contains("Exchange hashpartitioning(shard"),
+      s"tokenize window not shard-partitioned:\n$p")
+    // the trained BPE vocabulary is vocabulary-bounded and must join
+    // broadcast — a shuffled vocab join would re-exchange the exploded
+    // token stream of the whole corpus
+    assert(p.contains("BroadcastHashJoin"),
+      s"tokenize vocab join is not broadcast:\n$p")
+  }
+
   test("txt_split_assign never shuffles on a hash key (map-side + sort only)") {
     val p = plan("txt_split_assign")
     assert(!p.contains("Exchange hashpartitioning"),
