@@ -694,6 +694,11 @@ object Scale {
     def runAnnRecall(): Unit = {
       val emb = ScaleData.clusteredDf(spark, nVec = 2000, nClusters = 100)
         .persist()
+      // materialize the corpus OUTSIDE the timers: persist is lazy, so
+      // without this the first config's 'sec' would absorb the whole
+      // generation+cache cost while the rest read warm — skewing the
+      // cross-config probe-cost comparison the sweep exists to record
+      emb.count()
       val configs = Seq(
         ("ann_recall_multiprobe", true, 0),
         ("ann_recall_qd3", true, 3),

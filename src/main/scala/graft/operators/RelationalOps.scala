@@ -69,35 +69,49 @@ object RelationalOps {
     * rendering — is identical between the two forms. */
   private def profileTableWith(s: SparkSession, dir: String,
       distinctAgg: Column => Column): DataFrame = {
-    val o = table(s, dir, "orders")
-    def nNulls(c: String) =
-      sum(when(col(c).isNull, 1L).otherwise(0L))
-    def longCol(c: String) = Seq(
-      nNulls(c), distinctAgg(col(c)),
-      min(col(c)).cast(StringType), max(col(c)).cast(StringType))
-    def strCol(c: String) = Seq(
-      nNulls(c), distinctAgg(col(c)), min(col(c)), max(col(c)))
     val priceCents = cents(col("o_totalprice"))
+    profileWith(table(s, dir, "orders"), Seq(
+      "o_orderkey" -> longProfile("o_orderkey", distinctAgg),
+      "o_custkey" -> longProfile("o_custkey", distinctAgg),
+      "o_orderstatus" -> strProfile("o_orderstatus", distinctAgg),
+      "o_orderpriority" -> strProfile("o_orderpriority", distinctAgg),
+      "o_totalprice_cents" -> Seq(
+        nNullsOf("o_totalprice"), distinctAgg(priceCents),
+        min(priceCents).cast(StringType),
+        max(priceCents).cast(StringType)),
+      "o_orderdate" -> Seq(
+        nNullsOf("o_orderdate"), distinctAgg(col("o_orderdate")),
+        date_format(min(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss"),
+        date_format(max(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss"))))
+  }
+
+  /** The ONE profile builder behind profile_table and profile_docs
+    * (and their HLL twins): each entry supplies a display name and its
+    * four aggregates (n_nulls, n_distinct, min_v, max_v); the builder
+    * assembles the single-scan multi-agg + stack() tall relation, so
+    * the profile SHAPE cannot drift between the profiled tables. */
+  private def profileWith(d: DataFrame,
+      cols: Seq[(String, Seq[Column])]): DataFrame = {
     val aggs: Seq[Column] = Seq(count(lit(1)).as("n_rows")) ++
-      (longCol("o_orderkey") ++ longCol("o_custkey") ++
-        strCol("o_orderstatus") ++ strCol("o_orderpriority") ++
-        Seq(nNulls("o_totalprice"), distinctAgg(priceCents),
-          min(priceCents).cast(StringType),
-          max(priceCents).cast(StringType)) ++
-        Seq(nNulls("o_orderdate"), distinctAgg(col("o_orderdate")),
-          date_format(min(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss"),
-          date_format(max(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss")))
-        .zipWithIndex.map { case (c, i) => c.as(s"c$i") }
-    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
-      "o_orderpriority", "o_totalprice_cents", "o_orderdate")
-    val stackArgs = cols.zipWithIndex.map { case (name, i) =>
+      cols.flatMap(_._2).zipWithIndex.map { case (c, i) => c.as(s"c$i") }
+    val stackArgs = cols.map(_._1).zipWithIndex.map { case (name, i) =>
       s"'$name', c${i * 4}, c${i * 4 + 1}, c${i * 4 + 2}, c${i * 4 + 3}"
     }.mkString(", ")
-    o.agg(aggs.head, aggs.tail: _*)
+    d.agg(aggs.head, aggs.tail: _*)
       .select(col("n_rows"), expr(s"stack(${cols.size}, $stackArgs) AS " +
         "(col_name, n_nulls, n_distinct, min_v, max_v)"))
       .orderBy("col_name")
   }
+
+  private def nNullsOf(c: String): Column =
+    sum(when(col(c).isNull, 1L).otherwise(0L))
+  private def longProfile(c: String,
+      distinctAgg: Column => Column): Seq[Column] = Seq(
+    nNullsOf(c), distinctAgg(col(c)),
+    min(col(c)).cast(StringType), max(col(c)).cast(StringType))
+  private def strProfile(c: String,
+      distinctAgg: Column => Column): Seq[Column] = Seq(
+    nNullsOf(c), distinctAgg(col(c)), min(col(c)), max(col(c)))
 
   /** The 100 TB profile pass: HLL distinct counts instead of exact —
     * no Expand, one ordinary aggregate scan. See [[profileTableWith]]. */
@@ -114,28 +128,13 @@ object RelationalOps {
     * full text strings — which is precisely the term the HLL swap
     * removes at scale. */
   private def profileDocsWith(s: SparkSession, dir: String,
-      distinctAgg: Column => Column): DataFrame = {
-    val d = table(s, dir, "documents")
-    def nNulls(c: String) =
-      sum(when(col(c).isNull, 1L).otherwise(0L))
-    def longCol(c: String) = Seq(
-      nNulls(c), distinctAgg(col(c)),
-      min(col(c)).cast(StringType), max(col(c)).cast(StringType))
-    def strCol(c: String) = Seq(
-      nNulls(c), distinctAgg(col(c)), min(col(c)), max(col(c)))
-    val aggs: Seq[Column] = Seq(count(lit(1)).as("n_rows")) ++
-      (longCol("doc_id") ++ strCol("lang") ++ longCol("n_chars") ++
-        strCol("source") ++ strCol("text"))
-        .zipWithIndex.map { case (c, i) => c.as(s"c$i") }
-    val cols = Seq("doc_id", "lang", "n_chars", "source", "text")
-    val stackArgs = cols.zipWithIndex.map { case (name, i) =>
-      s"'$name', c${i * 4}, c${i * 4 + 1}, c${i * 4 + 2}, c${i * 4 + 3}"
-    }.mkString(", ")
-    d.agg(aggs.head, aggs.tail: _*)
-      .select(col("n_rows"), expr(s"stack(${cols.size}, $stackArgs) AS " +
-        "(col_name, n_nulls, n_distinct, min_v, max_v)"))
-      .orderBy("col_name")
-  }
+      distinctAgg: Column => Column): DataFrame =
+    profileWith(table(s, dir, "documents"), Seq(
+      "doc_id" -> longProfile("doc_id", distinctAgg),
+      "lang" -> strProfile("lang", distinctAgg),
+      "n_chars" -> longProfile("n_chars", distinctAgg),
+      "source" -> strProfile("source", distinctAgg),
+      "text" -> strProfile("text", distinctAgg)))
 
   /** HLL variant of the documents profile — the Scale sweep's
     * Expand-free comparator. */
@@ -1011,7 +1010,10 @@ object RelationalOps {
           when(col("doc_id") % 31 === 0, concat(col("text"), lit(" v2")))
             .otherwise(col("text")))
         .unionByName(v1.filter(col("doc_id") % 101 === 0)
-          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+          // the re-add offset is a HIGH BIT (2^40), not a round number:
+          // +1e6 would collide with real ids on a 10⁶+-doc corpus and
+          // fan the full-outer join out on the duplicate key
+          .select((col("doc_id") + (1L << 40)).as("doc_id"), col("text")))
       v1.select(col("doc_id"), md5(col("text")).as("h1"))
         .join(v2.select(col("doc_id"), md5(col("text")).as("h2")),
           Seq("doc_id"), "full_outer")
@@ -1785,7 +1787,7 @@ object RelationalOps {
         |              ELSE text END AS text
         |  FROM v1 WHERE doc_id % 97 <> 0
         |  UNION ALL
-        |  SELECT doc_id + 1000000 AS doc_id, text
+        |  SELECT doc_id + 1099511627776 AS doc_id, text
         |  FROM v1 WHERE doc_id % 101 = 0),
         |d AS (SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
         |        CASE WHEN a.doc_id IS NULL THEN 'added'

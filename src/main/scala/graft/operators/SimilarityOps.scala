@@ -433,15 +433,20 @@ object SimilarityOps {
     * ADC is the bounded probe table (probes × M × k lookups) BROADCAST
     * against the linear code relation — never corpus×corpus, and the
     * shuffled rows carry (a_id, vec_id, micros) longs, not vectors. */
-  /** Subvector explode of a (vec_id, <vecCol>) relation → (vec_id, s,
-    * u): n·M rows, map-side. Shared by PQ and IVF-PQ (which feeds
-    * RESIDUALS instead of raw vectors). */
-  private def pqSubvectors(rel: DataFrame, vecCol: String): DataFrame = {
+  /** Subvector explode of a (<carry...>, <vecCol>) relation →
+    * (<carry...>, s, u): rows × M, map-side. The ONE slicing
+    * convention shared by PQ training, encoding, and both ADC probe
+    * paths — parameterized carry columns so the IVF-PQ probe side
+    * ((a_id, lcid)-keyed) reuses it rather than re-deriving the slice
+    * arithmetic. */
+  private def pqSubvectors(rel: DataFrame, vecCol: String,
+      carry: Seq[String] = Seq("vec_id")): DataFrame = {
     val subs = array((0 until PqM).map(j =>
       struct(lit(j).as("s"), slice(col(vecCol), j * PqSub + 1, PqSub)
         .as("u"))): _*)
-    rel.select(col("vec_id"), explode(subs).as("p"))
-      .select(col("vec_id"), col("p.s").as("s"), col("p.u").as("u"))
+    rel.select(carry.map(col) :+ explode(subs).as("p"): _*)
+      .select(carry.map(col) ++
+        Seq(col("p.s").as("s"), col("p.u").as("u")): _*)
   }
 
   /** Nearest PQ centroid per (s, vec_id) by 9-dp-rounded L2² with cid
@@ -632,17 +637,16 @@ object SimilarityOps {
             struct(lit(cid).as("pcid"), dmOne(uCol, cu).as("dm")) }: _*))
           .otherwise(acc)
       }
-    val dt = ranked.filter(col("vec_id") < KnnEvalProbes)
+    val probeRes = ranked.filter(col("vec_id") < KnnEvalProbes)
       .select(col("vec_id").as("a_id"), col("v"),
         explode(slice(col("rk"), 1, 2)).as("p"))
       .withColumn("lcid", col("p.cid"))
       .withColumn("res", zip_with(col("v"), cvFor(col("lcid")),
         (a, b) => a - b))
-      .select(col("a_id"), col("lcid"),
-        explode(array((0 until PqM).map(j => struct(lit(j).as("s"),
-          slice(col("res"), j * PqSub + 1, PqSub).as("u"))): _*)).as("q"))
-      .select(col("a_id"), col("lcid"), col("q.s").as("s"),
-        explode(dtArr(col("q.s"), col("q.u"))).as("t"))
+      .select(col("a_id"), col("lcid"), col("res"))
+    val dt = pqSubvectors(probeRes, "res", carry = Seq("a_id", "lcid"))
+      .select(col("a_id"), col("lcid"), col("s"),
+        explode(dtArr(col("s"), col("u"))).as("t"))
       .select(col("a_id"), col("lcid"), col("s"),
         col("t.pcid").as("pcid"), col("t.dm").as("dm"))
     adcTopK(codes, dt, Seq("lcid"))

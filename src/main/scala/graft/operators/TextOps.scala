@@ -545,12 +545,56 @@ object TextOps {
     (w0 +: rounds).mkString(",\n")
   }
 
+  /** Exact BPE segmentation from the merge RULES: rebuild the word's
+    * spaced symbol string and apply the trained merges in order —
+    * chained literal replaces, map-side, codegen-resident. This is
+    * what a real tokenizer does with UNSEEN words: whatever trained
+    * merges apply, apply; the rest stays characters. */
+  private[graft] def bpeSegment(wordCol: Column,
+      rules: Seq[(String, String)]): Column = {
+    val chars = filter(split(wordCol, ""), c => length(c) > 0)
+    val seq0 = concat(lit(" "), array_join(chars, "  "), lit(" "))
+    rules.foldLeft(seq0) { case (acc, (x, y)) =>
+      call_function("replace", acc, lit(s" $x  $y "), lit(s" $x$y "))
+    }
+  }
+
+  /** RULE-based BPE encode over any documents relation — the
+    * streaming / unseen-input path: every word (in-vocabulary or not)
+    * segments by the trained merge rules, so no document can vanish
+    * through a vocabulary join and n_words is always the true
+    * pre-segmentation token count. (The round-9 self-review found the
+    * vocab-JOIN encode dropping OOV words on streaming input — the
+    * same vanish-through-inner-join class as the driftPsi sentinel
+    * fix.) On the training corpus this is provably identical to the
+    * memoized [[bpeEncodeOf]] fast path (asserted in BpeSpec); the
+    * merge table is bounded (BpeRounds rows), so collecting it into
+    * literals is the same bounded-state pattern as training itself. */
+  private[graft] def bpeEncodeByRules(docs: DataFrame,
+      mergesDf: DataFrame): DataFrame = {
+    val rules = mergesDf.orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    docs
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("word"))
+      .withColumn("n_sub",
+        size(split(trim(bpeSegment(col("word"), rules)), "  ")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_sub")).as("n_subwords"))
+      .orderBy("doc_id")
+  }
+
   /** Apply a trained BPE vocabulary (the `words` relation of
-    * [[bpeTrainOf]]) to any documents relation: one broadcast join of
-    * the per-word subword counts against the exploded token stream.
-    * ONE definition feeds the txt_bpe_encode contract query AND
-    * [[graft.streaming.StreamingOps.bpeEncodeStream]], so batch and
-    * streaming encodes cannot drift. */
+    * [[bpeTrainOf]]) to a SAME-CORPUS documents relation: one
+    * broadcast join of the per-word subword counts against the
+    * exploded token stream — the memoized fast path (every word is in
+    * the training vocabulary by construction, so the inner join is
+    * total). For input that may contain unseen words — streaming
+    * arrival in particular — use [[bpeEncodeByRules]]: an inner
+    * vocabulary join would silently DROP an OOV word (and a doc of
+    * only OOV words entirely). Fast-path ≡ rule-path on the training
+    * corpus is asserted in BpeSpec. */
   private[graft] def bpeEncodeOf(docs: DataFrame,
       words: DataFrame): DataFrame = {
     val vocab = words.select(col("word"),

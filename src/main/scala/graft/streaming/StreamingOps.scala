@@ -217,20 +217,26 @@ object StreamingOps {
       .foreachBatch((b: DataFrame, id: Long) => sink(driftPsi(b, ref), id))
 
   /** Streaming BPE encode — the train-once / encode-forever shape a
-    * tokenization service runs: the vocabulary trained ONCE on the
-    * static corpus ([[graft.operators.TextOps.bpeTrainOf]]'s words
-    * relation — the artifact) is applied to every arriving micro-batch
-    * with the IDENTICAL batch encode ([[graft.operators.TextOps
-    * .bpeEncodeOf]] — one shared definition, so batch ≡ stream is
-    * structural and asserted in StreamingOpsSpec). Map-side per batch:
-    * explode + broadcast vocab join + per-doc agg over batch rows
-    * only — no state, no corpus access after training. */
-  def bpeEncodeStream(stream: DataFrame, words: DataFrame)
+    * tokenization service runs: the merge RULES trained once on the
+    * static corpus ([[graft.operators.TextOps.bpeTrainOf]]'s merge
+    * table — the artifact) are applied to every arriving micro-batch
+    * by the rule-based encoder ([[graft.operators.TextOps
+    * .bpeEncodeByRules]] — one shared definition with the batch form,
+    * so batch ≡ stream is structural and asserted in
+    * StreamingOpsSpec). RULES, not a vocabulary join, because a stream
+    * carries UNSEEN words: the vocab inner join would silently drop
+    * them (a doc of only OOV words would vanish entirely), while the
+    * rule chain segments any word — whatever trained merges apply,
+    * apply, the rest stays characters, exactly a real tokenizer's OOV
+    * behavior. Map-side per batch: explode + literal replace chain +
+    * per-doc agg over batch rows only — no state, no corpus access
+    * after training. */
+  def bpeEncodeStream(stream: DataFrame, merges: DataFrame)
       (sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
     stream.writeStream.outputMode("append")
       .foreachBatch((b: DataFrame, id: Long) =>
-        sink(graft.operators.TextOps.bpeEncodeOf(b, words), id))
+        sink(graft.operators.TextOps.bpeEncodeByRules(b, merges), id))
 
   /** A weather alert tick — the second stream of the stream-stream
     * join demo (a real deployment joins observations against an alert

@@ -44,6 +44,23 @@ class BpeSpec extends AnyFunSuite {
     assert(w == Map("aaaa" -> " aaaa ", "aaa" -> " aaa ", "aa" -> " aa "))
   }
 
+  test("rule-based encode equals the vocab-join fast path on the training corpus") {
+    // bpeEncodeByRules re-derives every word's segmentation from the
+    // merge rules; bpeEncodeOf memoizes it through the trained words
+    // relation. On the training corpus (where every word is in-vocab
+    // by construction) the two must be IDENTICAL — the equality that
+    // licenses the fast path for the contract query while the
+    // streaming path uses rules (OOV-safe).
+    val dir = TestSpark.sfDir
+    val docs = graft.core.Core.table(spark, dir, "documents")
+    val (words, merges) = graft.operators.TextOps.bpeTrainOf(docs)
+    val fast = graft.operators.TextOps.bpeEncodeOf(docs, words)
+      .collect().map(_.toSeq).toSeq
+    val ruled = graft.operators.TextOps.bpeEncodeByRules(docs, merges)
+      .collect().map(_.toSeq).toSeq
+    assert(fast == ruled)
+  }
+
   test("contract corpus: full merge table, non-increasing counts, encode bounds") {
     val dir = TestSpark.sfDir
     val vocab = SparkEntry.queries("txt_bpe_vocab")(spark, dir).collect()

@@ -421,7 +421,7 @@ class CurationOpsSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).sorted
     val expect = (ids.filter(_ % 97 == 0).map(_ -> "removed") ++
       ids.filter(i => i % 97 != 0 && i % 31 == 0).map(_ -> "changed") ++
-      ids.filter(_ % 101 == 0).map(i => (i + 1000000L) -> "added"))
+      ids.filter(_ % 101 == 0).map(i => (i + (1L << 40)) -> "added"))
       .sortBy(_._1)
     assert(out.toSeq == expect.toSeq)
   }

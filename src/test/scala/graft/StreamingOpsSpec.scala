@@ -303,14 +303,17 @@ class StreamingOpsSpec extends AnyFunSuite {
     import graft.streaming.StreamingOps.IncomingDoc
     implicit val sc = spark.sqlContext
     val dir = TestSpark.sfDir
-    // train ONCE on the static corpus — the artifact a tokenization
-    // service ships; every batch below encodes against it
-    val (words, _) = graft.operators.TextOps.bpeTrainOf(
+    // train ONCE on the static corpus — the merge table is the
+    // artifact a tokenization service ships; every batch below
+    // encodes against it by RULES (OOV-safe)
+    val (_, merges) = graft.operators.TextOps.bpeTrainOf(
       graft.core.Core.table(spark, dir, "documents"))
+    val rules = merges.orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
     val in = MemoryStream[IncomingDoc]
     val got = scala.collection.mutable.Map
       .empty[Long, Set[(Long, Long, Long)]]
-    val q = graft.streaming.StreamingOps.bpeEncodeStream(in.toDF(), words) {
+    val q = graft.streaming.StreamingOps.bpeEncodeStream(in.toDF(), merges) {
       (df, id) =>
         got(id) = df.collect()
           .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
@@ -318,20 +321,36 @@ class StreamingOpsSpec extends AnyFunSuite {
     val b1 = Seq(
       IncomingDoc(9000L, "en", "src0", "the data table join join", ts(1)),
       IncomingDoc(9001L, "en", "src1", "a", ts(2)))
+    // batch 2 carries words the training corpus has NEVER seen — the
+    // case the round-9 self-review caught: the vocab-join encode
+    // dropped the OOV words ('zebra qux' docs vanished entirely); the
+    // rule-based encode must keep every doc and count every word
     val b2 = Seq(
-      IncomingDoc(9002L, "en", "src0", "spark spark spark", ts(3)))
+      IncomingDoc(9002L, "en", "src0", "spark spark spark", ts(3)),
+      IncomingDoc(9003L, "en", "src1", "zebra the qux", ts(4)),
+      IncomingDoc(9004L, "en", "src0", "zebra qux", ts(5)))
     in.addData(b1: _*); q.processAllAvailable()
     in.addData(b2: _*); q.processAllAvailable()
     q.stop()
     Seq(b1, b2).zipWithIndex.foreach { case (rows, i) =>
       val expect = graft.operators.TextOps
-        .bpeEncodeOf(rows.toDF(), words).collect()
+        .bpeEncodeByRules(rows.toDF(), merges).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       assert(got(i.toLong) == expect, s"batch $i")
       assert(got(i.toLong).nonEmpty, s"batch $i empty")
     }
-    // subwords strictly compress vs characters and never undercut the
-    // word count — the invariant a broken vocab join would break
+    // driver-side replay of the rule chain (String.replace shares the
+    // left-to-right non-overlapping semantics): exact OOV expectations
+    def seg(word: String): Long = {
+      var s = " " + word.flatMap(c => s"$c  ").dropRight(2) + " "
+      rules.foreach { case (x, y) => s = s.replace(s" $x  $y ", s" $x$y ") }
+      s.trim.split("  ").length.toLong
+    }
+    val byId = got(1L).map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(byId(9003L) == ((3L, seg("zebra") + seg("the") + seg("qux"))))
+    assert(byId(9004L) == ((2L, seg("zebra") + seg("qux"))),
+      "the all-OOV doc must not vanish")
+    // subwords never undercut the word count
     got.values.flatten.foreach { case (_, nw, ns) => assert(ns >= nw) }
   }
 
