@@ -51,11 +51,41 @@ object RelationalOps {
     // an exact multiple, and a double quotient of two exactly-
     // representable longs (< 2^53) with an integer result is exact
     val inDay = pmod(us, day)
-    val dayidx = ((us - inDay) / day).cast(LongType)
+    // integer DIV, not Double division: (us - inDay) is an exact
+    // multiple of day, so Long DIV is exact for the FULL Long range —
+    // the former Double quotient was only exact while |us| < 2^53 µs
+    // (~years 1685–2255) and could shift dow by a day beyond that
+    // (ADVICE round 9). Same for the in-day hour index.
+    val dayidx = call_function("div", us - inDay, day).cast(LongType)
     val dow = pmod(dayidx + 4, lit(7L)).cast(IntegerType)
-    val hour = ((inDay - pmod(inDay, hourUs)) / hourUs).cast(IntegerType)
+    val hour =
+      call_function("div", inDay - pmod(inDay, hourUs), hourUs)
+        .cast(IntegerType)
     (dow, hour)
   }
+
+  /** table_diff's core: full-outer join two (doc_id, text) snapshots,
+    * emit one row per added/removed/changed doc. added/removed key on
+    * per-side PRESENCE markers (p1/p2), not on hash nullness:
+    * md5(NULL) is NULL, so hash-keyed status would misreport a doc
+    * whose text is NULL in BOTH snapshots as 'added', while the
+    * oracle keys on doc_id nullness and drops the NULL<>NULL compare
+    * (ADVICE round 9). With markers, a both-sides-NULL text falls
+    * through to h1 =!= h2, which is NULL → filtered — identical to
+    * the SQL CASE semantics (pinned on NULL-text rows in
+    * CurationOpsSpec). */
+  private[graft] def snapshotDiff(v1: DataFrame, v2: DataFrame): DataFrame =
+    v1.select(col("doc_id"), lit(1).as("p1"), md5(col("text")).as("h1"))
+      .join(v2.select(col("doc_id"), lit(1).as("p2"),
+          md5(col("text")).as("h2")),
+        Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("p1").isNull, "added")
+          .when(col("p2").isNull, "removed")
+          .when(col("h1") =!= col("h2"), "changed"))
+      .filter(col("status").isNotNull)
+      .select(col("doc_id"), col("status"))
+      .orderBy("doc_id")
 
   /** profile_table's single-scan builder, parameterized by the
     * distinct-count aggregator. With `countDistinct` (the contract
@@ -1014,16 +1044,7 @@ object RelationalOps {
           // +1e6 would collide with real ids on a 10⁶+-doc corpus and
           // fan the full-outer join out on the duplicate key
           .select((col("doc_id") + (1L << 40)).as("doc_id"), col("text")))
-      v1.select(col("doc_id"), md5(col("text")).as("h1"))
-        .join(v2.select(col("doc_id"), md5(col("text")).as("h2")),
-          Seq("doc_id"), "full_outer")
-        .withColumn("status",
-          when(col("h1").isNull, "added")
-            .when(col("h2").isNull, "removed")
-            .when(col("h1") =!= col("h2"), "changed"))
-        .filter(col("status").isNotNull)
-        .select(col("doc_id"), col("status"))
-        .orderBy("doc_id")
+      snapshotDiff(v1, v2)
     },
 
     // Activity-seasonality profile — the (event type × day-of-week ×

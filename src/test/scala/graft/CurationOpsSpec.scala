@@ -426,6 +426,23 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out.toSeq == expect.toSeq)
   }
 
+  test("snapshotDiff: NULL text compares like the SQL path") {
+    import spark.implicits._
+    // (id, text) fixtures exercising every NULL combination: 1 = text
+    // NULL in BOTH snapshots (must NOT be reported — the former
+    // hash-nullness keying misread it as 'added'), 2 = NULL→value
+    // ('changed' is NOT emitted: md5(NULL) <> md5('x') is NULL in SQL
+    // too, so both engines drop it — the documented CASE semantics),
+    // 3 = unchanged, 4 = removed, 5 = added, 6 = changed.
+    val v1 = Seq((1L, null), (2L, null), (3L, "same"), (4L, "gone"),
+      (6L, "old")).toDF("doc_id", "text")
+    val v2 = Seq((1L, null), (2L, "now set"), (3L, "same"),
+      (5L, "new"), (6L, "edited")).toDF("doc_id", "text")
+    val out = graft.operators.RelationalOps.snapshotDiff(v1, v2)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == Seq(4L -> "removed", 5L -> "added", 6L -> "changed"))
+  }
+
   test("agg_iqr_outlier matches an in-memory Tukey-fence fold") {
     val out = SparkEntry.queries("agg_iqr_outlier")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getString(3))).toMap

@@ -139,8 +139,13 @@ class ProfilingOpsSpec extends AnyFunSuite {
     // day before it, epoch zero, and plain positive/negative offsets —
     // the naive truncating DIV/% arithmetic (ADVICE round 8) yields
     // negative dow/hour on every pre-1970 member of this list
+    // the last two probes sit BEYOND ±2^53 µs (~years 1685–2255),
+    // where the former Double-division day index could round and
+    // shift dow by a day — the integer-DIV form (ADVICE round 9) is
+    // exact over the full Long range
     val us = Seq(-1L, -day, -day - 1L, -3L * day + 3600000000L,
-      0L, 1L, 3600000000L, day - 1L, 17L * day + 5L * 3600000000L + 7L)
+      0L, 1L, 3600000000L, day - 1L, 17L * day + 5L * 3600000000L + 7L,
+      (1L << 60) + 12345L, -(1L << 60) + 7L)
     val (dowC, hourC) = graft.operators.RelationalOps.seasonDowHour(col("us"))
     val got = us.toDF("us").select(col("us"), dowC.as("dow"), hourC.as("hour"))
       .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
