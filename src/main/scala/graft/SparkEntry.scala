@@ -38,12 +38,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ReferenceOps.queries ++ RelationalOps.queries ++ TextOps.queries ++
-      DedupOps.queries ++ SimilarityOps.queries ++ MultimodalOps.queries
+      DedupOps.queries ++ SimilarityOps.queries ++ MultimodalOps.queries ++
+      SqlSuite.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ReferenceOps.oracleSql ++ RelationalOps.oracleSql ++
       TextOps.oracleSql ++ DedupOps.oracleSql ++ SimilarityOps.oracleSql ++
-      MultimodalOps.oracleSql
+      MultimodalOps.oracleSql ++ SqlSuite.oracleSql
 }
