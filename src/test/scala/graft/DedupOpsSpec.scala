@@ -216,6 +216,37 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(banded.size < loose)
   }
 
+  test("GLOBAL banded SimHash: all-pairs-identical, strict superset of " +
+    "within-source, and catches cross-source pairs") {
+    val global = DedupOps.queries("dedup_simhash_global")(
+        spark, TestSpark.sfDir)
+      .collect().map(_.toSeq).toSeq
+    // reference: source-blind all-pairs join over the same 62-bit
+    // sketches
+    val d = DedupOps.simhash64Sketches(spark, TestSpark.sfDir)
+    val allPairs = d.select(col("doc_id").as("a_id"),
+        col("simhash").as("a_sh"))
+      .crossJoin(d.select(col("doc_id").as("b_id"),
+        col("simhash").as("b_sh")))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("hamming", bit_count(col("a_sh").bitwiseXOR(col("b_sh")))
+        .cast("int"))
+      .filter(col("hamming") <= DedupOps.Simhash64HammingMax)
+      .select("a_id", "b_id", "hamming")
+      .orderBy("a_id", "b_id")
+      .collect().map(_.toSeq).toSeq
+    assert(global.nonEmpty)
+    assert(global == allPairs)
+    // superset of the within-source listing over the same sketch, and
+    // strictly larger: cross-source duplicates exist on this corpus
+    // (the pairs the within-source contract bound cannot see)
+    val within = DedupOps.queries("dedup_simhash64")(spark, TestSpark.sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(within.subsetOf(global.toSet))
+    assert(global.size > within.size,
+      "no cross-source pair on this corpus — global scope untestable")
+  }
+
   test("cluster label propagation converges within CcRounds on this corpus") {
     val rK = DedupOps.dedupClusterCC(spark, TestSpark.sfDir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

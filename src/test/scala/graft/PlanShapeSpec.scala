@@ -31,6 +31,7 @@ class PlanShapeSpec extends AnyFunSuite {
   test("corpus-scaled candidate self-joins are salted + shuffle-hash pinned") {
     for (q <- Seq("dedup_near", "dedup_near_prefix", "dedup_ngram",
         "txt_containment", "dedup_minhash_lsh", "dedup_simhash",
+        "dedup_simhash_global",
         "dedup_incremental")) {
       val p = plan(q)
       assert(p.contains("ShuffledHashJoin"), s"$q: no pinned SHJ in plan")
