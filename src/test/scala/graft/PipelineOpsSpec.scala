@@ -347,6 +347,82 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!out(4L).ok && out(4L).width == -1 && out(4L).thumb.isEmpty)
   }
 
+  test("phash: stub convention == real PNG decode, bit-identical " +
+    "sketches on payload-grid gradients") {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    // A 16x4 payload grid renders both ways: as TEXT under the stub
+    // convention (pixel = payload char) and as a real PNG whose pixel
+    // (x,y) has r=g=b = ascii of the char at y*16+x. The stub sampling
+    // (row (k DIV 4)*src_h DIV 4, col (k%4)*4; src_h=4) and the
+    // thumbnail sampling (y = r*h DIV 4 = r, x = c*w DIV 4 = c*4) hit
+    // THE SAME cells, and realPhashSketch reads the red channel, so
+    // the aHash comparisons must agree bit-for-bit — the seam really
+    // is a decoder swap, not a different operator.
+    val rnd = new scala.util.Random(42)
+    def payload(): String =
+      Array.fill(64)((32 + rnd.nextInt(95)).toChar).mkString
+    def pngOf(text: String): Array[Byte] = {
+      val img = new BufferedImage(16, 4, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 4; x <- 0 until 16) {
+        val v = text(y * 16 + x).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val texts = (0L until 24L).map(i => i -> payload())
+    val stub = MultimodalOps.stubPhashSketch(
+        texts.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val real = MultimodalOps.realPhashSketch(
+        texts.map { case (i, t) =>
+          MultimodalOps.Asset(i, "image/png", pngOf(t)) }.toDS())
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stub.size == 24 && real.size == 24)
+    texts.foreach { case (i, _) => assert(stub(i) == real(i), s"doc $i") }
+    // non-degenerate: the gradients produce varied sketches
+    assert(stub.values.toSet.size > 1)
+  }
+
+  test("real-pixel phash pairs reproduce the brute-force Hamming set " +
+    "through the banded machinery") {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    val rnd = new scala.util.Random(7)
+    def png(cells: Array[Int]): Array[Byte] = {
+      val img = new BufferedImage(16, 4, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 4; x <- 0 until 16) {
+        val v = cells(y * 16 + x)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val base = Array.fill(64)(rnd.nextInt(256))
+    val nearDup = base.clone()
+    nearDup(4) = (nearDup(4) + 8) min 255   // one sampled cell nudged
+    val assets = (Seq(
+      0L -> base, 1L -> base.clone(), 2L -> nearDup) ++
+      (3L until 10L).map(_ -> Array.fill(64)(rnd.nextInt(256))))
+      .map { case (i, c) => MultimodalOps.Asset(i, "image/png", png(c)) }
+    val sketches = MultimodalOps.realPhashSketch(assets.toDS())
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      a <- sketches.keys; b <- sketches.keys if a < b
+      h = java.lang.Long.bitCount(sketches(a) ^ sketches(b)) if h <= 3
+    } yield (a, b, h)).toSet
+    val banded = MultimodalOps.realPhashPairs(spark, dir, assets.toDS())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // the pigeonhole-banded plan loses nothing vs all-pairs
+    assert(banded == brute)
+    // the exact duplicate is always caught (Hamming 0)
+    assert(banded.contains((0L, 1L, 0)))
+    assert(banded.nonEmpty)
+  }
+
   test("pipeline_dedup manifest composes the GLOBAL cluster pass with " +
     "the canonical quality pick") {
     val manifest = SparkEntry.queries("pipeline_dedup")(spark, dir)
