@@ -14,7 +14,7 @@ import org.apache.spark.sql.SparkSession
   * timing happens to survive it.
   *
   * Usage: runMain graft.Scale [gen|sf0.1|dense|wide|fixpoint|annplanes|
-  * annrecall|check] [--only=q1,q2,...]
+  * annrecall|ivfpqrecall|bpebatch|check] [--only=q1,q2,...]
   * (no args = gen + all three sweeps; results append to
   * docs/scale_results.jsonl and print as JSON lines). `fixpoint`
   * measures ccFixpoint rounds/time at sf0.1 + DENSE; `annplanes`
@@ -424,6 +424,28 @@ object Scale {
         && n.has("recall") && n.get("recall").asDouble < 0.6)
       fails ::= s"ann_recall_multiprobe recall " +
         s"${n.get("recall").asDouble} below the 0.6 clustered floor"
+    // IVF routing floors (round-10): k=96 lists contain the planted
+    // clusters, so nprobe=1 rerank recall must stay ~lossless
+    // (measured 1.0); at k=256 straddled lists, nprobe=4 must recover
+    // ≥ 0.9 (measured 1.0) — a routing bug (wrong list join, rank
+    // order flip) craters both long before these floors.
+    for (n <- rows if n.has("recall");
+        (q, floor) <- Seq(("ivfrerank_recall_k96_np1", 0.9),
+          ("ivfrerank_recall_k256_np4", 0.9))
+        if n.path("query").asText == q &&
+          n.get("recall").asDouble < floor)
+      fails ::= s"$q recall ${n.get("recall").asDouble} below $floor"
+    // batched BPE must deliver all 64 merges in ≤ ceil(64/K)+spill
+    // driver rounds — a conflict-rule regression shows up as the
+    // round count drifting toward sequential
+    for (n <- rows if n.path("query").asText.startsWith("bpe_batch_k");
+        k = n.path("query").asText.stripPrefix("bpe_batch_k").toInt
+        if n.has("driver_rounds") &&
+          (n.get("merges").asInt != 64 ||
+            n.get("driver_rounds").asInt > math.ceil(64.0 / k).toInt + 4))
+      fails ::= s"${n.path("query").asText}: ${n.get("merges").asInt} " +
+        s"merges in ${n.get("driver_rounds").asInt} rounds " +
+        "(batching degraded)"
     for (n <- rows if n.path("query").asText == "ann_auto_planes") {
       val want = operators.SimilarityOps.autoPlanesFor(n.path("n").asLong)
       if (n.path("planes").asInt != want)
@@ -725,6 +747,89 @@ object Scale {
       emb.unpersist()
     }
 
+    // IVF-PQ recall-vs-nprobe sweep (round-9 verdict ask #6): the
+    // round-9 0.81/0.86 retrieval pins sat at 500 vectors × 25
+    // clusters; this runs the production index over the sf1-scale
+    // 8,000-vector clustered corpus and records the nprobe lever the
+    // ivfpqTopK scaladoc claims — `check` gates the nprobe=4 row's
+    // floor like the LSH multiprobe row.
+    def runIvfpqRecall(): Unit = {
+      val emb = ScaleData.clusteredDf(spark, nVec = 8000, nClusters = 100)
+        .persist()
+      emb.count()   // materialize outside the timers (annrecall rule)
+      // DEPLOYMENT sizing, not the contract toy: k ~ sqrt(n) coarse
+      // lists (96 for n=8000 — the ivfpqTopK scaladoc's own rule) and
+      // 16 sub-centroids per subspace (16^4 = 65k codes). The contract
+      // constants (10 lists, 4^4 = 256 codes) measured recall
+      // 0.01-0.03 FLAT across nprobe at 8k vectors — ~800 candidates
+      // per probed list collapsing onto 256 codes makes ADC ranking
+      // all ties; those runs stay in the history as the negative
+      // datapoint motivating the k ~ sqrt(n) scaling rule.
+      for (np <- Seq(1, 2, 4, 8)) {
+        graft.core.Core.releaseShared()
+        val t0 = System.nanoTime()
+        val rec = operators.SimilarityOps.ivfpqRecallMean(spark, emb, np,
+          ivfK = 96, pqK = 16)
+        val sec = (System.nanoTime() - t0) / 1e9
+        val line = s"""{"tag":"clustered8k","query":"ivfpq_recall_np$np",""" +
+          s""""sec":${d2(sec)},"ok":true,"corpus":"$corpus",""" +
+          s""""recall":${d2(rec)},"nprobe":$np,"ivfk":96,"pqk":16}"""
+        println(s"[scale] $line")
+        out.append(line).append('\n')
+      }
+      // routing recall via exact rerank (IVFADC+R): the lever nprobe
+      // directly buys — a true neighbor is recalled iff its list is
+      // probed — free of the ADC-resolution ceiling above. Two list
+      // sizings: at k=96 (~sqrt(n), lists ⊇ the planted clusters)
+      // routing is LOSSLESS at nprobe=1 — nothing for the knob to
+      // recover; at k=256 (~31 vectors/list) every 80-member cluster
+      // MUST straddle ≥3 lists, so nprobe=1 leaks neighbors into
+      // sibling lists and the sweep shows the knob climbing — the
+      // deployment picture (list size vs neighborhood size decides
+      // how much nprobe you need).
+      for (k <- Seq(96, 256); np <- Seq(1, 2, 4, 8)) {
+        graft.core.Core.releaseShared()
+        val t0 = System.nanoTime()
+        val rec = operators.SimilarityOps.ivfRerankRecallMean(spark, emb,
+          np, ivfK = k)
+        val sec = (System.nanoTime() - t0) / 1e9
+        val line =
+          s"""{"tag":"clustered8k","query":"ivfrerank_recall_k${k}_np$np",""" +
+          s""""sec":${d2(sec)},"ok":true,"corpus":"$corpus",""" +
+          s""""recall":${d2(rec)},"nprobe":$np,"ivfk":$k}"""
+        println(s"[scale] $line")
+        out.append(line).append('\n')
+      }
+      emb.unpersist()
+    }
+
+    // Batched-BPE rounds-vs-wall-time (round-9 verdict ask #5): train
+    // the SAME 64 merges on the sf0.1 corpus at batchK 1/8/16 — the
+    // per-merge driver round-trip is the scale wall a 30k-merge
+    // production tokenizer hits first, and batching divides it by K
+    // while BpeSpec pins the semantics (batchK=1 ≡ sequential exactly;
+    // batched ≡ sequential on symbol-disjoint corpora).
+    def runBpeBatch(): Unit = {
+      val docs = graft.core.Core.table(spark, ref, "documents")
+      for (k <- Seq(1, 8, 16)) {
+        graft.core.Core.releaseShared()
+        spark.catalog.clearCache()
+        val rc = new java.util.concurrent.atomic.AtomicInteger(0)
+        val t0 = System.nanoTime()
+        val (_, merges) = operators.TextOps.bpeTrainBatchedOf(docs,
+          totalMerges = 64, batchK = k, roundsOut = rc)
+        val n = merges.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val rounds = rc.get()
+        val line = s"""{"tag":"sf0.1","query":"bpe_batch_k$k",""" +
+          s""""sec":${d2(sec)},"ok":true,"corpus":"$corpus",""" +
+          s""""merges":$n,"driver_rounds":$rounds}"""
+        println(s"[scale] $line")
+        out.append(line).append('\n')
+      }
+      graft.core.Core.releaseShared()
+    }
+
     // occupancy-rule evidence (round-5 verdict ask #5): the plane count
     // annLshAuto's bounded count-stat picks per corpus, next to the n
     // it observed — `check` replays autoPlanesFor(n) against it
@@ -753,6 +858,8 @@ object Scale {
       runAnnPlanes("sf1wide", WideDir)
     }
     if (sel.contains("annrecall")) runAnnRecall()
+    if (sel.contains("ivfpqrecall")) runIvfpqRecall()
+    if (sel.contains("bpebatch")) runBpeBatch()
 
     if (out.nonEmpty)
       java.nio.file.Files.write(

@@ -48,6 +48,12 @@ object SimilarityOps {
     * sizes k by the rule through the [[kmeansCentroids]] parameters —
     * the training plan is linear in n·k·iters either way. */
   val IvfK = 10
+
+  /** Contract nprobe for sim_ivfpq_topk (the oracle unrolls the same
+    * 2-list probe); the RECALL KNOB a deployment turns — swept 1..8 on
+    * the 8k-vector clustered corpus in SCALE.md ("IVF-PQ recall vs
+    * nprobe", round-9 verdict ask #6). */
+  val IvfNprobe = 2
   val IvfIters = 2
 
   /** dedup_semdedup cosine threshold. SemDeDup (Abbas et al. 2023,
@@ -538,7 +544,8 @@ object SimilarityOps {
     * figure on the planted corpus (residual coding + routing must not
     * LOSE accuracy vs flat PQ). */
   private[graft] def ivfpqTopK(s: SparkSession, dir: String,
-      source: Option[DataFrame] = None): DataFrame = {
+      source: Option[DataFrame] = None, nprobe: Int = IvfNprobe,
+      ivfK: Int = IvfK, pqK: Int = PqK): DataFrame = {
     val e = vecsOf(s, source.getOrElse(table(s, dir, "embeddings")))
     // DRIVER-COORDINATED training (the txt_bpe_vocab / MLlib-KMeans
     // pattern, LazinessSpec-exempted): the fully-lazy relational
@@ -551,7 +558,7 @@ object SimilarityOps {
     // downstream step to a map-side expression; the values are bitwise
     // the relational fixpoint's (the collect just materializes the
     // same plan the oracle replays), so oracle equality is untouched.
-    val coarse = kmeansCentroids(e, IvfK, IvfIters)
+    val coarse = kmeansCentroids(e, ivfK, IvfIters)
       .collect().sortBy(_.getLong(0))
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
     // per-vector coarse ranking as ONE map-side expression: the
@@ -581,7 +588,7 @@ object SimilarityOps {
     // residual-PQ Lloyd rounds, each a map-side assign + one bounded
     // (s, cid, dim) agg collected back (PqM·PqK·PqSub rows)
     var pcents: Seq[(Int, Long, Array[Double])] =
-      lists.filter(col("vec_id") < PqK)
+      lists.filter(col("vec_id") < pqK)
         .select(col("vec_id"), col("res")).collect()
         .sortBy(_.getLong(0))
         .flatMap { r =>
@@ -637,18 +644,32 @@ object SimilarityOps {
             struct(lit(cid).as("pcid"), dmOne(uCol, cu).as("dm")) }: _*))
           .otherwise(acc)
       }
-    val probeRes = ranked.filter(col("vec_id") < KnnEvalProbes)
+    // IP-ADC scoring (fixed round 10): q·v_b = q·c_L + Σ_s q_s·μ_s —
+    // the coarse term q·c_L rides on subspace 0's table rows, so
+    // adcTopK's plain Σ dm reconstructs the FULL inner product and
+    // scores are comparable ACROSS probed lists. The round-9 form
+    // ranked by the probe-RESIDUAL dot (q−c_L)·r̂_b, which omits the
+    // per-list coarse term: within one probed list that is a constant
+    // shift (harmless), but across lists the far list's residuals are
+    // coarse-centroid-distance-sized and its spurious candidates
+    // outrank every true neighbor — measured on the 8k clustered
+    // corpus as recall 0.15 at nprobe=1 COLLAPSING to 0.0 at
+    // nprobe≥2 (docs/SCALE.md round-10; after this fix the same sweep
+    // climbs with nprobe, as an IVF index must).
+    val probeQ = ranked.filter(col("vec_id") < KnnEvalProbes)
       .select(col("vec_id").as("a_id"), col("v"),
-        explode(slice(col("rk"), 1, 2)).as("p"))
+        explode(slice(col("rk"), 1, nprobe)).as("p"))
       .withColumn("lcid", col("p.cid"))
-      .withColumn("res", zip_with(col("v"), cvFor(col("lcid")),
-        (a, b) => a - b))
-      .select(col("a_id"), col("lcid"), col("res"))
-    val dt = pqSubvectors(probeRes, "res", carry = Seq("a_id", "lcid"))
-      .select(col("a_id"), col("lcid"), col("s"),
+      .withColumn("ct",
+        round(dot(col("v"), cvFor(col("lcid"))) * 1e6).cast(LongType))
+      .select(col("a_id"), col("lcid"), col("ct"), col("v"))
+    val dt = pqSubvectors(probeQ, "v", carry = Seq("a_id", "lcid", "ct"))
+      .select(col("a_id"), col("lcid"), col("s"), col("ct"),
         explode(dtArr(col("s"), col("u"))).as("t"))
       .select(col("a_id"), col("lcid"), col("s"),
-        col("t.pcid").as("pcid"), col("t.dm").as("dm"))
+        col("t.pcid").as("pcid"),
+        (col("t.dm") + when(col("s") === 0, col("ct"))
+          .otherwise(lit(0L))).as("dm"))
     adcTopK(codes, dt, Seq("lcid"))
   }
 
@@ -685,6 +706,105 @@ object SimilarityOps {
       .filter(col("a_id") < KnnEvalProbes)
       .select(col("a_id"), col("b_id"), lit(1L).as("in_ann"))
     exact.join(ann, Seq("a_id", "b_id"), "left")
+      .groupBy("a_id")
+      .agg((sum(coalesce(col("in_ann"), lit(0L)))
+        .cast(DoubleType) / AnnTopK).as("recall"))
+      .agg(avg(col("recall"))).head().getDouble(0)
+  }
+
+  /** Mean recall@[[AnnTopK]] of [[ivfpqTopK]] at a given nprobe
+    * against brute-force exact cosine top-k, over the bounded
+    * [[KnnEvalProbes]] probe prefix — the IVF-PQ twin of
+    * [[annRecallMean]], pointed at the clustered corpus by the Scale
+    * harness so the nprobe lever has a scale datapoint (round-9
+    * verdict ask #6). ADC ranks by quantized inner product while the
+    * exact side ranks by cosine; on the planted equal-norm clusters
+    * the two orders agree, so recall measures the INDEX (routing +
+    * residual quantization), not a norm artifact. */
+  private[graft] def ivfpqRecallMean(s: SparkSession, emb: DataFrame,
+      nprobe: Int = IvfNprobe, ivfK: Int = IvfK, pqK: Int = PqK)
+      : Double = {
+    val e = vecsOf(s, emb)
+    val probes = e.filter(col("vec_id") < KnnEvalProbes)
+      .select(col("vec_id").as("a_id"), col("v").as("a_v"),
+        col("norm").as("a_norm"))
+    val byQ = Window.partitionBy("a_id")
+      .orderBy(col("cos").desc, col("b_id"))
+    val exact = e.select(col("vec_id").as("b_id"), col("v").as("b_v"),
+        col("norm").as("b_norm"))
+      .crossJoin(broadcast(probes))
+      .filter(col("b_id") =!= col("a_id"))
+      .withColumn("cos", cosine)
+      .withColumn("rk", row_number().over(byQ))
+      .filter(col("rk") <= AnnTopK)
+      .select(col("a_id"), col("b_id"))
+    val ann = ivfpqTopK(s, dir = "", source = Some(emb), nprobe = nprobe,
+      ivfK = ivfK, pqK = pqK)
+      .select(col("a_id"), col("b_id"), lit(1L).as("in_ann"))
+    exact.join(ann, Seq("a_id", "b_id"), "left")
+      .groupBy("a_id")
+      .agg((sum(coalesce(col("in_ann"), lit(0L)))
+        .cast(DoubleType) / AnnTopK).as("recall"))
+      .agg(avg(col("recall"))).head().getDouble(0)
+  }
+
+  /** Mean recall@[[AnnTopK]] of IVF routing + EXACT rerank (IVFADC+R,
+    * Jégou et al.'s own production refinement): candidates = every
+    * vector in the query's nprobe nearest coarse lists, ranked by
+    * exact cosine. Because the in-candidate ranking is exact, this
+    * recall EQUALS the routing recall — the quantity nprobe directly
+    * buys (a true neighbor is recalled iff its list is probed) —
+    * isolating the routing lever from ADC code resolution, which the
+    * pure-ADC [[ivfpqRecallMean]] measures (and which is the binding
+    * ceiling on the planted clustered corpus: within a tight cluster
+    * the exact-top-3 cosine spread is far below the 4×16-centroid
+    * quantization error, so ADC recall sits ~0.08 regardless of
+    * nprobe while THIS measurement climbs — the SCALE.md round-10
+    * story). Scale shape: coarse assignment is n×k with centroids as
+    * literals, the rerank join is (list)-keyed with the bounded probe
+    * side broadcast — candidates per query = nprobe × n/k, the IVF
+    * contract. */
+  private[graft] def ivfRerankRecallMean(s: SparkSession, emb: DataFrame,
+      nprobe: Int = IvfNprobe, ivfK: Int = IvfK): Double = {
+    val e = vecsOf(s, emb)
+    val coarse = kmeansCentroids(e, ivfK, IvfIters)
+      .collect().sortBy(_.getLong(0))
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    val rankArr = sort_array(array(coarse.map { case (cid, cv, cn) =>
+      struct((lit(0.0) - round(dot(col("v"), typedLit(cv.toSeq))
+        / (col("norm") * cn), 9)).as("negccos"), lit(cid).as("cid"))
+    }: _*))
+    val ranked = e.select(col("vec_id"), col("v"), col("norm"))
+      .withColumn("rk", rankArr)
+    val lists = ranked.select(col("vec_id").as("b_id"),
+      col("v").as("b_v"), col("norm").as("b_norm"),
+      element_at(col("rk"), 1).getField("cid").as("lcid"))
+    val probes = ranked.filter(col("vec_id") < KnnEvalProbes)
+      .select(col("vec_id").as("a_id"), col("v").as("a_v"),
+        col("norm").as("a_norm"),
+        explode(slice(col("rk"), 1, nprobe)).as("p"))
+      .select(col("a_id"), col("a_v"), col("a_norm"),
+        col("p.cid").as("lcid"))
+    val byQ = Window.partitionBy("a_id")
+      .orderBy(col("cos").desc, col("b_id"))
+    val reranked = lists.join(broadcast(probes), "lcid")
+      .filter(col("b_id") =!= col("a_id"))
+      .withColumn("cos", cosine)
+      .withColumn("rkq", row_number().over(byQ))
+      .filter(col("rkq") <= AnnTopK)
+      .select(col("a_id"), col("b_id"), lit(1L).as("in_ann"))
+    val probesAll = e.filter(col("vec_id") < KnnEvalProbes)
+      .select(col("vec_id").as("a_id"), col("v").as("a_v"),
+        col("norm").as("a_norm"))
+    val exact = e.select(col("vec_id").as("b_id"), col("v").as("b_v"),
+        col("norm").as("b_norm"))
+      .crossJoin(broadcast(probesAll))
+      .filter(col("b_id") =!= col("a_id"))
+      .withColumn("cos", cosine)
+      .withColumn("rkq", row_number().over(byQ))
+      .filter(col("rkq") <= AnnTopK)
+      .select(col("a_id"), col("b_id"))
+    exact.join(reranked, Seq("a_id", "b_id"), "left")
       .groupBy("a_id")
       .agg((sum(coalesce(col("in_ann"), lit(0L)))
         .cast(DoubleType) / AnnTopK).as("recall"))
@@ -1250,19 +1370,20 @@ object SimilarityOps {
          |            a.cid AS pcid
          |          FROM (${pqAssignSql(s"pc$PqIters")}) a
          |          JOIN lists l ON l.vec_id = a.vec_id),
-         |qres AS (
-         |  SELECT r.vec_id AS a_id, r.cid AS lcid,
-         |    list_transform(generate_series(1, $Dims),
-         |      i -> e.v[i] - c.cv[i]) AS res
+         |qp AS (
+         |  SELECT r.vec_id AS a_id, r.cid AS lcid, e.v AS v,
+         |    CAST(round(list_dot_product(e.v, c.cv) * 1000000.0)
+         |      AS BIGINT) AS ct
          |  FROM ranked r JOIN e ON e.vec_id = r.vec_id
          |  JOIN cents c ON c.cid = r.cid
-         |  WHERE r.crn <= 2 AND r.vec_id < $KnnEvalProbes),
+         |  WHERE r.crn <= $IvfNprobe AND r.vec_id < $KnnEvalProbes),
          |dt AS (SELECT q.a_id, q.lcid, sub.s, c.cid AS pcid,
          |         CAST(round(list_dot_product(
-         |             list_slice(q.res, sub.s * $PqSub + 1,
+         |             list_slice(q.v, sub.s * $PqSub + 1,
          |                        (sub.s + 1) * $PqSub),
-         |             c.cu) * 1000000.0) AS BIGINT) AS dm
-         |       FROM qres q
+         |             c.cu) * 1000000.0) AS BIGINT)
+         |           + CASE WHEN sub.s = 0 THEN q.ct ELSE 0 END AS dm
+         |       FROM qp q
          |       CROSS JOIN (SELECT unnest($sList) AS s) sub
          |       JOIN pc$PqIters c ON c.s = sub.s),
          |adc AS (SELECT dt.a_id, codes.b_id,

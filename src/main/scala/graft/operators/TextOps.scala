@@ -514,6 +514,84 @@ object TextOps {
     (words, merges.toSeq.toDF("round", "x", "y", "cnt"))
   }
 
+  /** BATCHED BPE training (round-9 verdict #5) — the standard
+    * parallel-BPE trick that removes the per-merge driver round-trip a
+    * 30k-merge production tokenizer cannot afford: each driver round
+    * selects the top `batchK` MUTUALLY NON-CONFLICTING pairs (greedy
+    * by (count desc, x, y) — the sequential trainer's exact ordering —
+    * skipping any pair that shares a symbol with an already-selected
+    * one) and applies them in ONE map-side pass of chained literal
+    * replaces. Why symbol-disjointness is the right condition:
+    * replacing " x  y " with " xy " only creates/destroys adjacencies
+    * whose member symbols include x or y, so the counts of
+    * symbol-disjoint pairs are INVARIANT under each other's merges —
+    * within a batch, every selected pair still has the count it was
+    * ranked by when its turn comes. Equivalence to the sequential
+    * trainer additionally needs the NEWLY-CREATED pairs (those
+    * containing a merged symbol) not to overtake the batch's tail —
+    * true by construction on non-conflicting corpora (asserted in
+    * BpeSpec; batchK = 1 degenerates to [[bpeTrainOf]] exactly, also
+    * asserted) and the documented approximation everywhere else.
+    * Driver rounds: ceil(merges/batchK) instead of `merges` — the
+    * rounds-vs-wall-time datapoint is in SCALE.md ("Batched BPE").
+    * Same bounded-driver-state exemption as [[bpeTrainOf]]: each
+    * round collects ≤ 4·batchK candidate rows, never corpus data. */
+  private[graft] def bpeTrainBatchedOf(docs: DataFrame, totalMerges: Int,
+      batchK: Int,
+      roundsOut: java.util.concurrent.atomic.AtomicInteger = null)
+      : (DataFrame, DataFrame) = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val chars = filter(split(col("word"), ""), c => length(c) > 0)
+    var words = shared(docs
+      .select(explode(split(lower(col("text")), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+      .withColumn("seq",
+        concat(lit(" "), array_join(chars, "  "), lit(" "))))
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var exhausted = false
+    while (merges.size < totalMerges && !exhausted) {
+      if (roundsOut != null) roundsOut.incrementAndGet()
+      val syms = split(trim(col("seq")), "  ")
+      val n = size(syms)
+      val want = math.min(batchK, totalMerges - merges.size)
+      // 4x headroom: conflicts thin the prefix; a round that selects
+      // fewer than `want` merges is still correct, just less parallel
+      val top = words
+        .filter(n >= 2)
+        .select(col("wc"), explode(zip_with(
+          slice(syms, lit(1), n - 1), slice(syms, lit(2), n - 1),
+          (x, y) => struct(x.as("x"), y.as("y")))).as("p"))
+        .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+        .agg(sum(col("wc")).as("cnt"))
+        .orderBy(col("cnt").desc, col("x"), col("y")).limit(4 * want)
+        .collect()
+      val used = scala.collection.mutable.Set.empty[String]
+      val picked = top.iterator
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .filter { case (x, y, _) =>
+          val ok = !used(x) && !used(y)
+          if (ok) { used += x; used += y }
+          ok
+        }
+        .take(want).toSeq
+      if (picked.isEmpty) exhausted = true
+      else {
+        picked.foreach { case (x, y, cnt) =>
+          merges += ((merges.size + 1, x, y, cnt)) }
+        // one map-side pass: chained replaces in priority order (the
+        // order is immaterial on disjoint symbols, but keeping the
+        // ranking order makes the plan text deterministic)
+        words = words.select(col("word"), col("wc"),
+          picked.foldLeft(col("seq")) { case (acc, (x, y, _)) =>
+            call_function("replace", acc, lit(s" $x  $y "), lit(s" $x$y "))
+          }.as("seq"))
+      }
+    }
+    (words, merges.toSeq.toDF("round", "x", "y", "cnt"))
+  }
+
   /** DuckDB mirror of [[bpeTrainOf]]: CTE chain w0 → (p1, best1, w1) →
     * … → w[[BpeRounds]], generated from the same constant. */
   private def bpeSqlCtes: String = {

@@ -85,4 +85,77 @@ class BpeSpec extends AnyFunSuite {
         s"doc ${r.getLong(0)} subword bounds")
     }
   }
+
+  test("batched trainer with batchK=1 degenerates to the sequential " +
+    "trainer exactly") {
+    val dir = TestSpark.sfDir
+    val docs = graft.core.Core.table(spark, dir, "documents")
+    val seq = graft.operators.TextOps.bpeTrainOf(docs)._2
+      .orderBy("round").collect().map(_.toSeq).toSeq
+    val one = graft.operators.TextOps.bpeTrainBatchedOf(docs,
+        totalMerges = graft.operators.TextOps.BpeRounds, batchK = 1)._2
+      .orderBy("round").collect().map(_.toSeq).toSeq
+    assert(seq.nonEmpty && one == seq)
+  }
+
+  test("batched == sequential on a symbol-disjoint corpus, in a " +
+    "quarter of the driver rounds") {
+    import spark.implicits._
+    // four words whose top pairs are pairwise symbol-DISJOINT with
+    // strictly decreasing counts: (a,b)=9, (c,d)=8, (e,f)=7, (g,h)=6.
+    // Merging any of them creates single-symbol words (no new pairs),
+    // so one batched round of 4 must equal 4 sequential rounds.
+    val docs = Seq.fill(9)("ab") ++ Seq.fill(8)("cd") ++
+      Seq.fill(7)("ef") ++ Seq.fill(6)("gh")
+    val df = docs.toDF("text")
+    val seq = graft.operators.TextOps.bpeTrainBatchedOf(df,
+        totalMerges = 4, batchK = 1)
+    val bat = graft.operators.TextOps.bpeTrainBatchedOf(df,
+        totalMerges = 4, batchK = 4)
+    val seqM = seq._2.orderBy("round").collect().map(_.toSeq).toSeq
+    val batM = bat._2.orderBy("round").collect().map(_.toSeq).toSeq
+    assert(seqM == batM)
+    assert(batM.map(_(1)) == Seq("a", "c", "e", "g"))
+    // the final vocabulary states agree too
+    def vocab(t: (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame)) =
+      t._1.collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(vocab(seq) == vocab(bat))
+  }
+
+  test("batched trainer defers CONFLICTING pairs to the next round " +
+    "instead of merging through a shared symbol") {
+    import spark.implicits._
+    // 'abc' x5: pairs (a,b)=5 and (b,c)=5 SHARE b. Sequential: round 1
+    // merges (a,b) (pair-asc tiebreak) -> ' ab  c ', round 2 merges
+    // (ab,c)=5. A naive simultaneous batch would try (b,c) against a
+    // consumed b; the conflict rule must instead pick ONLY (a,b) in
+    // round 1, then find (ab,c) — reproducing the sequential table
+    // even though batchK admits two merges per round.
+    val df = Seq.fill(5)("abc").toDF("text")
+    val seqM = graft.operators.TextOps.bpeTrainBatchedOf(df,
+        totalMerges = 2, batchK = 1)._2
+      .orderBy("round").collect().map(_.toSeq).toSeq
+    val batM = graft.operators.TextOps.bpeTrainBatchedOf(df,
+        totalMerges = 2, batchK = 2)._2
+      .orderBy("round").collect().map(_.toSeq).toSeq
+    assert(batM == seqM)
+    assert(batM.map(r => (r(1), r(2))) == Seq(("a", "b"), ("ab", "c")))
+  }
+
+  test("batched rule table drives the rule-based encode identically " +
+    "to sequential rules") {
+    // the merge TABLE is the tokenizer artifact: training mode must
+    // not leak into encode results when the tables agree
+    val dir = TestSpark.sfDir
+    val docs = graft.core.Core.table(spark, dir, "documents")
+    val seqRules = graft.operators.TextOps.bpeTrainOf(docs)._2
+    val batRules = graft.operators.TextOps.bpeTrainBatchedOf(docs,
+      totalMerges = graft.operators.TextOps.BpeRounds, batchK = 1)._2
+    val a = graft.operators.TextOps.bpeEncodeByRules(docs, seqRules)
+      .collect().map(_.toSeq).toSeq
+    val b = graft.operators.TextOps.bpeEncodeByRules(docs, batRules)
+      .collect().map(_.toSeq).toSeq
+    assert(a == b && a.nonEmpty)
+  }
 }

@@ -214,6 +214,41 @@ class SimilarityOpsSpec extends AnyFunSuite {
     assert(ivf >= 0.75, s"IVF-PQ retrieval $ivf")
   }
 
+  test("IVF rerank recall: nested candidate sets make recall monotone " +
+    "in nprobe, exact at full probe; ADC scores are nprobe-invariant") {
+    // ivfRerankRecallMean ranks probed-list candidates EXACTLY, and
+    // probed lists are nested in nprobe, so recall can only grow with
+    // nprobe and must hit 1.0 when every list is probed — hard
+    // invariants of correct routing, no tolerance needed. Lists are
+    // deliberately SMALLER than the planted clusters (k=50 over 10
+    // clusters of 40 → ~8 vectors/list) so nprobe=1 genuinely leaks
+    // neighbors into sibling lists and the monotone climb is real,
+    // not vacuous.
+    val emb = graft.ScaleData.clusteredDf(spark, 400, 10)
+    val recs = Seq(1, 2, 4, 50).map(np =>
+      SimilarityOps.ivfRerankRecallMean(spark, emb, np, ivfK = 50))
+    info(recs.map(r => f"$r%.3f").mkString("recall@3 by nprobe: ", ", ", ""))
+    assert(recs.sliding(2).forall { case Seq(a, b) => b >= a - 1e-9 },
+      s"recall not monotone: $recs")
+    assert(recs.last == 1.0, s"full probe must be exact: ${recs.last}")
+    assert(recs.head < 1.0,
+      "nprobe=1 lossless at 8-vector lists — straddle fixture broken")
+    // the round-10 IP-ADC fix: an ADC score is q·c_L + Σ q_s·μ_s — a
+    // property of (query, candidate) alone, so widening nprobe must
+    // not CHANGE any common pair's score (the round-9 residual-dot
+    // form failed exactly this: scores depended on which probed list
+    // was 'nearest', collapsing multi-probe recall to 0)
+    val s1 = SimilarityOps.ivfpqTopK(spark, "", source = Some(emb),
+        nprobe = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
+    val s2 = SimilarityOps.ivfpqTopK(spark, "", source = Some(emb),
+        nprobe = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
+    val common = s1.keySet.intersect(s2.keySet)
+    assert(common.nonEmpty)
+    common.foreach(k => assert(s1(k) == s2(k), s"ADC score drifted at $k"))
+  }
+
   test("contrastive pairs degrade to nulls, not invalid triples, on a single-label corpus") {
     import spark.implicits._
     // ADVICE round 8: with one label the label ring wraps to itself, so
