@@ -438,14 +438,16 @@ object Scale {
     // batched BPE must deliver all 64 merges in ≤ ceil(64/K)+spill
     // driver rounds — a conflict-rule regression shows up as the
     // round count drifting toward sequential
+    // fail CLOSED: a row missing its fields is a gate failure, not a
+    // skip — otherwise a partially-written row reads as green
     for (n <- rows if n.path("query").asText.startsWith("bpe_batch_k");
         k = n.path("query").asText.stripPrefix("bpe_batch_k").toInt
-        if n.has("driver_rounds") &&
-          (n.get("merges").asInt != 64 ||
-            n.get("driver_rounds").asInt > math.ceil(64.0 / k).toInt + 4))
-      fails ::= s"${n.path("query").asText}: ${n.get("merges").asInt} " +
-        s"merges in ${n.get("driver_rounds").asInt} rounds " +
-        "(batching degraded)"
+        if !n.has("driver_rounds") || !n.has("merges") ||
+          n.get("merges").asInt != 64 ||
+          n.get("driver_rounds").asInt > math.ceil(64.0 / k).toInt + 4)
+      fails ::= s"${n.path("query").asText}: " +
+        s"${n.path("merges").asInt(-1)} merges in " +
+        s"${n.path("driver_rounds").asInt(-1)} rounds (batching degraded)"
     for (n <- rows if n.path("query").asText == "ann_auto_planes") {
       val want = operators.SimilarityOps.autoPlanesFor(n.path("n").asLong)
       if (n.path("planes").asInt != want)
@@ -787,18 +789,22 @@ object Scale {
       // sibling lists and the sweep shows the knob climbing — the
       // deployment picture (list size vs neighborhood size decides
       // how much nprobe you need).
-      for (k <- Seq(96, 256); np <- Seq(1, 2, 4, 8)) {
+      for (k <- Seq(96, 256)) {
         graft.core.Core.releaseShared()
         val t0 = System.nanoTime()
-        val rec = operators.SimilarityOps.ivfRerankRecallMean(spark, emb,
-          np, ivfK = k)
+        // one sweep call per k: centroid training, list assignment and
+        // the exact top-k are nprobe-invariant and computed once
+        val recs = operators.SimilarityOps.ivfRerankRecallSweep(spark,
+          emb, Seq(1, 2, 4, 8), ivfK = k)
         val sec = (System.nanoTime() - t0) / 1e9
-        val line =
-          s"""{"tag":"clustered8k","query":"ivfrerank_recall_k${k}_np$np",""" +
-          s""""sec":${d2(sec)},"ok":true,"corpus":"$corpus",""" +
-          s""""recall":${d2(rec)},"nprobe":$np,"ivfk":$k}"""
-        println(s"[scale] $line")
-        out.append(line).append('\n')
+        recs.foreach { case (np, rec) =>
+          val line =
+            s"""{"tag":"clustered8k","query":"ivfrerank_recall_k${k}_np$np",""" +
+            s""""sec":${d2(sec / recs.size)},"ok":true,"corpus":"$corpus",""" +
+            s""""recall":${d2(rec)},"nprobe":$np,"ivfk":$k}"""
+          println(s"[scale] $line")
+          out.append(line).append('\n')
+        }
       }
       emb.unpersist()
     }

@@ -58,9 +58,11 @@ object RelationalOps {
     // (ADVICE round 9). Same for the in-day hour index.
     val dayidx = call_function("div", us - inDay, day).cast(LongType)
     val dow = pmod(dayidx + 4, lit(7L)).cast(IntegerType)
-    val hour =
-      call_function("div", inDay - pmod(inDay, hourUs), hourUs)
-        .cast(IntegerType)
+    // inDay is non-negative (pmod), so truncating DIV == floor here —
+    // no subtract-remainder needed (that step only mattered for the
+    // retired Double-division form, and for dayidx whose dividend can
+    // be negative)
+    val hour = call_function("div", inDay, hourUs).cast(IntegerType)
     (dow, hour)
   }
 

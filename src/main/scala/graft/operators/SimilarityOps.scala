@@ -528,6 +528,18 @@ object SimilarityOps {
     adcTopK(codes, dt, Seq.empty)
   }
 
+  /** Per-vector coarse-list ranking as ONE map-side expression over
+    * (v, norm): the (−ccos, cid) struct array sorts ascending ⇒
+    * (ccos desc, cid asc). Shared by [[ivfpqTopK]] and the rerank
+    * recall harness so the routing order cannot drift between the
+    * index and its measurement (factored round 10). */
+  private def coarseRankArr(
+      coarse: Array[(Long, Array[Double], Double)]): Column =
+    sort_array(array(coarse.map { case (cid, cv, cn) =>
+      struct((lit(0.0) - round(dot(col("v"), typedLit(cv.toSeq))
+        / (col("norm") * cn), 9)).as("negccos"), lit(cid).as("cid"))
+    }: _*))
+
   /** IVF-PQ (IVFADC — Jégou TPAMI'11 §IV): THE production vector-index
     * composition. The coarse IVF quantizer ([[kmeansCentroids]], the
     * sim_ivf_knn machinery verbatim) routes each vector to a list; PQ
@@ -561,12 +573,8 @@ object SimilarityOps {
     val coarse = kmeansCentroids(e, ivfK, IvfIters)
       .collect().sortBy(_.getLong(0))
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
-    // per-vector coarse ranking as ONE map-side expression: the
-    // (−ccos, cid) struct array sorts ascending ⇒ (ccos desc, cid asc)
-    val rankArr = sort_array(array(coarse.map { case (cid, cv, cn) =>
-      struct((lit(0.0) - round(dot(col("v"), typedLit(cv.toSeq))
-        / (col("norm") * cn), 9)).as("negccos"), lit(cid).as("cid"))
-    }: _*))
+    // per-vector coarse ranking as ONE map-side expression
+    val rankArr = coarseRankArr(coarse)
     def cvFor(lcid: Column): Column = coarse.tail.foldLeft(
       typedLit(coarse.head._2.toSeq): Column) { case (acc, (cid, cv, _)) =>
       when(lcid === cid, typedLit(cv.toSeq)).otherwise(acc)
@@ -683,16 +691,19 @@ object SimilarityOps {
     * there), so the claim that planes/probes tune recall up on
     * locality-bearing vectors needs this harness to be a measurement
     * instead of Goemans–Williamson prose (round-8 verdict ask #1). */
-  private[graft] def annRecallMean(s: SparkSession, emb: DataFrame,
-      nPlanes: Int = Planes, multiprobe: Boolean = true,
-      probePlanes: Int = 0): Double = {
-    val e = vecsOf(s, emb)
+  /** Brute-force exact cosine top-[[AnnTopK]] (a_id, b_id) over the
+    * bounded [[KnnEvalProbes]] probe prefix — the ONE ground-truth
+    * scaffold every recall measurement here compares against (factored
+    * round 10: the block previously existed verbatim in three recall
+    * functions, so a tie-break or rounding change could silently skew
+    * one metric relative to the others). */
+  private def exactTopK(e: DataFrame): DataFrame = {
     val probes = e.filter(col("vec_id") < KnnEvalProbes)
       .select(col("vec_id").as("a_id"), col("v").as("a_v"),
         col("norm").as("a_norm"))
     val byQ = Window.partitionBy("a_id")
       .orderBy(col("cos").desc, col("b_id"))
-    val exact = e.select(col("vec_id").as("b_id"), col("v").as("b_v"),
+    e.select(col("vec_id").as("b_id"), col("v").as("b_v"),
         col("norm").as("b_norm"))
       .crossJoin(broadcast(probes))
       .filter(col("b_id") =!= col("a_id"))
@@ -700,16 +711,27 @@ object SimilarityOps {
       .withColumn("rk", row_number().over(byQ))
       .filter(col("rk") <= AnnTopK)
       .select(col("a_id"), col("b_id"))
-    val ann = annLsh(s, dir = "", nPlanes = nPlanes,
-        multiprobe = multiprobe, topK = AnnTopK,
-        probePlanes = probePlanes, source = Some(emb))
-      .filter(col("a_id") < KnnEvalProbes)
-      .select(col("a_id"), col("b_id"), lit(1L).as("in_ann"))
-    exact.join(ann, Seq("a_id", "b_id"), "left")
+  }
+
+  /** Mean per-probe recall of `ann` (a_id, b_id) vs an exact top-k
+    * relation — the shared tail of every recall measurement. */
+  private def recallOf(exact: DataFrame, ann: DataFrame): Double =
+    exact.join(ann.select(col("a_id"), col("b_id"),
+        lit(1L).as("in_ann")), Seq("a_id", "b_id"), "left")
       .groupBy("a_id")
       .agg((sum(coalesce(col("in_ann"), lit(0L)))
         .cast(DoubleType) / AnnTopK).as("recall"))
       .agg(avg(col("recall"))).head().getDouble(0)
+
+  private[graft] def annRecallMean(s: SparkSession, emb: DataFrame,
+      nPlanes: Int = Planes, multiprobe: Boolean = true,
+      probePlanes: Int = 0): Double = {
+    val e = vecsOf(s, emb)
+    val ann = annLsh(s, dir = "", nPlanes = nPlanes,
+        multiprobe = multiprobe, topK = AnnTopK,
+        probePlanes = probePlanes, source = Some(emb))
+      .filter(col("a_id") < KnnEvalProbes)
+    recallOf(exactTopK(e), ann)
   }
 
   /** Mean recall@[[AnnTopK]] of [[ivfpqTopK]] at a given nprobe
@@ -725,27 +747,8 @@ object SimilarityOps {
       nprobe: Int = IvfNprobe, ivfK: Int = IvfK, pqK: Int = PqK)
       : Double = {
     val e = vecsOf(s, emb)
-    val probes = e.filter(col("vec_id") < KnnEvalProbes)
-      .select(col("vec_id").as("a_id"), col("v").as("a_v"),
-        col("norm").as("a_norm"))
-    val byQ = Window.partitionBy("a_id")
-      .orderBy(col("cos").desc, col("b_id"))
-    val exact = e.select(col("vec_id").as("b_id"), col("v").as("b_v"),
-        col("norm").as("b_norm"))
-      .crossJoin(broadcast(probes))
-      .filter(col("b_id") =!= col("a_id"))
-      .withColumn("cos", cosine)
-      .withColumn("rk", row_number().over(byQ))
-      .filter(col("rk") <= AnnTopK)
-      .select(col("a_id"), col("b_id"))
-    val ann = ivfpqTopK(s, dir = "", source = Some(emb), nprobe = nprobe,
-      ivfK = ivfK, pqK = pqK)
-      .select(col("a_id"), col("b_id"), lit(1L).as("in_ann"))
-    exact.join(ann, Seq("a_id", "b_id"), "left")
-      .groupBy("a_id")
-      .agg((sum(coalesce(col("in_ann"), lit(0L)))
-        .cast(DoubleType) / AnnTopK).as("recall"))
-      .agg(avg(col("recall"))).head().getDouble(0)
+    recallOf(exactTopK(e), ivfpqTopK(s, dir = "", source = Some(emb),
+      nprobe = nprobe, ivfK = ivfK, pqK = pqK))
   }
 
   /** Mean recall@[[AnnTopK]] of IVF routing + EXACT rerank (IVFADC+R,
@@ -765,50 +768,45 @@ object SimilarityOps {
     * side broadcast — candidates per query = nprobe × n/k, the IVF
     * contract. */
   private[graft] def ivfRerankRecallMean(s: SparkSession, emb: DataFrame,
-      nprobe: Int = IvfNprobe, ivfK: Int = IvfK): Double = {
+      nprobe: Int = IvfNprobe, ivfK: Int = IvfK): Double =
+    ivfRerankRecallSweep(s, emb, Seq(nprobe), ivfK).head._2
+
+  /** [[ivfRerankRecallMean]] over a WHOLE nprobe schedule with the
+    * nprobe-invariant heavy work — the coarse k-means training, the
+    * ranked-list assignment, and the brute-force exact top-k — done
+    * ONCE per (corpus, ivfK) instead of once per sweep point (the
+    * Scale harness was re-running both ~12× per sweep; self-review
+    * round 10). Returns (nprobe, recall) pairs. */
+  private[graft] def ivfRerankRecallSweep(s: SparkSession, emb: DataFrame,
+      nprobes: Seq[Int], ivfK: Int = IvfK): Seq[(Int, Double)] = {
     val e = vecsOf(s, emb)
     val coarse = kmeansCentroids(e, ivfK, IvfIters)
       .collect().sortBy(_.getLong(0))
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
-    val rankArr = sort_array(array(coarse.map { case (cid, cv, cn) =>
-      struct((lit(0.0) - round(dot(col("v"), typedLit(cv.toSeq))
-        / (col("norm") * cn), 9)).as("negccos"), lit(cid).as("cid"))
-    }: _*))
-    val ranked = e.select(col("vec_id"), col("v"), col("norm"))
-      .withColumn("rk", rankArr)
+    val ranked = shared(e.select(col("vec_id"), col("v"), col("norm"))
+      .withColumn("rk", coarseRankArr(coarse)))
     val lists = ranked.select(col("vec_id").as("b_id"),
       col("v").as("b_v"), col("norm").as("b_norm"),
       element_at(col("rk"), 1).getField("cid").as("lcid"))
-    val probes = ranked.filter(col("vec_id") < KnnEvalProbes)
-      .select(col("vec_id").as("a_id"), col("v").as("a_v"),
-        col("norm").as("a_norm"),
-        explode(slice(col("rk"), 1, nprobe)).as("p"))
-      .select(col("a_id"), col("a_v"), col("a_norm"),
-        col("p.cid").as("lcid"))
+    val exact = shared(exactTopK(e))
     val byQ = Window.partitionBy("a_id")
       .orderBy(col("cos").desc, col("b_id"))
-    val reranked = lists.join(broadcast(probes), "lcid")
-      .filter(col("b_id") =!= col("a_id"))
-      .withColumn("cos", cosine)
-      .withColumn("rkq", row_number().over(byQ))
-      .filter(col("rkq") <= AnnTopK)
-      .select(col("a_id"), col("b_id"), lit(1L).as("in_ann"))
-    val probesAll = e.filter(col("vec_id") < KnnEvalProbes)
-      .select(col("vec_id").as("a_id"), col("v").as("a_v"),
-        col("norm").as("a_norm"))
-    val exact = e.select(col("vec_id").as("b_id"), col("v").as("b_v"),
-        col("norm").as("b_norm"))
-      .crossJoin(broadcast(probesAll))
-      .filter(col("b_id") =!= col("a_id"))
-      .withColumn("cos", cosine)
-      .withColumn("rkq", row_number().over(byQ))
-      .filter(col("rkq") <= AnnTopK)
-      .select(col("a_id"), col("b_id"))
-    exact.join(reranked, Seq("a_id", "b_id"), "left")
-      .groupBy("a_id")
-      .agg((sum(coalesce(col("in_ann"), lit(0L)))
-        .cast(DoubleType) / AnnTopK).as("recall"))
-      .agg(avg(col("recall"))).head().getDouble(0)
+    val recs = nprobes.map { nprobe =>
+      val probes = ranked.filter(col("vec_id") < KnnEvalProbes)
+        .select(col("vec_id").as("a_id"), col("v").as("a_v"),
+          col("norm").as("a_norm"),
+          explode(slice(col("rk"), 1, nprobe)).as("p"))
+        .select(col("a_id"), col("a_v"), col("a_norm"),
+          col("p.cid").as("lcid"))
+      val reranked = lists.join(broadcast(probes), "lcid")
+        .filter(col("b_id") =!= col("a_id"))
+        .withColumn("cos", cosine)
+        .withColumn("rkq", row_number().over(byQ))
+        .filter(col("rkq") <= AnnTopK)
+        .select(col("a_id"), col("b_id"))
+      nprobe -> recallOf(exact, reranked)
+    }
+    recs
   }
 
   /** sample_contrastive_pairs core over any (vec_id, label) relation —

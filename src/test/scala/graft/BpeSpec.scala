@@ -108,14 +108,21 @@ class BpeSpec extends AnyFunSuite {
     val docs = Seq.fill(9)("ab") ++ Seq.fill(8)("cd") ++
       Seq.fill(7)("ef") ++ Seq.fill(6)("gh")
     val df = docs.toDF("text")
+    val rcSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+    val rcBat = new java.util.concurrent.atomic.AtomicInteger(0)
     val seq = graft.operators.TextOps.bpeTrainBatchedOf(df,
-        totalMerges = 4, batchK = 1)
+        totalMerges = 4, batchK = 1, roundsOut = rcSeq)
     val bat = graft.operators.TextOps.bpeTrainBatchedOf(df,
-        totalMerges = 4, batchK = 4)
+        totalMerges = 4, batchK = 4, roundsOut = rcBat)
     val seqM = seq._2.orderBy("round").collect().map(_.toSeq).toSeq
     val batM = bat._2.orderBy("round").collect().map(_.toSeq).toSeq
     assert(seqM == batM)
     assert(batM.map(_(1)) == Seq("a", "c", "e", "g"))
+    // the titled claim, asserted: all four merges in ONE driver round
+    // (disjoint pairs batch together) vs four sequentially — the
+    // round-trip division the batched trainer exists for
+    assert(rcBat.get() == 1, s"batched rounds = ${rcBat.get()}")
+    assert(rcSeq.get() == 4, s"sequential rounds = ${rcSeq.get()}")
     // the final vocabulary states agree too
     def vocab(t: (org.apache.spark.sql.DataFrame,
         org.apache.spark.sql.DataFrame)) =
@@ -136,10 +143,13 @@ class BpeSpec extends AnyFunSuite {
     val seqM = graft.operators.TextOps.bpeTrainBatchedOf(df,
         totalMerges = 2, batchK = 1)._2
       .orderBy("round").collect().map(_.toSeq).toSeq
+    val rc = new java.util.concurrent.atomic.AtomicInteger(0)
     val batM = graft.operators.TextOps.bpeTrainBatchedOf(df,
-        totalMerges = 2, batchK = 2)._2
+        totalMerges = 2, batchK = 2, roundsOut = rc)._2
       .orderBy("round").collect().map(_.toSeq).toSeq
     assert(batM == seqM)
+    // the conflict defers: TWO driver rounds despite batchK = 2
+    assert(rc.get() == 2, s"conflicted batch rounds = ${rc.get()}")
     assert(batM.map(r => (r(1), r(2))) == Seq(("a", "b"), ("ab", "c")))
   }
 

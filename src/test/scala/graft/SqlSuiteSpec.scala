@@ -18,6 +18,13 @@ class SqlSuiteSpec extends AnyFunSuite {
   private def t(name: String) = Core.table(spark, dir, name)
   private def day(c: org.apache.spark.sql.Column) =
     date_format(c, "yyyy-MM-dd")
+  // strict NTZ literal for replay FILTERS: a date-STRING compare
+  // (day(col) > "1997-06-01") would silently truncate intra-day
+  // timestamps — equal-date rows with a time-of-day component compare
+  // 'equal', diverging from the contract's TIMESTAMP_NTZ predicate on
+  // any non-midnight-aligned fixture (self-review round 10)
+  private def ntz(d: String) =
+    to_timestamp_ntz(lit(s"$d 00:00:00"))
   // Σ price_cents × (100 − discount_hundredths): the exact-integer
   // revenue both engines aggregate before the one final division
   private val revCents =
@@ -30,9 +37,9 @@ class SqlSuiteSpec extends AnyFunSuite {
     val got = SparkEntry.queries("sql_tpch_q3")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getString(2), r.getString(3)))
     val want = t("customer").filter(col("c_mktsegment") === "BUILDING")
-      .join(t("orders").filter(day(col("o_orderdate")) < "1997-06-01"),
+      .join(t("orders").filter(col("o_orderdate") < ntz("1997-06-01")),
         col("c_custkey") === col("o_custkey"))
-      .join(t("lineitem").filter(day(col("l_shipdate")) > "1997-06-01"),
+      .join(t("lineitem").filter(col("l_shipdate") > ntz("1997-06-01")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"), day(col("o_orderdate")).as("order_date"),
         col("o_orderpriority"))
@@ -47,8 +54,8 @@ class SqlSuiteSpec extends AnyFunSuite {
     val got = SparkEntry.queries("sql_tpch_q4")(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1)))
     val o = t("orders")
-      .filter(day(col("o_orderdate")) >= "1997-01-01" &&
-        day(col("o_orderdate")) < "1997-04-01")
+      .filter(col("o_orderdate") >= ntz("1997-01-01") &&
+        col("o_orderdate") < ntz("1997-04-01"))
     val want = o.join(t("lineitem"),
         col("l_orderkey") === col("o_orderkey") &&
           col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAY"),
@@ -63,8 +70,8 @@ class SqlSuiteSpec extends AnyFunSuite {
     val got = SparkEntry.queries("sql_tpch_q5")(spark, dir).collect()
       .map(r => (r.getString(0), r.getDouble(1)))
     val want = t("customer")
-      .join(t("orders").filter(day(col("o_orderdate")) >= "1996-01-01" &&
-          day(col("o_orderdate")) < "1998-01-01"),
+      .join(t("orders").filter(col("o_orderdate") >= ntz("1996-01-01") &&
+          col("o_orderdate") < ntz("1998-01-01")),
         col("c_custkey") === col("o_custkey"))
       .join(t("lineitem"), col("l_orderkey") === col("o_orderkey"))
       .join(t("supplier"), col("l_suppkey") === col("s_suppkey") &&
@@ -83,8 +90,8 @@ class SqlSuiteSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
         r.getDouble(3), r.getString(4)))
     val want = t("customer")
-      .join(t("orders").filter(day(col("o_orderdate")) >= "1997-01-01" &&
-          day(col("o_orderdate")) < "1997-07-01"),
+      .join(t("orders").filter(col("o_orderdate") >= ntz("1997-01-01") &&
+          col("o_orderdate") < ntz("1997-07-01")),
         col("c_custkey") === col("o_custkey"))
       .join(t("lineitem").filter(col("l_returnflag") === "R"),
         col("l_orderkey") === col("o_orderkey"))
