@@ -687,6 +687,45 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Per-doc mean bigram log-probability under the corpus-trained
+    * bigram LM — the scoring core shared by `txt_bigram_logprob` and
+    * `txt_perplexity_filter` (one derivation, two surfaces: the raw
+    * score and the CCNet tercile filter). Columns: (doc_id,
+    * n_bigrams, logprob 9-dp). */
+  private[graft] def bigramLogprobOf(s: SparkSession, dir: String)
+      : DataFrame = {
+      val bg = toks(s, dir)
+        .select(col("doc_id"), explode(expr(
+          "transform(slice(toks, 1, greatest(size(toks) - 1, 0)), " +
+            "(t, i) -> struct(t AS w1, toks[i + 1] AS w2))")).as("bg"))
+        .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+      val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val scored = bg.groupBy("doc_id", "w1", "w2")
+        .agg(count(lit(1)).as("tf"))
+        .join(broadcast(c12), Seq("w1", "w2"))
+        .join(broadcast(c1), Seq("w1"))
+        .groupBy("doc_id")
+        .agg(
+          sum(col("tf")).as("n_bigrams"),
+          sort_array(collect_list(
+            struct(col("c12"), col("c1"), col("tf")))).as("triples"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(
+            aggregate(col("triples"), lit(0.0d),
+              (acc, t) => acc + t.getField("tf").cast(DoubleType)
+                * (log(t.getField("c12").cast(DoubleType))
+                  - log(t.getField("c1").cast(DoubleType))))
+              / col("n_bigrams").cast(DoubleType), 9)
+            .as("logprob"))
+      table(s, dir, "documents").select(col("doc_id"))
+        .join(scored, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          (coalesce(col("logprob"), lit(0.0d)) + 0.0).as("logprob"))
+        .orderBy("doc_id")
+  }
+
   def queries: Map[String, Q] = Map(
     // BPE vocabulary induction (tokenizer training): the merge table —
     // round, pair, merged symbol, weighted pair count. See
@@ -1523,36 +1562,34 @@ object TextOps {
     // 9-dp round + `+ 0.0`. Work: two vocabulary-bounded aggregations
     // broadcast as dictionaries + one per-doc agg — linear, the same
     // 100 TB shape as txt_tfidf_topk.
-    "txt_bigram_logprob" -> { (s, dir) =>
-      val bg = toks(s, dir)
-        .select(col("doc_id"), explode(expr(
-          "transform(slice(toks, 1, greatest(size(toks) - 1, 0)), " +
-            "(t, i) -> struct(t AS w1, toks[i + 1] AS w2))")).as("bg"))
-        .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
-      val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-      val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
-      val scored = bg.groupBy("doc_id", "w1", "w2")
-        .agg(count(lit(1)).as("tf"))
-        .join(broadcast(c12), Seq("w1", "w2"))
-        .join(broadcast(c1), Seq("w1"))
-        .groupBy("doc_id")
-        .agg(
-          sum(col("tf")).as("n_bigrams"),
-          sort_array(collect_list(
-            struct(col("c12"), col("c1"), col("tf")))).as("triples"))
-        .select(col("doc_id"), col("n_bigrams"),
-          round(
-            aggregate(col("triples"), lit(0.0d),
-              (acc, t) => acc + t.getField("tf").cast(DoubleType)
-                * (log(t.getField("c12").cast(DoubleType))
-                  - log(t.getField("c1").cast(DoubleType))))
-              / col("n_bigrams").cast(DoubleType), 9)
-            .as("logprob"))
-      table(s, dir, "documents").select(col("doc_id"))
-        .join(scored, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-          (coalesce(col("logprob"), lit(0.0d)) + 0.0).as("logprob"))
+    "txt_bigram_logprob" -> { (s, dir) => bigramLogprobOf(s, dir) },
+
+    // CCNet-style perplexity filtering (Wenzek et al. 2020,
+    // arXiv:1911.00359 §3.3): score every doc with the corpus bigram
+    // LM and bucket into head/middle/tail TERCILES of model fit —
+    // head+middle ship, tail (and empty docs) drop. Kept exp-free on
+    // purpose: perplexity = exp(−logprob) is MONOTONE in logprob, so
+    // the terciles are computed on the already-9-dp-rounded logprob
+    // and no cross-engine libm exp can perturb the hash. Scale shape:
+    // the LM legs are txt_bigram_logprob's (vocab-bounded broadcast
+    // stats over one corpus scan); the tercile is ONE ntile window
+    // over doc-LEVEL rows — at 100 TB the cut-points come from an
+    // approx-quantile pass + a map-side threshold instead (same
+    // output modulo boundary ties), exactly like the contract's other
+    // global-rank queries; the window input is one row per doc, never
+    // token-level data.
+    "txt_perplexity_filter" -> { (s, dir) =>
+      val lp = bigramLogprobOf(s, dir)
+      val w = Window.orderBy(col("logprob").desc, col("doc_id"))
+      lp.filter(col("n_bigrams") > 0)
+        .withColumn("b", ntile(3).over(w))
+        .select(col("doc_id"), col("n_bigrams"), col("logprob"),
+          when(col("b") === 1, "head").when(col("b") === 2, "middle")
+            .otherwise("tail").as("bucket"),
+          (col("b") < 3).as("keep"))
+        .unionByName(lp.filter(col("n_bigrams") === 0)
+          .select(col("doc_id"), col("n_bigrams"), col("logprob"),
+            lit("empty").as("bucket"), lit(false).as("keep")))
         .orderBy("doc_id")
     },
 
@@ -2522,6 +2559,24 @@ object TextOps {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
         |       CAST(SUM(len(string_split(trim(seq), '  '))) AS BIGINT)
         |         AS n_subwords
-        |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+        |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin) +
+   // the CCNet tercile filter wraps the bigram-LM oracle verbatim —
+   // composition at the SQL level, like pipeline_full's legs
+   ("txt_perplexity_filter" ->
+     s"""WITH lp AS (${base("txt_bigram_logprob")}),
+        |nz AS (SELECT doc_id, n_bigrams, logprob,
+        |         CAST(NTILE(3) OVER (ORDER BY logprob DESC, doc_id)
+        |           AS INTEGER) AS b
+        |       FROM lp WHERE n_bigrams > 0)
+        |SELECT doc_id, n_bigrams, logprob,
+        |       CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+        |            ELSE 'tail' END AS bucket,
+        |       b < 3 AS keep
+        |FROM nz
+        |UNION ALL
+        |SELECT doc_id, n_bigrams, logprob, 'empty' AS bucket,
+        |       false AS keep
+        |FROM lp WHERE n_bigrams = 0
+        |ORDER BY doc_id""".stripMargin)
   }
 }

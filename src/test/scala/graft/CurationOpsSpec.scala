@@ -443,6 +443,32 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out == Seq(4L -> "removed", 5L -> "added", 6L -> "changed"))
   }
 
+  test("txt_perplexity_filter: terciles partition the corpus by LM fit") {
+    val out = SparkEntry.queries("txt_perplexity_filter")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getString(3), r.getBoolean(4)))
+    val lm = SparkEntry.queries("txt_bigram_logprob")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // one decision row per doc; logprob is the LM operator's verbatim
+    assert(out.map(_._1).toSet == lm.keySet)
+    out.foreach { case (id, _, lp, _, _) => assert(lp == lm(id)) }
+    // keep follows the bucket exactly (head/middle ship, tail/empty drop)
+    out.foreach { case (_, _, _, b, keep) =>
+      assert(keep == (b == "head" || b == "middle"), b) }
+    // terciles: near-equal sizes over the scored docs, and bucket
+    // boundaries respect the logprob ordering (ties may touch)
+    val byB = out.filter(_._2 > 0).groupBy(_._4)
+      .map { case (b, rs) => b -> rs.map(_._3) }
+    assert(Set("head", "middle", "tail").subsetOf(byB.keySet))
+    val sizes = Seq("head", "middle", "tail").map(byB(_).length)
+    assert(sizes.max - sizes.min <= 1, s"tercile sizes $sizes")
+    assert(byB("head").min >= byB("middle").max - 1e-12)
+    assert(byB("middle").min >= byB("tail").max - 1e-12)
+    // zero-bigram docs (if any) are 'empty' and dropped
+    out.filter(_._2 == 0).foreach { case (_, _, _, b, keep) =>
+      assert(b == "empty" && !keep) }
+  }
+
   test("agg_iqr_outlier matches an in-memory Tukey-fence fold") {
     val out = SparkEntry.queries("agg_iqr_outlier")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getString(3))).toMap
