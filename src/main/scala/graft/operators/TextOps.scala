@@ -954,6 +954,47 @@ object TextOps {
     // split-assignment constants, so composed pipelines don't
     // correlate their selections. Map-side except two tiny aggs and
     // the per-lang rank — the one-pass 100 TB sampling shape.
+    // Token-budget mixing — the "assemble N tokens" step of a
+    // pretraining data build (the epoch/budget table of every
+    // LLaMA/GPT-style mixture spec): each source gets a token BUDGET
+    // (a tier percentage of its own token mass — down 20% / keep 40%
+    // / up 80%, the pipeline_mix tiers as budget rates), and docs
+    // fill it greedily in the deterministic shuffle-hash order until
+    // the budget is hit — a doc ships iff its cumulative-sum START
+    // lies within budget (the standard greedy fill: the boundary doc
+    // may overshoot, nothing after it ships). All integer arithmetic:
+    // token counts, budgets (integer DIV), one per-source cumsum
+    // window — both engines agree bitwise. Scale shape: one scan →
+    // source-bounded broadcast of budgets → ONE source-keyed window;
+    // the decision output is one row per doc and the window input is
+    // doc-level rows, the same shape as pipeline_pack's shard window.
+    "sample_token_budget" -> { (s, dir) =>
+      val d = table(s, dir, "documents")
+        .withColumn("n_tokens",
+          size(split(lower(col("text")), " ")).cast(LongType))
+        .withColumn("src_idx",
+          substring(col("source"), 4, 10).cast(IntegerType))
+        .withColumn("h", doubleRoundHash(ShuffleHashMul))
+      val budgets = d.groupBy("source")
+        .agg(sum(col("n_tokens")).as("src_tokens"),
+          max(col("src_idx")).as("src_idx"))
+        .withColumn("pct",
+          when(col("src_idx") % 3 === 0, 20L)
+            .when(col("src_idx") % 3 === 1, 40L)
+            .otherwise(80L))
+        .select(col("source"),
+          expr("CAST(src_tokens * pct DIV 100 AS BIGINT)").as("budget"))
+      val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+      d.join(broadcast(budgets), "source")
+        .withColumn("cum_before",
+          coalesce(sum(col("n_tokens"))
+            .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("budget"), col("cum_before"),
+          (col("cum_before") < col("budget")).as("keep"))
+        .orderBy("doc_id")
+    },
+
     "sample_temperature" -> { (s, dir) =>
       val target = 200L
       val byLang = table(s, dir, "documents")
@@ -1838,6 +1879,31 @@ object TextOps {
         |       COALESCE(s2.logprob, 0.0) + 0.0 AS logprob
         |FROM documents d LEFT JOIN s2 USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    "sample_token_budget" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |         CAST(len(string_split(lower(text), ' ')) AS BIGINT)
+         |           AS n_tokens,
+         |         CAST(substr(source, 4) AS INTEGER) AS src_idx,
+         |         ((((doc_id % ${TextHash.P}) * $ShuffleHashMul)
+         |           % ${TextHash.P}) * $ShuffleHashMul) % ${TextHash.P}
+         |           AS h
+         |  FROM documents),
+         |b AS (SELECT source,
+         |        CAST(SUM(n_tokens)
+         |          * (CASE WHEN MAX(src_idx) % 3 = 0 THEN 20
+         |                  WHEN MAX(src_idx) % 3 = 1 THEN 40
+         |                  ELSE 80 END) // 100 AS BIGINT) AS budget
+         |      FROM d GROUP BY source),
+         |w AS (SELECT d.doc_id, d.source, d.n_tokens, b.budget,
+         |        CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY d.source
+         |          ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+         |          AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+         |      FROM d JOIN b USING (source))
+         |SELECT doc_id, source, n_tokens, budget, cum_before,
+         |       cum_before < budget AS keep
+         |FROM w ORDER BY doc_id""".stripMargin,
 
     "sample_temperature" ->
       """WITH bylang AS (

@@ -443,6 +443,37 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out == Seq(4L -> "removed", 5L -> "added", 6L -> "changed"))
   }
 
+  test("sample_token_budget: greedy fill matches a driver-side replay") {
+    val out = SparkEntry.queries("sample_token_budget")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    // driver-side greedy replay over the same hash order
+    val P = graft.functions.TextHash.P
+    val M = graft.operators.TextOps.ShuffleHashMul
+    val docs = graft.core.Core.table(spark, dir, "documents")
+      .selectExpr("doc_id", "source",
+        "CAST(size(split(lower(text), ' ')) AS LONG) AS n")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bySrc = docs.groupBy(_._2)
+    val expect = bySrc.flatMap { case (src, ds) =>
+      val idx = src.drop(3).toInt
+      val pct = if (idx % 3 == 0) 20L else if (idx % 3 == 1) 40L else 80L
+      val budget = ds.map(_._3).sum * pct / 100
+      var cum = 0L
+      ds.sortBy { case (id, _, _) => (id % P * M % P * M % P, id) }
+        .map { case (id, _, n) =>
+          val row = (id, src, n, budget, cum, cum < budget)
+          cum += n; row
+        }.toSeq
+    }.toSeq.sortBy(_._1)
+    assert(out.toSeq == expect)
+    // the budget bites: every source keeps some and drops some
+    bySrc.keys.foreach { src =>
+      val rows = out.filter(_._2 == src)
+      assert(rows.exists(_._6) && rows.exists(!_._6), src)
+    }
+  }
+
   test("txt_perplexity_filter: terciles partition the corpus by LM fit") {
     val out = SparkEntry.queries("txt_perplexity_filter")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
