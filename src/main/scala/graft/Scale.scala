@@ -55,7 +55,8 @@ object Scale {
     "txt_winnow", "agg_label_balance", "multimodal_audio_segments",
     "dedup_winnow", "pipeline_pack", "multimodal_video_scenes",
     "txt_source_overlap", "txt_source_overlap_topv",
-    "txt_bpe_vocab", "txt_bpe_encode", "pipeline_tokenize", "table_diff")
+    "txt_bpe_vocab", "txt_bpe_encode", "pipeline_tokenize", "table_diff",
+    "txt_perplexity_filter", "sample_token_budget")
 
   /** DENSE subset: dedup_near_auto only re-picks a branch of near/
     * prefix, dedup_ngram/minhash_est/simhash share their families'
@@ -314,6 +315,12 @@ object Scale {
     // the same vocabulary, so rounds cost identically there).
     "txt_bpe_vocab" -> (-1.0, 15.0),
     "txt_bpe_encode" -> (-1.0, 15.0),
+    // bigram-LM legs (vocab-bounded broadcasts) + one doc-level ntile
+    // window: the linear filter-pass class
+    "txt_perplexity_filter" -> (-1.0, 15.0),
+    // one scan + source-bounded budget broadcast + one source-keyed
+    // cumsum window over doc-level rows: linear
+    "sample_token_budget" -> (-1.0, 15.0),
     // curate scan + BPE broadcast-join encode + ONE shard-keyed
     // window: the pipeline_pack class plus histogram-bounded training
     "pipeline_tokenize" -> (-1.0, 15.0),
