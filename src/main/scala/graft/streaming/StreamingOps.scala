@@ -264,6 +264,59 @@ object StreamingOps {
       .select(col("place"), col("ts"), col("temperature"), col("a_ts"),
         col("severity"))
 
+  /** One admission decision of [[tokenBudgetStream]] — the streaming
+    * row shape of the batch `sample_token_budget` output. */
+  case class BudgetDecision(doc_id: Long, source: String, n_tokens: Long,
+    budget: Long, cum_before: Long, keep: Boolean)
+
+  /** Streaming twin of `sample_token_budget`: per-source token-budget
+    * ADMISSION over an arriving document stream, the running
+    * cumulative token count held in keyed state (flatMapGroupsWithState
+    * — one Long per source, bounded by the source count, never by
+    * stream length). A doc is admitted iff the source's running count
+    * is still under budget when it arrives; the boundary doc may
+    * overshoot, everything after it is rejected — the batch operator's
+    * greedy-fill rule applied online. Ordering semantics (documented,
+    * not hidden): a stream fills in arrival order ACROSS micro-batches,
+    * and WITHIN each micro-batch in the batch operator's own canonical
+    * shuffle-hash order (groupByKey loses batch-internal order, so the
+    * tie-break must be explicit to be deterministic — using the same
+    * (h, doc_id) key the batch fill ranks by means micro-batches that
+    * split the hash order cleanly reproduce the batch decisions
+    * EXACTLY; asserted in StreamingOpsSpec, including cum carry-over
+    * across micro-batches and a mid-batch budget boundary). `budgets`
+    * is the per-source token budget the deployment computed at
+    * planning time (the drift-monitor reference pattern: train on the
+    * corpus, score the stream). */
+  def tokenBudgetStream(docs: DataFrame, budgets: Map[String, Long])
+      : Dataset[BudgetDecision] = {
+    import docs.sparkSession.implicits._
+    val P = graft.functions.TextHash.P
+    val M = graft.operators.TextOps.ShuffleHashMul
+    docs
+      .select(col("doc_id"), col("source"),
+        size(split(lower(col("text")), " ")).cast("long").as("n_tokens"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (src: String, rows: Iterator[(Long, String, Long)],
+            state: GroupState[Long]) =>
+          var cum = state.getOption.getOrElse(0L)
+          val budget = budgets.getOrElse(src, 0L)
+          val out = rows.toSeq
+            .sortBy { case (id, _, _) => (id % P * M % P * M % P, id) }
+            .map { case (id, _, n) =>
+              val dec = BudgetDecision(id, src, n, budget, cum,
+                keep = cum < budget)
+              cum += n
+              dec
+            }
+          state.update(cum)
+          out.iterator
+      }
+  }
+
   /** Keyed running state (mapGroupsWithState): latest rendered frame per
     * place plus how many observations contributed. The reference's
     * display shows only the latest frame (weather.py:329); this is that

@@ -428,9 +428,64 @@ class StreamingOpsSpec extends AnyFunSuite {
     q.stop()
     assert(!streamed().exists(_._4 == 7), streamed())
   }
+
+  test("streaming token-budget admission matches the batch operator " +
+    "when fed in its hash order; state carries across batches") {
+    import StreamingOpsSpec.InDoc
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val dir = TestSpark.sfDir
+    // ground truth: the batch operator's decisions and its per-source
+    // budgets (recomputed here exactly as the query derives them)
+    val batch = SparkEntry.queries("sample_token_budget")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getBoolean(5)))).toMap
+    val budgets = batch.values
+      .groupBy(_._1).map { case (src, rs) => src -> rs.head._3 }
+    // feed the stream in the batch's fill order (shuffle-hash asc per
+    // source — recovered from cum_before) split across TWO
+    // micro-batches, so at least one source's budget boundary and
+    // every source's running count must survive the batch cut
+    val docs = graft.core.Core.table(spark, dir, "documents")
+      .select("doc_id", "lang", "source", "text").collect()
+      .map(r => InDoc(r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3)))
+      .sortBy(d => batch(d.doc_id)._4)   // cum_before == fill position
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    val in = MemoryStream[InDoc]
+    val q = StreamingOps.tokenBudgetStream(in.toDF(), budgets)
+      .writeStream.format("memory").queryName("stream_budget")
+      .outputMode(OutputMode.Append()).start()
+    in.addData(b1.toSeq)
+    q.processAllAvailable()
+    in.addData(b2.toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("stream_budget")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getBoolean(5)))).toMap
+    // one decision per doc, identical to the batch manifest — keep,
+    // budget, and the running cum_before all agree, which can only
+    // hold if batch-2 groups resumed from batch-1 state
+    assert(got.keySet == batch.keySet)
+    got.foreach { case (id, dec) => assert(dec == batch(id), s"doc $id") }
+    // the split is not vacuous: some source crosses its budget
+    // boundary only in the second micro-batch
+    val secondIds = b2.map(_.doc_id).toSet
+    assert(got.exists { case (id, (_, _, _, _, keep)) =>
+      secondIds(id) && keep })
+    assert(got.exists { case (id, (_, _, _, _, keep)) =>
+      secondIds(id) && !keep })
+  }
 }
 
 object StreamingOpsSpec {
   /** An arriving event for the drift-monitor stream (events shape). */
   case class Ev(event_type: String, ts: Timestamp, value: Double)
+
+  case class InDoc(doc_id: Long, lang: String, source: String,
+    text: String)
+
 }
