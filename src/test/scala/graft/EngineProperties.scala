@@ -101,4 +101,29 @@ object EngineProperties extends Properties("engine") {
         if (s.isEmpty) 0 else s.map(w).sum + (s.length - 1)
       folded == direct
     }
+
+  /** sample_token_budget's admission rule (keep ⇔ running cum <
+    * budget), mirrored purely — the mirror↔Spark pin is the
+    * driver-side replay in CurationOpsSpec; these are the rule's own
+    * algebraic guarantees on ANY fill order. */
+  private def greedyFill(toks: List[Long], budget: Long): List[Boolean] = {
+    var cum = 0L
+    toks.map { n => val k = cum < budget; cum += n; k }
+  }
+
+  property("greedy token-budget fill is prefix-closed with bounded overshoot") =
+    Prop.forAll(Gen.listOf(Gen.chooseNum(1L, 50L)),
+      Gen.chooseNum(0L, 500L)) { (toks, budget) =>
+      val keep = greedyFill(toks, budget)
+      val kept = toks.zip(keep).collect { case (n, true) => n }
+      // once a doc is rejected nothing after it ships (cum only grows)
+      val prefixClosed = !keep.dropWhile(identity).contains(true)
+      // the boundary doc may overshoot, by strictly less than itself
+      val bounded = kept.isEmpty || kept.sum < budget + kept.max
+      // a budget covering the whole corpus admits everything; a zero
+      // budget admits nothing (positive token counts by construction)
+      val total = if (budget >= toks.sum) keep.forall(identity) else true
+      val zero = if (budget == 0L) !keep.contains(true) else true
+      prefixClosed && bounded && total && zero
+    }
 }
