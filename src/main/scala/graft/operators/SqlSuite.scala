@@ -51,7 +51,40 @@ object SqlSuite {
     s.sql(text)
   }
 
+  /** Q1's exact-integer aggregate block, shared verbatim by both
+    * dialects (pure ANSI): quantities/prices in cents, discount/tax in
+    * hundredths, every division once at the end over exact integers. */
+  private val Q1Aggs =
+    """       CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE)
+      |         / CAST(100 AS DOUBLE) AS sum_qty,
+      |       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+      |         AS DOUBLE) / CAST(100 AS DOUBLE) AS sum_base_price,
+      |       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |         * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+      |         AS DOUBLE) / CAST(10000 AS DOUBLE) AS sum_disc_price,
+      |       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |         * (100 - CAST(round(l_discount * 100) AS BIGINT))
+      |         * (100 + CAST(round(l_tax * 100) AS BIGINT)))
+      |         AS DOUBLE) / CAST(1000000 AS DOUBLE) AS sum_charge,
+      |       CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE)
+      |         / CAST(COUNT(*) * 100 AS DOUBLE) AS avg_qty,
+      |       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+      |         AS DOUBLE) / CAST(COUNT(*) * 100 AS DOUBLE) AS avg_price,
+      |       CAST(SUM(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE)
+      |         / CAST(COUNT(*) * 100 AS DOUBLE) AS avg_disc,
+      |       CAST(COUNT(*) AS BIGINT) AS count_order""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "sql_tpch_q1" -> { (s, dir) =>
+      sql(s, dir,
+        s"""SELECT l_returnflag, l_linestatus,
+           |$Q1Aggs
+           |FROM lineitem
+           |WHERE l_shipdate <= TIMESTAMP_NTZ '2001-09-01 00:00:00'
+           |GROUP BY l_returnflag, l_linestatus
+           |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+    },
+
     "sql_tpch_q3" -> { (s, dir) =>
       sql(s, dir,
         s"""SELECT l_orderkey,
@@ -118,6 +151,14 @@ object SqlSuite {
     })
 
   def oracleSql: Map[String, String] = Map(
+    "sql_tpch_q1" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |$Q1Aggs
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
     "sql_tpch_q3" ->
       s"""SELECT l_orderkey,
          |       $Revenue,

@@ -33,6 +33,32 @@ class SqlSuiteSpec extends AnyFunSuite {
   private val revenue =
     (revCents.cast("double") / lit(10000).cast("double")).as("revenue")
 
+  test("sql_tpch_q1 matches a DataFrame-DSL replay") {
+    val got = SparkEntry.queries("sql_tpch_q1")(spark, dir).collect()
+      .map(_.toSeq)
+    val pc = Core.cents(col("l_extendedprice"))
+    val dc = Core.cents(col("l_discount"))
+    val tc = Core.cents(col("l_tax"))
+    val qc = Core.cents(col("l_quantity"))
+    def dbl(c: org.apache.spark.sql.Column) = c.cast("double")
+    val want = t("lineitem")
+      .filter(col("l_shipdate") <= ntz("2001-09-01"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        (dbl(sum(qc)) / 100d).as("sum_qty"),
+        (dbl(sum(pc)) / 100d).as("sum_base_price"),
+        (dbl(sum(pc * (lit(100L) - dc))) / 10000d).as("sum_disc_price"),
+        (dbl(sum(pc * (lit(100L) - dc) * (lit(100L) + tc))) / 1000000d)
+          .as("sum_charge"),
+        (dbl(sum(qc)) / dbl(count(lit(1)) * 100)).as("avg_qty"),
+        (dbl(sum(pc)) / dbl(count(lit(1)) * 100)).as("avg_price"),
+        (dbl(sum(dc)) / dbl(count(lit(1)) * 100)).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+      .collect().map(_.toSeq)
+    assert(got.nonEmpty && got.toSeq == want.toSeq)
+  }
+
   test("sql_tpch_q3 matches a DataFrame-DSL replay") {
     val got = SparkEntry.queries("sql_tpch_q3")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getString(2), r.getString(3)))
