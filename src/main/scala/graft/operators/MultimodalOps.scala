@@ -68,7 +68,9 @@ object MultimodalOps {
   object StubDecoder extends AssetDecoder {
     def decodeBatch(it: Iterator[Asset]): Iterator[AssetFeatures] =
       it.map { a =>
-        // ??? <- real codec goes here; deterministic fake below.
+        // deterministic fake below; [[PngImageDecoder]] is the REAL
+        // codec through this same seam (round-10 — the seam is proven,
+        // this stub stays as the non-image/default path).
         val sum = a.bytes.foldLeft(0L)((acc, b) => acc + (b & 0xff))
         AssetFeatures(a.doc_id, a.media_type,
           a.bytes.length, if (a.bytes.nonEmpty) a.bytes(0) & 0xff else -1,
