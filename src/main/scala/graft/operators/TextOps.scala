@@ -256,6 +256,13 @@ object TextOps {
   val TierFractions: Seq[Double] =
     (1 until QualityTiers).map(_ * 1.0 / QualityTiers)
 
+  /** txt_perplexity_filter tercile boundary fractions, rendered from
+    * ONE Seq by the [[TierFractions]] convention so the Spark
+    * `percentile` array and the DuckDB `quantile_cont` list carry
+    * bit-identical double literals (1.0/3 prints 0.3333333333333333
+    * in both engines and parses back to the same double). */
+  val PerplexityTerciles: Seq[Double] = (1 until 3).map(_ * 1.0 / 3)
+
   /** txt_bm25_rank configuration: the standard Okapi constants
     * (k1 = 1.2, b = 0.75 — Robertson et al., the Lucene defaults, as
     * exact double literals shared with the oracle) and a fixed query
@@ -1613,21 +1620,29 @@ object TextOps {
     // the terciles are computed on the already-9-dp-rounded logprob
     // and no cross-engine libm exp can perturb the hash. Scale shape:
     // the LM legs are txt_bigram_logprob's (vocab-bounded broadcast
-    // stats over one corpus scan); the tercile is ONE ntile window
-    // over doc-LEVEL rows — at 100 TB the cut-points come from an
-    // approx-quantile pass + a map-side threshold instead (same
-    // output modulo boundary ties), exactly like the contract's other
-    // global-rank queries; the window input is one row per doc, never
-    // token-level data.
+    // stats over one corpus scan); the tercile boundaries are the
+    // txt_quality_tier recipe — ONE exact-percentile aggregation over
+    // NANO-quantized logprob (9-dp-rounded doubles ×1e9 are exact
+    // integers, so both engines interpolate identically) broadcast to
+    // a map-side threshold — NOT a global ntile window, whose single
+    // unpartitioned reducer is the one-reducer anti-pattern at 100 TB
+    // (PlanShapeSpec pins the no-Window plan). Boundary-tied docs
+    // share a bucket, so the assignment is total-order-free.
     "txt_perplexity_filter" -> { (s, dir) =>
       val lp = bigramLogprobOf(s, dir)
-      val w = Window.orderBy(col("logprob").desc, col("doc_id"))
-      lp.filter(col("n_bigrams") > 0)
-        .withColumn("b", ntile(3).over(w))
+      val nz = lp.filter(col("n_bigrams") > 0)
+        .withColumn("lp_nano",
+          expr("CAST(round(logprob * 1e9) AS BIGINT)"))
+      val bounds = nz.agg(expr(
+        s"percentile(lp_nano, array(${PerplexityTerciles.mkString(", ")}))")
+        .as("bs"))
+      nz.crossJoin(broadcast(bounds))
+        .withColumn("t", lit(1) + size(filter(col("bs"),
+          b => col("lp_nano").cast(DoubleType) > b)))
         .select(col("doc_id"), col("n_bigrams"), col("logprob"),
-          when(col("b") === 1, "head").when(col("b") === 2, "middle")
+          when(col("t") === 3, "head").when(col("t") === 2, "middle")
             .otherwise("tail").as("bucket"),
-          (col("b") < 3).as("keep"))
+          (col("t") >= 2).as("keep"))
         .unionByName(lp.filter(col("n_bigrams") === 0)
           .select(col("doc_id"), col("n_bigrams"), col("logprob"),
             lit("empty").as("bucket"), lit(false).as("keep")))
@@ -2627,18 +2642,25 @@ object TextOps {
         |         AS n_subwords
         |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin) +
    // the CCNet tercile filter wraps the bigram-LM oracle verbatim —
-   // composition at the SQL level, like pipeline_full's legs
+   // composition at the SQL level, like pipeline_full's legs; the
+   // tercile boundaries mirror txt_quality_tier's quantile_cont form
    ("txt_perplexity_filter" ->
      s"""WITH lp AS (${base("txt_bigram_logprob")}),
         |nz AS (SELECT doc_id, n_bigrams, logprob,
-        |         CAST(NTILE(3) OVER (ORDER BY logprob DESC, doc_id)
-        |           AS INTEGER) AS b
-        |       FROM lp WHERE n_bigrams > 0)
+        |         CAST(round(logprob * 1e9) AS BIGINT) AS lp_nano
+        |       FROM lp WHERE n_bigrams > 0),
+        |b AS (SELECT quantile_cont(lp_nano,
+        |        [${PerplexityTerciles.mkString(", ")}]) AS bs
+        |      FROM nz),
+        |t AS (SELECT doc_id, n_bigrams, logprob,
+        |        1 + len(list_filter(b.bs,
+        |          x -> CAST(lp_nano AS DOUBLE) > x)) AS t
+        |      FROM nz CROSS JOIN b)
         |SELECT doc_id, n_bigrams, logprob,
-        |       CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+        |       CASE t WHEN 3 THEN 'head' WHEN 2 THEN 'middle'
         |            ELSE 'tail' END AS bucket,
-        |       b < 3 AS keep
-        |FROM nz
+        |       t >= 2 AS keep
+        |FROM t
         |UNION ALL
         |SELECT doc_id, n_bigrams, logprob, 'empty' AS bucket,
         |       false AS keep

@@ -486,15 +486,22 @@ class CurationOpsSpec extends AnyFunSuite {
     // keep follows the bucket exactly (head/middle ship, tail/empty drop)
     out.foreach { case (_, _, _, b, keep) =>
       assert(keep == (b == "head" || b == "middle"), b) }
-    // terciles: near-equal sizes over the scored docs, and bucket
-    // boundaries respect the logprob ordering (ties may touch)
+    // terciles: near-equal sizes over the scored docs (boundary ties
+    // share a bucket, so sizes may drift by the tie multiplicity —
+    // here by at most 2 around n/3), boundaries respect the logprob
+    // ordering, and equal-logprob docs are NEVER split across buckets
+    // (the total-order-free property the percentile-broadcast recipe
+    // guarantees and a global ntile does not)
     val byB = out.filter(_._2 > 0).groupBy(_._4)
       .map { case (b, rs) => b -> rs.map(_._3) }
     assert(Set("head", "middle", "tail").subsetOf(byB.keySet))
     val sizes = Seq("head", "middle", "tail").map(byB(_).length)
-    assert(sizes.max - sizes.min <= 1, s"tercile sizes $sizes")
+    assert(sizes.max - sizes.min <= 2, s"tercile sizes $sizes")
     assert(byB("head").min >= byB("middle").max - 1e-12)
     assert(byB("middle").min >= byB("tail").max - 1e-12)
+    out.filter(_._2 > 0).groupBy(_._3).foreach { case (lp, rs) =>
+      assert(rs.map(_._4).distinct.length == 1,
+        s"logprob $lp split across buckets") }
     // zero-bigram docs (if any) are 'empty' and dropped
     out.filter(_._2 == 0).foreach { case (_, _, _, b, keep) =>
       assert(b == "empty" && !keep) }

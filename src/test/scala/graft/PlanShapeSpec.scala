@@ -112,6 +112,23 @@ class PlanShapeSpec extends AnyFunSuite {
       s"entropy reintroduced a per-character explode:\n$p")
   }
 
+  test("global-rank bucketing has NO unpartitioned window: percentile " +
+    "cut-points broadcast back instead") {
+    // txt_quality_tier (deciles) and txt_perplexity_filter (terciles)
+    // assign every doc a global quantile bucket. A global ntile would
+    // funnel one row per doc through a single reducer (WindowExec with
+    // an empty partitionSpec) — the one-reducer anti-pattern at 100 TB.
+    // Both must instead aggregate cut-points and broadcast them back.
+    for (q <- Seq("txt_quality_tier", "txt_perplexity_filter")) {
+      val p = plan(q)
+      assert(!p.contains("Window"),
+        s"$q reintroduced a window (global ntile shape?):\n$p")
+      assert(p.contains("BroadcastExchange") ||
+        p.contains("BroadcastNestedLoopJoin"),
+        s"$q lost its broadcast cut-point join:\n$p")
+    }
+  }
+
   test("dimension lookups broadcast; bounded benchmark set broadcasts") {
     assert(plan("join_code_dim").contains("BroadcastHashJoin"),
       "WMO dim lookup should broadcast")
