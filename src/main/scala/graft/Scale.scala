@@ -13,8 +13,8 @@ import org.apache.spark.sql.SparkSession
   * round-3 failure mode) would show up as a count change even when the
   * timing happens to survive it.
   *
-  * Usage: runMain graft.Scale [gen|sf0.1|dense|wide|fixpoint|annplanes|
-  * annrecall|ivfpqrecall|bpebatch|check] [--only=q1,q2,...]
+  * Usage: runMain graft.Scale [gen|sf0.1|dense|wide|wide100|fixpoint|
+  * annplanes|annrecall|ivfpqrecall|bpebatch|check] [--only=q1,q2,...]
   * (no args = gen + all three sweeps; results append to
   * docs/scale_results.jsonl and print as JSON lines). `fixpoint`
   * measures ccFixpoint rounds/time at sf0.1 + DENSE; `annplanes`
@@ -30,6 +30,24 @@ object Scale {
 
   private val DenseDir = "target/testdata/sf1dense"
   private val WideDir = "target/testdata/sf1wide"
+  private val Wide100Dir = "target/testdata/sf10wide"
+
+  /** The sweep baseline: the driver's read-only sf0.1 corpus repacked
+    * into the ≥32-file layout ([[ScaleData.repackRef]]). The driver
+    * ships each table as ONE row group = ONE scan split, which ran
+    * every baseline's first map stage single-task and understated the
+    * base of every growth factor (docs/PLANS.md round 10). */
+  private val RefSplitDir = "target/testdata/sf0.1split"
+
+  /** Corpus-era tag for history rows: the ref corpus digest plus a
+    * LAYOUT era suffix. Bumped to `+s32` when the sweep inputs moved
+    * to the ≥32-split layout (repacked baseline, ≥32-file generated
+    * corpora) — timings across layout eras are not comparable (the
+    * old single/8-split scans serialized first map stages), so the
+    * suffix retires the old rows from medians and `check` exactly
+    * like a driver-side testdata regen does. */
+  private def corpusEra(ref: String): String =
+    graft.core.Core.corpusTag(ref) + "+s32"
 
   /** The bucketed incremental-dedup index table each sweep (re)builds
     * per corpus before timing the indexed ingest (the one-time build a
@@ -51,6 +69,7 @@ object Scale {
     "multimodal_phash_dedup",
     "txt_span_dedup", "txt_quality_tier", "pipeline_mix",
     "txt_vocab_coverage", "pipeline_full",
+    "pipeline_curate", "pipeline_dedup",
     "sample_reservoir", "pipeline_stats",
     "txt_winnow", "agg_label_balance", "multimodal_audio_segments",
     "dedup_winnow", "pipeline_pack", "multimodal_video_scenes",
@@ -124,8 +143,18 @@ object Scale {
         buckets = operators.SkewJoin.defaultParts(s))
     }))
 
+  /** The second-decade sweep set (ask: the 100x claim needs a second
+    * measured decade, not an extrapolated one): the four flagship
+    * compositions plus the global-scope sketch dedup, at ≈100x the
+    * contract scale in the WIDE regime. Everything here reads only
+    * `documents`, so [[ScaleData.generateWide100]] generates only it. */
+  private val wide100Queries = Seq(
+    "pipeline_curate", "pipeline_dedup", "pipeline_full",
+    "pipeline_tokenize", "dedup_simhash_global")
+
   private def queriesFor(tag: String): Seq[String] =
-    (if (tag == "sf1dense") denseDocQueries else docQueries) ++
+    if (tag == "sf10wide") wide100Queries
+    else (if (tag == "sf1dense") denseDocQueries else docQueries) ++
       Seq("sim_ann_lsh", "sim_ann_lsh_qd", "sim_ann_lsh_auto",
         "sim_ann_lsh_p12", "dedup_semdedup", "multimodal_align_filter",
         "join_interval", "join_asof_nearest", "agg_zscore_outlier",
@@ -243,6 +272,12 @@ object Scale {
     // per-source near-dup structure is constant there, so every leg
     // is linear); DENSE adds nothing its pieces don't already measure
     "pipeline_full" -> (-1.0, 15.0),
+    // the other two flagship compositions, swept WIDE for the same
+    // reason as pipeline_full: curate is a fused map-side flag chain +
+    // one bounded broadcast gram join; dedup is the decision-LSH
+    // sketch + labels-only CC + a linear argmax — both linear-class
+    "pipeline_curate" -> (-1.0, 15.0),
+    "pipeline_dedup" -> (-1.0, 15.0),
     "join_interval" -> (15.0, 15.0),
     // same tagged-union window family as join_range_asof: one user_id
     // exchange, two frames — linear in events
@@ -356,7 +391,7 @@ object Scale {
     // same-corpus filter as the sweeps: growth factors compare medians
     // across rows, and rows measured against a regenerated /root/testdata
     // describe different data (see Core.corpusTag)
-    val corpus = graft.core.Core.corpusTag(
+    val corpus = corpusEra(
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     val rows = java.nio.file.Files.readAllLines(path).asScala
       .filter(_.trim.nonEmpty)
@@ -403,6 +438,23 @@ object Scale {
           println(s"[scale-check] skip $q $tag (missing median)")
       }
     }
+    // second-decade gate: sf1wide -> sf10wide is ANOTHER 10x in the
+    // WIDE regime, so each flagship composition must stay in the
+    // linear class across the second decade too — the measured line
+    // (not extrapolation) behind the 100x claim. Same 15x ceiling as
+    // the first decade's linear band.
+    for (q <- wide100Queries) {
+      (median(q, "sf1wide"), median(q, "sf10wide")) match {
+        case (Some(base), Some(big)) =>
+          checked += 1
+          val growth = big / math.max(base, 0.3)
+          if (growth > 15.0) fails ::=
+            f"$q sf10wide growth $growth%.1fx exceeds linear band 15x"
+          println(f"[scale-check] ${if (growth <= 15.0) "ok  " else "FLIP"} " +
+            f"$q%-28s sf10wide ${growth}%6.1fx (band 15x, base ${base}%.2fs)")
+        case _ => ()
+      }
+    }
     for (n <- rows
         if n.path("query").asText == "dedup_incremental_indexed" &&
           n.has("ltx") && n.get("ltx").asInt > 1)
@@ -447,12 +499,19 @@ object Scale {
     // round count drifting toward sequential
     // fail CLOSED: a row missing its fields is a gate failure, not a
     // skip — otherwise a partially-written row reads as green
-    for (n <- rows if n.path("query").asText.startsWith("bpe_batch_k");
-        k = n.path("query").asText.stripPrefix("bpe_batch_k").toInt
+    for (n <- rows if n.path("query").asText.startsWith("bpe_batch_");
+        q = n.path("query").asText;
+        // bpe_batch_k$K trains 64 merges (legacy names), bpe_batch_v$V_k$K
+        // trains V; spill headroom scales with the merge count
+        v = if (q.startsWith("bpe_batch_v"))
+              q.stripPrefix("bpe_batch_v").takeWhile(_.isDigit).toInt
+            else 64;
+        k = q.substring(q.indexOf("_k") + 2).toInt
         if !n.has("driver_rounds") || !n.has("merges") ||
-          n.get("merges").asInt != 64 ||
-          n.get("driver_rounds").asInt > math.ceil(64.0 / k).toInt + 4)
-      fails ::= s"${n.path("query").asText}: " +
+          n.get("merges").asInt != v ||
+          n.get("driver_rounds").asInt >
+            math.ceil(v.toDouble / k).toInt + 4 * (v / 64))
+      fails ::= s"$q: " +
         s"${n.path("merges").asInt(-1)} merges in " +
         s"${n.path("driver_rounds").asInt(-1)} rounds (batching degraded)"
     for (n <- rows if n.path("query").asText == "ann_auto_planes") {
@@ -508,20 +567,38 @@ object Scale {
             e: Exception): Unit = ()
       })
 
+    // per-stage task counts, in submission order — the recorded
+    // parallelism evidence the layout era exists for: `t1_tasks` (the
+    // first submitted stage, i.e. the corpus scan for every doc query)
+    // and `tasks_max` must be > 1 on a multi-split corpus; a 1 here
+    // means the first map stage of a heavy fold serialized on one core
+    // (the round-10 confound). Drained per timed run in `sweep`.
+    val stageTasks = new java.util.concurrent.ConcurrentLinkedQueue[Integer]()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageSubmitted(
+            e: org.apache.spark.scheduler.SparkListenerStageSubmitted)
+            : Unit = { stageTasks.add(e.stageInfo.numTasks); () }
+      })
+
     // a corpus counts as generated only when ALL its tables COMMITTED —
     // Spark creates the output dir before job commit, so the dir alone
     // can exist for a killed-mid-write table; the _SUCCESS marker is
     // written at commit, making an interrupted generation regenerate
     // instead of shipping a partial corpus forever (ADVICE round 5)
-    val corpus = graft.core.Core.corpusTag(ref)
+    val corpus = corpusEra(ref)
     // a generated corpus is valid only if ALL its tables COMMITTED
     // (_SUCCESS is written at job commit — the dir alone can exist for
     // a killed-mid-write table, ADVICE round 5) AND it derives from
-    // the CURRENT ref corpus: ScaleData reads the ref vocabulary, so a
-    // driver-side testdata regen silently invalidates the derived sf1
-    // dirs — the `.ref_corpus` marker forces regeneration then
-    def complete(d: String): Boolean =
-      Seq("documents", "embeddings", "events")
+    // the CURRENT ref corpus AND layout era: ScaleData reads the ref
+    // vocabulary, so a driver-side testdata regen silently invalidates
+    // the derived sf1 dirs, and a layout-era bump (the `+s32` suffix)
+    // invalidates corpora generated under the old few-file layout —
+    // the `.ref_corpus` marker forces regeneration in both cases
+    def complete(d: String,
+        tables: Seq[String] = Seq("documents", "embeddings", "events"))
+        : Boolean =
+      tables
         .forall(t => new java.io.File(s"$d/$t.parquet/_SUCCESS").exists()) && {
         val m = java.nio.file.Paths.get(d, ".ref_corpus")
         java.nio.file.Files.exists(m) &&
@@ -530,7 +607,19 @@ object Scale {
     def markGenerated(d: String): Unit =
       java.nio.file.Files.write(java.nio.file.Paths.get(d, ".ref_corpus"),
         corpus.getBytes("UTF-8"))
-    // any mode touching a generated corpus implies gen-if-missing
+    val refTables = new java.io.File(ref).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(_.getName.stripSuffix(".parquet")).sorted.toSeq
+    // any mode touching a generated corpus implies gen-if-missing;
+    // every mode that reads the baseline needs the repacked ref
+    if (sel.exists(Set("gen", "sf0.1", "dense", "wide", "wide100",
+        "fixpoint", "annplanes", "bpebatch"))) {
+      if (!complete(RefSplitDir, refTables)) {
+        println(s"[scale] repacking $ref -> $RefSplitDir")
+        ScaleData.repackRef(spark, RefSplitDir, ref)
+        markGenerated(RefSplitDir)
+      }
+    }
     if (sel.exists(Set("gen", "dense", "wide", "fixpoint", "annplanes"))) {
       if (!complete(DenseDir)) {
         println(s"[scale] generating $DenseDir")
@@ -542,6 +631,12 @@ object Scale {
         ScaleData.generateWide(spark, WideDir, ref)
         markGenerated(WideDir)
       }
+    }
+    if (sel.contains("wide100") &&
+        !complete(Wide100Dir, Seq("documents"))) {
+      println(s"[scale] generating $Wide100Dir")
+      ScaleData.generateWide100(spark, Wide100Dir, ref)
+      markGenerated(Wide100Dir)
     }
 
     // Representative warmup (same rationale as Bench): the first query
@@ -662,9 +757,17 @@ object Scale {
       }
       ((System.nanoTime() - t0) / 1e9, ok, seq)
     }
-    def sweep(tag: String, dir: String): Unit = queriesFor(tag)
+    def sweep(tag: String, dir: String): Unit = {
+      // the corpus's scan split count, recorded on every row of the
+      // sweep: the layout-era invariant (≥ session cores on every
+      // swept corpus) that makes growth factors parallelism-honest
+      val scanParts = try {
+        graft.core.Core.table(spark, dir, "documents").rdd.getNumPartitions
+      } catch { case _: Throwable => -1 }
+      queriesFor(tag)
       .filter(n => only.forall(_.contains(n))).foreach {
       name =>
+        stageTasks.clear()
         val (sec0, ok0, seq0) = runOne(name, dir)
         val med = history.getOrElse((tag, name), 0.0)
         val (sec, ok, seq, rerun) =
@@ -688,12 +791,28 @@ object Scale {
           s""","ltx":${countOcc(plan.split("== Initial Plan ==").head,
             "Exchange hashpartitioning(lang")}"""
         else ""
+        // drained AFTER settledPlan's bounded bus-settle spin, so the
+        // submission events of this run's stages have landed. Only the
+        // MAX is recorded: stage submission order interleaves tiny
+        // driver jobs (schema reads, sort-range sampling) with the
+        // real stages, and bounded-stat stages legitimately run 1 task
+        // — the layout evidence is scan_parts (the corpus scan's own
+        // split count) next to tasks_max (the run's widest stage).
+        val tasks = {
+          import scala.jdk.CollectionConverters._
+          stageTasks.asScala.map(_.intValue).toSeq
+        }
+        val taskStats = if (tasks.isEmpty) ""
+          else s""","tasks_max":${tasks.max}"""
         val line = s"""{"tag":"$tag","query":"$name","sec":${d2(sec)},""" +
           s""""ok":$ok,"corpus":"$corpus",""" +
+          s""""scan_parts":$scanParts,""" +
           s""""bhj":${countOcc(plan, "BroadcastHashJoin")},""" +
-          s""""bex":${countOcc(plan, "BroadcastExchange")}$ltx$rerun}"""
+          s""""bex":${countOcc(plan, "BroadcastExchange")}""" +
+          s"""$taskStats$ltx$rerun}"""
         println(s"[scale] $line")
         out.append(line).append('\n')
+      }
     }
 
     // ccFixpoint convergence measurement (round-5 verdict ask #7): the
@@ -804,10 +923,21 @@ object Scale {
         val recs = operators.SimilarityOps.ivfRerankRecallSweep(spark,
           emb, Seq(1, 2, 4, 8), ivfK = k)
         val sec = (System.nanoTime() - t0) / 1e9
+        // the sweep is ONE shared computation (centroids, lists and
+        // the exact top-k are nprobe-invariant) — record its full
+        // wall time on a sweep-level row, and recall-only per-nprobe
+        // rows; dividing sec evenly across nprobe points read as a
+        // per-point timing measurement it never was (ADVICE round 10)
+        val sline =
+          s"""{"tag":"clustered8k","query":"ivfrerank_sweep_k$k",""" +
+          s""""sec":${d2(sec)},"ok":true,"corpus":"$corpus",""" +
+          s""""nprobes":[${recs.map(_._1).mkString(",")}],"ivfk":$k}"""
+        println(s"[scale] $sline")
+        out.append(sline).append('\n')
         recs.foreach { case (np, rec) =>
           val line =
             s"""{"tag":"clustered8k","query":"ivfrerank_recall_k${k}_np$np",""" +
-            s""""sec":${d2(sec / recs.size)},"ok":true,"corpus":"$corpus",""" +
+            s""""ok":true,"corpus":"$corpus",""" +
             s""""recall":${d2(rec)},"nprobe":$np,"ivfk":$k}"""
           println(s"[scale] $line")
           out.append(line).append('\n')
@@ -823,18 +953,24 @@ object Scale {
     // while BpeSpec pins the semantics (batchK=1 ≡ sequential exactly;
     // batched ≡ sequential on symbol-disjoint corpora).
     def runBpeBatch(): Unit = {
-      val docs = graft.core.Core.table(spark, ref, "documents")
-      for (k <- Seq(1, 8, 16)) {
+      val docs = graft.core.Core.table(spark, RefSplitDir, "documents")
+      // two vocabulary sizes (round-10 verdict ask #4): the 64-merge
+      // contract depth and a 128-merge second decade-of-sorts — the
+      // rounds-vs-wall-time line a 30k-merge production train
+      // extrapolates from. v64 keeps the legacy `bpe_batch_k$k` row
+      // names so the history stays one series.
+      for (v <- Seq(64, 128); k <- Seq(1, 8, 16)) {
         graft.core.Core.releaseShared()
         spark.catalog.clearCache()
         val rc = new java.util.concurrent.atomic.AtomicInteger(0)
         val t0 = System.nanoTime()
         val (_, merges) = operators.TextOps.bpeTrainBatchedOf(docs,
-          totalMerges = 64, batchK = k, roundsOut = rc)
+          totalMerges = v, batchK = k, roundsOut = rc)
         val n = merges.count()
         val sec = (System.nanoTime() - t0) / 1e9
         val rounds = rc.get()
-        val line = s"""{"tag":"sf0.1","query":"bpe_batch_k$k",""" +
+        val qn = if (v == 64) s"bpe_batch_k$k" else s"bpe_batch_v${v}_k$k"
+        val line = s"""{"tag":"sf0.1","query":"$qn",""" +
           s""""sec":${d2(sec)},"ok":true,"corpus":"$corpus",""" +
           s""""merges":$n,"driver_rounds":$rounds}"""
         println(s"[scale] $line")
@@ -858,15 +994,16 @@ object Scale {
       out.append(line).append('\n')
     }
 
-    if (sel.contains("sf0.1")) sweep("sf0.1", ref)
+    if (sel.contains("sf0.1")) sweep("sf0.1", RefSplitDir)
     if (sel.contains("dense")) sweep("sf1dense", DenseDir)
     if (sel.contains("wide")) sweep("sf1wide", WideDir)
+    if (sel.contains("wide100")) sweep("sf10wide", Wide100Dir)
     if (sel.contains("fixpoint")) {
-      runFixpoint("sf0.1", ref)
+      runFixpoint("sf0.1", RefSplitDir)
       runFixpoint("sf1dense", DenseDir)
     }
     if (sel.contains("annplanes")) {
-      runAnnPlanes("sf0.1", ref)
+      runAnnPlanes("sf0.1", RefSplitDir)
       runAnnPlanes("sf1dense", DenseDir)
       runAnnPlanes("sf1wide", WideDir)
     }

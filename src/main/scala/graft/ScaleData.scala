@@ -58,12 +58,23 @@ object ScaleData {
       .collect().map(_.getString(0))
   }
 
+  /** Output file count: never below 32, whatever the generating
+    * session's parallelism. A corpus written as fewer files arrives in
+    * fewer scan splits (each small file is one row group, and the
+    * open-cost binning keeps one file per split), so a sweep over it
+    * UNDER-measures scan parallelism — the round-10 confound where the
+    * 8-file sf1 corpora ran first map stages on a quarter of the
+    * session's cores while the 100 TB deployment premise is thousands
+    * of native splits. */
+  def layoutFiles(s: SparkSession): Int =
+    math.max(32, graft.operators.SkewJoin.defaultParts(s))
+
   def generate(s: SparkSession, outDir: String, refDir: String,
       nDocs: Long, nSources: Int, nEmb: Long, nEvents: Long,
-      nUsers: Int, variant: Long): Unit = {
+      nUsers: Int, variant: Long, docsOnly: Boolean = false): Unit = {
     import s.implicits._
     val vw = vocab(s, refDir)
-    val parts = graft.operators.SkewJoin.defaultParts(s)
+    val parts = layoutFiles(s)
 
     s.range(0, nDocs, 1, parts).map { id =>
       val r = rng(variant, id)
@@ -73,6 +84,7 @@ object ScaleData {
         if (d < 0.41) "en" else langs(((d - 0.41) / 0.1475).toInt.min(3)) }
       Doc(id, text, lang, "src" + (id % nSources), text.length.toLong)
     }.write.mode(SaveMode.Overwrite).parquet(s"$outDir/documents.parquet")
+    if (docsOnly) return
 
     s.range(0, nEmb, 1, parts).map { id =>
       val r = rng(variant + 1, id)
@@ -88,6 +100,30 @@ object ScaleData {
         math.round(r.nextDouble() * 60000.0) / 100.0,
         s"""{"k": ${r.nextInt(100)}}""")
     }.write.mode(SaveMode.Overwrite).parquet(s"$outDir/events.parquet")
+  }
+
+  /** Row-for-row repack of the driver's read-only ref corpus into the
+    * [[layoutFiles]] multi-file layout. The driver writes each sf0.1
+    * table as ONE parquet file = ONE row group = ONE scan split, so
+    * every sweep baseline ran its first map stages single-task — the
+    * measured-and-rejected fan-out experiment's confound (docs/
+    * PLANS.md round 10) and an understated base for every growth
+    * factor. Repacked, the baseline reads with the same per-core
+    * layout as the generated 10x corpora and as the thousands-of-
+    * splits 100 TB premise. Values are untouched (round-robin
+    * repartition only reorders rows; every contract query ends in a
+    * total-order sort); events.ts rides through [[graft.core.Core
+    * .table]]'s normalization so the repacked column is the same
+    * session-zoned instant the engine computes on either layout. */
+  def repackRef(s: SparkSession, outDir: String, refDir: String): Unit = {
+    val parts = layoutFiles(s)
+    new java.io.File(refDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName
+        .stripSuffix(".parquet")).sorted
+      .foreach { t =>
+        graft.core.Core.table(s, refDir, t).repartition(parts)
+          .write.mode(SaveMode.Overwrite).parquet(s"$outDir/$t.parquet")
+      }
   }
 
   /** One clustered embedding: cluster centers are deterministic
@@ -130,4 +166,15 @@ object ScaleData {
   def generateWide(s: SparkSession, outDir: String, refDir: String): Unit =
     generate(s, outDir, refDir, nDocs = 50000, nSources = 200,
       nEmb = 8000, nEvents = 1000000, nUsers = 15000, variant = 2)
+
+  /** The SECOND scale decade: sf0.1 shape x100 rows over 100x sources —
+    * the WIDE (constant-block-density) regime at ≈100x the contract
+    * scale, documents only (the flagship compositions and the global
+    * SimHash dedup read nothing else). One decade past [[generateWide]],
+    * this is the datapoint that converts "linear at 10x" into a
+    * measured two-decade line for the 100x claim. */
+  def generateWide100(s: SparkSession, outDir: String, refDir: String): Unit =
+    generate(s, outDir, refDir, nDocs = 500000, nSources = 2000,
+      nEmb = 8000, nEvents = 1000000, nUsers = 15000, variant = 3,
+      docsOnly = true)
 }

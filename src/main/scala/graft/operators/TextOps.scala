@@ -437,6 +437,21 @@ object TextOps {
     * corpus never exhausts the pair table (words run to 8 chars). */
   val BpeRounds = 8
 
+  /** txt_bpe_vocab64 configuration: 64 merges trained BATCHED at
+    * batchK = 8 with [[bpeTrainBatchedOf]]'s fixedWant structure, so
+    * every driver round is structurally identical (select ≤ 8
+    * non-conflicting pairs from the top 32 candidates, apply in one
+    * chained-replace pass) and the DuckDB oracle can mirror the
+    * batched algorithm round-for-round in statically-unrolled CTEs.
+    * Bpe64Rounds is the ORACLE's unroll depth — an upper bound on the
+    * driver rounds the trainer can need for 64 merges (conflicts only
+    * DEFER picks, and ≥ 1 merge lands per non-exhausted round, so 16
+    * rounds cover any corpus the 8-round measured spill never
+    * approached; BpeSpec pins the real corpus at ≤ 16). */
+  val Bpe64Merges = 64
+  val Bpe64BatchK = 8
+  val Bpe64Rounds = 16
+
   /** BPE (byte-pair-encoding) vocabulary induction — tokenizer training
     * as a relational fixpoint (Sennrich et al. 2016, arXiv:1508.07909):
     * k rounds of (count adjacent symbol pairs, weighted by word
@@ -545,7 +560,8 @@ object TextOps {
     * round collects ≤ 4·batchK candidate rows, never corpus data. */
   private[graft] def bpeTrainBatchedOf(docs: DataFrame, totalMerges: Int,
       batchK: Int,
-      roundsOut: java.util.concurrent.atomic.AtomicInteger = null)
+      roundsOut: java.util.concurrent.atomic.AtomicInteger = null,
+      fixedWant: Boolean = false)
       : (DataFrame, DataFrame) = {
     val s = docs.sparkSession
     import s.implicits._
@@ -562,7 +578,14 @@ object TextOps {
       if (roundsOut != null) roundsOut.incrementAndGet()
       val syms = split(trim(col("seq")), "  ")
       val n = size(syms)
-      val want = math.min(batchK, totalMerges - merges.size)
+      // fixedWant makes EVERY round's selection structurally identical
+      // (want = batchK, candidate cap = 4·batchK) — the property the
+      // statically-unrolled txt_bpe_vocab64 oracle mirrors; the final
+      // round may overshoot and the merge table is truncated below.
+      // The default (shrinking want) never overshoots — the ergonomic
+      // form when no SQL mirror is needed.
+      val want = if (fixedWant) batchK
+        else math.min(batchK, totalMerges - merges.size)
       // 4x headroom: conflicts thin the prefix; a round that selects
       // fewer than `want` merges is still correct, just less parallel
       val top = words
@@ -578,8 +601,15 @@ object TextOps {
       val picked = top.iterator
         .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
         .filter { case (x, y, _) =>
-          val ok = !used(x) && !used(y)
-          if (ok) { used += x; used += y }
+          // a candidate conflicts if it shares a symbol with an
+          // already-selected pair OR with a selected pair's MERGED
+          // symbol x+y: without the latter, a batch could co-select
+          // (a, b) and ("ab", c) — distinct strings, but the first
+          // replace creates the very " ab " occurrences the second
+          // consumes, so the second's ranked count is no longer
+          // invariant within the batch (ADVICE round 10)
+          val ok = !used(x) && !used(y) && !used(x + y)
+          if (ok) { used += x; used += y; used += x + y }
           ok
         }
         .take(want).toSeq
@@ -596,7 +626,7 @@ object TextOps {
           }.as("seq"))
       }
     }
-    (words, merges.toSeq.toDF("round", "x", "y", "cnt"))
+    (words, merges.take(totalMerges).toSeq.toDF("round", "x", "y", "cnt"))
   }
 
   /** DuckDB mirror of [[bpeTrainOf]]: CTE chain w0 → (p1, best1, w1) →
@@ -628,6 +658,82 @@ object TextOps {
          |        FROM w${r - 1} LEFT JOIN best$r b ON TRUE)""".stripMargin
     }
     (w0 +: rounds).mkString(",\n")
+  }
+
+  /** DuckDB mirror of the BATCHED trainer ([[bpeTrainBatchedOf]] with
+    * fixedWant): [[Bpe64Rounds]] statically-unrolled rounds, each
+    * round = pair-count CTE → top-(4·K) ranked candidate CTE → K
+    * greedy selection CTEs (each picks the best-ranked candidate not
+    * conflicting — sharing x, y, or the merged x||y — with any
+    * EARLIER selection of the same round, exactly the Scala conflict
+    * rule) → one chained-replace apply CTE. The flattened selections
+    * in (round, slot) order, truncated to [[Bpe64Merges]], are the
+    * merge table. Batched BPE is NOT sequential BPE on this corpus
+    * (measured: the conservative symbol-sharing rule defers (o,r)
+    * behind (e,r) where sequential interleaves them — BpeSpec pins
+    * the divergence), so the oracle mirrors the algorithm actually
+    * shipped, not the sequential one. */
+  private def bpeBatchedSqlCtes: String = {
+    val k = Bpe64BatchK
+    val w0 =
+      """bw0 AS MATERIALIZED (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS wc,
+        |         ' ' || array_to_string(string_split(word, ''), '  ') ||
+        |           ' ' AS seq
+        |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS word
+        |        FROM documents)
+        |  GROUP BY word)""".stripMargin
+    def conflict(c: String, s: String): String =
+      s"""($c.x IN ($s.x, $s.y, $s.x || $s.y)
+         | OR $c.y IN ($s.x, $s.y, $s.x || $s.y)
+         | OR ($c.x || $c.y) IN ($s.x, $s.y, $s.x || $s.y))"""
+        .stripMargin.replace("\n", "")
+    val rounds = (1 to Bpe64Rounds).map { r =>
+      val pairs =
+        s"""bp$r AS (
+           |  SELECT p.x AS x, p.y AS y, CAST(SUM(wc) AS BIGINT) AS cnt
+           |  FROM (SELECT wc, unnest(list_transform(
+           |          generate_series(1, len(s) - 1),
+           |          i -> struct_pack(x := s[i], y := s[i + 1]))) AS p
+           |        FROM (SELECT wc, string_split(trim(seq), '  ') AS s
+           |              FROM bw${r - 1}))
+           |  GROUP BY 1, 2),
+           |bc$r AS MATERIALIZED (
+           |  SELECT x, y, cnt,
+           |         row_number() OVER (ORDER BY cnt DESC, x, y) AS rn
+           |  FROM bp$r QUALIFY rn <= ${4 * k})""".stripMargin
+      val sels = (1 to k).map { j =>
+        val excl = (1 until j).map(i =>
+          s"""AND NOT EXISTS (SELECT 1 FROM bs${r}_$i s
+             |    WHERE ${conflict("c", "s")})""".stripMargin)
+          .mkString("\n  ")
+        s"""bs${r}_$j AS MATERIALIZED (
+           |  SELECT x, y, cnt, rn FROM bc$r c
+           |  WHERE TRUE
+           |  $excl
+           |  ORDER BY rn LIMIT 1)""".stripMargin
+      }
+      val applyChain = (1 to k).foldLeft("seq") { (acc, j) =>
+        s"""CASE WHEN s$j.x IS NULL THEN $acc
+           |ELSE replace($acc, ' ' || s$j.x || '  ' || s$j.y || ' ',
+           |             ' ' || s$j.x || s$j.y || ' ') END"""
+          .stripMargin.replace("\n", " ")
+      }
+      val joins = (1 to k)
+        .map(j => s"LEFT JOIN bs${r}_$j s$j ON TRUE").mkString("\n  ")
+      val apply =
+        s"""bw$r AS MATERIALIZED (
+           |  SELECT word, wc, $applyChain AS seq
+           |  FROM bw${r - 1}
+           |  $joins)""".stripMargin
+      (Seq(pairs) ++ sels ++ Seq(apply)).mkString(",\n")
+    }
+    val sel =
+      s"""bsel AS (
+         |${(for (r <- 1 to Bpe64Rounds; j <- 1 to k) yield
+             s"  SELECT $r AS r, $j AS slot, x, y, cnt FROM bs${r}_$j")
+           .mkString("\n  UNION ALL\n")})""".stripMargin
+    (Seq(w0) ++ rounds ++ Seq(sel)).mkString(",\n")
   }
 
   /** Exact BPE segmentation from the merge RULES: rebuild the word's
@@ -741,6 +847,25 @@ object TextOps {
     // histogram only).
     "txt_bpe_vocab" -> { (s, dir) =>
       val (_, merges) = bpeTrainOf(table(s, dir, "documents"))
+      merges
+        .select(col("round"), col("x").as("lhs"), col("y").as("rhs"),
+          concat(col("x"), col("y")).as("merged"),
+          col("cnt").as("pair_count"))
+        .orderBy("round")
+    },
+
+    // BATCHED BPE at production depth: 64 merges in ~ceil(64/8) driver
+    // rounds instead of 64 — the round-trip division a 30k-merge
+    // tokenizer train needs (see [[bpeTrainBatchedOf]]). The oracle
+    // mirrors the batched algorithm itself ([[bpeBatchedSqlCtes]]):
+    // batched ≠ sequential BPE on this corpus (the symbol-sharing
+    // conflict rule defers overlapping pairs — BpeSpec pins the
+    // divergence), so gating it against the sequential table would
+    // test the wrong function.
+    "txt_bpe_vocab64" -> { (s, dir) =>
+      val (_, merges) = bpeTrainBatchedOf(table(s, dir, "documents"),
+        totalMerges = Bpe64Merges, batchK = Bpe64BatchK,
+        fixedWant = true)
       merges
         .select(col("round"), col("x").as("lhs"), col("y").as("rhs"),
           concat(col("x"), col("y")).as("merged"),
@@ -2629,6 +2754,14 @@ object TextOps {
         |       cnt AS pair_count
         |FROM (${(1 to BpeRounds)
             .map(r => s"SELECT * FROM best$r").mkString(" UNION ALL ")})
+        |ORDER BY round""".stripMargin) +
+   ("txt_bpe_vocab64" ->
+     s"""WITH $bpeBatchedSqlCtes
+        |SELECT CAST(row_number() OVER (ORDER BY r, slot) AS INTEGER)
+        |         AS round,
+        |       x AS lhs, y AS rhs, x || y AS merged, cnt AS pair_count
+        |FROM bsel
+        |QUALIFY round <= $Bpe64Merges
         |ORDER BY round""".stripMargin) +
    ("txt_bpe_encode" ->
      s"""WITH $bpeSqlCtes,

@@ -153,6 +153,41 @@ class BpeSpec extends AnyFunSuite {
     assert(batM.map(r => (r(1), r(2))) == Seq(("a", "b"), ("ab", "c")))
   }
 
+  test("batched K=8 at 64 merges: full table in <= 1/4 the driver " +
+    "rounds, DIVERGING from sequential by the conflict-defer rule") {
+    // the txt_bpe_vocab64 contract facts, pinned: (a) the corpus
+    // supports 64 merges; (b) the batched trainer delivers all 64 in
+    // at most a quarter of the sequential driver rounds and within
+    // the oracle's Bpe64Rounds unroll depth; (c) batched BPE is NOT
+    // sequential BPE here — the conservative symbol-sharing rule
+    // defers e.g. (o,r) behind (e,r) where sequential interleaves
+    // them — which is WHY the DuckDB oracle mirrors the batched
+    // algorithm (bpeBatchedSqlCtes) rather than the sequential table;
+    // (d) both tables open with the same undisputed top pair.
+    val dir = TestSpark.sfDir
+    val docs = graft.core.Core.table(spark, dir, "documents")
+    val rcSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+    val seqM = graft.operators.TextOps.bpeTrainBatchedOf(docs,
+        totalMerges = 64, batchK = 1, roundsOut = rcSeq)._2
+      .orderBy("round").collect().map(_.toSeq).toSeq
+    val rcBat = new java.util.concurrent.atomic.AtomicInteger(0)
+    val batM = graft.operators.TextOps.bpeTrainBatchedOf(docs,
+        totalMerges = 64, batchK = 8, roundsOut = rcBat,
+        fixedWant = true)._2
+      .orderBy("round").collect().map(_.toSeq).toSeq
+    assert(seqM.size == 64, s"corpus exhausted at ${seqM.size} merges")
+    assert(batM.size == 64, s"batched stopped at ${batM.size} merges")
+    assert(rcBat.get() <= rcSeq.get() / 4,
+      s"batched rounds ${rcBat.get()} vs sequential ${rcSeq.get()}")
+    assert(rcBat.get() <= graft.operators.TextOps.Bpe64Rounds,
+      s"oracle unroll depth exceeded: ${rcBat.get()} rounds")
+    assert(batM.head == seqM.head)
+    assert(batM != seqM, "divergence premise changed — if batched now " +
+      "equals sequential, the vocab64 oracle could use the plain CTEs")
+    // merge indexes are 1..64 in both
+    assert(batM.map(_(0)) == (1 to 64).toSeq)
+  }
+
   test("batched rule table drives the rule-based encode identically " +
     "to sequential rules") {
     // the merge TABLE is the tokenizer artifact: training mode must
