@@ -147,8 +147,13 @@ object DedupOps {
     * dictionary), then broadcast-joins back onto the (doc, token) rows —
     * not once per occurrence. Same values as hashing in place, so the
     * DuckDB oracle (which hashes in place) is unaffected. */
-  private def docTokHash(s: SparkSession, dir: String): DataFrame = {
-    val toks = tokSets(s, dir)
+  private def docTokHash(s: SparkSession, dir: String): DataFrame =
+    docTokHashOf(tokSets(s, dir))
+
+  /** [[docTokHash]] over an explicit (doc_id, toks) relation — the
+    * micro-batch entry point for the streaming sketch twin. */
+  private def docTokHashOf(tokSets: DataFrame): DataFrame = {
+    val toks = tokSets
       .select(col("doc_id"), explode(col("toks")).as("tok"))
     val hashed = toks.select("tok").distinct()
       .withColumn("base", TextHash.tokHash(col("tok")) % P)
@@ -502,12 +507,16 @@ object DedupOps {
     * [[TextHash.base62]] for the production 62-bit one). One linear
     * pass: per-token bit contributions ±1, summed map-side. */
   private def sketchFrom(s: SparkSession, dir: String,
+      widen: Column => Column, bits: Int): DataFrame =
+    sketchFromTokHash(docTokHash(s, dir), widen, bits)
+
+  private def sketchFromTokHash(tokHash: DataFrame,
       widen: Column => Column, bits: Int): DataFrame = {
     val bitSums = (0 until bits).map { j =>
       sum(when(shiftright(col("b"), j).bitwiseAND(lit(1L)) === 1L,
         lit(1L)).otherwise(lit(-1L))).as(s"s$j")
     }
-    docTokHash(s, dir)
+    tokHash
       .withColumn("b", widen(col("base")))
       .groupBy("doc_id")
       .agg(bitSums.head, bitSums.tail: _*)
@@ -516,6 +525,13 @@ object DedupOps {
           .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
           .reduce(_ + _).as("simhash"))
   }
+
+  /** 62-bit production sketch over an explicit documents-shaped
+    * relation — the same map-side fold [[simhash64Sketches]] runs on
+    * the corpus, applied to ONE MICRO-BATCH by the streaming twin. */
+  private[graft] def simhash64SketchesOf(docs: DataFrame): DataFrame =
+    sketchFromTokHash(docTokHashOf(tokSetsOf(docs)),
+      TextHash.base62, Simhash64Bits)
 
   /** 16-permutation MinHash signature per doc (columns m0..m15) — one
     * linear pass, map-side partial min aggregation. Shared by the LSH
@@ -1091,6 +1107,81 @@ object DedupOps {
       .agg(count(lit(1)).as("inter"))
       .filter(col("inter").cast(DoubleType)
         / (col("b_sz") + col("c_sz") - col("inter")) >= threshold)
+      .groupBy("b_id")
+      .agg(min(col("c_id")).as("dup_of"))
+      .withColumnRenamed("b_id", "doc_id")
+    batch.select("doc_id", "source")
+      .join(dupOf, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("dup_of"),
+        col("dup_of").isNull.as("is_new"))
+      .orderBy("doc_id")
+  }
+
+  /** (band, bbits) LSH bucket rows of a 62-bit sketch relation — the
+    * [[bandedJoin]] pigeonhole tiling ([[Simhash64HammingMax]]+1 = 4
+    * bands of 16 bits) as a standalone projection, shared by the
+    * sketch-index build and the per-batch probe so both sides bucket
+    * identically by construction. */
+  private def simhash64BandRows(sketch: DataFrame): DataFrame = {
+    val nBands = Simhash64HammingMax + 1
+    val width = (Simhash64Bits + nBands - 1) / nBands
+    val mask = (1L << width) - 1
+    val bandStructs = array((0 until nBands).map { j =>
+      struct(lit(j).as("band"),
+        shiftright(col("simhash"), j * width).bitwiseAND(lit(mask))
+          .as("bbits"))
+    }: _*)
+    sketch.select(col("doc_id"), col("simhash"),
+        explode(bandStructs).as("bs"))
+      .select(col("doc_id"), col("simhash"),
+        col("bs.band").as("band"), col("bs.bbits").as("bbits"))
+  }
+
+  /** One-time GLOBAL SimHash sketch index over the corpus — the
+    * banded (band, bbits) bucket rows of [[simhash64Sketches]], laid
+    * out BUCKETED on the band key so every later probe (a batch
+    * delta, a streaming micro-batch) reads the corpus side
+    * exchange-free: the `pipeline_dedup` ingest companion. A recurring
+    * 100 TB ingest builds this once and amortizes it; only sketches
+    * ride in it (16 bytes/row × 4 bands), never text. */
+  def buildSimhashIndex(s: SparkSession, dir: String,
+      tableName: String, buckets: Int = 8,
+      docs: Option[DataFrame] = None): Unit =
+    simhash64BandRows(docs.map(simhash64SketchesOf)
+        .getOrElse(simhash64Sketches(s, dir)))
+      .select(col("band"), col("bbits"), col("doc_id").as("c_id"),
+        col("simhash").as("c_sh"))
+      .write.bucketBy(buckets, "band", "bbits")
+      .sortBy("band", "bbits")
+      .mode("overwrite").saveAsTable(tableName)
+
+  /** The per-batch decision core of the streaming SimHash dedup
+    * (streaming/StreamingOps.simhashDedupStream): decide every doc of
+    * `batchDocs` against the PRE-BUILT sketch index
+    * ([[buildSimhashIndex]]) — a doc is a near-dup iff some corpus
+    * sketch shares an LSH band AND lies within Hamming
+    * [[Simhash64HammingMax]] (band-sharing is pigeonhole-complete at
+    * this radius, so the candidate rule is EXACT, not approximate,
+    * over the sketches). dup_of = the minimum qualifying corpus
+    * doc_id, the same canonical-argmin convention as
+    * [[dedupAgainstIndex]]. Decisions depend only on (doc, index) —
+    * never on batch-mates — which is what makes per-batch streaming
+    * decisions ≡ one batch run by construction (asserted on data in
+    * StreamingOpsSpec). Plan shape: the batch side shuffles on
+    * (band, bbits); the corpus side reads bucket-aligned (merge-hint
+    * pinned, exchange-free at every corpus scale); duplicate
+    * multi-band collisions collapse in the min-aggregation, so no
+    * first-band arithmetic is needed on this path. */
+  private[graft] def dedupAgainstSimhashIndex(s: SparkSession,
+      batchDocs: DataFrame, indexTable: String): DataFrame = {
+    val batch = shared(batchDocs)
+    val probe = simhash64BandRows(simhash64SketchesOf(batch))
+      .select(col("band"), col("bbits"), col("doc_id").as("b_id"),
+        col("simhash").as("b_sh"))
+    val dupOf = probe.hint("merge")
+      .join(s.table(indexTable), Seq("band", "bbits"))
+      .filter(bit_count(col("b_sh").bitwiseXOR(col("c_sh")))
+        .cast(IntegerType) <= Simhash64HammingMax)
       .groupBy("b_id")
       .agg(min(col("c_id")).as("dup_of"))
       .withColumnRenamed("b_id", "doc_id")

@@ -90,6 +90,40 @@ object StreamingOps {
       }
   }
 
+  /** Streaming twin of `pipeline_dedup`'s GLOBAL candidate stage —
+    * the real ingest shape for the corpus-wide sketch dedup: arriving
+    * documents are watermark-deduped on doc_id (at-least-once sources
+    * redeliver; the watermark bounds that state by event time), then
+    * each micro-batch is SimHash-banded against the PRE-BUILT
+    * corpus sketch index (DedupOps.buildSimhashIndex — 62-bit
+    * sketches in 4 pigeonhole-exact 16-bit bands, bucketed on the
+    * band key) via the SAME decision core as a batch delta run
+    * (DedupOps.dedupAgainstSimhashIndex), so per-batch decisions
+    * provably match the batch run on the same data (asserted in
+    * StreamingOpsSpec) and the corpus side reads exchange-free on
+    * every batch: only the micro-batch's sketch rows shuffle — 4
+    * 16-byte rows per arriving doc, never text. `onBatch` receives
+    * each batch's decision rows (doc_id, source, dup_of, is_new);
+    * shared caches registered by the decision core are released after
+    * each batch (the per-query cache scope). A full ingest loop would
+    * append the new docs' sketch rows to the index between batches —
+    * kept out of the operator (index maintenance policy, not decision
+    * semantics), exactly like `incrementalDedup`. */
+  def simhashDedupStream(docs: DataFrame, watermark: String,
+      indexTable: String)(
+      onBatch: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    val s = docs.sparkSession
+    docs.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("doc_id")
+      .writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        val decisions = graft.operators.DedupOps.dedupAgainstSimhashIndex(
+          s, b.select("doc_id", "lang", "source", "text"), indexTable)
+        onBatch(decisions, id)
+        graft.core.Core.releaseShared()
+      }
+  }
+
   /** Streaming twin of `pipeline_curate`: the curation manifest over an
     * arriving document stream. The quality/repetition flag chain and
     * the split/shard assignment hashes are STATELESS map-side

@@ -25,7 +25,8 @@ class LazinessSpec extends AnyFunSuite {
     // PqM·PqK sub-centroids per Lloyd round) — same bounded-state
     // collect pattern; its fully-lazy form measured 2,671 broadcast
     // exchanges from multiplicative plan duplication
-    val exempt = Set("txt_bpe_vocab", "txt_bpe_encode", "sim_ivfpq_topk",
+    val exempt = Set("txt_bpe_vocab", "txt_bpe_vocab64", "txt_bpe_encode",
+      "sim_ivfpq_topk",
       "pipeline_tokenize")
     val tracker = spark.sparkContext.statusTracker
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)

@@ -147,6 +147,89 @@ class StreamingOpsSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS dedup_idx_stream")
   }
 
+  test("streaming SimHash dedup over the banded sketch index matches " +
+    "the batch decision core and brute-force Hamming, redelivery " +
+    "suppressed") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val dir = TestSpark.sfDir
+    spark.sql("DROP TABLE IF EXISTS simhash_idx_stream")
+    // corpus = the incremental convention's corpus split (src < K),
+    // index built over it ONLY — arriving docs must not self-match
+    val docsAll = graft.core.Core.table(spark, dir, "documents")
+      .withColumn("src_idx", substring(col("source"), 4, 10).cast("int"))
+    val corpus = docsAll
+      .filter(col("src_idx") <
+        graft.operators.DedupOps.IncrementalCorpusSrcs)
+      .select("doc_id", "lang", "source", "text")
+    graft.operators.DedupOps.buildSimhashIndex(spark, dir,
+      "simhash_idx_stream", docs = Some(corpus))
+
+    val t0 = Timestamp.valueOf("2026-08-12 10:00:00")
+    val arriving = docsAll
+      .filter(col("src_idx") >=
+        graft.operators.DedupOps.IncrementalCorpusSrcs)
+      .select("doc_id", "lang", "source", "text")
+      .collect()
+      .map(r => StreamingOps.IncomingDoc(r.getLong(0), r.getString(1),
+        r.getString(2), r.getString(3), t0))
+    assert(arriving.length > 10)
+    val (first, second) = arriving.splitAt(arriving.length / 2)
+
+    val perBatch =
+      new java.util.concurrent.ConcurrentHashMap[Long, Seq[Seq[Any]]]()
+    val in = MemoryStream[StreamingOps.IncomingDoc]
+    val q = StreamingOps.simhashDedupStream(in.toDF(), "30 minutes",
+        "simhash_idx_stream") { (df, id) =>
+        perBatch.put(id, df.collect().map(_.toSeq).toSeq)
+      }
+      .start()
+    in.addData(first.toIndexedSeq)
+    q.processAllAvailable()
+    // batch 2 redelivers a batch-1 doc: decided exactly once overall
+    in.addData((second :+ first.head).toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+
+    import scala.jdk.CollectionConverters._
+    val streamed = perBatch.values.asScala.flatten.toSeq
+    assert(streamed.map(_.head).distinct.length == streamed.length)
+    assert(streamed.length == arriving.length)
+    // union of per-batch decisions == ONE batch run of the decision
+    // core over the full delta (decisions depend only on (doc, index))
+    val deltaDf = docsAll
+      .filter(col("src_idx") >=
+        graft.operators.DedupOps.IncrementalCorpusSrcs)
+      .select("doc_id", "lang", "source", "text")
+    val batchRun = graft.operators.DedupOps.dedupAgainstSimhashIndex(
+      spark, deltaDf, "simhash_idx_stream")
+      .collect().map(_.toSeq).toSeq
+    graft.core.Core.releaseShared()
+    assert(streamed.toSet == batchRun.toSet)
+    // and the banded candidate rule is EXACT over sketches: dup_of ==
+    // the min corpus doc within Hamming <= Simhash64HammingMax,
+    // brute-forced over the collected sketch relations
+    val bSk = graft.operators.DedupOps.simhash64SketchesOf(deltaDf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cSk = graft.operators.DedupOps.simhash64SketchesOf(corpus)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    graft.core.Core.releaseShared()
+    val expect = bSk.map { case (b, sh) =>
+      val cands = cSk.filter { case (_, csh) =>
+        java.lang.Long.bitCount(sh ^ csh) <=
+          graft.operators.DedupOps.Simhash64HammingMax }
+      b -> (if (cands.isEmpty) None else Some(cands.map(_._1).min))
+    }
+    streamed.foreach { r =>
+      val (id, dup) = (r.head.asInstanceOf[Long], Option(r(2)))
+      assert(dup.map(_.asInstanceOf[Long]) == expect(id),
+        s"doc $id: dup_of $dup vs brute-force ${expect(id)}")
+    }
+    // non-degenerate both ways
+    assert(streamed.exists(_(3) == false) && streamed.exists(_(3) == true))
+    spark.sql("DROP TABLE IF EXISTS simhash_idx_stream")
+  }
+
   test("streaming curation manifest matches the batch pipeline_curate " +
     "on the arriving docs") {
     import spark.implicits._
