@@ -810,12 +810,15 @@ object DedupOps {
     // GLOBAL-scope SimHash pairs — the corpus-wide candidate pass
     // (round-9 verdict #1): the production-width 62-bit sketch at
     // Hamming <= 3 (see [[simhashPairsGlobal]] for why the loose demo
-    // sketch cannot run globally), `source` dropped from the bucket
-    // key, so cross-crawl duplicates surface. Candidate volume stays
-    // sketch-bounded: band keys are hash-random, so the global
-    // buckets carry the same size distribution as the per-source ones
-    // (measured DENSE/WIDE in SCALE.md), and the join keeps its salt
-    // + SHJ pin.
+    // sketch cannot run globally), no `source` in the bucket key, so
+    // cross-crawl duplicates surface. Since round 11 the candidates
+    // come from the identical-sketch collapse + Manku combination
+    // keys ([[Simhash64Blocks]]): the sf10wide sweep falsified the
+    // earlier "band keys are hash-random so global ≈ per-source"
+    // claim — global 16-bit buckets grow with the corpus and the
+    // candidate mass went quadratic (docs/SCALE.md round 11). Work is
+    // now candidates-over-distinct-sketches + output-bound expansion;
+    // the join keeps its salt + SHJ pin.
     "dedup_simhash_global" -> { (s, dir) =>
       simhashPairsGlobal(s, dir).orderBy("a_id", "b_id")
     },
@@ -886,7 +889,7 @@ object DedupOps {
       val ordered = Window.partitionBy("cluster")
         .orderBy(col("quality").desc, col("doc_id"))
       val nodes = table(s, dir, "documents").select("doc_id")
-      ccUnrolled(nodes, simhashEdgesGlobal(s, dir), CcRounds)
+      ccUnrolled(nodes, simhashEdgesGlobal(s, dir), StarCcRounds)
         .join(q, "doc_id")
         .withColumn("is_kept", row_number().over(ordered) === 1)
         .withColumn("canon", first(col("doc_id")).over(ordered))
@@ -1339,6 +1342,35 @@ object DedupOps {
     * the unbounded-diameter path. */
   val CcRounds = 5
 
+  /** Rounds bound for CC over the STAR-REDUCED global edge set
+    * ([[simhashEdgesGlobal]]): identical-sketch groups connect through
+    * their representative instead of pairwise, so a doc-level path of
+    * length L maps to a star-graph path of length <= L + 2 (one hop
+    * member->rep at each end) — CcRounds + 2 preserves the doc-level
+    * CcRounds reach. Hash parity with DuckDB does NOT rest on that
+    * bound: the pipeline_dedup / pipeline_full oracles mirror the SAME
+    * star-reduced edge set for the same StarCcRounds unrolled rounds
+    * (ccCteGlobal), so both engines compute identical labels at any
+    * round count; [[ccFixpoint]] remains the unbounded-diameter
+    * production path, and PipelineOpsSpec asserts the unrolled labels
+    * match the fixpoint's on the gate corpus (i.e. StarCcRounds has
+    * actually converged there, so the bounded contract answer IS the
+    * true-component answer). */
+  val StarCcRounds = CcRounds + 2
+
+  /** Block count for the combination-keyed global candidate join
+    * ([[comboJoin]]) — Manku, Jain & Das Sarma, WWW'07 §3 ("Detecting
+    * near-duplicates for web crawling"): split the 62-bit sketch into
+    * 6 blocks; a pair within Hamming [[Simhash64HammingMax]] = 3 has
+    * all differing bits inside <= 3 blocks, so it agrees EXACTLY on
+    * >= 3 blocks and collides in >= one of the C(6,3) = 20 three-block
+    * combination keys (~31 bits each). Against the 4x16-bit banding,
+    * the wider keys trade 5x more bucket rows for a key space 2^15x
+    * larger — the difference between bucket occupancy that grows with
+    * corpus size (quadratic candidates; the round-11 sf10wide OOM) and
+    * occupancy that stays flat until |distinct sketches| ~ 2^31. */
+  val Simhash64Blocks = 6
+
   /** Banded bucket join over SimHash sketches: verified near-dup pairs
     * with `pred` deciding the id predicate (a<b for the pair listing,
     * a≠b for the symmetric edge list). Band count and width DERIVE
@@ -1347,8 +1379,7 @@ object DedupOps {
     * change to SimhashBits or the threshold. */
   private[operators] def bandedJoin(s: SparkSession, dir: String,
       sketch: DataFrame, bits: Int, hammingMax: Int,
-      pred: (Column, Column) => Column,
-      global: Boolean = false): DataFrame = {
+      pred: (Column, Column) => Column): DataFrame = {
     val nBands = hammingMax + 1                             // pigeonhole
     val width = (bits + nBands - 1) / nBands                // tiles all bits
     val mask = (1L << width) - 1
@@ -1357,22 +1388,18 @@ object DedupOps {
         shiftright(col("simhash"), j * width).bitwiseAND(lit(mask))
           .as("bbits"))
     }: _*)
-    // Candidate-blocking scope (round-9 verdict #1): within-`source`
-    // by default (the contract bound the pair-listing queries
-    // document), or GLOBAL — the corpus-wide pass that catches a doc
-    // duplicated across crawls, the most common duplication mode in a
-    // multi-source corpus (the C4/RefinedWeb motivation). Dropping
-    // `source` from the banded key adds no skew: the (band, bbits)
-    // keys are hash-random, so global buckets are the union of the
-    // per-source buckets with the same size distribution — the salted
-    // join and the first-colliding-band dedup below are scope-blind.
-    val blockKeys = if (global) Seq("band", "bbits")
-      else Seq("source", "band", "bbits")
-    val srcCols = if (global) Nil else Seq(col("source"))
+    // Candidate-blocking scope: within-`source` — the contract bound
+    // the pair-listing queries document. (The GLOBAL corpus-wide pass
+    // lives in [[comboJoin]] from round 11 on: dropping `source` from
+    // a 16-bit band key saturates the bucket space once the corpus
+    // outgrows 2^16 sketches, which the sf10wide sweep measured as
+    // quadratic candidate growth — the wider combination keys are the
+    // corpus-scale form.)
+    val blockKeys = Seq("source", "band", "bbits")
+    val srcCols = Seq(col("source"))
     // both join sides scan the banded sketch relation: sketch it once
-    val base = if (global) sketch
-      else table(s, dir, "documents").select("doc_id", "source")
-        .join(sketch, "doc_id")
+    val base = table(s, dir, "documents").select("doc_id", "source")
+      .join(sketch, "doc_id")
     val d = shared(base
       .select(srcCols ++ Seq(col("doc_id"), col("simhash"),
         explode(bandStructs).as("bs")): _*)
@@ -1441,20 +1468,190 @@ object DedupOps {
     * configuration; within-source scoping is what made the loose
     * sketch usable. Superset of the within-source
     * [[simhash64Pairs]] (asserted in DedupOpsSpec). */
-  private[graft] def simhashPairsGlobal(s: SparkSession, dir: String)
+  /** Combination-keyed candidate join over a (doc_id, simhash)
+    * relation — the GLOBAL-scope candidate generator (see
+    * [[Simhash64Blocks]] for the Manku WWW'07 scheme and why the
+    * 16-bit banding cannot run corpus-wide). Pigeonhole-exact: every
+    * pair within `hammingMax` agrees exactly on >= blocks - hammingMax
+    * blocks, so it collides in >= one combination key; exact Hamming
+    * then removes false positives, and the first-agreeing-combination
+    * clause (same static-bit-arithmetic trick as [[bandedJoin]]'s
+    * first-colliding-band — stays in whole-stage codegen) keeps each
+    * surviving pair exactly once WITHOUT an aggregation. Returns
+    * (a_id, b_id, a_sh, b_sh, hamming); both sketches ride along so
+    * callers can expand sketch-level pairs to member pairs. */
+  private[operators] def comboJoin(sketch: DataFrame, bits: Int,
+      hammingMax: Int, blocks: Int,
+      pred: (Column, Column) => Column): DataFrame = {
+    require(blocks > hammingMax, "need more blocks than differing bits")
+    val base = bits / blocks
+    val rem = bits % blocks
+    val widths = (0 until blocks).map(j => base + (if (j < rem) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _).init
+    def blockBits(c: Column, j: Int): Column =
+      shiftright(c, offsets(j)).bitwiseAND(lit((1L << widths(j)) - 1))
+    val combos = (0 until blocks).combinations(blocks - hammingMax)
+      .toIndexedSeq
+    val comboStructs = array(combos.zipWithIndex.map { case (cb, i) =>
+      // pack the selected blocks' bits into one long key (<= 32 bits)
+      val key = cb.foldLeft(lit(0L))((acc, j) =>
+        shiftleft(acc, widths(j)) + blockBits(col("simhash"), j))
+      struct(lit(i).as("combo"), key.as("kbits"))
+    }: _*)
+    val d = shared(sketch
+      .select(col("doc_id"), col("simhash"), explode(comboStructs).as("cs"))
+      .select(col("doc_id"), col("simhash"),
+        col("cs.combo").as("combo"), col("cs.kbits").as("kbits")))
+    def side(p: String) = d.select(col("combo"), col("kbits"),
+      col("doc_id").as(s"${p}_id"), col("simhash").as(s"${p}_sh"))
+    val earlierComboCollides = combos.zipWithIndex.map { case (cb, i) =>
+      (col("combo") > i) && cb.map(j =>
+          blockBits(col("a_sh"), j) === blockBits(col("b_sh"), j))
+        .reduce(_ && _)
+    }.foldLeft(lit(false))(_ || _)
+    SkewJoin.saltedCandidateJoin(side("a"), side("b"),
+        Seq("combo", "kbits"), leftSaltBy = col("a_id"))
+      .filter(pred(col("a_id"), col("b_id")))
+      .withColumn("hamming",
+        bit_count(col("a_sh").bitwiseXOR(col("b_sh"))).cast(IntegerType))
+      .filter(col("hamming") <= hammingMax)
+      .filter(!earlierComboCollides)
+      .select(col("a_id"), col("b_id"), col("a_sh"), col("b_sh"),
+        col("hamming"))
+  }
+
+  /** One representative per DISTINCT sketch value: (simhash, rep_id =
+    * min member doc_id). The identical-sketch collapse both global
+    * passes start from — same-sketch groups are distance-0 duplicate
+    * classes (Hamming depends only on the sketch VALUE), and on a
+    * duplicate-heavy corpus the quadratic doc-level pair mass lives in
+    * GROUP SIZES, not sketch-space structure (round-11 sf10wide
+    * measurement at 500k docs / 262,795 distinct sketches: 297M
+    * same-sketch pairs plus 1.59B cross-sketch member pairs that
+    * expand from just 8.3M sketch-VALUE pairs; max group 22,208
+    * docs). Only representatives enter the candidate join; members
+    * rejoin by sketch value afterwards. */
+  private def sketchReps(sk: DataFrame): DataFrame =
+    sk.groupBy("simhash").agg(min(col("doc_id")).as("rep_id"))
+
+  /** Sketch-VALUE near pairs (a_sh < b_sh, plus rep ids): the
+    * combination-keyed join over one row per distinct sketch. */
+  private def sketchValuePairsGlobal(s: SparkSession, sk: DataFrame)
       : DataFrame =
-    bandedJoin(s, dir, simhash64Sketches(s, dir), Simhash64Bits,
-      Simhash64HammingMax, _ < _, global = true)
+    comboJoin(sketchReps(sk)
+        .select(col("rep_id").as("doc_id"), col("simhash")),
+      Simhash64Bits, Simhash64HammingMax, Simhash64Blocks, _ < _)
+
+  /** GLOBAL-scope near-dup doc pairs (a_id < b_id, hamming): the
+    * corpus-wide pair LISTING. Work = candidate verification over
+    * DISTINCT sketches + an expansion that is proportional to the
+    * OUTPUT (same-sketch groups expand to their C(k,2) distance-0
+    * pairs; near sketch-value pairs expand to |A| x |B| member pairs)
+    * — the information-theoretic floor for a pair listing, whose
+    * cardinality is itself Sum k^2 on a duplicate-heavy corpus. The
+    * manifest path ([[simhashEdgesGlobal]]) avoids that floor by
+    * emitting star edges instead. Output identical to the all-pairs
+    * formulation (the DuckDB oracle). */
+  private[graft] def simhashPairsGlobal(s: SparkSession, dir: String)
+      : DataFrame = {
+    val sk = shared(simhash64Sketches(s, dir))
+    // distance-0 pairs: all (a<b) within a same-sketch group — salted
+    // on the skewed simhash key, output-bound by construction. Salt =
+    // the session's parallelism, NOT the default 8: one hot sketch
+    // group (22k docs at sf10wide) alone emits C(k,2) ≈ 245M pairs,
+    // so its chain must spread over every core, and the replication
+    // cost (sketch rows, two longs) is noise next to the output
+    val wideSalt = SkewJoin.defaultParts(s)
+    val same = SkewJoin.saltedCandidateJoin(
+        sk.select(col("simhash"), col("doc_id").as("a_id")),
+        sk.select(col("simhash"), col("doc_id").as("b_id")),
+        Seq("simhash"), leftSaltBy = col("a_id"), salt = wideSalt)
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        lit(0).cast(IntegerType).as("hamming"))
+    // cross-sketch pairs: sketch-value pairs expanded to members — the
+    // same duplicate-chain candidate shape as the joins above (a hot
+    // sketch's 22k members all hash to ONE a_sh key), so both
+    // expansions go through the salted join: chains spread over salt
+    // sub-keys and the strategy/layout is pinned, scale-invariant for
+    // the plan-shape gate. Pair order is by doc id, not by sketch,
+    // hence least/greatest.
+    val cross = SkewJoin.saltedCandidateJoin(
+        sketchValuePairsGlobal(s, sk)
+          .select(col("a_sh"), col("b_sh"), col("hamming")),
+        sk.select(col("simhash").as("a_sh"), col("doc_id").as("x")),
+        Seq("a_sh"), leftSaltBy = col("b_sh"), salt = wideSalt)
+    val expanded = SkewJoin.saltedCandidateJoin(
+        cross,
+        sk.select(col("simhash").as("b_sh"), col("doc_id").as("y")),
+        Seq("b_sh"), leftSaltBy = col("x"), salt = wideSalt)
+      .select(least(col("x"), col("y")).as("a_id"),
+        greatest(col("x"), col("y")).as("b_id"), col("hamming"))
+    same.unionByName(expanded)
+  }
 
   /** GLOBAL symmetric edge list — what [[queries]]' `pipeline_dedup`
     * (and pipeline_full's dedup leg) consume from round 10 on: a doc
     * duplicated across two crawls now lands in one cluster and one
-    * copy survives the canonical pick. */
+    * copy survives the canonical pick. STAR-REDUCED from round 11 on:
+    * same-sketch members connect to their representative (exact —
+    * distance-0 is an equivalence class) and only representatives
+    * enter the candidate join, so |E| is linear in the corpus plus the
+    * sketch-value near-pair count instead of Sum k^2 over duplicate
+    * group sizes. Connected components are IDENTICAL to the all-pairs
+    * edge set's (any member path a~b becomes a <= L+2 path through the
+    * reps), which is all the CC consumers read — run them with
+    * [[StarCcRounds]]. At sf10wide this replaced ~600M doc-level edges
+    * with 0.5M star + 17M rep edges and turned an
+    * AGGREGATE_OUT_OF_MEMORY into a linear pass (docs/SCALE.md round
+    * 11). */
   private[graft] def simhashEdgesGlobal(s: SparkSession, dir: String)
-      : DataFrame =
-    bandedJoin(s, dir, simhash64Sketches(s, dir), Simhash64Bits,
-      Simhash64HammingMax, _ =!= _, global = true)
+      : DataFrame = {
+    val sk = shared(simhash64Sketches(s, dir))
+    // member -> rep lookup: one row per key on the reps side; the
+    // shuffle_hash hint keeps the plan scale-invariant (reps are
+    // corpus-scaled — a stats-driven broadcast here would be a driver
+    // OOM at real scale)
+    val stars = sk.hint("shuffle_hash").join(sketchReps(sk), "simhash")
+      .filter(col("doc_id") =!= col("rep_id"))
+      .select(col("doc_id").as("n"), col("rep_id").as("m"))
+    val starsSym = stars.unionByName(
+      stars.select(col("m").as("n"), col("n").as("m")))
+    val repEdges = comboJoin(sketchReps(sk)
+        .select(col("rep_id").as("doc_id"), col("simhash")),
+      Simhash64Bits, Simhash64HammingMax, Simhash64Blocks, _ =!= _)
       .select(col("a_id").as("n"), col("b_id").as("m"))
+    starsSym.unionByName(repEdges)
+  }
+
+  /** Cardinality of [[simhashPairsGlobal]] WITHOUT materializing the
+    * listing: same-sketch groups contribute C(k,2) distance-0 pairs
+    * and each near sketch-VALUE pair (A, B) expands to |A|·|B| member
+    * pairs — so the count needs only the group-size relation and the
+    * rep-level combo join, never the expanded output. The Scale
+    * harness records it next to the listing's wall time: the listing
+    * is OUTPUT-BOUND by design (its cardinality is itself Σk² on a
+    * duplicate-heavy corpus), so its growth gate normalizes measured
+    * seconds by this measured output growth instead of pretending the
+    * output is linear. */
+  private[graft] def globalPairCount(s: SparkSession, dir: String): Long = {
+    val sk = shared(simhash64Sketches(s, dir))
+    val groups = shared(sk.groupBy("simhash")
+      .agg(count(lit(1)).cast(LongType).as("k")))
+    // k·(k-1) is even, so halve AFTER the (long-typed) sum — `/` in
+    // Spark SQL is true division and would silently go double
+    val same = groups
+      .agg(coalesce(sum(col("k") * (col("k") - lit(1))), lit(0L)).as("p"))
+      .head().getLong(0) / 2
+    val cross = sketchValuePairsGlobal(s, sk)
+      .join(groups.select(col("simhash").as("a_sh"), col("k").as("ka")),
+        "a_sh")
+      .join(groups.select(col("simhash").as("b_sh"), col("k").as("kb")),
+        "b_sh")
+      .agg(coalesce(sum(col("ka") * col("kb")), lit(0L)).as("p"))
+      .head().getLong(0)
+    same + cross
+  }
 
   /** Production-width pairs: 62-bit sketch, 4 bands of 16 bits,
     * Hamming <= [[Simhash64HammingMax]] — the selective configuration a
@@ -1630,10 +1827,12 @@ object DedupOps {
          |  WHERE bit_count(xor(a.simhash, b.simhash))
          |          <= $SimhashHammingMax)""".stripMargin
 
-    // CcRounds unrolled min-label-propagation rounds over the pair CTE,
-    // ending in l&lt;CcRounds&gt;(doc_id, cluster); shared by
-    // dedup_cluster_cc and dedup_canonical_pick
-    val ccRounds = (1 to CcRounds).map { i =>
+    // k unrolled min-label-propagation rounds over an `edges` CTE,
+    // ending in l&lt;k&gt;(doc_id, cluster) — the exact SQL mirror of one
+    // [[ccRound]] per round (LEFT JOIN + least ≡ the self-loop), so
+    // Spark and DuckDB compute IDENTICAL labels at any round count,
+    // converged or not
+    def ccRoundsSql(k: Int): String = (1 to k).map { i =>
       s"""nbr$i AS (SELECT e.n, min(x.cluster) AS nbr_min
          |  FROM edges e JOIN l${i - 1} x ON x.doc_id = e.m GROUP BY e.n),
          |l$i AS (SELECT l.doc_id,
@@ -1641,6 +1840,8 @@ object DedupOps {
          |  FROM l${i - 1} l LEFT JOIN nbr$i nb ON nb.n = l.doc_id)"""
         .stripMargin
     }.mkString(",\n")
+    // shared by dedup_cluster_cc and dedup_canonical_pick
+    val ccRounds = ccRoundsSql(CcRounds)
     val ccCte =
       s"""$simhashPairsCte,
          |edges AS (SELECT a_id AS n, b_id AS m FROM pairs
@@ -1659,12 +1860,14 @@ object DedupOps {
     val bitVal64g = (0 until Simhash64Bits)
       .map(j => s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END")
       .mkString(" + ")
-    val simhashPairsGlobalCte =
+    val simhashSketchGlobalCte =
       s"""th AS ($docTokHashSql),
          |th64 AS (SELECT doc_id, ${base62Sql("base")} AS b FROM th),
          |bits64 AS (SELECT doc_id, $bitSums64g FROM th64 GROUP BY doc_id),
          |sk AS (SELECT doc_id, CAST($bitVal64g AS BIGINT) AS simhash
-         |       FROM bits64),
+         |       FROM bits64)""".stripMargin
+    val simhashPairsGlobalCte =
+      s"""$simhashSketchGlobalCte,
          |pairs AS (
          |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
          |         CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER)
@@ -1672,12 +1875,32 @@ object DedupOps {
          |  FROM sk a JOIN sk b ON a.doc_id < b.doc_id
          |  WHERE bit_count(xor(a.simhash, b.simhash))
          |          <= $Simhash64HammingMax)""".stripMargin
+    // STAR-REDUCED edge set, mirroring [[simhashEdgesGlobal]] term for
+    // term (reps = min doc_id per distinct sketch; members connect
+    // through their rep; reps pair all-pairs at Hamming <=
+    // Simhash64HammingMax — the quadratic formulation is fine for the
+    // oracle's 500-doc gate corpus, while Spark's comboJoin emits the
+    // pigeonhole-exact SAME rep-pair set), run for the same
+    // [[StarCcRounds]] rounds: both engines execute the identical
+    // bounded computation, so labels agree exactly — parity never
+    // rests on either side having converged
     val ccCteGlobal =
-      s"""$simhashPairsGlobalCte,
-         |edges AS (SELECT a_id AS n, b_id AS m FROM pairs
-         |          UNION ALL SELECT b_id, a_id FROM pairs),
+      s"""$simhashSketchGlobalCte,
+         |reps AS (SELECT simhash, min(doc_id) AS rep_id
+         |         FROM sk GROUP BY simhash),
+         |stars AS (SELECT s.doc_id AS n, r.rep_id AS m
+         |          FROM sk s JOIN reps r USING (simhash)
+         |          WHERE s.doc_id <> r.rep_id),
+         |rp AS (SELECT a.rep_id AS a_id, b.rep_id AS b_id
+         |       FROM reps a JOIN reps b ON a.rep_id < b.rep_id
+         |       WHERE bit_count(xor(a.simhash, b.simhash))
+         |               <= $Simhash64HammingMax),
+         |edges AS (SELECT n, m FROM stars
+         |          UNION ALL SELECT m, n FROM stars
+         |          UNION ALL SELECT a_id, b_id FROM rp
+         |          UNION ALL SELECT b_id, a_id FROM rp),
          |l0 AS (SELECT doc_id, doc_id AS cluster FROM documents),
-         |$ccRounds""".stripMargin
+         |${ccRoundsSql(StarCcRounds)}""".stripMargin
 
     Map(
       "dedup_exact" ->
@@ -1890,7 +2113,7 @@ object DedupOps {
            |          ORDER BY quality DESC, doc_id) AS rn,
            |        FIRST_VALUE(doc_id) OVER (PARTITION BY cluster
            |          ORDER BY quality DESC, doc_id) AS canon
-           |      FROM l$CcRounds JOIN q USING (doc_id))
+           |      FROM l$StarCcRounds JOIN q USING (doc_id))
            |SELECT doc_id, cluster, rn = 1 AS keep,
            |       CASE WHEN rn > 1 THEN canon END AS dup_of,
            |       CASE WHEN rn > 1 THEN 'near_dup' END AS drop_reason

@@ -422,8 +422,12 @@ object MultimodalOps {
     * is 16 longs after the thumbnail pass. */
   private[graft] def realPhashPairs(s: SparkSession, dir: String,
       assets: Dataset[Asset]): DataFrame =
-    DedupOps.bandedJoin(s, dir, realPhashSketch(assets),
-      bits = 16, hammingMax = 3, pred = _ < _, global = true)
+    // comboJoin at blocks = hammingMax + 1 keys on single blocks —
+    // exactly the 4 disjoint 4-bit bands the scaladoc above describes
+    // (C(4,1) combinations ARE the bands), global scope built in
+    DedupOps.comboJoin(realPhashSketch(assets),
+      bits = 16, hammingMax = 3, blocks = 4, pred = _ < _)
+      .select(col("a_id"), col("b_id"), col("hamming"))
 
   def oracleSql: Map[String, String] = Map(
     "multimodal_struct" ->

@@ -437,7 +437,7 @@ class PipelineOpsSpec extends AnyFunSuite {
       .select("doc_id")
     val clusters = graft.operators.DedupOps.ccUnrolled(nodes,
         graft.operators.DedupOps.simhashEdgesGlobal(spark, dir),
-        graft.operators.DedupOps.CcRounds)
+        graft.operators.DedupOps.StarCcRounds)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val quality = SparkEntry.queries("txt_quality_score")(spark, dir)
       .select("doc_id", "quality")
@@ -467,6 +467,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(clusters.groupBy(_._2).values
       .exists(m => m.keys.map(srcOf).toSet.size > 1),
       "no cross-source cluster found — global scoping is vacuous here")
+  }
+
+  test("StarCcRounds has converged on the gate corpus: the bounded " +
+    "contract labels equal the true-component fixpoint's") {
+    // the bounded-round unroll is the oracle-checkable CONTRACT form;
+    // this pins that on the corpus the hash gate runs against, it also
+    // IS the exact answer (StarCcRounds >= star-graph label-propagation
+    // diameter here), so the manifest never under-merges where the
+    // oracle can see it
+    val nodes = graft.core.Core.table(spark, dir, "documents")
+      .select("doc_id")
+    val edges = graft.operators.DedupOps.simhashEdgesGlobal(spark, dir)
+    val unrolled = graft.operators.DedupOps.ccUnrolled(nodes, edges,
+        graft.operators.DedupOps.StarCcRounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (fix, rounds) = graft.operators.DedupOps
+      .ccFixpointWithRounds(nodes, edges)
+    val fixed = fix.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(unrolled == fixed,
+      s"unrolled ${graft.operators.DedupOps.StarCcRounds} rounds differ " +
+        "from the fixpoint — bump StarCcRounds")
+    // rounds includes the certifying no-change pass, so convergence
+    // needed rounds - 1 propagate passes
+    assert(rounds - 1 <= graft.operators.DedupOps.StarCcRounds)
   }
 
   test("fingerprint is order-aware") {
