@@ -1480,7 +1480,7 @@ object DedupOps {
     * surviving pair exactly once WITHOUT an aggregation. Returns
     * (a_id, b_id, a_sh, b_sh, hamming); both sketches ride along so
     * callers can expand sketch-level pairs to member pairs. */
-  private[operators] def comboJoin(sketch: DataFrame, bits: Int,
+  private[graft] def comboJoin(sketch: DataFrame, bits: Int,
       hammingMax: Int, blocks: Int,
       pred: (Column, Column) => Column): DataFrame = {
     require(blocks > hammingMax, "need more blocks than differing bits")

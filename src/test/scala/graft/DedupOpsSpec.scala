@@ -491,4 +491,49 @@ class DedupOpsSpec extends AnyFunSuite {
       assert(r.getLong(2) <= graft.operators.DedupOps.SourceOverlapTopV)
     }
   }
+
+  test("comboJoin is pigeonhole-exact and exactly-once on adversarial " +
+    "sketches (planted boundary pairs + random corpus vs brute force)") {
+    // the 62/6 split is 11,11,10,10,10,10-bit blocks at offsets
+    // 0,11,22,32,42,52 — plant pairs whose differing bits land in
+    // EXACTLY hammingMax distinct blocks (the pigeonhole boundary:
+    // they agree on exactly blocks-hammingMax blocks, so exactly ONE
+    // combination key catches them), pairs differing inside one block,
+    // a Hamming-4 pair that must be filtered even when it collides,
+    // and multi-combo pairs that must surface exactly once
+    val base = 0x2AB54FF00123456L // arbitrary 62-bit value
+    val planted = Seq(
+      base,
+      base ^ (1L << 0) ^ (1L << 11) ^ (1L << 22), // blocks {0,1,2}, ham 3
+      base ^ (1L << 61),                          // block {5}, ham 1
+      base ^ (1L << 0) ^ (1L << 1) ^ (1L << 11) ^ (1L << 22), // ham 4 vs base
+      base ^ (1L << 10) ^ (1L << 21) ^ (1L << 31) // block-END bits {0,1,2}
+    )
+    val rnd = new scala.util.Random(11)
+    // random corpus clustered around few centers so near pairs exist
+    val centers = Seq.fill(8)(rnd.nextLong() & ((1L << 62) - 1))
+    val randoms = Seq.fill(200) {
+      val c = centers(rnd.nextInt(centers.size))
+      (0 until rnd.nextInt(4)).foldLeft(c)((s, _) => s ^ (1L << rnd.nextInt(62)))
+    }
+    val all = (planted ++ randoms).zipWithIndex
+      .map { case (sh, i) => (i.toLong, sh) }
+    val df = all.toDF("doc_id", "simhash")
+    val got = DedupOps.comboJoin(df, bits = 62, hammingMax = 3,
+        blocks = DedupOps.Simhash64Blocks, pred = _ < _)
+      .select("a_id", "b_id", "hamming")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val want = for {
+      (ia, sa) <- all; (ib, sb) <- all if ia < ib
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (ia, ib, h)
+    // exactly-once: no duplicate surviving pairs from multi-combo hits
+    assert(got.length == got.distinct.length)
+    assert(got.toSet == want.toSet)
+    // the planted boundary pair and the in-block pair are present; the
+    // Hamming-4 pair is not
+    assert(got.toSet.contains((0L, 1L, 3)))
+    assert(got.toSet.contains((0L, 2L, 1)))
+    assert(!got.exists(p => p._1 == 0L && p._2 == 3L))
+  }
 }
