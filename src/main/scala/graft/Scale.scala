@@ -14,10 +14,13 @@ import org.apache.spark.sql.SparkSession
   * timing happens to survive it.
   *
   * Usage: runMain graft.Scale [gen|sf0.1|dense|wide|wide100|fixpoint|
-  * annplanes|annrecall|ivfpqrecall|bpebatch|check] [--only=q1,q2,...]
+  * fixpointstar|annplanes|annrecall|ivfpqrecall|bpebatch|check]
+  * [--only=q1,q2,...]
   * (no args = gen + all three sweeps; results append to
   * docs/scale_results.jsonl and print as JSON lines). `fixpoint`
-  * measures ccFixpoint rounds/time at sf0.1 + DENSE; `annplanes`
+  * measures ccFixpoint rounds/time at sf0.1 + DENSE; `fixpointstar`
+  * censuses the GLOBAL star-graph convergence rounds against
+  * StarCcRounds at sf0.1/sf1wide/sf10wide; `annplanes`
   * records the occupancy-rule plane choice per corpus; `check` replays
   * docs/scale_results.jsonl against the declared growth-model bands
   * and exits non-zero on a classification flip — the regression gate
@@ -467,7 +470,11 @@ object Scale {
         Set("sf1dense", "sf1wide").contains(n.path("tag").asText) &&
           n.has("sec"))
       .map(_.path("query").asText).toSet
-    for (q <- swept if !growthBands.contains(q))
+    // cc_fixpoint_star is a convergence census, not a timing sweep —
+    // its gate is the dedicated rounds-vs-StarCcRounds check below,
+    // not a growth band (its cost is dominated by round COUNT, which
+    // the census exists to measure, not to bound)
+    for (q <- swept -- Set("cc_fixpoint_star") if !growthBands.contains(q))
       fails ::= s"$q swept at sf1 but has no declared growth band"
     for ((q, (dB, wB)) <- growthBands.toSeq.sortBy(_._1);
         (tag, band) <- Seq("sf1dense" -> dB, "sf1wide" -> wB)
@@ -506,6 +513,22 @@ object Scale {
             f"base ${base}%.2fs)")
         case _ => ()
       }
+    }
+    // star-convergence standing gate (round 11): the LATEST census row
+    // per corpus must certify that the contract's StarCcRounds covers
+    // the measured fixpoint — the round count is measured against the
+    // CURRENT StarCcRounds at census time, but re-check here against
+    // the constant so stale-green history can't mask a later bound cut
+    for (tag <- rows.filter(_.path("query").asText == "cc_fixpoint_star")
+        .map(_.path("tag").asText).distinct) {
+      val latest = rows.filter(n =>
+        n.path("query").asText == "cc_fixpoint_star" &&
+          n.path("tag").asText == tag && n.has("rounds")).last
+      val needed = latest.get("rounds").asInt - 1
+      if (needed > operators.DedupOps.StarCcRounds) fails ::=
+        s"star CC at $tag needs $needed propagate rounds > " +
+          s"StarCcRounds ${operators.DedupOps.StarCcRounds} — " +
+          "the global manifest under-merges there"
     }
     for (n <- rows
         if n.path("query").asText == "dedup_incremental_indexed" &&
@@ -668,14 +691,15 @@ object Scale {
     // any mode touching a generated corpus implies gen-if-missing;
     // every mode that reads the baseline needs the repacked ref
     if (sel.exists(Set("gen", "sf0.1", "dense", "wide", "wide100",
-        "fixpoint", "annplanes", "bpebatch"))) {
+        "fixpoint", "fixpointstar", "annplanes", "bpebatch"))) {
       if (!complete(RefSplitDir, refTables)) {
         println(s"[scale] repacking $ref -> $RefSplitDir")
         ScaleData.repackRef(spark, RefSplitDir, ref)
         markGenerated(RefSplitDir)
       }
     }
-    if (sel.exists(Set("gen", "dense", "wide", "fixpoint", "annplanes"))) {
+    if (sel.exists(Set("gen", "dense", "wide", "fixpoint", "fixpointstar",
+        "annplanes"))) {
       if (!complete(DenseDir)) {
         println(s"[scale] generating $DenseDir")
         ScaleData.generateDense(spark, DenseDir, ref)
@@ -687,7 +711,7 @@ object Scale {
         markGenerated(WideDir)
       }
     }
-    if (sel.contains("wide100") &&
+    if (sel.exists(Set("wide100", "fixpointstar")) &&
         !complete(Wide100Dir, Seq("documents"))) {
       println(s"[scale] generating $Wide100Dir")
       ScaleData.generateWide100(spark, Wide100Dir, ref)
@@ -910,6 +934,38 @@ object Scale {
       out.append(line).append('\n')
     }
 
+    // Star-graph convergence census for the GLOBAL manifest path: the
+    // contract runs StarCcRounds UNROLLED rounds over
+    // simhashEdgesGlobal, and PipelineOpsSpec pins convergence only on
+    // the 500-doc gate corpus — this records the measured fixpoint
+    // round count (diameter + 1 certifying pass) on the sweep corpora,
+    // so a corpus whose star graph outruns StarCcRounds fails the gate
+    // below instead of silently under-merging at scale
+    def runFixpointStar(tag: String, dir: String): Unit = {
+      graft.core.Core.releaseShared()
+      spark.catalog.clearCache()
+      System.gc()
+      drainJit()
+      val nodes = graft.core.Core.table(spark, dir, "documents")
+        .select("doc_id")
+      val edges = operators.DedupOps.simhashEdgesGlobal(spark, dir)
+      val t0 = System.nanoTime()
+      val (labels, rounds) =
+        operators.DedupOps.ccFixpointWithRounds(nodes, edges)
+      labels.write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      graft.core.Core.releaseShared()
+      val converged = rounds - 1 <= operators.DedupOps.StarCcRounds
+      val line = s"""{"tag":"$tag","query":"cc_fixpoint_star",""" +
+        s""""sec":${d2(sec)},"ok":$converged,"corpus":"$corpus",""" +
+        s""""rounds":$rounds,"star_cc_rounds":""" +
+        s"""${operators.DedupOps.StarCcRounds}}"""
+      println(s"[scale] $line")
+      out.append(line).append('\n')
+      if (!converged) println(s"[scale] WARNING: star CC at $tag needs " +
+        s"${rounds - 1} propagate rounds > StarCcRounds — bump it")
+    }
+
     // clustered-corpus recall sweep (round-8 verdict ask #1): mean
     // recall@3 of each probe configuration on planted neighbors at
     // pairwise cos ≈ 0.94 (ScaleData.clusteredDf) — the measurement
@@ -1070,6 +1126,11 @@ object Scale {
     if (sel.contains("fixpoint")) {
       runFixpoint("sf0.1", RefSplitDir)
       runFixpoint("sf1dense", DenseDir)
+    }
+    if (sel.contains("fixpointstar")) {
+      runFixpointStar("sf0.1", RefSplitDir)
+      runFixpointStar("sf1wide", WideDir)
+      runFixpointStar("sf10wide", Wide100Dir)
     }
     if (sel.contains("annplanes")) {
       runAnnPlanes("sf0.1", RefSplitDir)

@@ -1346,17 +1346,28 @@ object DedupOps {
     * ([[simhashEdgesGlobal]]): identical-sketch groups connect through
     * their representative instead of pairwise, so a doc-level path of
     * length L maps to a star-graph path of length <= L + 2 (one hop
-    * member->rep at each end) — CcRounds + 2 preserves the doc-level
-    * CcRounds reach. Hash parity with DuckDB does NOT rest on that
-    * bound: the pipeline_dedup / pipeline_full oracles mirror the SAME
+    * member->rep at each end). MEASURED, not assumed: the round-11
+    * `fixpointstar` census ([[ccFixpointWithRounds]] over the global
+    * star graph) found min-label propagation needs 11 / 10 / 14
+    * rounds at sf0.1 / sf1wide / sf10wide — the original CcRounds + 2
+    * = 7 silently under-merged the global manifest on every swept
+    * corpus (cross-source near-dup CHAINS are long even when
+    * within-source components stay under CcRounds; growth across the
+    * two decades is shallow, 11 → 14 at 100×). 18 covers the measured
+    * maximum with a decade of headroom, and the census is the standing
+    * regression gate: a corpus whose star graph outruns StarCcRounds
+    * writes an ok:false row instead of shipping an under-merged
+    * manifest. Hash parity with DuckDB does NOT rest on the bound: the
+    * pipeline_dedup / pipeline_full oracles mirror the SAME
     * star-reduced edge set for the same StarCcRounds unrolled rounds
     * (ccCteGlobal), so both engines compute identical labels at any
     * round count; [[ccFixpoint]] remains the unbounded-diameter
     * production path, and PipelineOpsSpec asserts the unrolled labels
     * match the fixpoint's on the gate corpus (i.e. StarCcRounds has
     * actually converged there, so the bounded contract answer IS the
-    * true-component answer). */
-  val StarCcRounds = CcRounds + 2
+    * true-component answer — and with the census green, on the swept
+    * corpora too). */
+  val StarCcRounds = 18
 
   /** Block count for the combination-keyed global candidate join
     * ([[comboJoin]]) — Manku, Jain & Das Sarma, WWW'07 §3 ("Detecting
@@ -1765,25 +1776,39 @@ object DedupOps {
   /** [[ccFixpoint]] plus the number of propagate rounds it ran
     * (including the final no-change round that certifies convergence) —
     * the number the Scale harness records at sf1 and DedupOpsSpec
-    * asserts equals diameter + 1 on known chains. */
+    * asserts equals diameter + 1 on known chains.
+    *
+    * Each round's labels are `localCheckpoint`ed, NOT persisted:
+    * persist caches the DATA, but round i+1's LOGICAL plan still
+    * nests round i's entire lineage (including the full candidate-join
+    * derivation of `edges`, re-referenced every round), so analysis
+    * time and plan strings grow O(rounds²) and an open-ended loop dies
+    * on plan bloat long before data size matters — measured in the
+    * round-11 census: 697 s for 12 rounds over a 5k-doc graph, then a
+    * listener-thread heap OOM at 50k docs. `localCheckpoint` truncates
+    * the plan to the materialized partitions (the GraphX/Pregel
+    * iterative-lineage lesson), making every round's plan
+    * constant-size. Eager (the default) so the convergence count never
+    * recomputes a round. The per-round label checkpoints are a few MB
+    * each and are freed with the JVM's block manager; the bounded
+    * contract path ([[ccUnrolled]]) keeps its pure lazy shape — at
+    * [[StarCcRounds]] the nesting is fixed and oracle-mirrored. */
   def ccFixpointWithRounds(nodes: DataFrame, edges: DataFrame,
       maxRounds: Int = 64): (DataFrame, Int) = {
-    val e = shared(withSelfLoops(nodes, edges)
-      .repartition(SkewJoin.defaultParts(nodes.sparkSession), col("m")))
-    var labels = shared(nodes.select(col("doc_id"), col("doc_id").as("cluster")))
+    val e = withSelfLoops(nodes, edges)
+      .repartition(SkewJoin.defaultParts(nodes.sparkSession), col("m"))
+      .localCheckpoint()
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("cluster"))
+      .localCheckpoint()
     var converged = false
     var i = 0
     while (!converged && i < maxRounds) {
-      val next = shared(ccRound(labels, e))
-      // count(), not isEmpty: the full scan materializes EVERY partition
-      // of `next` into the cache, so unpersisting the previous labels
-      // below cannot force a lineage recompute in the following round
+      val next = ccRound(labels, e).localCheckpoint()
       val changed = next.join(labels.withColumnRenamed("cluster", "prev"),
         "doc_id")
         .filter(col("cluster") =!= col("prev"))
         .count()
       converged = changed == 0
-      labels.unpersist()
       labels = next
       i += 1
     }
@@ -1831,11 +1856,16 @@ object DedupOps {
     // ending in l&lt;k&gt;(doc_id, cluster) — the exact SQL mirror of one
     // [[ccRound]] per round (LEFT JOIN + least ≡ the self-loop), so
     // Spark and DuckDB compute IDENTICAL labels at any round count,
-    // converged or not
+    // converged or not. AS MATERIALIZED (the txt_bpe_vocab64 lesson):
+    // each l&lt;i&gt; is referenced twice (nbr&lt;i+1&gt; and l&lt;i+1&gt;), so an
+    // inlining planner doubles the subtree per round — at the
+    // StarCcRounds=18 chain DuckDB inlined its way into thousands of
+    // parquet re-opens ("Too many open files") before materialization
+    // was forced; semantics and hashes are unchanged
     def ccRoundsSql(k: Int): String = (1 to k).map { i =>
-      s"""nbr$i AS (SELECT e.n, min(x.cluster) AS nbr_min
+      s"""nbr$i AS MATERIALIZED (SELECT e.n, min(x.cluster) AS nbr_min
          |  FROM edges e JOIN l${i - 1} x ON x.doc_id = e.m GROUP BY e.n),
-         |l$i AS (SELECT l.doc_id,
+         |l$i AS MATERIALIZED (SELECT l.doc_id,
          |  least(l.cluster, coalesce(nb.nbr_min, l.cluster)) AS cluster
          |  FROM l${i - 1} l LEFT JOIN nbr$i nb ON nb.n = l.doc_id)"""
         .stripMargin
@@ -1844,7 +1874,7 @@ object DedupOps {
     val ccRounds = ccRoundsSql(CcRounds)
     val ccCte =
       s"""$simhashPairsCte,
-         |edges AS (SELECT a_id AS n, b_id AS m FROM pairs
+         |edges AS MATERIALIZED (SELECT a_id AS n, b_id AS m FROM pairs
          |          UNION ALL SELECT b_id, a_id FROM pairs),
          |l0 AS (SELECT doc_id, doc_id AS cluster FROM documents),
          |$ccRounds""".stripMargin
@@ -1895,7 +1925,7 @@ object DedupOps {
          |       FROM reps a JOIN reps b ON a.rep_id < b.rep_id
          |       WHERE bit_count(xor(a.simhash, b.simhash))
          |               <= $Simhash64HammingMax),
-         |edges AS (SELECT n, m FROM stars
+         |edges AS MATERIALIZED (SELECT n, m FROM stars
          |          UNION ALL SELECT m, n FROM stars
          |          UNION ALL SELECT a_id, b_id FROM rp
          |          UNION ALL SELECT b_id, a_id FROM rp),
