@@ -190,10 +190,16 @@ object Scale {
     * after the sf10wide sweep measured the 16-bit global banding
     * quadratic (buckets saturate once the corpus outgrows the 2^16
     * band-key space) and OOM'd the dedup compositions. */
+  // m6 = Manku combination keys + sketch stars (round 11);
+  // m7 = m6 with the census-derived StarCcRounds=18 bound and the
+  // segment-truncated CC chain (ccUnrolled's `segment`) — the CC
+  // round-count change re-prices the two manifest compositions, so
+  // their history restarts in a new era (the listing and phash dedup
+  // run no CC rounds and stay m6)
   private val algoEra: Map[String, String] = Map(
     "dedup_simhash_global" -> "m6",
-    "pipeline_dedup" -> "m6",
-    "pipeline_full" -> "m6",
+    "pipeline_dedup" -> "m7",
+    "pipeline_full" -> "m7",
     "multimodal_phash_dedup" -> "m6")
 
   /** Queries whose OUTPUT is itself super-linear on a duplicate-heavy
@@ -514,21 +520,27 @@ object Scale {
         case _ => ()
       }
     }
-    // star-convergence standing gate (round 11): the LATEST census row
-    // per corpus must certify that the contract's StarCcRounds covers
-    // the measured fixpoint — the round count is measured against the
-    // CURRENT StarCcRounds at census time, but re-check here against
-    // the constant so stale-green history can't mask a later bound cut
-    for (tag <- rows.filter(_.path("query").asText == "cc_fixpoint_star")
-        .map(_.path("tag").asText).distinct) {
+    // convergence standing gates (round 11): the LATEST census row per
+    // (census, corpus) must certify that the contract's unrolled-round
+    // bound covers the measured fixpoint — the round count is measured
+    // against the CURRENT bound at census time, but re-check here
+    // against the constant so stale-green history can't mask a later
+    // bound cut. cc_fixpoint_star gates the GLOBAL manifest's
+    // StarCcRounds; cc_fixpoint gates the within-source CcRounds.
+    for ((census, bound, what) <- Seq(
+        ("cc_fixpoint_star", operators.DedupOps.StarCcRounds,
+          "the global manifest"),
+        ("cc_fixpoint", operators.DedupOps.CcRounds,
+          "the within-source clustering"));
+        tag <- rows.filter(_.path("query").asText == census)
+          .map(_.path("tag").asText).distinct) {
       val latest = rows.filter(n =>
-        n.path("query").asText == "cc_fixpoint_star" &&
+        n.path("query").asText == census &&
           n.path("tag").asText == tag && n.has("rounds")).last
       val needed = latest.get("rounds").asInt - 1
-      if (needed > operators.DedupOps.StarCcRounds) fails ::=
-        s"star CC at $tag needs $needed propagate rounds > " +
-          s"StarCcRounds ${operators.DedupOps.StarCcRounds} — " +
-          "the global manifest under-merges there"
+      if (needed > bound) fails ::=
+        s"$census at $tag needs $needed propagate rounds > " +
+          s"bound $bound — $what under-merges there"
     }
     for (n <- rows
         if n.path("query").asText == "dedup_incremental_indexed" &&
@@ -927,11 +939,17 @@ object Scale {
       labels.write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
       graft.core.Core.releaseShared()
+      // same honesty rule as the star census: ok certifies that the
+      // within-source contract bound (CcRounds unrolled rounds in
+      // dedup_cluster_cc / canonical_pick) covers the measured fixpoint
+      val converged = rounds - 1 <= operators.DedupOps.CcRounds
       val line = s"""{"tag":"$tag","query":"cc_fixpoint",""" +
-        s""""sec":${d2(sec)},"ok":true,"corpus":"$corpus",""" +
-        s""""rounds":$rounds}"""
+        s""""sec":${d2(sec)},"ok":$converged,"corpus":"$corpus",""" +
+        s""""rounds":$rounds,"cc_rounds":${operators.DedupOps.CcRounds}}"""
       println(s"[scale] $line")
       out.append(line).append('\n')
+      if (!converged) println(s"[scale] WARNING: per-source CC at $tag " +
+        s"needs ${rounds - 1} propagate rounds > CcRounds — bump it")
     }
 
     // Star-graph convergence census for the GLOBAL manifest path: the

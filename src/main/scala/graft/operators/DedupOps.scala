@@ -889,7 +889,8 @@ object DedupOps {
       val ordered = Window.partitionBy("cluster")
         .orderBy(col("quality").desc, col("doc_id"))
       val nodes = table(s, dir, "documents").select("doc_id")
-      ccUnrolled(nodes, simhashEdgesGlobal(s, dir), StarCcRounds)
+      ccUnrolled(nodes, simhashEdgesGlobal(s, dir), StarCcRounds,
+          StarCcSegment)
         .join(q, "doc_id")
         .withColumn("is_kept", row_number().over(ordered) === 1)
         .withColumn("canon", first(col("doc_id")).over(ordered))
@@ -1369,6 +1370,14 @@ object DedupOps {
     * corpora too). */
   val StarCcRounds = 18
 
+  /** Lineage-truncation period for the [[StarCcRounds]]-deep unrolled
+    * chain (see [[ccUnrolled]]'s `segment` doc): every analyzed plan
+    * carries at most this many rounds, so driver-side analysis/AQE
+    * work stays linear in rounds instead of quadratic. 6 keeps the
+    * within-segment plan the same depth the (un-segmented) CcRounds=5
+    * contract chain already ships. */
+  val StarCcSegment = 6
+
   /** Block count for the combination-keyed global candidate join
     * ([[comboJoin]]) — Manku, Jain & Das Sarma, WWW'07 §3 ("Detecting
     * near-duplicates for web crawling"): split the 62-bit sketch into
@@ -1738,9 +1747,32 @@ object DedupOps {
   /** The unrolled propagation core of [[dedupClusterCC]] over an
     * explicit (nodes, edges) pair — also the unit PlanShapeSpec holds
     * the partition-once/labels-only-shuffle assertion against (tiny
-    * synthetic edges keep the plan string un-truncated). */
+    * synthetic edges keep the plan string un-truncated).
+    *
+    * `segment` > 0 truncates the label lineage with a LAZY
+    * `localCheckpoint` every `segment` rounds — the bounded-chain form
+    * of the [[ccFixpointWithRounds]] plan-bloat lesson. A fully lazy
+    * k-round chain is analyzed as ONE nested plan, and AQE then
+    * re-optimizes the whole remaining tree after EVERY round's stage,
+    * so driver work grows O(k²): at [[StarCcRounds]] = 18 that
+    * quadratic term was ~18 s of the 23.5 s warm pipeline_dedup
+    * (profiled round 11 — the 18 round STAGES execute in ~5 s; the
+    * rest was analysis/re-optimization/codegen between stages).
+    * Segmenting caps every analyzed plan at `segment` rounds, making
+    * driver work linear in rounds; labels and the DuckDB mirror are
+    * byte-identical (the checkpoint changes WHERE the plan is cut,
+    * never what it computes). The cost: under AQE, planning a segment
+    * at BUILD time materializes its upstream stages, so callers that
+    * pass `segment` run corpus-distributed (labels-only, 2 longs/doc —
+    * never text) jobs during query construction and carry a documented
+    * LazinessSpec exemption; at cluster scale the materialized
+    * segment state is what GraphX/Pregel persists per superstep, and
+    * the executor-local checkpoint blocks are freed with the RDD.
+    * Callers with rounds <= [[CcRounds]] keep segment = 0: their
+    * chain is short enough that the quadratic term never shows, and
+    * the pure lazy shape keeps their plan-pin specs byte-stable. */
   private[graft] def ccUnrolled(nodes: DataFrame, edges: DataFrame,
-      rounds: Int): DataFrame = {
+      rounds: Int, segment: Int = 0): DataFrame = {
     // hash-partition the cached edges on the join key ONCE, with an
     // EXPLICIT partition count (a user-specified exchange AQE never
     // coalesces — the cached layout must not depend on runtime stats):
@@ -1751,8 +1783,11 @@ object DedupOps {
     val selfEdges = shared(withSelfLoops(nodes, edges)
       .repartition(SkewJoin.defaultParts(nodes.sparkSession), col("m")))
     var labels = nodes.select(col("doc_id"), col("doc_id").as("cluster"))
-    for (_ <- 0 until rounds)
+    for (i <- 1 to rounds) {
       labels = ccRound(labels, selfEdges)
+      if (segment > 0 && i % segment == 0 && i < rounds)
+        labels = labels.localCheckpoint(false)
+    }
     labels
   }
 
