@@ -19,8 +19,8 @@ import org.apache.spark.sql.SparkSession
   * (no args = gen + all three sweeps; results append to
   * docs/scale_results.jsonl and print as JSON lines). `fixpoint`
   * measures ccFixpoint rounds/time at sf0.1 + DENSE; `fixpointstar`
-  * censuses the GLOBAL star-graph convergence rounds against
-  * StarCcRounds at sf0.1/sf1wide/sf10wide; `annplanes`
+  * censuses the GLOBAL star-graph convergence (P,S) pairs against
+  * StarCcPairs at sf0.1/sf1wide/sf10wide; `annplanes`
   * records the occupancy-rule plane choice per corpus; `check` replays
   * docs/scale_results.jsonl against the declared growth-model bands
   * and exits non-zero on a classification flip — the regression gate
@@ -191,11 +191,11 @@ object Scale {
     * quadratic (buckets saturate once the corpus outgrows the 2^16
     * band-key space) and OOM'd the dedup compositions. */
   // m6 = Manku combination keys + sketch stars (round 11);
-  // m7 = m6 with the census-derived StarCcRounds=18 bound and the
-  // segment-truncated CC chain (ccUnrolled's `segment`) — the CC
-  // round-count change re-prices the two manifest compositions, so
-  // their history restarts in a new era (the listing and phash dedup
-  // run no CC rounds and stay m6)
+  // m7 = m6 with the global CC chain on the ccDoubled (propagate,
+  // shortcut) schedule at StarCcPairs pairs, lineage-truncated per
+  // pair — the CC schedule change re-prices the two manifest
+  // compositions, so their history restarts in a new era (the listing
+  // and phash dedup run no CC rounds and stay m6)
   private val algoEra: Map[String, String] = Map(
     "dedup_simhash_global" -> "m6",
     "pipeline_dedup" -> "m7",
@@ -476,11 +476,12 @@ object Scale {
         Set("sf1dense", "sf1wide").contains(n.path("tag").asText) &&
           n.has("sec"))
       .map(_.path("query").asText).toSet
-    // cc_fixpoint_star is a convergence census, not a timing sweep —
-    // its gate is the dedicated rounds-vs-StarCcRounds check below,
-    // not a growth band (its cost is dominated by round COUNT, which
-    // the census exists to measure, not to bound)
-    for (q <- swept -- Set("cc_fixpoint_star") if !growthBands.contains(q))
+    // the cc_fixpoint_star(_ps) censuses measure convergence, not
+    // timing — their gate is the dedicated needed-vs-bound check
+    // below, not a growth band (cost is dominated by round/pair COUNT,
+    // which the census exists to measure, not to bound)
+    for (q <- swept -- Set("cc_fixpoint_star", "cc_fixpoint_star_ps")
+        if !growthBands.contains(q))
       fails ::= s"$q swept at sf1 but has no declared growth band"
     for ((q, (dB, wB)) <- growthBands.toSeq.sortBy(_._1);
         (tag, band) <- Seq("sf1dense" -> dB, "sf1wide" -> wB)
@@ -521,14 +522,16 @@ object Scale {
       }
     }
     // convergence standing gates (round 11): the LATEST census row per
-    // (census, corpus) must certify that the contract's unrolled-round
-    // bound covers the measured fixpoint — the round count is measured
-    // against the CURRENT bound at census time, but re-check here
-    // against the constant so stale-green history can't mask a later
-    // bound cut. cc_fixpoint_star gates the GLOBAL manifest's
-    // StarCcRounds; cc_fixpoint gates the within-source CcRounds.
+    // (census, corpus) must certify that the contract's unrolled bound
+    // covers the measured fixpoint — the count is measured against the
+    // CURRENT bound at census time, but re-check here against the
+    // constant so stale-green history can't mask a later bound cut.
+    // cc_fixpoint_star_ps gates the GLOBAL manifest's StarCcPairs
+    // ((P,S) pairs of the ccDoubled schedule); cc_fixpoint gates the
+    // within-source CcRounds. Rows named cc_fixpoint_star (the retired
+    // round-11 plain-propagation census) are history, not a gate.
     for ((census, bound, what) <- Seq(
-        ("cc_fixpoint_star", operators.DedupOps.StarCcRounds,
+        ("cc_fixpoint_star_ps", operators.DedupOps.StarCcPairs,
           "the global manifest"),
         ("cc_fixpoint", operators.DedupOps.CcRounds,
           "the within-source clustering"));
@@ -539,7 +542,7 @@ object Scale {
           n.path("tag").asText == tag && n.has("rounds")).last
       val needed = latest.get("rounds").asInt - 1
       if (needed > bound) fails ::=
-        s"$census at $tag needs $needed propagate rounds > " +
+        s"$census at $tag needs $needed unrolled rounds/pairs > " +
           s"bound $bound — $what under-merges there"
     }
     for (n <- rows
@@ -953,11 +956,11 @@ object Scale {
     }
 
     // Star-graph convergence census for the GLOBAL manifest path: the
-    // contract runs StarCcRounds UNROLLED rounds over
-    // simhashEdgesGlobal, and PipelineOpsSpec pins convergence only on
-    // the 500-doc gate corpus — this records the measured fixpoint
-    // round count (diameter + 1 certifying pass) on the sweep corpora,
-    // so a corpus whose star graph outruns StarCcRounds fails the gate
+    // contract runs StarCcPairs UNROLLED (propagate, shortcut) pairs
+    // over simhashEdgesGlobal, and PipelineOpsSpec pins convergence
+    // only on the 500-doc gate corpus — this records the measured
+    // fixpoint pair count (+1 certifying pass) on the sweep corpora,
+    // so a corpus whose star graph outruns StarCcPairs fails the gate
     // below instead of silently under-merging at scale
     def runFixpointStar(tag: String, dir: String): Unit = {
       graft.core.Core.releaseShared()
@@ -968,20 +971,25 @@ object Scale {
         .select("doc_id")
       val edges = operators.DedupOps.simhashEdgesGlobal(spark, dir)
       val t0 = System.nanoTime()
-      val (labels, rounds) =
-        operators.DedupOps.ccFixpointWithRounds(nodes, edges)
+      // the census runs the CONTRACT schedule — (propagate, shortcut
+      // ×StarCcJumps) rounds, ccDoubled — to fixpoint, so the measured
+      // round count is directly comparable to the StarCcPairs bound
+      // the manifest runs
+      val (labels, pairs) =
+        operators.DedupOps.ccDoubledFixpointWithPairs(nodes, edges)
       labels.write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
       graft.core.Core.releaseShared()
-      val converged = rounds - 1 <= operators.DedupOps.StarCcRounds
-      val line = s"""{"tag":"$tag","query":"cc_fixpoint_star",""" +
+      val converged = pairs - 1 <= operators.DedupOps.StarCcPairs
+      val line = s"""{"tag":"$tag","query":"cc_fixpoint_star_ps",""" +
         s""""sec":${d2(sec)},"ok":$converged,"corpus":"$corpus",""" +
-        s""""rounds":$rounds,"star_cc_rounds":""" +
-        s"""${operators.DedupOps.StarCcRounds}}"""
+        s""""rounds":$pairs,"star_cc_pairs":""" +
+        s"""${operators.DedupOps.StarCcPairs},""" +
+        s""""jumps":${operators.DedupOps.StarCcJumps}}"""
       println(s"[scale] $line")
       out.append(line).append('\n')
       if (!converged) println(s"[scale] WARNING: star CC at $tag needs " +
-        s"${rounds - 1} propagate rounds > StarCcRounds — bump it")
+        s"${pairs - 1} (P,S^j) rounds > StarCcPairs — bump it")
     }
 
     // clustered-corpus recall sweep (round-8 verdict ask #1): mean

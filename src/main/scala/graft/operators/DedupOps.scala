@@ -889,8 +889,7 @@ object DedupOps {
       val ordered = Window.partitionBy("cluster")
         .orderBy(col("quality").desc, col("doc_id"))
       val nodes = table(s, dir, "documents").select("doc_id")
-      ccUnrolled(nodes, simhashEdgesGlobal(s, dir), StarCcRounds,
-          StarCcSegment)
+      ccDoubled(nodes, simhashEdgesGlobal(s, dir), StarCcPairs)
         .join(q, "doc_id")
         .withColumn("is_kept", row_number().over(ordered) === 1)
         .withColumn("canon", first(col("doc_id")).over(ordered))
@@ -1343,40 +1342,54 @@ object DedupOps {
     * the unbounded-diameter path. */
   val CcRounds = 5
 
-  /** Rounds bound for CC over the STAR-REDUCED global edge set
-    * ([[simhashEdgesGlobal]]): identical-sketch groups connect through
-    * their representative instead of pairwise, so a doc-level path of
-    * length L maps to a star-graph path of length <= L + 2 (one hop
-    * member->rep at each end). MEASURED, not assumed: the round-11
-    * `fixpointstar` census ([[ccFixpointWithRounds]] over the global
-    * star graph) found min-label propagation needs 11 / 10 / 14
-    * rounds at sf0.1 / sf1wide / sf10wide — the original CcRounds + 2
-    * = 7 silently under-merged the global manifest on every swept
-    * corpus (cross-source near-dup CHAINS are long even when
-    * within-source components stay under CcRounds; growth across the
-    * two decades is shallow, 11 → 14 at 100×). 18 covers the measured
-    * maximum with a decade of headroom, and the census is the standing
-    * regression gate: a corpus whose star graph outruns StarCcRounds
-    * writes an ok:false row instead of shipping an under-merged
-    * manifest. Hash parity with DuckDB does NOT rest on the bound: the
-    * pipeline_dedup / pipeline_full oracles mirror the SAME
-    * star-reduced edge set for the same StarCcRounds unrolled rounds
+  /** (propagate, shortcut) PAIR bound for CC over the STAR-REDUCED
+    * global edge set ([[simhashEdgesGlobal]]) — the [[ccDoubled]]
+    * schedule. The round-11 `fixpointstar` census first measured plain
+    * min-label propagation needing 11 / 10 / 14 rounds at sf0.1 /
+    * sf1wide / sf10wide (cross-source near-dup CHAINS run long even
+    * when within-source components stay under [[CcRounds]]) — a
+    * LINEAR-in-diameter bound whose safety margin (18 rounds) priced
+    * every manifest build at 18 corpus-wide EDGE joins. Interleaving a
+    * pointer-jumping shortcut after every propagate round
+    * (Shiloach–Vishkin hooking + shortcutting, the FastSV schedule —
+    * Zhang, Azad & Buluç 2020) cuts the EDGE-join rounds — the term
+    * that dominates at 100 TB, since the shortcut is a node-sized
+    * label self-join that never touches the edge relation. How much
+    * it cuts is MEASURED, not assumed (DedupOpsSpec's path probe): on
+    * a monotone-id chain reach doubles per pair (a 64-path converges
+    * in 7 pairs), while on an adversarial shuffled-id chain the gain
+    * is a constant factor (~2.2x fewer rounds, 17 pairs vs 37 plain
+    * rounds at 64 nodes) — so the honest claim is "half the edge
+    * joins at equal diameter coverage", not O(log d). On the real
+    * sweep corpora the census ([[ccDoubledFixpointWithPairs]],
+    * `cc_fixpoint_star_ps` rows) measured 5 / 5 / 6 pairs to fixpoint
+    * at sf0.1 / sf1wide / sf10wide; 8 = measured max + 2, and with
+    * corpus diameter growing ~log in corpus size (11 → 14 propagate
+    * rounds per 100x) and >= 2.2 rounds of progress per pair, the +2
+    * margin absorbs more than another 100x decade. The census stays
+    * the standing regression gate — a corpus whose star graph outruns
+    * StarCcPairs writes an ok:false row instead of shipping an
+    * under-merged manifest. Hash parity with DuckDB does NOT rest on
+    * the bound: the pipeline_dedup / pipeline_full oracles mirror the
+    * SAME star-reduced edge set through the SAME (P,S) schedule
     * (ccCteGlobal), so both engines compute identical labels at any
-    * round count; [[ccFixpoint]] remains the unbounded-diameter
-    * production path, and PipelineOpsSpec asserts the unrolled labels
-    * match the fixpoint's on the gate corpus (i.e. StarCcRounds has
-    * actually converged there, so the bounded contract answer IS the
+    * pair count; PipelineOpsSpec asserts the bounded labels match
+    * [[ccFixpointWithRounds]]' schedule-independent fixpoint on the
+    * gate corpus, so the bounded contract answer IS the
     * true-component answer — and with the census green, on the swept
-    * corpora too). */
-  val StarCcRounds = 18
+    * corpora too. */
+  val StarCcPairs = 8
 
-  /** Lineage-truncation period for the [[StarCcRounds]]-deep unrolled
-    * chain (see [[ccUnrolled]]'s `segment` doc): every analyzed plan
-    * carries at most this many rounds, so driver-side analysis/AQE
-    * work stays linear in rounds instead of quadratic. 6 keeps the
-    * within-segment plan the same depth the (un-segmented) CcRounds=5
-    * contract chain already ships. */
-  val StarCcSegment = 6
+  /** Shortcut (pointer-jump) rounds per propagate round in
+    * [[ccDoubled]]. Jumps never touch the edge relation, so extra
+    * jumps would trade the corpus-scaled edge join for cheap label
+    * joins — but MEASURED on all three census corpora, jumps = 2
+    * converges in exactly the same round count as jumps = 1 (the min
+    * hook leaves the label forest at depth <= 2, so one jump already
+    * flattens it and a second jump is an identity pass). Keep 1; the
+    * census records the value so a future schedule change re-measures
+    * instead of assuming. */
+  val StarCcJumps = 1
 
   /** Block count for the combination-keyed global candidate join
     * ([[comboJoin]]) — Manku, Jain & Das Sarma, WWW'07 §3 ("Detecting
@@ -1621,7 +1634,8 @@ object DedupOps {
     * group sizes. Connected components are IDENTICAL to the all-pairs
     * edge set's (any member path a~b becomes a <= L+2 path through the
     * reps), which is all the CC consumers read — run them with
-    * [[StarCcRounds]]. At sf10wide this replaced ~600M doc-level edges
+    * [[ccDoubled]] at [[StarCcPairs]]. At sf10wide this replaced
+    * ~600M doc-level edges
     * with 0.5M star + 17M rep edges and turned an
     * AGGREGATE_OUT_OF_MEMORY into a linear pass (docs/SCALE.md round
     * 11). */
@@ -1747,32 +1761,12 @@ object DedupOps {
   /** The unrolled propagation core of [[dedupClusterCC]] over an
     * explicit (nodes, edges) pair — also the unit PlanShapeSpec holds
     * the partition-once/labels-only-shuffle assertion against (tiny
-    * synthetic edges keep the plan string un-truncated).
-    *
-    * `segment` > 0 truncates the label lineage with a LAZY
-    * `localCheckpoint` every `segment` rounds — the bounded-chain form
-    * of the [[ccFixpointWithRounds]] plan-bloat lesson. A fully lazy
-    * k-round chain is analyzed as ONE nested plan, and AQE then
-    * re-optimizes the whole remaining tree after EVERY round's stage,
-    * so driver work grows O(k²): at [[StarCcRounds]] = 18 that
-    * quadratic term was ~18 s of the 23.5 s warm pipeline_dedup
-    * (profiled round 11 — the 18 round STAGES execute in ~5 s; the
-    * rest was analysis/re-optimization/codegen between stages).
-    * Segmenting caps every analyzed plan at `segment` rounds, making
-    * driver work linear in rounds; labels and the DuckDB mirror are
-    * byte-identical (the checkpoint changes WHERE the plan is cut,
-    * never what it computes). The cost: under AQE, planning a segment
-    * at BUILD time materializes its upstream stages, so callers that
-    * pass `segment` run corpus-distributed (labels-only, 2 longs/doc —
-    * never text) jobs during query construction and carry a documented
-    * LazinessSpec exemption; at cluster scale the materialized
-    * segment state is what GraphX/Pregel persists per superstep, and
-    * the executor-local checkpoint blocks are freed with the RDD.
-    * Callers with rounds <= [[CcRounds]] keep segment = 0: their
-    * chain is short enough that the quadratic term never shows, and
-    * the pure lazy shape keeps their plan-pin specs byte-stable. */
+    * synthetic edges keep the plan string un-truncated). Pure lazy:
+    * at [[CcRounds]] the chain is short enough that nested-plan
+    * analysis cost never shows, and the lazy shape keeps the plan-pin
+    * specs byte-stable. Deep chains belong to [[ccDoubled]]. */
   private[graft] def ccUnrolled(nodes: DataFrame, edges: DataFrame,
-      rounds: Int, segment: Int = 0): DataFrame = {
+      rounds: Int): DataFrame = {
     // hash-partition the cached edges on the join key ONCE, with an
     // EXPLICIT partition count (a user-specified exchange AQE never
     // coalesces — the cached layout must not depend on runtime stats):
@@ -1783,12 +1777,118 @@ object DedupOps {
     val selfEdges = shared(withSelfLoops(nodes, edges)
       .repartition(SkewJoin.defaultParts(nodes.sparkSession), col("m")))
     var labels = nodes.select(col("doc_id"), col("doc_id").as("cluster"))
-    for (i <- 1 to rounds) {
+    for (_ <- 1 to rounds)
       labels = ccRound(labels, selfEdges)
-      if (segment > 0 && i % segment == 0 && i < rounds)
-        labels = labels.localCheckpoint(false)
+    labels
+  }
+
+  /** One pointer-jumping (shortcut) pass: new_label(v) =
+    * label(label(v)) — the Shiloach–Vishkin / FastSV contraction step.
+    * Labels always hold a node id (they start as doc_id and every pass
+    * takes a min over node ids), so the composition is total: each
+    * cluster value has exactly one label row and the inner equi-join
+    * rewrites every node. Labels also only ever DECREASE
+    * (label(u) <= u by induction), so the jump is monotone — it can
+    * only move v's label closer to its component minimum, never past
+    * it or out of the component. One node-sized equi-join, no
+    * aggregation, no edge relation touched. */
+  private def ccShortcut(labels: DataFrame): DataFrame =
+    labels
+      .join(labels.select(col("doc_id").as("c"), col("cluster").as("cc"))
+          .hint("shuffle_hash"),
+        col("cluster") === col("c"))
+      .select(col("doc_id"), col("cc").as("cluster"))
+
+  /** Min-label CC with shortcutting: `pairs` rounds of (propagate
+    * [[ccRound]], shortcut [[ccShortcut]] ×`jumps`) — hooking +
+    * shortcutting, the FastSV schedule (Zhang, Azad & Buluç 2020;
+    * Shiloach–Vishkin 1982). On a monotone-id label chain each pair
+    * doubles covered distance (measured: a 64-path converges in 7
+    * pairs); on adversarial shuffled-id chains the jump target is the
+    * ball MINIMUM rather than the ball edge, and the measured gain is
+    * a ~2.2x constant factor in rounds (see [[StarCcPairs]]). The win
+    * that matters at 100 TB is unconditional either way: the shortcut
+    * never touches the edge relation, so the schedule halves the
+    * corpus-scaled EDGE-join rounds needed for the same diameter
+    * coverage. The edge relation is partitioned and cached ONCE
+    * ([[ccUnrolled]]'s shape); each pair shuffles only node-sized
+    * label relations (2 longs/doc).
+    *
+    * `truncate` (the contract default) cuts the label lineage with a
+    * LAZY `localCheckpoint` after every pair: the shortcut references
+    * its input twice, so a fully lazy chain doubles the analyzed label
+    * subtree per pair, and AQE re-optimizes the whole remaining tree
+    * after every stage — the O(depth²) driver term measured at ~18 s
+    * of the 23.5 s warm pipeline_dedup on the (pre-doubling) 18-round
+    * linear chain. Truncation caps every analyzed plan at one pair;
+    * labels and the DuckDB mirror are byte-identical (the checkpoint
+    * changes WHERE the plan is cut, never what it computes). The cost:
+    * under AQE, planning a segment at BUILD time materializes its
+    * upstream stages, so contract callers run corpus-distributed
+    * (labels-only — never text) jobs during query construction and
+    * carry a documented LazinessSpec exemption; at cluster scale the
+    * materialized per-pair state is what GraphX/Pregel persists per
+    * superstep, and executor-local checkpoint blocks are freed with
+    * the RDD. Plan-pin specs pass truncate = false for a pure lazy
+    * tree. */
+  private[graft] def ccDoubled(nodes: DataFrame, edges: DataFrame,
+      pairs: Int, truncate: Boolean = true,
+      jumps: Int = StarCcJumps): DataFrame = {
+    val selfEdges = shared(withSelfLoops(nodes, edges)
+      .repartition(SkewJoin.defaultParts(nodes.sparkSession), col("m")))
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("cluster"))
+    for (i <- 1 to pairs) {
+      // persist each shortcut INPUT: the pointer jump references it
+      // TWICE (both sides of the self-join), and without the cache the
+      // first jump would execute the corpus-scaled edge join twice —
+      // measured in the final plan as a duplicated (not reused)
+      // post-join exchange. Node-sized (2 longs/doc), freed by the
+      // caller's releaseShared scope.
+      labels = ccRound(labels, selfEdges)
+      for (_ <- 1 to jumps)
+        labels = ccShortcut(shared(labels))
+      // truncate after EVERY pair: truncating every second pair was
+      // measured 3.5 s slower per manifest (the 4x analyzed-subtree
+      // duplication AQE re-optimizes outweighs the one saved
+      // build-time job), and no truncation at all does not finish
+      if (truncate && i < pairs) labels = labels.localCheckpoint(false)
     }
     labels
+  }
+
+  /** [[ccDoubled]] iterated to fixpoint, returning (labels, pairs run
+    * including the final no-change pair that certifies convergence) —
+    * the census twin of [[ccFixpointWithRounds]] for the (P,S)
+    * schedule: the Scale harness records the measured pair count per
+    * sweep corpus, and the standing gate checks it against
+    * [[StarCcPairs]]. Same eager `localCheckpoint` regime as the plain
+    * fixpoint (the plan-bloat lesson in its scaladoc). */
+  def ccDoubledFixpointWithPairs(nodes: DataFrame, edges: DataFrame,
+      maxPairs: Int = 32, jumps: Int = StarCcJumps): (DataFrame, Int) = {
+    val e = withSelfLoops(nodes, edges)
+      .repartition(SkewJoin.defaultParts(nodes.sparkSession), col("m"))
+      .localCheckpoint()
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("cluster"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxPairs) {
+      // eager-checkpoint each shortcut input so its two references
+      // read materialized blocks instead of executing the upstream
+      // join twice (ccDoubled uses a persist for the same reason)
+      var step = ccRound(labels, e).localCheckpoint()
+      for (_ <- 1 to jumps)
+        step = ccShortcut(step).localCheckpoint()
+      val next = step
+      val changed = next
+        .join(labels.withColumnRenamed("cluster", "prev"), "doc_id")
+        .filter(col("cluster") =!= col("prev"))
+        .count()
+      converged = changed == 0
+      labels = next
+      i += 1
+    }
+    (labels, i)
   }
 
   /** Exact connected components over an ARBITRARY symmetric edge
@@ -1827,7 +1927,7 @@ object DedupOps {
     * recomputes a round. The per-round label checkpoints are a few MB
     * each and are freed with the JVM's block manager; the bounded
     * contract path ([[ccUnrolled]]) keeps its pure lazy shape — at
-    * [[StarCcRounds]] the nesting is fixed and oracle-mirrored. */
+    * [[CcRounds]] the nesting is fixed and oracle-mirrored. */
   def ccFixpointWithRounds(nodes: DataFrame, edges: DataFrame,
       maxRounds: Int = 64): (DataFrame, Int) = {
     val e = withSelfLoops(nodes, edges)
@@ -1894,7 +1994,7 @@ object DedupOps {
     // converged or not. AS MATERIALIZED (the txt_bpe_vocab64 lesson):
     // each l&lt;i&gt; is referenced twice (nbr&lt;i+1&gt; and l&lt;i+1&gt;), so an
     // inlining planner doubles the subtree per round — at the
-    // StarCcRounds=18 chain DuckDB inlined its way into thousands of
+    // round-11 18-round chain DuckDB inlined its way into thousands of
     // parquet re-opens ("Too many open files") before materialization
     // was forced; semantics and hashes are unchanged
     def ccRoundsSql(k: Int): String = (1 to k).map { i =>
@@ -1903,6 +2003,29 @@ object DedupOps {
          |l$i AS MATERIALIZED (SELECT l.doc_id,
          |  least(l.cluster, coalesce(nb.nbr_min, l.cluster)) AS cluster
          |  FROM l${i - 1} l LEFT JOIN nbr$i nb ON nb.n = l.doc_id)"""
+        .stripMargin
+    }.mkString(",\n")
+    // k unrolled (propagate, shortcut ×StarCcJumps) rounds — the exact
+    // SQL mirror of [[ccDoubled]]: h&lt;i&gt;_0 is the propagate round
+    // (identical to ccRoundsSql's l&lt;i&gt;), each h&lt;i&gt;_&lt;j&gt; a
+    // pointer jump label(label(v)) — an inner self-join, total because
+    // every label value is a doc_id with its own row — and l&lt;i&gt;
+    // aliases the round's final state. Same MATERIALIZED rationale;
+    // Spark and DuckDB compute identical labels at any pair count,
+    // converged or not.
+    def ccPairsSql(k: Int): String = (1 to k).map { i =>
+      val jumpCtes = (1 to StarCcJumps).map { j =>
+        s"""h${i}_$j AS MATERIALIZED (SELECT l.doc_id, x.cluster AS cluster
+           |  FROM h${i}_${j - 1} l JOIN h${i}_${j - 1} x
+           |    ON x.doc_id = l.cluster)""".stripMargin
+      }.mkString(",\n")
+      s"""nbr$i AS MATERIALIZED (SELECT e.n, min(x.cluster) AS nbr_min
+         |  FROM edges e JOIN l${i - 1} x ON x.doc_id = e.m GROUP BY e.n),
+         |h${i}_0 AS MATERIALIZED (SELECT l.doc_id,
+         |  least(l.cluster, coalesce(nb.nbr_min, l.cluster)) AS cluster
+         |  FROM l${i - 1} l LEFT JOIN nbr$i nb ON nb.n = l.doc_id),
+         |$jumpCtes,
+         |l$i AS (SELECT doc_id, cluster FROM h${i}_$StarCcJumps)"""
         .stripMargin
     }.mkString(",\n")
     // shared by dedup_cluster_cc and dedup_canonical_pick
@@ -1945,10 +2068,10 @@ object DedupOps {
     // through their rep; reps pair all-pairs at Hamming <=
     // Simhash64HammingMax — the quadratic formulation is fine for the
     // oracle's 500-doc gate corpus, while Spark's comboJoin emits the
-    // pigeonhole-exact SAME rep-pair set), run for the same
-    // [[StarCcRounds]] rounds: both engines execute the identical
-    // bounded computation, so labels agree exactly — parity never
-    // rests on either side having converged
+    // pigeonhole-exact SAME rep-pair set), run through the same
+    // [[StarCcPairs]] (propagate, shortcut) pairs: both engines
+    // execute the identical bounded computation, so labels agree
+    // exactly — parity never rests on either side having converged
     val ccCteGlobal =
       s"""$simhashSketchGlobalCte,
          |reps AS (SELECT simhash, min(doc_id) AS rep_id
@@ -1965,7 +2088,7 @@ object DedupOps {
          |          UNION ALL SELECT a_id, b_id FROM rp
          |          UNION ALL SELECT b_id, a_id FROM rp),
          |l0 AS (SELECT doc_id, doc_id AS cluster FROM documents),
-         |${ccRoundsSql(StarCcRounds)}""".stripMargin
+         |${ccPairsSql(StarCcPairs)}""".stripMargin
 
     Map(
       "dedup_exact" ->
@@ -2178,7 +2301,7 @@ object DedupOps {
            |          ORDER BY quality DESC, doc_id) AS rn,
            |        FIRST_VALUE(doc_id) OVER (PARTITION BY cluster
            |          ORDER BY quality DESC, doc_id) AS canon
-           |      FROM l$StarCcRounds JOIN q USING (doc_id))
+           |      FROM l$StarCcPairs JOIN q USING (doc_id))
            |SELECT doc_id, cluster, rn = 1 AS keep,
            |       CASE WHEN rn > 1 THEN canon END AS dup_of,
            |       CASE WHEN rn > 1 THEN 'near_dup' END AS drop_reason

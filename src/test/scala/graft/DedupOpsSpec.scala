@@ -374,6 +374,31 @@ class DedupOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("doubled CC: reach doubles per (P,S) pair on a monotone chain") {
+    // the StarCcPairs geometry evidence: on a 64-node path with ids
+    // ascending away from the minimum, plain propagation needs 63
+    // rounds (one hop per round), while the (propagate, shortcut)
+    // schedule doubles covered distance per pair — so the fixpoint
+    // arrives in ~log2(63) pairs. (The adversarial SHUFFLED-id chain
+    // was measured too: 17 pairs vs 37 plain rounds at 64 nodes — a
+    // constant ~2.2x, which is why StarCcPairs documents "half the
+    // edge joins", not O(log d); that slow measurement isn't re-run
+    // here.) Also pins exactness: the doubled labels must equal the
+    // known component minimum everywhere.
+    import spark.implicits._
+    val n = 64L
+    val nodes = (0L until n).toDF("doc_id")
+    val edges = (0L until n - 1).flatMap(i =>
+      Seq((i, i + 1), (i + 1, i))).toDF("n", "m")
+    val (labels, pairs) =
+      DedupOps.ccDoubledFixpointWithPairs(nodes, edges)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.forall(_._2 == 0L), "doubled CC under-merged the chain")
+    assert(pairs <= 8,
+      s"expected ~log2(63)+cert pairs on a monotone 64-chain, got $pairs")
+    graft.core.Core.releaseShared()
+  }
+
   test("as-of join: no Join node, single window, parity with join form") {
     val df = RelationalOps.queries("join_range_asof")(spark, TestSpark.sfDir)
     val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }

@@ -25,13 +25,13 @@ class LazinessSpec extends AnyFunSuite {
     // PqM·PqK sub-centroids per Lloyd round) — same bounded-state
     // collect pattern; its fully-lazy form measured 2,671 broadcast
     // exchanges from multiplicative plan duplication
-    // pipeline_dedup / pipeline_full: their StarCcRounds=18 global CC
-    // chain is lineage-truncated every StarCcSegment rounds (lazy
-    // localCheckpoint — DedupOps.ccUnrolled's `segment` doc); planning
-    // a segment under AQE materializes its upstream label stages at
-    // build. The build-time jobs are labels-only (2 longs per doc,
-    // never text) and replace an O(rounds²) driver analysis term that
-    // measured ~18 s per query at 18 rounds.
+    // pipeline_dedup / pipeline_full: their global CC chain (ccDoubled,
+    // StarCcPairs (P,S) pairs) is lineage-truncated after every pair
+    // (lazy localCheckpoint — the `truncate` doc); planning a segment
+    // under AQE materializes its upstream label stages at build. The
+    // build-time jobs are labels-only (2 longs per doc, never text)
+    // and replace an O(depth²) driver analysis term that measured
+    // ~18 s per query on the pre-doubling 18-round linear chain.
     val exempt = Set("txt_bpe_vocab", "txt_bpe_vocab64", "txt_bpe_encode",
       "sim_ivfpq_topk",
       "pipeline_tokenize", "pipeline_dedup", "pipeline_full")

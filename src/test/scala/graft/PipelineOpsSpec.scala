@@ -435,9 +435,9 @@ class PipelineOpsSpec extends AnyFunSuite {
     // quality-desc/doc_id-asc pick the standalone operator ranks by
     val nodes = graft.core.Core.table(spark, dir, "documents")
       .select("doc_id")
-    val clusters = graft.operators.DedupOps.ccUnrolled(nodes,
+    val clusters = graft.operators.DedupOps.ccDoubled(nodes,
         graft.operators.DedupOps.simhashEdgesGlobal(spark, dir),
-        graft.operators.DedupOps.StarCcRounds)
+        graft.operators.DedupOps.StarCcPairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val quality = SparkEntry.queries("txt_quality_score")(spark, dir)
       .select("doc_id", "quality")
@@ -469,28 +469,32 @@ class PipelineOpsSpec extends AnyFunSuite {
       "no cross-source cluster found — global scoping is vacuous here")
   }
 
-  test("StarCcRounds has converged on the gate corpus: the bounded " +
+  test("StarCcPairs has converged on the gate corpus: the bounded " +
     "contract labels equal the true-component fixpoint's") {
-    // the bounded-round unroll is the oracle-checkable CONTRACT form;
-    // this pins that on the corpus the hash gate runs against, it also
-    // IS the exact answer (StarCcRounds >= star-graph label-propagation
-    // diameter here), so the manifest never under-merges where the
-    // oracle can see it
+    // the bounded (propagate, shortcut) unroll is the oracle-checkable
+    // CONTRACT form; this pins that on the corpus the hash gate runs
+    // against, it also IS the exact answer, so the manifest never
+    // under-merges where the oracle can see it. The fixpoint reference
+    // is the PLAIN-propagation loop — a different schedule — so
+    // agreement here also pins that the shortcut rounds change the
+    // convergence SPEED, never the converged labels.
     val nodes = graft.core.Core.table(spark, dir, "documents")
       .select("doc_id")
     val edges = graft.operators.DedupOps.simhashEdgesGlobal(spark, dir)
-    val unrolled = graft.operators.DedupOps.ccUnrolled(nodes, edges,
-        graft.operators.DedupOps.StarCcRounds)
+    val unrolled = graft.operators.DedupOps.ccDoubled(nodes, edges,
+        graft.operators.DedupOps.StarCcPairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val (fix, rounds) = graft.operators.DedupOps
+    val (fix, _) = graft.operators.DedupOps
       .ccFixpointWithRounds(nodes, edges)
     val fixed = fix.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(unrolled == fixed,
-      s"unrolled ${graft.operators.DedupOps.StarCcRounds} rounds differ " +
-        "from the fixpoint — bump StarCcRounds")
-    // rounds includes the certifying no-change pass, so convergence
-    // needed rounds - 1 propagate passes
-    assert(rounds - 1 <= graft.operators.DedupOps.StarCcRounds)
+      s"${graft.operators.DedupOps.StarCcPairs} (P,S) pairs differ " +
+        "from the plain-propagation fixpoint — bump StarCcPairs")
+    // and the doubled schedule's own fixpoint must sit within the
+    // contract bound (pairs includes the certifying no-change pass)
+    val (_, pairs) = graft.operators.DedupOps
+      .ccDoubledFixpointWithPairs(nodes, edges)
+    assert(pairs - 1 <= graft.operators.DedupOps.StarCcPairs)
   }
 
   test("fingerprint is order-aware") {

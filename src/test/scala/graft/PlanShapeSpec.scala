@@ -166,6 +166,46 @@ class PlanShapeSpec extends AnyFunSuite {
         s"got $r1 at 1 round vs $r5 at 5")
   }
 
+  test("doubled CC pairs reuse the cached edge partitioning and " +
+    "compute each propagate exactly once") {
+    // the (propagate, shortcut) schedule must keep ccUnrolled's
+    // partition-once/join-many contract at 100 TB: the corpus-scaled
+    // edge relation is shuffled ONCE (the explicit REPARTITION_BY_NUM
+    // exchange — plan_id identifies the physical exchange OBJECT, so
+    // reprints of the one cached exchange share an id while a genuine
+    // re-shuffle would mint a new one), and the pointer jump's two
+    // references to the propagate output read its persisted relation
+    // instead of executing the edge join twice (the un-persisted form
+    // measurably duplicated the join + its post-agg exchange).
+    // truncate = false keeps the chain one lazy plan so the census
+    // sees every pair; collect() first so the AQE final plan is real.
+    import spark.implicits._
+    val nodes = (0L to 30L).toDF("doc_id")
+    val edges = (0L until 30L).flatMap(i =>
+      Seq((i, i + 1), (i + 1, i))).toDF("n", "m")
+    def finalPlan(pairs: Int): String = {
+      val df = graft.operators.DedupOps
+        .ccDoubled(nodes, edges, pairs, truncate = false)
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    graft.core.Core.releaseShared()
+    val p3 = finalPlan(3)
+    graft.core.Core.releaseShared()
+    val edgeExchangeIds =
+      "REPARTITION_BY_NUM, \\[plan_id=(\\d+)\\]".r
+        .findAllMatchIn(p3).map(_.group(1)).toSet
+    assert(edgeExchangeIds.size == 1,
+      s"expected the edge relation shuffled exactly once across 3 " +
+        s"(P,S) pairs; found exchanges $edgeExchangeIds")
+    // every propagate output is persisted: its node-sized relation
+    // appears as an InMemoryRelation (the shortcut reads the cache,
+    // never re-executes the edge join)
+    assert(p3.contains("InMemoryRelation [doc_id"),
+      "propagate output is not persisted — the shortcut would " +
+        "execute the edge join twice per pair")
+  }
+
   test("partition-keyed writes prune partitions at the scan") {
     // the storage-layout lever every 100 TB corpus uses: write sharded
     // by the filter key, and a key predicate must become a partition
