@@ -28,8 +28,14 @@ object Diag {
       val n = sk.count()
       val groups = sk.groupBy("simhash").agg(count(lit(1)).as("k")).cache()
       val d = groups.count()
+      // k·(k-1) is even: halve AFTER the long-typed sum, with a SHIFT —
+      // Column `/` is true division (DoubleType), which would silently
+      // lose integer precision past 2^53 both inside the aggregation
+      // and on the summed total (the regime this census exists to
+      // size; same rule as DedupOps.globalPairCount)
       val stats = groups.agg(
-        sum(col("k") * (col("k") - 1) / 2).as("samesketch_pairs"),
+        shiftright(sum(col("k") * (col("k") - 1)), 1)
+          .as("samesketch_pairs"),
         max("k").as("max_group"),
         sum(when(col("k") > 1, 1).otherwise(0)).as("groups_gt1")).head()
       // band occupancy over DISTINCT sketches (4 x 16-bit bands)
@@ -41,7 +47,8 @@ object Diag {
       val bands = groups.select(explode(bandStructs).as("bs"))
         .groupBy("bs.band", "bs.bbits").agg(count(lit(1)).as("occ"))
       val bstats = bands.agg(
-        sum(col("occ") * (col("occ") - 1) / 2).as("distinct_band_pairs"),
+        shiftright(sum(col("occ") * (col("occ") - 1)), 1)
+          .as("distinct_band_pairs"),
         max("occ").as("max_bucket")).head()
       println(s"[diag] dir=$dir docs=$n distinct_sketches=$d " +
         s"samesketch_pairs=${stats.get(0)} max_group=${stats.get(1)} " +
@@ -65,7 +72,8 @@ object Diag {
       val cb = groups.select(explode(comboStructs).as("cs"))
         .groupBy("cs.combo", "cs.kbits").agg(count(lit(1)).as("occ"))
       val cstats = cb.agg(
-        sum(col("occ") * (col("occ") - 1) / 2).as("combo_candidates"),
+        shiftright(sum(col("occ") * (col("occ") - 1)), 1)
+          .as("combo_candidates"),
         max("occ").as("max_combo_bucket")).head()
       println(s"[diag] dir=$dir combo_candidates=${cstats.get(0)} " +
         s"max_combo_bucket=${cstats.get(1)}")

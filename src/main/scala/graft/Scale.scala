@@ -13,7 +13,7 @@ import org.apache.spark.sql.SparkSession
   * round-3 failure mode) would show up as a count change even when the
   * timing happens to survive it.
   *
-  * Usage: runMain graft.Scale [gen|sf0.1|dense|wide|wide100|fixpoint|
+  * Usage: runMain graft.Scale [gen|sf0.1|dense|wide|wide100|wide1000|fixpoint|
   * fixpointstar|annplanes|annrecall|ivfpqrecall|bpebatch|check]
   * [--only=q1,q2,...]
   * (no args = gen + all three sweeps; results append to
@@ -34,6 +34,7 @@ object Scale {
   private val DenseDir = "target/testdata/sf1dense"
   private val WideDir = "target/testdata/sf1wide"
   private val Wide100Dir = "target/testdata/sf10wide"
+  private val Wide1000Dir = "target/testdata/sf100wide"
 
   /** The sweep baseline: the driver's read-only sf0.1 corpus repacked
     * into the ≥32-file layout ([[ScaleData.repackRef]]). The driver
@@ -155,8 +156,24 @@ object Scale {
     "pipeline_curate", "pipeline_dedup", "pipeline_full",
     "pipeline_tokenize", "dedup_simhash_global")
 
+  /** The THIRD decade (sf100wide ≈ 1000x contract scale): the global
+    * dedup MANIFESTS only — the queries whose 100 TB viability rests
+    * on the combo-keyed candidate join and the census-bounded CC
+    * chain. The pair LISTING is deliberately absent: its OUTPUT at
+    * this density is 1.9e11 pairs (the analytic `global_pair_count`
+    * row — recorded per sweep; ~120x per 10x corpus, because the
+    * fixed synthetic vocabulary saturates sketch space), and a timed
+    * attempt to materialize that output fails on a single-node build
+    * (measured round 11: a salt-bucket hash relation exhausted task
+    * memory after 466 s). The decision-output forms ARE the 100 TB
+    * path; the count census carries the listing's story without
+    * re-paying a doomed materialization every sweep. Documents only,
+    * like the second decade. */
+  private val wide1000Queries = Seq("pipeline_dedup", "pipeline_full")
+
   private def queriesFor(tag: String): Seq[String] =
-    if (tag == "sf10wide") wide100Queries
+    if (tag == "sf100wide") wide1000Queries
+    else if (tag == "sf10wide") wide100Queries
     else (if (tag == "sf1dense") denseDocQueries else docQueries) ++
       Seq("sim_ann_lsh", "sim_ann_lsh_qd", "sim_ann_lsh_auto",
         "sim_ann_lsh_p12", "dedup_semdedup", "multimodal_align_filter",
@@ -196,11 +213,17 @@ object Scale {
   // pair — the CC schedule change re-prices the two manifest
   // compositions, so their history restarts in a new era (the listing
   // and phash dedup run no CC rounds and stay m6)
+  // multimodal_phash_dedup carries NO era: the round-11 combo-key
+  // re-platform touched only its spec-side exact replay
+  // (realPhashPairs), not the contract query's banded plan — its
+  // pre-round-11 history (identical bhj/bex counts) stays valid, and
+  // tagging it m6 would have silently retired that history from the
+  // growth medians and the drift pin (3 transiently m6-tagged rows
+  // from the tagging window are excluded instead)
   private val algoEra: Map[String, String] = Map(
     "dedup_simhash_global" -> "m6",
     "pipeline_dedup" -> "m7",
-    "pipeline_full" -> "m7",
-    "multimodal_phash_dedup" -> "m6")
+    "pipeline_full" -> "m7")
 
   /** Queries whose OUTPUT is itself super-linear on a duplicate-heavy
     * corpus (a pair listing's cardinality is Σ C(k,2) over duplicate
@@ -456,6 +479,23 @@ object Scale {
         n.path("query").asText == "global_pair_count" &&
           n.path("tag").asText == tag && n.has("pairs"))
       .map(_.get("pairs").asDouble).lastOption
+    // star-reduced edge cardinality per corpus tag (recorded by the
+    // sweep via DedupOps.globalEdgeCount): the manifests' decade bands
+    // normalize by it — their work model is linear in nodes + edges,
+    // and on the fixed-vocabulary synthetic corpora the edge relation
+    // grows faster than the corpus (sketch space saturates)
+    def edgeCount(tag: String): Option[Double] = rows.filter(n =>
+        n.path("query").asText == "global_edge_count" &&
+          n.path("tag").asText == tag && n.has("edges"))
+      .map(_.get("edges").asDouble).lastOption
+    // band multiplier for edge-linear manifests: measured edge growth
+    // beyond the corpus's own 10x is legitimate CC work; 1.0 when
+    // counts are missing or edges grew no faster than the corpus
+    def edgeAdj(baseTag: String, bigTag: String): Double =
+      (edgeCount(baseTag), edgeCount(bigTag)) match {
+        case (Some(a), Some(b)) if a > 0 => math.max(1.0, (b / a) / 10.0)
+        case _ => 1.0
+      }
     // band multiplier for output-bound listings: measured output
     // growth beyond the corpus's own 10x is legitimate work (every
     // extra pair must be emitted), so the timing band scales with
@@ -518,7 +558,29 @@ object Scale {
           println(f"[scale-check] ${if (growth <= allowed) "ok  " else "FLIP"} " +
             f"$q%-28s sf10wide ${growth}%6.1fx (band ${allowed}%.0fx, " +
             f"base ${base}%.2fs)")
-        case _ => ()
+        case _ =>
+          // loud like the first-decade loop: a vacuous 100x gate must
+          // be distinguishable from a passing one
+          println(s"[scale-check] skip $q sf10wide (missing median)")
+      }
+    }
+    // third-decade gate: sf10wide -> sf100wide, the global dedup
+    // family only (wide1000Queries) — same 15x linear ceiling, same
+    // output normalization for the pair listing. Skips loudly until a
+    // `wide1000` sweep has run on this machine.
+    for (q <- wide1000Queries) {
+      (median(q, "sf10wide"), median(q, "sf100wide")) match {
+        case (Some(base), Some(big)) =>
+          checked += 1
+          val growth = big / math.max(base, 0.3)
+          val allowed = 15.0 * edgeAdj("sf10wide", "sf100wide")
+          if (growth > allowed) fails ::=
+            f"$q sf100wide growth $growth%.1fx exceeds band ${allowed}%.0fx"
+          println(f"[scale-check] ${if (growth <= allowed) "ok  " else "FLIP"} " +
+            f"$q%-28s sf100wide ${growth}%5.1fx (band ${allowed}%.0fx, " +
+            f"base ${base}%.2fs)")
+        case _ =>
+          println(s"[scale-check] skip $q sf100wide (missing median)")
       }
     }
     // convergence standing gates (round 11): the LATEST census row per
@@ -537,13 +599,21 @@ object Scale {
           "the within-source clustering"));
         tag <- rows.filter(_.path("query").asText == census)
           .map(_.path("tag").asText).distinct) {
-      val latest = rows.filter(n =>
+      // fail CLOSED (like the bpe gate): a census row for this tag
+      // that carries no usable rounds field is a gate failure, not a
+      // crash and not a silent pass
+      rows.filter(n =>
         n.path("query").asText == census &&
-          n.path("tag").asText == tag && n.has("rounds")).last
-      val needed = latest.get("rounds").asInt - 1
-      if (needed > bound) fails ::=
-        s"$census at $tag needs $needed unrolled rounds/pairs > " +
-          s"bound $bound — $what under-merges there"
+          n.path("tag").asText == tag && n.has("rounds")).lastOption match {
+        case Some(latest) =>
+          val needed = latest.get("rounds").asInt - 1
+          if (needed > bound) fails ::=
+            s"$census at $tag needs $needed unrolled rounds/pairs > " +
+              s"bound $bound — $what under-merges there"
+        case None => fails ::=
+          s"$census row at $tag carries no rounds field — census " +
+            "history unusable, re-run the census"
+      }
     }
     for (n <- rows
         if n.path("query").asText == "dedup_incremental_indexed" &&
@@ -706,20 +776,24 @@ object Scale {
     // any mode touching a generated corpus implies gen-if-missing;
     // every mode that reads the baseline needs the repacked ref
     if (sel.exists(Set("gen", "sf0.1", "dense", "wide", "wide100",
-        "fixpoint", "fixpointstar", "annplanes", "bpebatch"))) {
+        "wide1000", "fixpoint", "fixpointstar", "annplanes", "bpebatch"))) {
       if (!complete(RefSplitDir, refTables)) {
         println(s"[scale] repacking $ref -> $RefSplitDir")
         ScaleData.repackRef(spark, RefSplitDir, ref)
         markGenerated(RefSplitDir)
       }
     }
-    if (sel.exists(Set("gen", "dense", "wide", "fixpoint", "fixpointstar",
-        "annplanes"))) {
+    // fixpointstar reads sf0.1 + WIDE + WIDE100 only — don't pay the
+    // dense-corpus generation for a census that never opens it
+    if (sel.exists(Set("gen", "dense", "fixpoint", "annplanes"))) {
       if (!complete(DenseDir)) {
         println(s"[scale] generating $DenseDir")
         ScaleData.generateDense(spark, DenseDir, ref)
         markGenerated(DenseDir)
       }
+    }
+    if (sel.exists(Set("gen", "dense", "wide", "fixpoint", "fixpointstar",
+        "annplanes"))) {
       if (!complete(WideDir)) {
         println(s"[scale] generating $WideDir")
         ScaleData.generateWide(spark, WideDir, ref)
@@ -731,6 +805,12 @@ object Scale {
       println(s"[scale] generating $Wide100Dir")
       ScaleData.generateWide100(spark, Wide100Dir, ref)
       markGenerated(Wide100Dir)
+    }
+    if (sel.contains("wide1000") &&
+        !complete(Wide1000Dir, Seq("documents"))) {
+      println(s"[scale] generating $Wide1000Dir")
+      ScaleData.generateWide1000(spark, Wide1000Dir, ref)
+      markGenerated(Wide1000Dir)
     }
 
     // Representative warmup (same rationale as Bench): the first query
@@ -831,7 +911,28 @@ object Scale {
       if (prev._1 == seq) prev._2 else ""
     }
 
-    val out = new StringBuilder
+    // append each result line to docs/scale_results.jsonl THE MOMENT
+    // its trailing newline lands — the round-11 sf100wide run lost 43
+    // minutes of measured rows when the census crashed before the old
+    // end-of-main flush. Same append-only file, same call-site shape
+    // (out.append(line).append('\n')); a crash now loses at most the
+    // line in flight.
+    class JsonlAppender(path: java.nio.file.Path) {
+      private val buf = new StringBuilder
+      def append(s: String): this.type = { buf.append(s); this }
+      def append(c: Char): this.type = {
+        buf.append(c)
+        if (c == '\n') {
+          java.nio.file.Files.write(path, buf.toString.getBytes("UTF-8"),
+            java.nio.file.StandardOpenOption.CREATE,
+            java.nio.file.StandardOpenOption.APPEND)
+          buf.clear()
+        }
+        this
+      }
+    }
+    val out = new JsonlAppender(
+      java.nio.file.Paths.get("docs/scale_results.jsonl"))
     def runOne(name: String, dir: String): (Double, Boolean, Long) = {
       val fn = extraQueries.getOrElse(name, SparkEntry.queries(name))
       // un-timed setup (e.g. the one-time bucketed index build the
@@ -912,14 +1013,44 @@ object Scale {
       // the listing's output cardinality at this corpus (untimed,
       // analytic — see DedupOps.globalPairCount): what the `check`
       // gate normalizes dedup_simhash_global's timing band by
-      if (queriesFor(tag).contains("dedup_simhash_global") &&
+      // sf100wide records the count WITHOUT sweeping the listing: the
+      // analytic census is the listing's third-decade evidence (see
+      // wide1000Queries)
+      if ((tag == "sf100wide" ||
+            queriesFor(tag).contains("dedup_simhash_global")) &&
           only.forall(_.contains("dedup_simhash_global"))) {
         graft.core.Core.releaseShared()
-        val pairs = operators.DedupOps.globalPairCount(spark, dir)
-        val line = s"""{"tag":"$tag","query":"global_pair_count",""" +
-          s""""ok":true,"corpus":"$corpus","pairs":$pairs}"""
+        // guarded like runOne: a failure here must record an ok:false
+        // row, not abort the sweep and discard every buffered row of
+        // the invocation (results flush only at the end of main)
+        val line = try {
+          val pairs = operators.DedupOps.globalPairCount(spark, dir)
+          s"""{"tag":"$tag","query":"global_pair_count",""" +
+            s""""ok":true,"corpus":"$corpus","pairs":$pairs}"""
+        } catch {
+          case e: Throwable =>
+            s"""{"tag":"$tag","query":"global_pair_count",""" +
+              s""""ok":false,"corpus":"$corpus","error":""" +
+              s""""${e.getClass.getSimpleName}"}"""
+        }
         println(s"[scale] $line")
         out.append(line).append('\n')
+        // the STAR-REDUCED edge cardinality (what the manifests' CC
+        // actually joins): their per-decade timing bands normalize by
+        // this measured input growth — see DedupOps.globalEdgeCount
+        graft.core.Core.releaseShared()
+        val eline = try {
+          val edges = operators.DedupOps.globalEdgeCount(spark, dir)
+          s"""{"tag":"$tag","query":"global_edge_count",""" +
+            s""""ok":true,"corpus":"$corpus","edges":$edges}"""
+        } catch {
+          case e: Throwable =>
+            s"""{"tag":"$tag","query":"global_edge_count",""" +
+              s""""ok":false,"corpus":"$corpus","error":""" +
+              s""""${e.getClass.getSimpleName}"}"""
+        }
+        println(s"[scale] $eline")
+        out.append(eline).append('\n')
       }
     }
 
@@ -974,22 +1105,34 @@ object Scale {
       // the census runs the CONTRACT schedule — (propagate, shortcut
       // ×StarCcJumps) rounds, ccDoubled — to fixpoint, so the measured
       // round count is directly comparable to the StarCcPairs bound
-      // the manifest runs
-      val (labels, pairs) =
-        operators.DedupOps.ccDoubledFixpointWithPairs(nodes, edges)
-      labels.write.format("noop").mode("overwrite").save()
-      val sec = (System.nanoTime() - t0) / 1e9
-      graft.core.Core.releaseShared()
-      val converged = pairs - 1 <= operators.DedupOps.StarCcPairs
-      val line = s"""{"tag":"$tag","query":"cc_fixpoint_star_ps",""" +
-        s""""sec":${d2(sec)},"ok":$converged,"corpus":"$corpus",""" +
-        s""""rounds":$pairs,"star_cc_pairs":""" +
-        s"""${operators.DedupOps.StarCcPairs},""" +
-        s""""jumps":${operators.DedupOps.StarCcJumps}}"""
+      // the manifest runs. Guarded: a census failure must record an
+      // ok:false row, not abort the invocation (the round-11 sf100wide
+      // run died here and lost every earlier row pre-flush-fix).
+      val line = try {
+        val (labels, pairs) =
+          operators.DedupOps.ccDoubledFixpointWithPairs(nodes, edges)
+        labels.write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        graft.core.Core.releaseShared()
+        val converged = pairs - 1 <= operators.DedupOps.StarCcPairs
+        if (!converged) println(s"[scale] WARNING: star CC at $tag " +
+          s"needs ${pairs - 1} (P,S^j) rounds > StarCcPairs — bump it")
+        s"""{"tag":"$tag","query":"cc_fixpoint_star_ps",""" +
+          s""""sec":${d2(sec)},"ok":$converged,"corpus":"$corpus",""" +
+          s""""rounds":$pairs,"star_cc_pairs":""" +
+          s"""${operators.DedupOps.StarCcPairs},""" +
+          s""""jumps":${operators.DedupOps.StarCcJumps}}"""
+      } catch {
+        case e: Throwable =>
+          graft.core.Core.releaseShared()
+          println(s"[scale] cc_fixpoint_star_ps FAILED at $tag: " +
+            e.getMessage.take(200))
+          s"""{"tag":"$tag","query":"cc_fixpoint_star_ps",""" +
+            s""""ok":false,"corpus":"$corpus","error":""" +
+            s""""${e.getClass.getSimpleName}"}"""
+      }
       println(s"[scale] $line")
       out.append(line).append('\n')
-      if (!converged) println(s"[scale] WARNING: star CC at $tag needs " +
-        s"${pairs - 1} (P,S^j) rounds > StarCcPairs — bump it")
     }
 
     // clustered-corpus recall sweep (round-8 verdict ask #1): mean
@@ -1149,6 +1292,20 @@ object Scale {
     if (sel.contains("dense")) sweep("sf1dense", DenseDir)
     if (sel.contains("wide")) sweep("sf1wide", WideDir)
     if (sel.contains("wide100")) sweep("sf10wide", Wide100Dir)
+    if (sel.contains("wide1000")) {
+      // the third-decade convergence datapoint rides the same mode:
+      // the sf100wide census is the direct test of whether StarCcPairs
+      // holds another decade (the gate fails loudly if it doesn't).
+      // Census only on unrestricted runs (--only selects sweep
+      // queries), and sweep FIRST: a census-first ordering measurably
+      // inflated the subsequent manifest timings (998 s vs 473 s for
+      // the same pipeline_dedup — lingering census checkpoint blocks
+      // on a 96g heap that GC had no pressure to reclaim). At this
+      // corpus the mode needs SPARK_DRIVER_MEM >= 96g: the 24g
+      // default OOM'd census tasks deserializing edge shuffles.
+      sweep("sf100wide", Wide1000Dir)
+      if (only.isEmpty) runFixpointStar("sf100wide", Wide1000Dir)
+    }
     if (sel.contains("fixpoint")) {
       runFixpoint("sf0.1", RefSplitDir)
       runFixpoint("sf1dense", DenseDir)
@@ -1167,12 +1324,7 @@ object Scale {
     if (sel.contains("ivfpqrecall")) runIvfpqRecall()
     if (sel.contains("bpebatch")) runBpeBatch()
 
-    if (out.nonEmpty)
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get("docs/scale_results.jsonl"),
-        out.toString.getBytes("UTF-8"),
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.APPEND)
+    // every line already flushed by JsonlAppender at its newline
     spark.stop()
   }
 }

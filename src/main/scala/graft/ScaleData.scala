@@ -177,4 +177,14 @@ object ScaleData {
     generate(s, outDir, refDir, nDocs = 500000, nSources = 2000,
       nEmb = 8000, nEvents = 1000000, nUsers = 15000, variant = 3,
       docsOnly = true)
+
+  /** The THIRD scale decade: ≈1000x contract scale in the WIDE regime,
+    * documents only — the corpus behind the sf100wide census + sweep
+    * of the global dedup family (the queries whose viability at
+    * 100 TB rests on combo-key occupancy staying flat and the CC
+    * pair bound holding another decade). */
+  def generateWide1000(s: SparkSession, outDir: String, refDir: String): Unit =
+    generate(s, outDir, refDir, nDocs = 5000000, nSources = 20000,
+      nEmb = 8000, nEvents = 1000000, nUsers = 15000, variant = 4,
+      docsOnly = true)
 }

@@ -1687,6 +1687,28 @@ object DedupOps {
     same + cross
   }
 
+  /** Cardinality of the STAR-REDUCED edge relation the global CC
+    * consumers actually join ([[simhashEdgesGlobal]], undirected):
+    * member->rep stars plus rep-level near pairs — WITHOUT the member
+    * expansion that makes [[globalPairCount]] quadratic in group
+    * sizes. The Scale harness records it per sweep corpus: the
+    * manifests' per-decade timing bands normalize by THIS measured
+    * input growth (their work model is linear in nodes + edges, and
+    * on the fixed-vocabulary synthetic corpora edge density grows
+    * faster than the corpus — legitimate work, not a plan flaw). */
+  private[graft] def globalEdgeCount(s: SparkSession, dir: String): Long = {
+    val sk = shared(simhash64Sketches(s, dir))
+    val reps = sketchReps(sk)
+    val stars = sk.hint("shuffle_hash").join(reps, "simhash")
+      .filter(col("doc_id") =!= col("rep_id"))
+      .count()
+    val repPairs = comboJoin(reps
+        .select(col("rep_id").as("doc_id"), col("simhash")),
+      Simhash64Bits, Simhash64HammingMax, Simhash64Blocks, _ < _)
+      .count()
+    stars + repPairs
+  }
+
   /** Production-width pairs: 62-bit sketch, 4 bands of 16 bits,
     * Hamming <= [[Simhash64HammingMax]] — the selective configuration a
     * real corpus runs ([[SimhashHammingMax]]=10/31 needs 11 one-to-

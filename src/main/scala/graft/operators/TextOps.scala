@@ -1754,7 +1754,12 @@ object TextOps {
     // (PlanShapeSpec pins the no-Window plan). Boundary-tied docs
     // share a bucket, so the assignment is total-order-free.
     "txt_perplexity_filter" -> { (s, dir) =>
-      val lp = bigramLogprobOf(s, dir)
+      // shared(): the LM relation is referenced THREE times (the
+      // percentile agg, the bucket projection, and the empty-doc
+      // union leg) — un-persisted, the full bigram-LM derivation
+      // (explode + three groupBys + two broadcast joins) would
+      // execute once per reference
+      val lp = shared(bigramLogprobOf(s, dir))
       val nz = lp.filter(col("n_bigrams") > 0)
         .withColumn("lp_nano",
           expr("CAST(round(logprob * 1e9) AS BIGINT)"))
