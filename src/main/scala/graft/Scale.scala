@@ -552,7 +552,15 @@ object Scale {
         case (Some(base), Some(big)) =>
           checked += 1
           val growth = big / math.max(base, 0.3)
-          val allowed = 15.0 * outAdj(q, "sf1wide", "sf10wide")
+          // edge-linear manifests normalize by measured edge growth
+          // (star-edge density grows faster than the corpus on these
+          // synthetic corpora in BOTH decades — same work model as the
+          // third-decade gate below; ADVICE round 11); output-bound
+          // listings keep the pairs normalization, everything else 1.0
+          val adj =
+            if (wide1000Queries.contains(q)) edgeAdj("sf1wide", "sf10wide")
+            else outAdj(q, "sf1wide", "sf10wide")
+          val allowed = 15.0 * adj
           if (growth > allowed) fails ::=
             f"$q sf10wide growth $growth%.1fx exceeds band ${allowed}%.0fx"
           println(f"[scale-check] ${if (growth <= allowed) "ok  " else "FLIP"} " +
@@ -599,20 +607,26 @@ object Scale {
           "the within-source clustering"));
         tag <- rows.filter(_.path("query").asText == census)
           .map(_.path("tag").asText).distinct) {
-      // fail CLOSED (like the bpe gate): a census row for this tag
-      // that carries no usable rounds field is a gate failure, not a
-      // crash and not a silent pass
+      // fail CLOSED (like the bpe gate): the judgment row is the
+      // LATEST census attempt for this (census, tag) WHATEVER it
+      // carries — a crashed attempt (ok:false error row, no rounds)
+      // must fail the gate, not silently fall back to an older green
+      // row (stale history could mask a corpus whose star graph newly
+      // outruns the bound — ADVICE round 11)
       rows.filter(n =>
         n.path("query").asText == census &&
-          n.path("tag").asText == tag && n.has("rounds")).lastOption match {
-        case Some(latest) =>
+          n.path("tag").asText == tag).lastOption match {
+        case Some(latest)
+            if latest.has("rounds") && latest.path("ok").asBoolean(false) =>
           val needed = latest.get("rounds").asInt - 1
           if (needed > bound) fails ::=
             s"$census at $tag needs $needed unrolled rounds/pairs > " +
               s"bound $bound — $what under-merges there"
+        case Some(_) => fails ::=
+          s"$census latest row at $tag is failed or carries no rounds " +
+            "field — census history unusable, re-run the census"
         case None => fails ::=
-          s"$census row at $tag carries no rounds field — census " +
-            "history unusable, re-run the census"
+          s"$census has no row at $tag — re-run the census"
       }
     }
     for (n <- rows
@@ -1021,8 +1035,9 @@ object Scale {
           only.forall(_.contains("dedup_simhash_global"))) {
         graft.core.Core.releaseShared()
         // guarded like runOne: a failure here must record an ok:false
-        // row, not abort the sweep and discard every buffered row of
-        // the invocation (results flush only at the end of main)
+        // row, not abort the sweep — JsonlAppender flushes each row at
+        // its newline, so an abort would lose only the in-flight line,
+        // but the sweep's remaining queries would never run
         val line = try {
           val pairs = operators.DedupOps.globalPairCount(spark, dir)
           s"""{"tag":"$tag","query":"global_pair_count",""" +

@@ -82,6 +82,28 @@ object Core {
     }
   }
 
+  /** Run `body` with a session conf pinned to `value`, restoring the
+    * previous setting (or unsetting) afterwards — the scope for
+    * build-time job sequences that want a non-default conf without
+    * leaking it into the session (e.g. the global CC chain disables
+    * AQE for its fixed-shape label-join segments: every segment's
+    * strategy is already pinned by explicit repartition + shuffle_hash
+    * hints, so adaptive re-optimization buys nothing and its per-stage
+    * driver re-planning was the measured dominant cost of the chain —
+    * docs/PLANS.md round 12). Not re-entrancy-safe across threads: the
+    * conf is session-global while `body` runs, which is the existing
+    * single-driver execution model of the contract harnesses. */
+  def withConf[T](s: SparkSession, key: String, value: String)
+      (body: => T): T = {
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, value)
+    try body
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   /** Exact money arithmetic: double -> integer cents. Test values carry
     * <= 2 decimals, so x*100 is within ~1e-10 of an integer and rounding
     * is unambiguous in both Spark and DuckDB; summing longs is exact and
