@@ -823,6 +823,13 @@ object DedupOps {
       simhashPairsGlobal(s, dir).orderBy("a_id", "b_id")
     },
 
+    // The BOUNDED twin of the global pair listing (round-11 verdict
+    // #4): per-doc top-K nearest sketches corpus-wide — n·K output
+    // rows and sketch-level-bounded work where the listing is Σk²
+    // (and at sf100wide not materializable at all). See
+    // [[simhashTopKGlobal]] for the exactness argument.
+    "dedup_simhash_topk" -> { (s, dir) => simhashTopKGlobal(s, dir) },
+
     // Near-dup cluster canonicalization: connected components over the
     // SimHash near-dup edge set via bounded label propagation — each
     // round every doc takes the min cluster label among itself and its
@@ -1404,6 +1411,12 @@ object DedupOps {
     * occupancy that stays flat until |distinct sketches| ~ 2^31. */
   val Simhash64Blocks = 6
 
+  /** Neighbors per document in the bounded global near-dup REPORT
+    * ([[simhashTopKGlobal]], `dedup_simhash_topk`): the per-doc top-K
+    * that caps the report at n·K rows where the full pair LISTING is
+    * Σk² (1.9e11 pairs at sf100wide — not materializable). */
+  val SimhashTopK = 5
+
   /** Banded bucket join over SimHash sketches: verified near-dup pairs
     * with `pred` deciding the id predicate (a<b for the pair listing,
     * a≠b for the symmetric edge list). Band count and width DERIVE
@@ -1513,44 +1526,85 @@ object DedupOps {
     * surviving pair exactly once WITHOUT an aggregation. Returns
     * (a_id, b_id, a_sh, b_sh, hamming); both sketches ride along so
     * callers can expand sketch-level pairs to member pairs. */
-  private[graft] def comboJoin(sketch: DataFrame, bits: Int,
-      hammingMax: Int, blocks: Int,
-      pred: (Column, Column) => Column): DataFrame = {
+  /** The Manku combination-key scheme's bit geometry, shared by the
+    * self-join ([[comboJoin]]) and the two-relation form
+    * ([[comboJoin2]] — the incremental batch×corpus pass). */
+  private case class ComboScheme(bits: Int, hammingMax: Int, blocks: Int) {
     require(blocks > hammingMax, "need more blocks than differing bits")
-    val base = bits / blocks
-    val rem = bits % blocks
-    val widths = (0 until blocks).map(j => base + (if (j < rem) 1 else 0))
-    val offsets = widths.scanLeft(0)(_ + _).init
+    private val base = bits / blocks
+    private val rem = bits % blocks
+    val widths: IndexedSeq[Int] =
+      (0 until blocks).map(j => base + (if (j < rem) 1 else 0))
+    val offsets: IndexedSeq[Int] = widths.scanLeft(0)(_ + _).init
     def blockBits(c: Column, j: Int): Column =
       shiftright(c, offsets(j)).bitwiseAND(lit((1L << widths(j)) - 1))
-    val combos = (0 until blocks).combinations(blocks - hammingMax)
-      .toIndexedSeq
-    val comboStructs = array(combos.zipWithIndex.map { case (cb, i) =>
-      // pack the selected blocks' bits into one long key (<= 32 bits)
-      val key = cb.foldLeft(lit(0L))((acc, j) =>
-        shiftleft(acc, widths(j)) + blockBits(col("simhash"), j))
-      struct(lit(i).as("combo"), key.as("kbits"))
-    }: _*)
-    val d = shared(sketch
-      .select(col("doc_id"), col("simhash"), explode(comboStructs).as("cs"))
-      .select(col("doc_id"), col("simhash"),
-        col("cs.combo").as("combo"), col("cs.kbits").as("kbits")))
-    def side(p: String) = d.select(col("combo"), col("kbits"),
-      col("doc_id").as(s"${p}_id"), col("simhash").as(s"${p}_sh"))
-    val earlierComboCollides = combos.zipWithIndex.map { case (cb, i) =>
-      (col("combo") > i) && cb.map(j =>
-          blockBits(col("a_sh"), j) === blockBits(col("b_sh"), j))
-        .reduce(_ && _)
-    }.foldLeft(lit(false))(_ || _)
-    SkewJoin.saltedCandidateJoin(side("a"), side("b"),
-        Seq("combo", "kbits"), leftSaltBy = col("a_id"))
-      .filter(pred(col("a_id"), col("b_id")))
+    val combos: IndexedSeq[IndexedSeq[Int]] =
+      (0 until blocks).combinations(blocks - hammingMax)
+        .map(_.toIndexedSeq).toIndexedSeq
+    /** (doc_id, simhash) -> one row per combination key. Persisted:
+      * the self-join reads it from both sides. */
+    def explodeKeys(sketch: DataFrame): DataFrame = {
+      val comboStructs = array(combos.zipWithIndex.map { case (cb, i) =>
+        // pack the selected blocks' bits into one long key (<= 32 bits)
+        val key = cb.foldLeft(lit(0L))((acc, j) =>
+          shiftleft(acc, widths(j)) + blockBits(col("simhash"), j))
+        struct(lit(i).as("combo"), key.as("kbits"))
+      }: _*)
+      sketch
+        .select(col("doc_id"), col("simhash"),
+          explode(comboStructs).as("cs"))
+        .select(col("doc_id"), col("simhash"),
+          col("cs.combo").as("combo"), col("cs.kbits").as("kbits"))
+    }
+    def side(d: DataFrame, p: String): DataFrame =
+      d.select(col("combo"), col("kbits"),
+        col("doc_id").as(s"${p}_id"), col("simhash").as(s"${p}_sh"))
+    /** "an earlier combination's selected blocks also all agree" — the
+      * static-bit-arithmetic dedup clause (one surviving row per
+      * pair, no aggregation, stays in whole-stage codegen). */
+    def earlierComboCollides: Column =
+      combos.zipWithIndex.map { case (cb, i) =>
+        (col("combo") > i) && cb.map(j =>
+            blockBits(col("a_sh"), j) === blockBits(col("b_sh"), j))
+          .reduce(_ && _)
+      }.foldLeft(lit(false))(_ || _)
+    def verify(joined: DataFrame): DataFrame = joined
       .withColumn("hamming",
         bit_count(col("a_sh").bitwiseXOR(col("b_sh"))).cast(IntegerType))
       .filter(col("hamming") <= hammingMax)
       .filter(!earlierComboCollides)
       .select(col("a_id"), col("b_id"), col("a_sh"), col("b_sh"),
         col("hamming"))
+  }
+
+  private[graft] def comboJoin(sketch: DataFrame, bits: Int,
+      hammingMax: Int, blocks: Int,
+      pred: (Column, Column) => Column): DataFrame = {
+    val sch = ComboScheme(bits, hammingMax, blocks)
+    val d = shared(sch.explodeKeys(sketch))
+    sch.verify(
+      SkewJoin.saltedCandidateJoin(sch.side(d, "a"), sch.side(d, "b"),
+          Seq("combo", "kbits"), leftSaltBy = col("a_id"))
+        .filter(pred(col("a_id"), col("b_id"))))
+  }
+
+  /** Two-relation combination-key join — the INCREMENTAL candidate
+    * pass: `left` (the arriving batch's sketches) against `right`
+    * (the standing corpus's sketch index), emitting each (left,
+    * right) pair within `hammingMax` exactly once. The corpus side is
+    * exploded to its combo keys exactly as [[comboJoin]] would — at
+    * 100 TB that relation is a PRE-BUILT index read from storage, and
+    * only the delta explodes per ingest (the same asymmetry as
+    * [[buildIncrementalIndex]]). Identical pigeonhole-exactness and
+    * first-agreeing-combination dedup as the self-join. */
+  private[graft] def comboJoin2(left: DataFrame, right: DataFrame,
+      bits: Int, hammingMax: Int, blocks: Int): DataFrame = {
+    val sch = ComboScheme(bits, hammingMax, blocks)
+    sch.verify(
+      SkewJoin.saltedCandidateJoin(
+        sch.side(sch.explodeKeys(left), "a"),
+        sch.side(sch.explodeKeys(right), "b"),
+        Seq("combo", "kbits"), leftSaltBy = col("a_id")))
   }
 
   /** One representative per DISTINCT sketch value: (simhash, rep_id =
@@ -1640,8 +1694,14 @@ object DedupOps {
     * AGGREGATE_OUT_OF_MEMORY into a linear pass (docs/SCALE.md round
     * 11). */
   private[graft] def simhashEdgesGlobal(s: SparkSession, dir: String)
-      : DataFrame = {
-    val sk = shared(simhash64Sketches(s, dir))
+      : DataFrame =
+    edgesFromSketches(shared(simhash64Sketches(s, dir)))
+
+  /** The star-reduced symmetric edge relation over an explicit
+    * (doc_id, simhash) relation — [[simhashEdgesGlobal]]'s core,
+    * factored so the incremental operator can run it over the corpus
+    * and batch partitions separately. */
+  private[graft] def edgesFromSketches(sk: DataFrame): DataFrame = {
     // member -> rep lookup: one row per key on the reps side; the
     // shuffle_hash hint keeps the plan scale-invariant (reps are
     // corpus-scaled — a stats-driven broadcast here would be a driver
@@ -1711,6 +1771,80 @@ object DedupOps {
       Simhash64Bits, Simhash64HammingMax, Simhash64Blocks, _ < _)
       .count()
     stars + repPairs
+  }
+
+  /** BOUNDED global near-dup report: each document's top-K nearest
+    * neighbors by sketch Hamming distance (ties by neighbor id) among
+    * all docs within Hamming <= [[Simhash64HammingMax]] of it,
+    * corpus-wide — the report a 100 TB user actually consumes where
+    * the full pair listing ([[simhashPairsGlobal]]) is output-bound
+    * (Σk² pairs on a duplicate-heavy corpus; 1.9e11 at sf100wide).
+    * Output <= n·K rows, and the WORK is bounded the same way by
+    * ranking at the SKETCH level before any member expansion:
+    *
+    *  1. per distinct sketch, the K+1 lowest member doc_ids (`topm`) —
+    *     any member's top-K same-sketch neighbors lie within these
+    *     (everything ranks (0, id), a member beyond the K+1 lowest has
+    *     >= K+1 strictly better candidates of which at most one is the
+    *     doc itself);
+    *  2. sketch-VALUE near pairs from [[comboJoin]] over distinct
+    *     sketches (both directions);
+    *  3. per-sketch candidate POOL: own members at distance 0 plus
+    *     near sketches' `topm` at their Hamming distance, ranked by
+    *     (distance, cand_id) and cut to K+1 — exact by the same
+    *     argument: a candidate outside the pool's top K+1 has >= K+1
+    *     better candidates, at most one of which is the doc itself,
+    *     so it can never enter any member's top-K;
+    *  4. members join their sketch's <= K+1 pool rows (salted — the
+    *     sketch key is the canonical skewed key), drop self, rank
+    *     per doc, keep K.
+    *
+    * So the quadratic term lives only in the sketch-value graph (the
+    * same place the manifests put it) and every doc-level relation is
+    * <= n·(K+1) rows. Exactness vs the brute-force per-doc top-K is
+    * the DuckDB oracle; docs with NO neighbor within the threshold are
+    * absent by contract (their pool is only themselves). */
+  private[graft] def simhashTopKGlobal(s: SparkSession, dir: String,
+      k: Int = SimhashTopK): DataFrame = {
+    val sk = shared(simhash64Sketches(s, dir))
+    val byId = Window.partitionBy("simhash").orderBy("doc_id")
+    val topm = shared(sk
+      .withColumn("rk", row_number().over(byId))
+      .filter(col("rk") <= k + 1)
+      .select(col("simhash"), col("doc_id").as("cand_id")))
+    val near = comboJoin(sketchReps(sk)
+        .select(col("rep_id").as("doc_id"), col("simhash")),
+      Simhash64Bits, Simhash64HammingMax, Simhash64Blocks, _ =!= _)
+    val selfPool = topm.select(col("simhash"),
+      lit(0).cast(IntegerType).as("hamming"), col("cand_id"))
+    // near-sketch members: the (a_sh -> b_sh, hamming) sketch edges
+    // carry their sketch VALUES, so the b-side topm lookup is a plain
+    // equi-join on the sketch — per-key bounded (K+1 rows) on the
+    // build side, sketch-graph-sized on the probe
+    val crossPool = near
+      .select(col("a_sh").as("simhash"), col("hamming"),
+        col("b_sh"))
+      .join(topm.select(col("simhash").as("b_sh"), col("cand_id"))
+          .hint("shuffle_hash"),
+        "b_sh")
+      .select(col("simhash"), col("hamming"), col("cand_id"))
+    val poolW = Window.partitionBy("simhash")
+      .orderBy(col("hamming"), col("cand_id"))
+    val pool = selfPool.unionByName(crossPool)
+      .withColumn("prk", row_number().over(poolW))
+      .filter(col("prk") <= k + 1)
+      .select(col("simhash"), col("hamming"), col("cand_id"))
+    val docW = Window.partitionBy("doc_id")
+      .orderBy(col("hamming"), col("cand_id"))
+    SkewJoin.saltedCandidateJoin(
+        sk.select(col("doc_id"), col("simhash")), pool,
+        Seq("simhash"), leftSaltBy = col("doc_id"))
+      .filter(col("cand_id") =!= col("doc_id"))
+      .withColumn("nbr_rank", row_number().over(docW))
+      .filter(col("nbr_rank") <= k)
+      .select(col("doc_id"), col("nbr_rank"), col("cand_id").as("nbr_id"),
+        col("hamming"))
+      .orderBy("doc_id", "nbr_rank")
   }
 
   /** Production-width pairs: 62-bit sketch, 4 bands of 16 bits,
@@ -1947,6 +2081,89 @@ object DedupOps {
   def ccDoubledFixpointWithPairs(nodes: DataFrame, edges: DataFrame,
       maxPairs: Int = 32, jumps: Int = StarCcJumps): (DataFrame, Int) =
     ccPsLoop(nodes, edges, maxPairs, jumps)
+
+  /** INCREMENTAL connected-component maintenance — the operator a
+    * daily-ingest 100 TB pipeline runs instead of a full
+    * `pipeline_dedup` rebuild (round-11 verdict #5): fold a batch's
+    * new edges into an existing labeling, including the case
+    * [[graft.streaming.StreamingOps]]'s per-doc decision stream cannot
+    * see — a bridging batch doc MERGING two existing clusters.
+    *
+    *  - `oldLabels` (doc_id, cluster): a CONVERGED labeling of the
+    *    standing corpus (each cluster value = the component's min
+    *    doc_id — what [[ccDoubled]] produces at fixpoint);
+    *  - `deltaNodes` (doc_id): the arriving batch;
+    *  - `deltaEdges` (n, m) SYMMETRIC: every new edge — batch-internal
+    *    and batch<->corpus; endpoints may be any batch or corpus doc.
+    *
+    * The corpus graph never re-enters: each old cluster CONTRACTS to
+    * one supernode (its label), delta endpoints map through the label
+    * relation (identity for batch docs), and the (P,S) loop runs over
+    * the supernode graph — |clusters touched| + |batch| nodes and
+    * delta-scaled edges, NOT corpus-scaled. Contraction preserves
+    * components, and because every supernode id is its component's
+    * min doc_id, min-label propagation over the contracted graph
+    * lands every merged component on the SAME min doc_id a full
+    * rebuild computes — incremental ≡ rebuild at fixpoint, asserted
+    * on a bridging-batch corpus in DedupOpsSpec. One corpus-scaled
+    * equi-join at the end maps old labels to their supernode's final
+    * label. */
+  def ccIncrementalUpdate(oldLabels: DataFrame, deltaNodes: DataFrame,
+      deltaEdges: DataFrame, maxPairs: Int = StarCcPairs): DataFrame = {
+    val labelOf = shared(oldLabels
+      .select(col("doc_id").as("x"), col("cluster").as("cx")))
+    // contract endpoints: corpus doc -> its cluster supernode, batch
+    // doc -> itself. Left joins against the node-sized label relation,
+    // SHJ-pinned (labels are corpus-scaled — no stats broadcast).
+    val contracted = deltaEdges
+      .join(labelOf.select(col("x").as("n"), col("cx").as("cn"))
+          .hint("shuffle_hash"),
+        Seq("n"), "left")
+      .join(labelOf.select(col("x").as("m"), col("cx").as("cm"))
+          .hint("shuffle_hash"),
+        Seq("m"), "left")
+      .select(coalesce(col("cn"), col("n")).as("n"),
+        coalesce(col("cm"), col("m")).as("m"))
+      .filter(col("n") =!= col("m"))
+    val supers = oldLabels.select(col("cluster").as("doc_id")).distinct()
+      .unionByName(deltaNodes.select("doc_id"))
+    val superMap = ccPsLoop(supers, contracted, maxPairs, StarCcJumps)._1
+      .select(col("doc_id").as("sn"), col("cluster").as("sc"))
+    // total by construction: every old cluster value and every batch
+    // doc IS a supernode row
+    oldLabels
+      .join(superMap.hint("shuffle_hash"),
+        col("cluster") === col("sn"))
+      .select(col("doc_id"), col("sc").as("cluster"))
+      .unionByName(deltaNodes
+        .join(superMap.hint("shuffle_hash"), col("doc_id") === col("sn"))
+        .select(col("doc_id"), col("sc").as("cluster")))
+  }
+
+  /** The sketch-level DELTA edge set for an arriving batch against a
+    * standing corpus — what [[ccIncrementalUpdate]] consumes in the
+    * SimHash pipeline: batch star edges (members -> batch sketch
+    * reps, plus batch-rep near pairs, via [[edgesFromSketches]]) and
+    * batch-rep x corpus-rep near pairs via the two-relation
+    * combination-key join ([[comboJoin2]] — only the delta explodes;
+    * the corpus side is the pre-buildable sketch-rep index). Nothing
+    * here is corpus x corpus. Components of (corpus edges UNION this)
+    * equal the full-graph components: a batch doc b within Hamming of
+    * a corpus doc c reaches c's component through b's rep ->
+    * c's rep (sketch-value Hamming equals doc Hamming). */
+  def incrementalSimhashDelta(corpusSk: DataFrame, batchSk: DataFrame)
+      : DataFrame = {
+    val cross = comboJoin2(
+        sketchReps(batchSk).select(col("rep_id").as("doc_id"),
+          col("simhash")),
+        sketchReps(corpusSk).select(col("rep_id").as("doc_id"),
+          col("simhash")),
+        Simhash64Bits, Simhash64HammingMax, Simhash64Blocks)
+      .select(col("a_id").as("n"), col("b_id").as("m"))
+    edgesFromSketches(batchSk)
+      .unionByName(cross)
+      .unionByName(cross.select(col("m").as("n"), col("n").as("m")))
+  }
 
   /** Exact connected components over an ARBITRARY symmetric edge
     * relation, iterated to fixpoint — the production path when
@@ -2335,6 +2552,26 @@ object DedupOps {
         s"""WITH $simhashPairsGlobalCte
            |SELECT a_id, b_id, hamming FROM pairs
            |ORDER BY a_id, b_id""".stripMargin,
+
+      // brute-force per-doc top-K over the symmetric near relation —
+      // the sketch-level pool pruning changes the plan, not the answer
+      "dedup_simhash_topk" ->
+        s"""WITH $simhashSketchGlobalCte,
+           |cand AS (
+           |  SELECT a.doc_id AS doc_id, b.doc_id AS nbr_id,
+           |         CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER)
+           |           AS hamming
+           |  FROM sk a JOIN sk b ON a.doc_id <> b.doc_id
+           |  WHERE bit_count(xor(a.simhash, b.simhash))
+           |          <= $Simhash64HammingMax),
+           |ranked AS (
+           |  SELECT doc_id, nbr_id, hamming,
+           |         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+           |           ORDER BY hamming, nbr_id) AS INTEGER) AS nbr_rank
+           |  FROM cand)
+           |SELECT doc_id, nbr_rank, nbr_id, hamming FROM ranked
+           |WHERE nbr_rank <= $SimhashTopK
+           |ORDER BY doc_id, nbr_rank""".stripMargin,
 
       "dedup_cluster_cc" ->
         s"""WITH $ccCte

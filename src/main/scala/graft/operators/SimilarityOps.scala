@@ -555,6 +555,47 @@ object SimilarityOps {
     * (id, id, long). The spec pins cluster retrieval ≥ the flat-PQ
     * figure on the planted corpus (residual coding + routing must not
     * LOSE accuracy vs flat PQ). */
+  /** SemDeDup core (the `dedup_semdedup` contract query at k = [[IvfK]]):
+    * k-means-cluster the embedding space, pair WITHIN clusters only,
+    * keep/drop each vector against its lowest-id near-duplicate at
+    * cos >= [[SemDedupTau]]. Parameterized k because the cluster count
+    * is THE scale knob: pair work is Σ(occupancy)² ≈ n²/k, so fixed k
+    * is quadratic-in-n (the contract toy at bounded scale), k ∝ √n
+    * holds the whole operator at ~n^1.5 (assignment n·k = n^1.5,
+    * pairing n²/√n = n^1.5 — the sizing the Scale harness sweeps as
+    * `dedup_semdedup_scaledk`), and a production index holds pairing
+    * linear with k ∝ n at the price of hierarchical assignment. */
+  private[graft] def semDedup(s: SparkSession, dir: String,
+      k: Int = IvfK): DataFrame = {
+    val e = vecs(s, dir)
+    val cents = kmeansCentroids(e, k = k, iters = IvfIters)
+    val byVec = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("cid").asc)
+    val assigned = shared(e.select(col("vec_id"), col("v"), col("norm"))
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos",
+        round(dot(col("v"), col("cv")) / (col("norm") * col("cnorm")), 9))
+      .withColumn("crn", row_number().over(byVec))
+      .filter(col("crn") === 1)
+      .select(col("cid"), col("vec_id"), col("v"), col("norm")))
+    val a = assigned.select(col("cid"), col("vec_id").as("a_id"),
+      col("v").as("a_v"), col("norm").as("a_norm"))
+    val b = assigned.select(col("cid"), col("vec_id").as("b_id"),
+      col("v").as("b_v"), col("norm").as("b_norm"))
+    val dups = SkewJoin.saltedCandidateJoin(a, b, Seq("cid"),
+        leftSaltBy = col("a_id"))
+      .filter(col("b_id") < col("a_id"))
+      .withColumn("cos", cosine)
+      .filter(col("cos") >= SemDedupTau)
+      .groupBy(col("a_id").as("vec_id"))
+      .agg(min(col("b_id")).as("dup_of"))
+    assigned.select("vec_id", "cid")
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"), col("dup_of"),
+        col("dup_of").isNull.as("keep"))
+      .orderBy("vec_id")
+  }
+
   private[graft] def ivfpqTopK(s: SparkSession, dir: String,
       source: Option[DataFrame] = None, nprobe: Int = IvfNprobe,
       ivfK: Int = IvfK, pqK: Int = PqK): DataFrame = {
@@ -992,35 +1033,7 @@ object SimilarityOps {
     // flat. Same salted/pinned candidate join discipline as the
     // LSH/IVF paths; the assignment relation is computed once and
     // shared by both pair sides and the output spine.
-    "dedup_semdedup" -> { (s, dir) =>
-      val e = vecs(s, dir)
-      val cents = kmeansCentroids(e, k = IvfK, iters = IvfIters)
-      val byVec = Window.partitionBy("vec_id")
-        .orderBy(col("ccos").desc, col("cid").asc)
-      val assigned = shared(e.select(col("vec_id"), col("v"), col("norm"))
-        .crossJoin(broadcast(cents))
-        .withColumn("ccos",
-          round(dot(col("v"), col("cv")) / (col("norm") * col("cnorm")), 9))
-        .withColumn("crn", row_number().over(byVec))
-        .filter(col("crn") === 1)
-        .select(col("cid"), col("vec_id"), col("v"), col("norm")))
-      val a = assigned.select(col("cid"), col("vec_id").as("a_id"),
-        col("v").as("a_v"), col("norm").as("a_norm"))
-      val b = assigned.select(col("cid"), col("vec_id").as("b_id"),
-        col("v").as("b_v"), col("norm").as("b_norm"))
-      val dups = SkewJoin.saltedCandidateJoin(a, b, Seq("cid"),
-          leftSaltBy = col("a_id"))
-        .filter(col("b_id") < col("a_id"))
-        .withColumn("cos", cosine)
-        .filter(col("cos") >= SemDedupTau)
-        .groupBy(col("a_id").as("vec_id"))
-        .agg(min(col("b_id")).as("dup_of"))
-      assigned.select("vec_id", "cid")
-        .join(dups, Seq("vec_id"), "left")
-        .select(col("vec_id"), col("cid"), col("dup_of"),
-          col("dup_of").isNull.as("keep"))
-        .orderBy("vec_id")
-    },
+    "dedup_semdedup" -> { (s, dir) => semDedup(s, dir) },
 
     // Semantic benchmark decontamination — the embedding upgrade of
     // txt_decontaminate (n-gram overlap misses PARAPHRASED eval items;

@@ -561,4 +561,107 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(got.toSet.contains((0L, 2L, 1)))
     assert(!got.exists(p => p._1 == 0L && p._2 == 3L))
   }
+
+  test("comboJoin2 emits exactly the cross pairs of the self-join") {
+    // the two-relation (batch x corpus) form must surface exactly the
+    // left-right pairs the self-join over the union finds — no
+    // within-side pairs, no misses, each pair once
+    val rnd = new scala.util.Random(17)
+    val centers = Seq.fill(6)(rnd.nextLong() & ((1L << 62) - 1))
+    def jitter(c: Long) =
+      (0 until rnd.nextInt(4)).foldLeft(c)((s, _) => s ^ (1L << rnd.nextInt(62)))
+    val left = (0L until 60L).map(i =>
+      (i, jitter(centers(rnd.nextInt(centers.size)))))
+    val right = (1000L until 1120L).map(i =>
+      (i, jitter(centers(rnd.nextInt(centers.size)))))
+    val got = DedupOps.comboJoin2(left.toDF("doc_id", "simhash"),
+        right.toDF("doc_id", "simhash"),
+        bits = 62, hammingMax = 3, blocks = DedupOps.Simhash64Blocks)
+      .select("a_id", "b_id", "hamming")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val want = for {
+      (ia, sa) <- left; (ib, sb) <- right
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (ia, ib, h)
+    assert(got.length == got.distinct.length, "duplicate cross pairs")
+    assert(got.toSet == want.toSet)
+    graft.core.Core.releaseShared()
+  }
+
+  test("global top-K report == brute-force per-doc top-K on the corpus") {
+    // the sketch-level pool pruning (topm + K+1 pool cut) must be
+    // invisible in the answer: compare against per-doc brute force
+    // over the collected sketches, including tie order (hamming, id)
+    val k = DedupOps.SimhashTopK
+    val sks = DedupOps.simhash64Sketches(spark, TestSpark.sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val want = sks.flatMap { case (d, sh) =>
+      sks.filter { case (o, osh) =>
+          o != d && java.lang.Long.bitCount(sh ^ osh) <= DedupOps.Simhash64HammingMax }
+        .map { case (o, osh) => (o, java.lang.Long.bitCount(sh ^ osh)) }
+        .sortBy { case (o, h) => (h, o) }
+        .take(k).zipWithIndex
+        .map { case ((o, h), i) => (d, i + 1, o, h) }
+    }.toSet
+    val got = DedupOps.queries("dedup_simhash_topk")(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    assert(want.nonEmpty, "gate corpus has no near-dup neighbors at all")
+    assert(got == want)
+    graft.core.Core.releaseShared()
+  }
+
+  test("incremental CC update == full rebuild when a batch bridges two " +
+    "existing clusters") {
+    // corpus: two chain components {0..4} and {10..14}; batch doc 100
+    // BRIDGES them (edges to 4 and 10), batch docs 101-102 form their
+    // own new pair, 103 is isolated. The incremental update must land
+    // every merged doc on the full-rebuild fixpoint label (the global
+    // min doc id), without ever touching corpus x corpus edges.
+    def sym(es: Seq[(Long, Long)]) = es.flatMap(e => Seq(e, e.swap))
+    val corpusNodes = ((0L to 4L) ++ (10L to 14L)).toDF("doc_id")
+    val corpusEdges = sym((0L until 4L).map(i => (i, i + 1)) ++
+      (10L until 14L).map(i => (i, i + 1))).toDF("n", "m")
+    val oldLabels = DedupOps.ccFixpoint(corpusNodes, corpusEdges)
+    val batchNodes = Seq(100L, 101L, 102L, 103L).toDF("doc_id")
+    val deltaEdges = sym(Seq((100L, 4L), (100L, 10L), (101L, 102L)))
+      .toDF("n", "m")
+    val got = DedupOps.ccIncrementalUpdate(oldLabels, batchNodes,
+        deltaEdges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = DedupOps.ccFixpoint(
+        corpusNodes.unionByName(batchNodes),
+        corpusEdges.unionByName(deltaEdges))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == full, s"incremental $got != rebuild $full")
+    // the bridge actually merged: both old clusters now share label 0
+    assert(got(14L) == 0L && got(100L) == 0L)
+    // the new pair is its own cluster; the isolated doc keeps itself
+    assert(got(102L) == 101L && got(103L) == 103L)
+    graft.core.Core.releaseShared()
+  }
+
+  test("incremental SimHash delta edges reach every cross-corpus " +
+    "component a full rebuild finds") {
+    // end-to-end on the gate corpus: split docs into 'corpus' (even
+    // doc_id) and 'batch' (odd), compute old labels over corpus-only
+    // star edges, fold in incrementalSimhashDelta — final components
+    // must equal the full-graph fixpoint over ALL docs' edges
+    val sk = DedupOps.simhash64Sketches(spark, TestSpark.sfDir)
+    val corpusSk = sk.filter(col("doc_id") % 2 === 0)
+    val batchSk = sk.filter(col("doc_id") % 2 === 1)
+    val oldLabels = DedupOps.ccFixpoint(corpusSk.select("doc_id"),
+      DedupOps.edgesFromSketches(corpusSk))
+    val got = DedupOps.ccIncrementalUpdate(oldLabels,
+        batchSk.select("doc_id"),
+        DedupOps.incrementalSimhashDelta(corpusSk, batchSk),
+        maxPairs = 32)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = DedupOps.ccFixpoint(sk.select("doc_id"),
+        DedupOps.edgesFromSketches(sk))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == full)
+    graft.core.Core.releaseShared()
+  }
 }
