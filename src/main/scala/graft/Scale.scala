@@ -200,7 +200,16 @@ object Scale {
     "txt_decontaminate_sem", "multimodal_align_filter")
 
   private def queriesFor(tag: String): Seq[String] =
-    if (tag.startsWith("emb")) embQueries
+    if (tag == "emb100x")
+      // the fixed-k contract toy is deliberately ABSENT at 100x: its
+      // n²/k pair pass is ~4e9 candidates there (vs 4e7 at 10x) — the
+      // named superlinear hits its wall one decade after the gate
+      // measures it, exactly like the pair listing at sf100wide; the
+      // scaled-k fix is what runs (same honest treatment: the decade
+      // gate reads the 10x measurement, the wall is documented, and
+      // the fixed form never pretends to be a 100 TB operator)
+      embQueries.filterNot(_ == "dedup_semdedup")
+    else if (tag.startsWith("emb")) embQueries
     else if (tag == "sf100wide") wide1000Queries
     else if (tag == "sf10wide") wide100Queries
     else (if (tag == "sf1dense") denseDocQueries else docQueries) ++

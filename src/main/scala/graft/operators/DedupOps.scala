@@ -1384,8 +1384,23 @@ object DedupOps {
     * [[ccFixpointWithRounds]]' schedule-independent fixpoint on the
     * gate corpus, so the bounded contract answer IS the
     * true-component answer — and with the census green, on the swept
-    * corpora too. */
-  val StarCcPairs = 8
+    * corpora too.
+    *
+    * RE-SIZED 8 → 17 by the round-12 ADVERSARIAL census
+    * (`fixpointadv`): 500k nodes in 16-node chains with ids scattered
+    * by a multiplicative permutation measured 15 (P,S) pairs to
+    * fixpoint — at that geometry the shortcut gains NOTHING (the
+    * chain minimum sits one hop ahead of every label, so jumps land
+    * on already-known territory), confirming the honest "constant
+    * factor, not O(log d)" claim the hard way. The uniform corpora
+    * (5/5/6/7 pairs) never exercised adversarial id order; a real
+    * crawl's ids are assignment-order and CAN form such chains.
+    * Raising the cap is FREE at contract scale since round 12's
+    * early-exit loop ([[ccPsLoop]]): every corpus runs to its own
+    * certified fixpoint (6 segments on the contract corpus) and the
+    * bound is only the safety cap and the oracle CTE's unroll depth
+    * (DuckDB at sf0.01 — cheap). */
+  val StarCcPairs = 17
 
   /** Shortcut (pointer-jump) rounds per propagate round in
     * [[ccDoubled]]. Jumps never touch the edge relation, so extra
