@@ -258,10 +258,21 @@ object Scale {
   // tagging it m6 would have silently retired that history from the
   // growth medians and the drift pin (3 transiently m6-tagged rows
   // from the tagging window are excluded instead)
+  // p16 = round 12's AutoPlaneConfigs extension (12 -> 16 planes)
+  // after the emb100x sweep measured the saturated menu quadratic
+  // (272 s at 200k vectors) — the rule's MENU, not the rule, was the
+  // scale wall, so the fix re-prices exactly this query
+  // t2 = round 12's near-sketch pre-prune in the top-K report (the
+  // first sf100wide sweep measured the unpruned member expansion at
+  // 33x/decade vs the edge band's 23x — 1.5B pool-window rows at 5M
+  // docs; the K+1 best-by-first-entry cut is exact and drops the
+  // expansion to (K+1)² per sketch)
   private val algoEra: Map[String, String] = Map(
     "dedup_simhash_global" -> "m6",
     "pipeline_dedup" -> "m7",
-    "pipeline_full" -> "m7")
+    "pipeline_full" -> "m7",
+    "sim_ann_lsh_auto" -> "p16",
+    "dedup_simhash_topk" -> "t2")
 
   /** Queries whose OUTPUT is itself super-linear on a duplicate-heavy
     * corpus (a pair listing's cardinality is Σ C(k,2) over duplicate
@@ -657,7 +668,17 @@ object Scale {
     }
     // embedding-decade gates (round 12): two clustered-regime decades
     // per query, emb1x -> emb10x -> emb100x. Skips loudly until the
-    // embscale sweep has run on this machine.
+    // embscale sweep has run on this machine. CANDIDATE-BOUND members
+    // normalize by the corpus's own planted-pair-mass growth (the
+    // geometry grows neighborhoods ∝ √n — ScaleData.embGeometry's
+    // scaladoc): an exact-verify LSH must examine a constant fraction
+    // of the same-cluster pairs that EXIST, so its band is linear per
+    // planted near pair, the outAdj/edgeAdj pattern.
+    def embMass(tag: String): Double = {
+      val (n, k) = ScaleData.embGeometry(tag)
+      n.toDouble * (n.toDouble / k - 1) / 2
+    }
+    val embCandidateBound = Set("sim_ann_lsh_auto")
     for (q <- embQueries;
         (baseTag, bigTag) <- Seq("emb1x" -> "emb10x", "emb10x" -> "emb100x");
         band = embBands.getOrElse(q, 15.0)) {
@@ -665,26 +686,21 @@ object Scale {
         case (Some(base), Some(big)) =>
           checked += 1
           val growth = big / math.max(base, 0.3)
-          if (growth > band) fails ::=
-            f"$q $bigTag growth $growth%.1fx exceeds band ${band}%.0fx"
-          println(f"[scale-check] ${if (growth <= band) "ok  " else "FLIP"} " +
-            f"$q%-28s $bigTag%-8s ${growth}%6.1fx (band ${band}%.0fx, " +
+          val adj = if (embCandidateBound(q))
+            math.max(1.0, embMass(bigTag) / embMass(baseTag) / 10.0)
+          else 1.0
+          val allowed = band * adj
+          if (growth > allowed) fails ::=
+            f"$q $bigTag growth $growth%.1fx exceeds band ${allowed}%.0fx"
+          println(f"[scale-check] ${if (growth <= allowed) "ok  " else "FLIP"} " +
+            f"$q%-28s $bigTag%-8s ${growth}%6.1fx (band ${allowed}%.0fx, " +
             f"base ${base}%.2fs)")
         case _ =>
           println(s"[scale-check] skip $q $bigTag (missing median)")
       }
     }
-    // the emb-decade occupancy-rule pin (the round-11 ask's "prove it
-    // picks 10/12 planes at the larger decades"): the auto planes
-    // recorded per emb corpus must match the rule replayed on its n
-    for (n <- rows if n.path("query").asText == "ann_auto_planes" &&
-        n.path("tag").asText.startsWith("emb") && n.has("planes") &&
-        n.has("n")) {
-      val want = operators.SimilarityOps.autoPlanesFor(n.get("n").asLong)
-      if (n.get("planes").asInt != want) fails ::=
-        s"ann_auto_planes at ${n.path("tag").asText}: recorded " +
-          s"${n.get("planes").asInt} != rule's $want for n=${n.get("n").asLong}"
-    }
+    // (the emb corpora's occupancy-rule pin rides the general
+    // latest-row-per-tag ann_auto_planes gate below)
     // emb-decade recall floors: the clustered corpora are the
     // locality-bearing regime, so losing the lever at scale (recall
     // collapsing toward the uniform corpus's 0.13) is a gate failure
@@ -794,7 +810,14 @@ object Scale {
       fails ::= s"$q: " +
         s"${n.path("merges").asInt(-1)} merges in " +
         s"${n.path("driver_rounds").asInt(-1)} rounds (batching degraded)"
-    for (n <- rows if n.path("query").asText == "ann_auto_planes") {
+    // LATEST row per tag (the census-gate convention): the rule's
+    // menu can be deliberately extended (round 12: 12 -> 16 planes),
+    // and rows recorded under the old menu describe the old code, not
+    // drift — the current build is judged by its own latest choice
+    for (tag <- rows.filter(_.path("query").asText == "ann_auto_planes")
+        .map(_.path("tag").asText).distinct) {
+      val n = rows.filter(r => r.path("query").asText == "ann_auto_planes" &&
+        r.path("tag").asText == tag).last
       val want = operators.SimilarityOps.autoPlanesFor(n.path("n").asLong)
       if (n.path("planes").asInt != want)
         fails ::= s"ann_auto_planes ${n.path("tag").asText}: " +

@@ -194,21 +194,37 @@ object ScaleData {
     * crawl's does (more docs per topic AND more topics). `documents`
     * is generated id-aligned at the same row count because
     * `multimodal_align_filter` joins doc metadata onto the vectors. */
+  /** Planted geometry per emb corpus tag: (nVec, nClusters). Cluster
+    * count grows ∝ √n, so NEIGHBORHOOD SIZE (n/nClusters) also grows
+    * ∝ √n — deliberately harsher than constant-density growth: more
+    * docs per topic AND more topics. The price is analytic: planted
+    * same-cluster pair mass n·(n/k − 1)/2 grows ~10^1.5 ≈ 31.6× per
+    * decade, and the emb-decade gates normalize the candidate-bound
+    * members' bands by exactly that measured-geometry ratio (the
+    * outAdj/edgeAdj pattern — the engine is gated linear PER PLANTED
+    * NEAR PAIR, never sublinear in the similarity mass the corpus
+    * actually carries). The generators read THIS map so the gate's
+    * normalization can never drift from the data. */
+  val embGeometry: Map[String, (Long, Int)] = Map(
+    "emb1x" -> ((2000L, 45)),
+    "emb10x" -> ((20000L, 141)),
+    "emb100x" -> ((200000L, 447)))
+
   /** The clustered-regime BASE (contract-scale 2,000 vectors): the
     * emb decades' growth factors compare clustered-vs-clustered, not
     * the contract's uniform corpus vs a clustered one (regime change
     * would confound the growth model — pair-pass density differs). */
   def generateEmb1(s: SparkSession, outDir: String, refDir: String): Unit =
-    generateEmbScale(s, outDir, refDir, nVec = 2000, nClusters = 45,
-      variant = 7)
+    generateEmbScale(s, outDir, refDir, nVec = embGeometry("emb1x")._1,
+      nClusters = embGeometry("emb1x")._2, variant = 7)
 
   def generateEmb10(s: SparkSession, outDir: String, refDir: String): Unit =
-    generateEmbScale(s, outDir, refDir, nVec = 20000, nClusters = 141,
-      variant = 5)
+    generateEmbScale(s, outDir, refDir, nVec = embGeometry("emb10x")._1,
+      nClusters = embGeometry("emb10x")._2, variant = 5)
 
   def generateEmb100(s: SparkSession, outDir: String, refDir: String): Unit =
-    generateEmbScale(s, outDir, refDir, nVec = 200000, nClusters = 447,
-      variant = 6)
+    generateEmbScale(s, outDir, refDir, nVec = embGeometry("emb100x")._1,
+      nClusters = embGeometry("emb100x")._2, variant = 6)
 
   def generateEmbScale(s: SparkSession, outDir: String, refDir: String,
       nVec: Long, nClusters: Int, variant: Long): Unit = {

@@ -1832,13 +1832,30 @@ object DedupOps {
       Simhash64Bits, Simhash64HammingMax, Simhash64Blocks, _ =!= _)
     val selfPool = topm.select(col("simhash"),
       lit(0).cast(IntegerType).as("hamming"), col("cand_id"))
-    // near-sketch members: the (a_sh -> b_sh, hamming) sketch edges
-    // carry their sketch VALUES, so the b-side topm lookup is a plain
-    // equi-join on the sketch — per-key bounded (K+1 rows) on the
-    // build side, sketch-graph-sized on the probe
-    val crossPool = near
-      .select(col("a_sh").as("simhash"), col("hamming"),
-        col("b_sh"))
+    // prune the near-sketch list per sketch BEFORE any member
+    // expansion (round-12 sf100wide lesson: expanding ALL near
+    // sketch pairs by K+1 members put 1.5B rows through the pool
+    // window at 5M docs — 33x/decade against the edge band's 23x).
+    // Rank A's near sketches by the BEST entry each can offer — that
+    // is (hamming, rep(B)), because rep(B) IS B's minimum member id
+    // (comboJoin's b_id) — and keep K+1. Exact by the same argument
+    // as the pool cut: if B is not among the K+1 best-by-first-entry
+    // sketches, K+1 sketches each offer an entry strictly better
+    // than ANYTHING B offers, at most one of those K+1 entries is
+    // the probe doc itself, so no member of B can enter any doc's
+    // top-K. The window input is the sketch-pair relation itself
+    // (the irreducible sketch-graph term the manifests also pay) and
+    // Spark's WindowGroupLimit cuts it to K+1 per sketch map-side
+    // before the exchange; the member expansion then joins
+    // (K+1 near) x (K+1 members) per sketch instead of
+    // (all near) x (K+1).
+    val byBest = Window.partitionBy("a_sh")
+      .orderBy(col("hamming"), col("b_id"))
+    val nearTop = near
+      .withColumn("nrk", row_number().over(byBest))
+      .filter(col("nrk") <= k + 1)
+      .select(col("a_sh").as("simhash"), col("hamming"), col("b_sh"))
+    val crossPool = nearTop
       .join(topm.select(col("simhash").as("b_sh"), col("cand_id"))
           .hint("shuffle_hash"),
         "b_sh")

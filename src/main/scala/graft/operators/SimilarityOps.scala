@@ -328,11 +328,18 @@ object SimilarityOps {
   /** The discrete plane configurations [[annLshAuto]] routes between.
     * The rule ceil(log2(n / occupancy)) is quantized UP to this set —
     * over-provisioning only lowers occupancy (safe direction; the probe
-    * factor grows by at most the quantization step). The set covers the
-    * corpus range the engine is measured on; a 10⁹-vector deployment
-    * extends the list (16 planes = 65k buckets) — the scheme, probing
-    * and oracle algebra all extend unchanged. */
-  val AutoPlaneConfigs = Seq(8, 10, 12)
+    * factor grows by at most the quantization step). EXTENDED 12 → 16
+    * in round 12 after the emb100x sweep caught the saturated menu
+    * going quadratic: at 200k clustered vectors the old cap (12
+    * planes = 4,096 buckets) left mean occupancy ~49 and the in-bucket
+    * pairing ran 272 s vs 4.6 s at 20k — exactly the Σocc² blow-up the
+    * occupancy rule exists to prevent, hidden until the corpus
+    * outgrew the menu (the same failure shape as the round-11 16-bit
+    * global banding). 16 planes = 65,536 buckets holds the rule's
+    * target occupancy to ~10⁶ vectors; a 10⁹-vector deployment
+    * appends 20 — the scheme, probing and oracle algebra all extend
+    * unchanged (asserted in SimilarityOpsSpec). */
+  val AutoPlaneConfigs = Seq(8, 10, 12, 14, 16)
 
   /** The occupancy sizing rule, as a pure function: the smallest
     * available config holding mean occupancy n/2^p at or below

@@ -119,7 +119,11 @@ class SimilarityOpsSpec extends AnyFunSuite {
     assert(SimilarityOps.autoPlanesFor(8000) == 10)  // sf1dense/sf1wide
     assert(SimilarityOps.autoPlanesFor(8192) == 10)
     assert(SimilarityOps.autoPlanesFor(8193) == 12)
-    assert(SimilarityOps.autoPlanesFor(1000000) == 12) // saturates
+    assert(SimilarityOps.autoPlanesFor(32768) == 12)
+    assert(SimilarityOps.autoPlanesFor(32769) == 14)   // round-12 extension
+    assert(SimilarityOps.autoPlanesFor(131072) == 14)
+    assert(SimilarityOps.autoPlanesFor(200000) == 16)  // emb100x
+    assert(SimilarityOps.autoPlanesFor(1000000) == 16) // saturates
     // the oracle contract depends on the rule landing on the contract
     // config at Verify scale (sim_ann_lsh_auto shares sim_ann_lsh's SQL)
     assert(SimilarityOps.autoPlanesFor(500) == SimilarityOps.Planes)
