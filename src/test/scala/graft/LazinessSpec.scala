@@ -25,13 +25,16 @@ class LazinessSpec extends AnyFunSuite {
     // PqM·PqK sub-centroids per Lloyd round) — same bounded-state
     // collect pattern; its fully-lazy form measured 2,671 broadcast
     // exchanges from multiplicative plan duplication
-    // pipeline_dedup / pipeline_full: their global CC chain (ccDoubled,
-    // StarCcPairs (P,S) pairs) is lineage-truncated after every pair
-    // (lazy localCheckpoint — the `truncate` doc); planning a segment
-    // under AQE materializes its upstream label stages at build. The
-    // build-time jobs are labels-only (2 longs per doc, never text)
-    // and replace an O(depth²) driver analysis term that measured
-    // ~18 s per query on the pre-doubling 18-round linear chain.
+    // pipeline_dedup / pipeline_full: their global CC chain (ccDoubled
+    // -> ccPsLoop since round 12) runs EAGERLY at build — per-segment
+    // localCheckpoints + a fixpoint-certifying label-sum per segment,
+    // AQE off for the loop's fixed-shape label joins. The build-time
+    // jobs are labels-only (2 longs per doc, never text); the eager
+    // loop replaced the lazy-truncated AQE chain whose per-segment
+    // driver re-planning was the measured dominant manifest cost
+    // (docs/PLANS.md round 12), and early-exits at the corpus's own
+    // measured fixpoint (6 segments on the contract corpus vs the
+    // 17-pair cap).
     val exempt = Set("txt_bpe_vocab", "txt_bpe_vocab64", "txt_bpe_encode",
       "sim_ivfpq_topk",
       "pipeline_tokenize", "pipeline_dedup", "pipeline_full")
