@@ -124,6 +124,60 @@ object StreamingOps {
       }
   }
 
+  /** One ingest step of STREAMING CLUSTER MAINTENANCE — the state
+    * fold behind [[clusterMaintenanceStream]], exposed so specs and a
+    * batch-driven nightly job can run it directly: fold an arriving
+    * batch of documents into the standing (corpus sketches, cluster
+    * labels) state. Batch docs are 62-bit sketched
+    * ([[graft.operators.DedupOps.simhash64SketchesOf]]), candidate
+    * edges come from [[graft.operators.DedupOps
+    * .incrementalSimhashDelta]] (batch-internal + batch×corpus-rep —
+    * never corpus×corpus), and the labeling updates by supernode
+    * contraction ([[graft.operators.DedupOps.ccIncrementalUpdate]]),
+    * so a bridging doc MERGES existing clusters in place — the
+    * transition the per-doc decision stream
+    * ([[simhashDedupStream]]) cannot express. Both state relations
+    * are `localCheckpoint`ed: one row per doc of 2–3 longs, never
+    * text, and no batch re-derives its predecessors' lineage; at
+    * cluster scale the same state is a checkpointed/Delta table
+    * keyed by doc_id. Returns (sketches ∪ batch, updated labels). */
+  def clusterMaintainStep(corpusSk: DataFrame, labels: DataFrame,
+      batch: DataFrame): (DataFrame, DataFrame) = {
+    val bSk = graft.operators.DedupOps.simhash64SketchesOf(batch)
+      .localCheckpoint()
+    val delta = graft.operators.DedupOps
+      .incrementalSimhashDelta(corpusSk, bSk)
+    val newLabels = graft.operators.DedupOps.ccIncrementalUpdate(
+        labels, bSk.select("doc_id"), delta)
+      .localCheckpoint()
+    (corpusSk.unionByName(bSk).localCheckpoint(), newLabels)
+  }
+
+  /** STREAMING CLUSTER MAINTENANCE: the ingest twin of a full
+    * `pipeline_dedup` rebuild — every watermark-deduped micro-batch
+    * folds into the standing labeling via [[clusterMaintainStep]].
+    * `state` holds (corpus sketches, labels) across batches (the
+    * MemoryStream-testable stand-in for a checkpointed state table);
+    * `onBatch` receives the post-batch labeling. Per-batch labels are
+    * asserted ≡ a full-graph fixpoint rebuild over everything
+    * ingested so far in StreamingOpsSpec, including a batch that
+    * bridges two standing clusters. */
+  def clusterMaintenanceStream(docs: DataFrame, watermark: String,
+      state: java.util.concurrent.atomic.AtomicReference[
+        (DataFrame, DataFrame)])(
+      onBatch: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    docs.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("doc_id")
+      .writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        val (sk, labels) = state.get()
+        val (nsk, nlabels) = clusterMaintainStep(sk, labels,
+          b.select("doc_id", "lang", "source", "text"))
+        state.set((nsk, nlabels))
+        onBatch(nlabels, id)
+        graft.core.Core.releaseShared()
+      }
+
   /** Streaming twin of `pipeline_curate`: the curation manifest over an
     * arriving document stream. The quality/repetition flag chain and
     * the split/shard assignment hashes are STATELESS map-side

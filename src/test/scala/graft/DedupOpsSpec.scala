@@ -642,6 +642,46 @@ class DedupOpsSpec extends AnyFunSuite {
     graft.core.Core.releaseShared()
   }
 
+  test("incremental CC update == union-find on random graphs and splits") {
+    // randomized regression net over the contraction argument: random
+    // sparse shuffled-id graphs, random corpus/batch node splits
+    // (batch edges = every edge touching a batch node — the ingest
+    // contract), incremental result must equal min-id union-find over
+    // the full graph
+    val rnd = new scala.util.Random(101)
+    (1 to 3).foreach { _ =>
+      val n = 30 + rnd.nextInt(30)
+      val ids = rnd.shuffle((0L until 2L * n).toList).take(n)
+      val es = (0 until n).flatMap { _ =>
+        val a = ids(rnd.nextInt(n)); val b = ids(rnd.nextInt(n))
+        if (a == b) Nil else Seq((a, b), (b, a))
+      }
+      val batchSet = ids.filter(_ => rnd.nextBoolean()).toSet
+      val corpusIds = ids.filterNot(batchSet)
+      val corpusEdges = es.filter(e => !batchSet(e._1) && !batchSet(e._2))
+      val deltaEdges = es.filter(e => batchSet(e._1) || batchSet(e._2))
+      val oldLabels = DedupOps.ccFixpoint(corpusIds.toDF("doc_id"),
+        corpusEdges.toDF("n", "m"))
+      val got = DedupOps.ccIncrementalUpdate(oldLabels,
+          batchSet.toSeq.toDF("doc_id"), deltaEdges.toDF("n", "m"),
+          maxPairs = 32)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+      def find(x: Long): Long = {
+        var r = x; while (parent(r) != r) r = parent(r); r
+      }
+      for ((a, b) <- es) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = ids.groupBy(find).flatMap { case (_, ms) =>
+        val m = ms.min; ms.map(_ -> m)
+      }.toMap
+      assert(got == want, s"incremental != union-find on ids $ids")
+    }
+    graft.core.Core.releaseShared()
+  }
+
   test("incremental SimHash delta edges reach every cross-corpus " +
     "component a full rebuild finds") {
     // end-to-end on the gate corpus: split docs into 'corpus' (even

@@ -562,6 +562,109 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(got.exists { case (id, (_, _, _, _, keep)) =>
       secondIds(id) && !keep })
   }
+
+  test("streaming cluster maintenance: per-batch labels == full-graph " +
+    "fixpoint rebuild of everything ingested, redelivery suppressed") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val t0 = Timestamp.valueOf("2026-08-12 10:00:00")
+    // standing corpus = even docs of the gate corpus; the odd docs
+    // arrive in two micro-batches (batch 2 redelivers a batch-1 doc)
+    val docsAll = graft.core.Core.table(spark, TestSpark.sfDir, "documents")
+      .select("doc_id", "lang", "source", "text")
+    val corpus = docsAll.filter(col("doc_id") % 2 === 0)
+    val corpusSk = graft.operators.DedupOps.simhash64SketchesOf(corpus)
+      .localCheckpoint()
+    val labels0 = graft.operators.DedupOps.ccFixpoint(
+        corpusSk.select("doc_id"),
+        graft.operators.DedupOps.edgesFromSketches(corpusSk))
+      .localCheckpoint()
+    val arriving = docsAll.filter(col("doc_id") % 2 === 1)
+      .collect()
+      .map(r => StreamingOps.IncomingDoc(r.getLong(0), r.getString(1),
+        r.getString(2), r.getString(3), t0))
+    val (b1, b2) = arriving.splitAt(arriving.length / 2)
+    val state = new java.util.concurrent.atomic.AtomicReference(
+      (corpusSk, labels0))
+    val perBatch =
+      new java.util.concurrent.ConcurrentHashMap[Long, Map[Long, Long]]()
+    val in = MemoryStream[StreamingOps.IncomingDoc]
+    val q = StreamingOps.clusterMaintenanceStream(in.toDF(), "30 minutes",
+        state) { (labels, id) =>
+        perBatch.put(id,
+          labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+      }
+      .start()
+    in.addData(b1.toIndexedSeq)
+    q.processAllAvailable()
+    in.addData((b2 :+ b1.head).toIndexedSeq)   // redelivery
+    q.processAllAvailable()
+    q.stop()
+
+    def rebuild(ids: Set[Long]): Map[Long, Long] = {
+      val sk = graft.operators.DedupOps.simhash64SketchesOf(
+        docsAll.filter(col("doc_id").isInCollection(ids)))
+      val m = graft.operators.DedupOps.ccFixpoint(sk.select("doc_id"),
+          graft.operators.DedupOps.edgesFromSketches(sk))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      graft.core.Core.releaseShared()
+      m
+    }
+    val corpusIds = corpus.select("doc_id").collect().map(_.getLong(0)).toSet
+    val after1 = corpusIds ++ b1.map(_.doc_id)
+    val after2 = after1 ++ b2.map(_.doc_id)
+    // each data batch's labeling equals a FULL fixpoint rebuild over
+    // everything ingested so far — the invariant that subsumes
+    // in-place merges of standing clusters. Keyed by content, not
+    // batch id: the stateful dedup op interleaves NO-DATA batches
+    // (watermark-advance ticks whose fold is the identity), so batch
+    // ids are not 1:1 with addData calls.
+    import scala.jdk.CollectionConverters._
+    val observed = perBatch.values.asScala.toSet
+    assert(observed.contains(rebuild(after1)),
+      "no batch produced the after-batch-1 rebuild labeling")
+    assert(observed.contains(rebuild(after2)),
+      "no batch produced the after-batch-2 rebuild labeling")
+    // redelivery suppressed AND fold-once: the final state carries
+    // exactly one row per ingested doc (a re-folded doc would appear
+    // in both the old labeling and the delta — a duplicate row)
+    val finalLabels = state.get()._2
+    assert(finalLabels.count() == after2.size)
+    assert(finalLabels.collect().map(r => r.getLong(0) -> r.getLong(1))
+      .toMap == rebuild(after2))
+  }
+
+  test("cluster maintenance step rewrites standing labels in place " +
+    "when a smaller-id near-dup arrives") {
+    import spark.implicits._
+    // two standing identical-text clusters; an arriving doc with a
+    // SMALLER id and cluster-A's text must rewrite A's standing
+    // labels to its own id — the in-place state update a decision
+    // stream cannot express. Fixture validity asserted (the two texts
+    // must not be near each other).
+    val t1 = "alpha beta gamma delta epsilon"
+    val t2 = "omicron rho sigma tau upsilon"
+    val corpus = Seq((10L, "en", "src0", t1), (12L, "en", "src0", t1),
+        (20L, "en", "src1", t2), (22L, "en", "src1", t2))
+      .toDF("doc_id", "lang", "source", "text")
+    val corpusSk = graft.operators.DedupOps.simhash64SketchesOf(corpus)
+      .localCheckpoint()
+    val shs = corpusSk.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(java.lang.Long.bitCount(shs(10L) ^ shs(20L)) >
+      graft.operators.DedupOps.Simhash64HammingMax,
+      "fixture texts must not be near-dups of each other")
+    val labels0 = graft.operators.DedupOps.ccFixpoint(
+      corpusSk.select("doc_id"),
+      graft.operators.DedupOps.edgesFromSketches(corpusSk))
+    val batch = Seq((1L, "en", "src9", t1))
+      .toDF("doc_id", "lang", "source", "text")
+    val (_, labels1) = StreamingOps.clusterMaintainStep(
+      corpusSk, labels0, batch)
+    val got = labels1.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.core.Core.releaseShared()
+    assert(got == Map(1L -> 1L, 10L -> 1L, 12L -> 1L,
+      20L -> 20L, 22L -> 20L))
+  }
 }
 
 object StreamingOpsSpec {
