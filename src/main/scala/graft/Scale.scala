@@ -128,10 +128,16 @@ object Scale {
     "profile_docs_approx" -> ((s, dir) =>
       operators.RelationalOps.profileDocsApprox(s, dir)),
     // the semdedup scale fix measured next to the fixed-k contract
-    // toy: k ∝ √n (bounded count like annLshAuto's stat; harness-only,
-    // so the count stays out of the laziness contract)
+    // toy: k ∝ √n from a BOUNDED count (capped at 2^20 rows — the
+    // annLshAuto stat pattern, so the sizing probe costs the same at
+    // every corpus instead of adding a full extra scan to the timed
+    // region; k saturates at 1024 past the cap, which is the right
+    // saturation anyway — beyond ~10^6 vectors a deployment moves to
+    // hierarchical assignment, see the semDedup scaladoc).
+    // Harness-only, so the count stays out of the laziness contract.
     "dedup_semdedup_scaledk" -> ((s, dir) => {
-      val n = graft.core.Core.table(s, dir, "embeddings").count()
+      val n = graft.core.Core.table(s, dir, "embeddings")
+        .limit(1 << 20).count()
       operators.SimilarityOps.semDedup(s, dir,
         k = math.max(operators.SimilarityOps.IvfK,
           math.round(math.sqrt(n.toDouble)).toInt))
@@ -701,15 +707,12 @@ object Scale {
     }
     // (the emb corpora's occupancy-rule pin rides the general
     // latest-row-per-tag ann_auto_planes gate below)
-    // emb-decade recall floors: the clustered corpora are the
-    // locality-bearing regime, so losing the lever at scale (recall
-    // collapsing toward the uniform corpus's 0.13) is a gate failure
-    // even when the timing bands pass
-    for (n <- rows if n.path("query").asText == "ann_recall_multiprobe" &&
-        n.path("tag").asText.startsWith("emb") && n.has("recall") &&
-        n.get("recall").asDouble < 0.6)
-      fails ::= s"ann_recall_multiprobe at ${n.path("tag").asText} " +
-        s"recall ${n.get("recall").asDouble} below the 0.6 clustered floor"
+    // (the emb corpora's multiprobe recall floor rides the general
+    // ann_recall_multiprobe 0.6 gate below — it has no tag filter;
+    // the deployed auto-config recall rows (ann_recall_auto) carry no
+    // floor by design: 1-bit multiprobe recall decays as the
+    // occupancy rule adds planes, and the measured decay plus the
+    // IVF-rerank rows ARE the at-scale recall story)
     // convergence standing gates (round 11): the LATEST census row per
     // (census, corpus) must certify that the contract's unrolled bound
     // covers the measured fixpoint — the count is measured against the
@@ -1399,37 +1402,71 @@ object Scale {
     // IVF routing recall (exact rerank) at the √n coarse sizing, so
     // the decades carry accuracy evidence next to their wall times.
     def runEmbRecall(tag: String, dir: String, ivfK: Int): Unit = {
-      val emb = graft.core.Core.table(spark, dir, "embeddings").persist()
-      emb.count()   // materialize outside the timers (annrecall rule)
-      graft.core.Core.releaseShared()
-      val t0 = System.nanoTime()
-      val rec = operators.SimilarityOps.annRecallMean(spark, emb)
-      val sec = (System.nanoTime() - t0) / 1e9
-      val line = s"""{"tag":"$tag","query":"ann_recall_multiprobe",""" +
-        s""""sec":${d2(sec)},"ok":true,"corpus":"$corpus",""" +
-        s""""recall":${d2(rec)}}"""
-      println(s"[scale] $line")
-      out.append(line).append('\n')
-      graft.core.Core.releaseShared()
-      val t1 = System.nanoTime()
-      val recs = operators.SimilarityOps.ivfRerankRecallSweep(spark, emb,
-        Seq(1, 4), ivfK = ivfK)
-      val sec1 = (System.nanoTime() - t1) / 1e9
-      val sline = s"""{"tag":"$tag","query":"ivfrerank_sweep_k$ivfK",""" +
-        s""""sec":${d2(sec1)},"ok":true,"corpus":"$corpus",""" +
-        s""""nprobes":[${recs.map(_._1).mkString(",")}],"ivfk":$ivfK}"""
-      println(s"[scale] $sline")
-      out.append(sline).append('\n')
-      recs.foreach { case (np, r) =>
-        val l =
-          s"""{"tag":"$tag","query":"ivfrerank_recall_k${ivfK}_np$np",""" +
-          s""""ok":true,"corpus":"$corpus","recall":${d2(r)},""" +
-          s""""nprobe":$np,"ivfk":$ivfK}"""
-        println(s"[scale] $l")
-        out.append(l).append('\n')
+      // guarded like every other sweep writer (self-review round 12):
+      // a transient failure must record an ok:false row and let the
+      // remaining corpora/modes run, not abort the invocation
+      try {
+        val emb = graft.core.Core.table(spark, dir, "embeddings").persist()
+        val n = emb.count() // materialize outside the timers
+        graft.core.Core.releaseShared()
+        val t0 = System.nanoTime()
+        val rec = operators.SimilarityOps.annRecallMean(spark, emb)
+        val sec = (System.nanoTime() - t0) / 1e9
+        val line = s"""{"tag":"$tag","query":"ann_recall_multiprobe",""" +
+          s""""sec":${d2(sec)},"ok":true,"corpus":"$corpus",""" +
+          s""""recall":${d2(rec)}}"""
+        println(s"[scale] $line")
+        out.append(line).append('\n')
+        // the DEPLOYED configuration's recall (self-review round 12:
+        // the gated row above runs the fixed contract Planes=8, but
+        // the decade's TIMED query is the auto-sized config — its
+        // recall must be recorded too or the scale story certifies a
+        // configuration nobody measured). No 0.6 floor here: 1-bit
+        // multiprobe recall decays by design as the occupancy rule
+        // adds planes (P(ham<=1) falls exponentially in planes) — the
+        // measured decay IS the datapoint, and the deployment answer
+        // for recall at scale is the IVF rerank rows below (1.0 at
+        // sqrt(n) lists), not wider bucket probing.
+        val autoP = operators.SimilarityOps.autoPlanesFor(n)
+        graft.core.Core.releaseShared()
+        val ta = System.nanoTime()
+        val recA = operators.SimilarityOps.annRecallMean(spark, emb,
+          nPlanes = autoP)
+        val secA = (System.nanoTime() - ta) / 1e9
+        val aline = s"""{"tag":"$tag","query":"ann_recall_auto",""" +
+          s""""sec":${d2(secA)},"ok":true,"corpus":"$corpus",""" +
+          s""""recall":${d2(recA)},"planes":$autoP}"""
+        println(s"[scale] $aline")
+        out.append(aline).append('\n')
+        graft.core.Core.releaseShared()
+        val t1 = System.nanoTime()
+        val recs = operators.SimilarityOps.ivfRerankRecallSweep(spark, emb,
+          Seq(1, 4), ivfK = ivfK)
+        val sec1 = (System.nanoTime() - t1) / 1e9
+        val sline = s"""{"tag":"$tag","query":"ivfrerank_sweep_k$ivfK",""" +
+          s""""sec":${d2(sec1)},"ok":true,"corpus":"$corpus",""" +
+          s""""nprobes":[${recs.map(_._1).mkString(",")}],"ivfk":$ivfK}"""
+        println(s"[scale] $sline")
+        out.append(sline).append('\n')
+        recs.foreach { case (np, r) =>
+          val l =
+            s"""{"tag":"$tag","query":"ivfrerank_recall_k${ivfK}_np$np",""" +
+            s""""ok":true,"corpus":"$corpus","recall":${d2(r)},""" +
+            s""""nprobe":$np,"ivfk":$ivfK}"""
+          println(s"[scale] $l")
+          out.append(l).append('\n')
+        }
+        emb.unpersist()
+        ()
+      } catch {
+        case e: Throwable =>
+          graft.core.Core.releaseShared()
+          val line = s"""{"tag":"$tag","query":"emb_recall",""" +
+            s""""ok":false,"corpus":"$corpus","error":""" +
+            s""""${e.getClass.getSimpleName}"}"""
+          println(s"[scale] $line")
+          out.append(line).append('\n')
       }
-      emb.unpersist()
-      ()
     }
 
     // Adversarial (P,S) census (round-11 verdict #6): every sweep

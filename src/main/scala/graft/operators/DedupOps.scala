@@ -2078,7 +2078,7 @@ object DedupOps {
     * certifies convergence) — the same counting contract the round-11
     * census rows recorded with the join-based check. */
   private def ccPsLoop(nodes: DataFrame, edges: DataFrame,
-      maxPairs: Int, jumps: Int): (DataFrame, Int) =
+      maxPairs: Int, jumps: Int): (DataFrame, Int, Boolean) =
     withConf(nodes.sparkSession, "spark.sql.adaptive.enabled", "false") {
       val e = withSelfLoops(nodes, edges)
         .repartition(SkewJoin.defaultParts(nodes.sparkSession), col("m"))
@@ -2100,7 +2100,7 @@ object DedupOps {
         labels = step
         i += 1
       }
-      (labels, i)
+      (labels, i, converged)
     }
 
   /** [[ccDoubled]] iterated to fixpoint, returning (labels, pairs run
@@ -2111,8 +2111,10 @@ object DedupOps {
     * [[StarCcPairs]]. Shares [[ccPsLoop]] with the contract path, so
     * the census measures exactly the schedule the manifests run. */
   def ccDoubledFixpointWithPairs(nodes: DataFrame, edges: DataFrame,
-      maxPairs: Int = 32, jumps: Int = StarCcJumps): (DataFrame, Int) =
-    ccPsLoop(nodes, edges, maxPairs, jumps)
+      maxPairs: Int = 32, jumps: Int = StarCcJumps): (DataFrame, Int) = {
+    val (labels, pairs, _) = ccPsLoop(nodes, edges, maxPairs, jumps)
+    (labels, pairs)
+  }
 
   /** INCREMENTAL connected-component maintenance — the operator a
     * daily-ingest 100 TB pipeline runs instead of a full
@@ -2139,11 +2141,36 @@ object DedupOps {
     * rebuild computes — incremental ≡ rebuild at fixpoint, asserted
     * on a bridging-batch corpus in DedupOpsSpec. One corpus-scaled
     * equi-join at the end maps old labels to their supernode's final
-    * label. */
+    * label.
+    *
+    * FAILS CLOSED on non-convergence (round-12 self-review #1): the
+    * guarantee above holds only AT fixpoint, and unlike the bounded
+    * contract manifests (whose oracle mirrors the same bounded
+    * schedule, and whose census gates the bound) nothing external
+    * gates this utility — so a supernode graph that outruns
+    * `maxPairs` throws instead of persisting an under-merged labeling
+    * into streaming state forever. The default (32, the census
+    * harness's own ceiling) is far above every measured geometry
+    * (uniform corpora 5–7 pairs, the adversarial 500k shuffled-id
+    * census 15); a caller hitting it has a genuinely pathological
+    * delta and should raise the cap consciously.
+    *
+    * Inputs are DEFENDED, not assumed, disjoint (self-review #2): a
+    * doc present in BOTH `oldLabels` and `deltaNodes` (a redelivery
+    * past the streaming watermark, a foreachBatch retry) would
+    * otherwise emit two conflicting label rows — its supernode is its
+    * old cluster via the edge contraction, while the delta branch
+    * would also emit it as its OWN supernode. Known docs are
+    * anti-joined out of the node set (their redelivered EDGES still
+    * fold — contraction reroutes them to the existing supernodes,
+    * which is exactly right). */
   def ccIncrementalUpdate(oldLabels: DataFrame, deltaNodes: DataFrame,
-      deltaEdges: DataFrame, maxPairs: Int = StarCcPairs): DataFrame = {
+      deltaEdges: DataFrame, maxPairs: Int = 32): DataFrame = {
     val labelOf = shared(oldLabels
       .select(col("doc_id").as("x"), col("cluster").as("cx")))
+    val newNodes = deltaNodes.select("doc_id").distinct()
+      .join(labelOf.select(col("x").as("doc_id")), Seq("doc_id"),
+        "left_anti")
     // contract endpoints: corpus doc -> its cluster supernode, batch
     // doc -> itself. Left joins against the node-sized label relation,
     // SHJ-pinned (labels are corpus-scaled — no stats broadcast).
@@ -2158,16 +2185,23 @@ object DedupOps {
         coalesce(col("cm"), col("m")).as("m"))
       .filter(col("n") =!= col("m"))
     val supers = oldLabels.select(col("cluster").as("doc_id")).distinct()
-      .unionByName(deltaNodes.select("doc_id"))
-    val superMap = ccPsLoop(supers, contracted, maxPairs, StarCcJumps)._1
+      .unionByName(newNodes)
+    val (superLabels, _, converged) =
+      ccPsLoop(supers, contracted, maxPairs, StarCcJumps)
+    if (!converged) throw new IllegalStateException(
+      s"ccIncrementalUpdate: supernode graph did not converge within " +
+        s"$maxPairs (P,S) pairs — raising maxPairs is required before " +
+        "this labeling can be trusted (see scaladoc; measured " +
+        s"geometries need <= 15)")
+    val superMap = superLabels
       .select(col("doc_id").as("sn"), col("cluster").as("sc"))
-    // total by construction: every old cluster value and every batch
-    // doc IS a supernode row
+    // total by construction: every old cluster value and every NEW
+    // batch doc IS a supernode row
     oldLabels
       .join(superMap.hint("shuffle_hash"),
         col("cluster") === col("sn"))
       .select(col("doc_id"), col("sc").as("cluster"))
-      .unionByName(deltaNodes
+      .unionByName(newNodes
         .join(superMap.hint("shuffle_hash"), col("doc_id") === col("sn"))
         .select(col("doc_id"), col("sc").as("cluster")))
   }

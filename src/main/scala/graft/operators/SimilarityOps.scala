@@ -336,7 +336,7 @@ object SimilarityOps {
     * occupancy rule exists to prevent, hidden until the corpus
     * outgrew the menu (the same failure shape as the round-11 16-bit
     * global banding). 16 planes = 65,536 buckets holds the rule's
-    * target occupancy to ~10⁶ vectors; a 10⁹-vector deployment
+    * target occupancy to 524,288 vectors (8*2^16); a 10^9-vector deployment
     * appends 20 — the scheme, probing and oracle algebra all extend
     * unchanged (asserted in SimilarityOpsSpec). */
   val AutoPlaneConfigs = Seq(8, 10, 12, 14, 16)
@@ -355,7 +355,8 @@ object SimilarityOps {
     * the occupancy rule above, codified the way [[DedupOps.dedupNearAuto]]
     * codifies the df-skew rule. FULLY LAZY: a bounded count (capped at
     * one row past the largest config's boundary, so the stat never
-    * scans more than ~32k rows no matter the corpus) forms a one-row
+    * scans more than 8·2^maxConfig + 1 = 524,289 rows since the
+    * round-12 menu extension, no matter the corpus) forms a one-row
     * relation; each plane config's branch reads the embeddings scan
     * guarded by that stat filtered to its regime (the regimes tile
     * (0, ∞) exhaustively and exclusively), and AQE's empty-relation

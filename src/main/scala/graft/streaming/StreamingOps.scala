@@ -143,7 +143,13 @@ object StreamingOps {
     * keyed by doc_id. Returns (sketches ∪ batch, updated labels). */
   def clusterMaintainStep(corpusSk: DataFrame, labels: DataFrame,
       batch: DataFrame): (DataFrame, DataFrame) = {
+    // defend the state against re-folds the watermark dedup missed
+    // (redelivery past the watermark, a foreachBatch retry after
+    // state.set): an already-known doc must not duplicate its sketch
+    // row — ccIncrementalUpdate anti-joins known docs out of its node
+    // set for the same reason (round-12 self-review #2)
     val bSk = graft.operators.DedupOps.simhash64SketchesOf(batch)
+      .join(corpusSk.select("doc_id"), Seq("doc_id"), "left_anti")
       .localCheckpoint()
     val delta = graft.operators.DedupOps
       .incrementalSimhashDelta(corpusSk, bSk)
