@@ -153,6 +153,13 @@ object DedupOps {
   /** [[docTokHash]] over an explicit (doc_id, toks) relation — the
     * micro-batch entry point for the streaming sketch twin. */
   private def docTokHashOf(tokSets: DataFrame): DataFrame = {
+    // NOT shared, measured (round 12): persisting the exploded token
+    // relation so the vocab-dim subtree and the join probe tokenize
+    // once instead of twice showed no reliable win at sf0.1 (the
+    // cache write costs what the saved tokenize saves on this
+    // corpus), and a persisted corpus-wide token relation is real
+    // memory pressure at deployment scale — the round-10 fan-out
+    // lesson again: measured, rejected, recorded.
     val toks = tokSets
       .select(col("doc_id"), explode(col("toks")).as("tok"))
     val hashed = toks.select("tok").distinct()
