@@ -273,10 +273,14 @@ object Scale {
   // 33x/decade vs the edge band's 23x — 1.5B pool-window rows at 5M
   // docs; the K+1 best-by-first-entry cut is exact and drops the
   // expansion to (K+1)² per sketch)
+  // m8 = round 12's eager AQE-off early-exit CC loop (ccPsLoop): the
+  // manifests' execution schedule changed (each corpus runs to its
+  // own certified fixpoint instead of the fixed 8 lazy-truncated
+  // AQE segments), so their m7 timing rows describe retired code
   private val algoEra: Map[String, String] = Map(
     "dedup_simhash_global" -> "m6",
-    "pipeline_dedup" -> "m7",
-    "pipeline_full" -> "m7",
+    "pipeline_dedup" -> "m8",
+    "pipeline_full" -> "m8",
     "sim_ann_lsh_auto" -> "p16",
     "dedup_simhash_topk" -> "t2")
 

@@ -562,6 +562,32 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(!got.exists(p => p._1 == 0L && p._2 == 3L))
   }
 
+  test("eager early-exit CC loop == full lazy bounded schedule") {
+    // the round-12 contract path exits at the certified fixpoint; its
+    // labels must equal the SAME-pair-count lazy schedule (the form
+    // the DuckDB oracle unrolls) — post-fixpoint pairs are the
+    // identity, so early exit is invisible in the answer. pairs = 6,
+    // NOT StarCcPairs: the lazy comparison side doubles its analyzed
+    // label subtree per pair (the ccDoubled scaladoc's 2^pairs plan
+    // bloat — the very reason the contract path truncates), so the
+    // 17-pair lazy tree does not finish analysis; a 17-node chain
+    // converges within 6 (P,S) pairs and exercises the identity.
+    import spark.implicits._
+    val pairs = 6
+    val nodes = (0L to 16L).toDF("doc_id")
+    val edges = (0L until 16L).flatMap(i =>
+      Seq((i, i + 1), (i + 1, i))).toDF("n", "m")
+    val eager = DedupOps.ccDoubled(nodes, edges, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.core.Core.releaseShared()
+    val lazyFull = DedupOps.ccDoubled(nodes, edges, pairs,
+        truncate = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.core.Core.releaseShared()
+    assert(eager == lazyFull)
+    assert(eager.values.forall(_ == 0L), "the 17-chain must fully merge")
+  }
+
   test("comboJoin2 emits exactly the cross pairs of the self-join") {
     // the two-relation (batch x corpus) form must surface exactly the
     // left-right pairs the self-join over the union finds — no
