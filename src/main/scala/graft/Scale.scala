@@ -1411,6 +1411,7 @@ object Scale {
       // remaining corpora/modes run, not abort the invocation
       try {
         val emb = graft.core.Core.table(spark, dir, "embeddings").persist()
+        try {
         val n = emb.count() // materialize outside the timers
         graft.core.Core.releaseShared()
         val t0 = System.nanoTime()
@@ -1460,8 +1461,12 @@ object Scale {
           println(s"[scale] $l")
           out.append(l).append('\n')
         }
-        emb.unpersist()
         ()
+        // unpersist in FINALLY (ADVICE r12): an exception mid-sequence
+        // is caught below and recorded ok:false, but without this the
+        // persisted corpus leaked into every subsequent sweep/recall
+        // measurement of the invocation, skewing recorded timings
+        } finally emb.unpersist()
       } catch {
         case e: Throwable =>
           graft.core.Core.releaseShared()

@@ -2092,22 +2092,70 @@ object DedupOps {
         .localCheckpoint()
       var labels = nodes.select(col("doc_id"), col("doc_id").as("cluster"))
         .localCheckpoint()
-      def labelSum(l: DataFrame): Long = l
-        .agg(coalesce(sum(col("cluster")), lit(0L))).head().getLong(0)
+      // Certificate sum in DECIMAL(38,0), not LONG (ADVICE r12): labels
+      // are per-node non-increasing, so the EXACT sum strictly decreases
+      // unless no label changed — but a long sum over arbitrary 64-bit
+      // doc ids can wrap, and a wrapped collision would falsely certify
+      // convergence (ccIncrementalUpdate's fail-closed guarantee rests
+      // on this certificate). decimal(38,0) holds n·2^63 exactly to
+      // n ≈ 1.08e19 docs; past that Spark yields NULL, which fails LOUD
+      // below instead of comparing equal. Empty node sets are a genuine
+      // (trivially converged) zero, distinguished from overflow by the
+      // row count in the same one-row aggregate.
+      def labelSum(l: DataFrame): java.math.BigDecimal = {
+        val r = l.agg(count(lit(1)).as("n"),
+          sum(col("cluster").cast(DecimalType(38, 0))).as("s")).head()
+        if (r.getLong(0) == 0L) java.math.BigDecimal.ZERO
+        else {
+          val d = r.getDecimal(1)
+          if (d == null) throw new IllegalStateException(
+            "ccPsLoop: label-sum certificate overflowed decimal(38,0) " +
+              "— corpus beyond the 1e19-doc id-sum bound; the fixpoint " +
+              "certificate cannot be trusted")
+          d
+        }
+      }
       var prevSum = labelSum(labels)
       var converged = false
       var i = 0
       while (!converged && i < maxPairs) {
         var step = ccRound(labels, e).localCheckpoint()
-        for (_ <- 1 to jumps)
-          step = ccShortcut(step).localCheckpoint()
+        for (_ <- 1 to jumps) {
+          val next = ccShortcut(step).localCheckpoint()
+          // the successor is materialized (localCheckpoint is eager), so
+          // the intermediate's blocks have no later reader — free now
+          freeLocalCheckpoint(step)
+          step = next
+        }
         val s2 = labelSum(step)
-        converged = s2 == prevSum
+        converged = s2.compareTo(prevSum) == 0
         prevSum = s2
+        // previous segment's labels: last read was ccRound above
+        freeLocalCheckpoint(labels)
         labels = step
         i += 1
       }
+      // the edge relation's last read is the final segment's propagate
+      freeLocalCheckpoint(e)
       (labels, i, converged)
+    }
+
+  /** Release a `localCheckpoint`ed relation's storage blocks (ADVICE
+    * r12: [[ccPsLoop]] retained every segment's and every jump's
+    * node-sized checkpoint until GC-driven ContextCleaner reclaim —
+    * linear growth in segments × jumps; at deployment scale, billions
+    * of label rows × ~24–68 dead copies). Unpersisting a local
+    * checkpoint destroys its ONLY copy — callers must guarantee the
+    * relation has no later reader (the loop's invariant: only the
+    * newest labels relation is ever read again). No-op on plans that
+    * are not a materialized checkpoint, so a refactor that drops the
+    * checkpoint upstream degrades to the old GC behavior rather than
+    * breaking. */
+  private[graft] def freeLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
     }
 
   /** [[ccDoubled]] iterated to fixpoint, returning (labels, pairs run
@@ -2170,7 +2218,17 @@ object DedupOps {
     * would also emit it as its OWN supernode. Known docs are
     * anti-joined out of the node set (their redelivered EDGES still
     * fold — contraction reroutes them to the existing supernodes,
-    * which is exactly right). */
+    * which is exactly right).
+    *
+    * CONCURRENCY (ADVICE r12): the internal (P,S) loop toggles
+    * `spark.sql.adaptive.enabled` SESSION-GLOBALLY for its jobs (see
+    * [[graft.core.Core.withConf]]) — a concurrent batch query or a
+    * second stream sharing the SparkSession runs with AQE silently off
+    * while the loop executes, and racing restores can leave the session
+    * flipped. Run this (and [[graft.streaming.StreamingOps
+    * .clusterMaintenanceStream]], which calls it per micro-batch) on a
+    * session with no concurrent query activity, or give the stream its
+    * own `SparkSession.newSession()` whose confs it may own. */
   def ccIncrementalUpdate(oldLabels: DataFrame, deltaNodes: DataFrame,
       deltaEdges: DataFrame, maxPairs: Int = 32): DataFrame = {
     val labelOf = shared(oldLabels

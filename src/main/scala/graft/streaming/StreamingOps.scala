@@ -167,7 +167,18 @@ object StreamingOps {
     * `onBatch` receives the post-batch labeling. Per-batch labels are
     * asserted ≡ a full-graph fixpoint rebuild over everything
     * ingested so far in StreamingOpsSpec, including a batch that
-    * bridges two standing clusters. */
+    * bridges two standing clusters.
+    *
+    * CONCURRENCY (ADVICE r12): each micro-batch's
+    * [[graft.operators.DedupOps.ccIncrementalUpdate]] toggles
+    * `spark.sql.adaptive.enabled` SESSION-GLOBALLY for the duration of
+    * its (P,S) loop — from the stream-execution thread. A concurrent
+    * batch query, or a second stream on the same SparkSession, would
+    * run with AQE silently off during those windows, and racing
+    * restores can leave the session flipped. Run this stream on a
+    * session with no concurrent query activity (the single-driver
+    * harness model), or start it from `SparkSession.newSession()` so
+    * the conf scope is its own. */
   def clusterMaintenanceStream(docs: DataFrame, watermark: String,
       state: java.util.concurrent.atomic.AtomicReference[
         (DataFrame, DataFrame)])(

@@ -399,6 +399,38 @@ class DedupOpsSpec extends AnyFunSuite {
     graft.core.Core.releaseShared()
   }
 
+  test("ccPsLoop frees superseded checkpoint blocks (ADVICE r12)") {
+    // freeLocalCheckpoint must actually release a local checkpoint's
+    // storage, and the (P,S) loop must not retain one block set per
+    // segment × jump: after a multi-segment run, the persisted-RDD
+    // registry should hold only O(1) relations (the returned labels;
+    // anything the loop freed is gone), not the ~(jumps+1)·segments
+    // intermediates the round-12 loop kept alive until GC.
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // direct check of the helper's release-vs-no-op contract
+    val ck = (0L until 100L).toDF("doc_id").localCheckpoint()
+    val ckIds = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(ckIds.nonEmpty, "localCheckpoint should register a persisted RDD")
+    DedupOps.freeLocalCheckpoint(ck)
+    // non-checkpoint plans are a no-op, never a crash
+    DedupOps.freeLocalCheckpoint((0L until 3L).toDF("doc_id"))
+    // loop-level: a 64-chain runs ~7 segments × (1+jumps) checkpoints
+    val nodes = (0L until 64L).toDF("doc_id")
+    val edges = (0L until 63L).flatMap(i =>
+      Seq((i, i + 1), (i + 1, i))).toDF("n", "m")
+    val (labels, pairs) = DedupOps.ccDoubledFixpointWithPairs(nodes, edges)
+    labels.collect()
+    val after = spark.sparkContext.getPersistentRDDs.keySet -- before
+    // retained: the returned labels' checkpoint (1) plus any unpersist
+    // still in flight (non-blocking) — far below one per step
+    assert(pairs >= 5, s"chain should need multiple segments, got $pairs")
+    assert(after.size <= 3,
+      s"expected <=3 retained checkpoint RDDs after the loop " +
+        s"(returned labels + in-flight), got ${after.size}")
+    graft.core.Core.releaseShared()
+  }
+
   test("as-of join: no Join node, single window, parity with join form") {
     val df = RelationalOps.queries("join_range_asof")(spark, TestSpark.sfDir)
     val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
