@@ -197,25 +197,26 @@ object Scale {
     * count ([[ScaleData.generateEmbScale]]) — the first measured scale
     * line for the family (the recall sweeps ran ≤ 8k vectors; the
     * contract sweeps reran the unscaled 2k table). `dedup_semdedup`
-    * rides at its contract k = 10 — the NAMED superlinear (pair work
-    * n²/k at fixed k); `dedup_semdedup_scaledk` is the fix measured
-    * next to it (k ∝ √n holds the operator at ~n^1.5). */
+    * ROUTES k ∝ √n since round 13 (the "kr" algo era — the r12 weak
+    * item's close; its fixed-k predecessor's 4e9-candidate emb100x
+    * wall stays in the history under the old era);
+    * `dedup_semdedup_scaledk` keeps the continuous-k harness form
+    * next to it, and `sim_ann_ivf_rerank` is the routed
+    * coarse-route + exact-rerank contract query (round-12 verdict
+    * #6). */
   private val embQueries = Seq(
     "sim_ann_lsh_auto", "sim_pq_topk", "sim_ivfpq_topk",
-    "dedup_semdedup", "dedup_semdedup_scaledk",
+    "dedup_semdedup", "dedup_semdedup_scaledk", "sim_ann_ivf_rerank",
     "txt_decontaminate_sem", "multimodal_align_filter")
 
   private def queriesFor(tag: String): Seq[String] =
-    if (tag == "emb100x")
-      // the fixed-k contract toy is deliberately ABSENT at 100x: its
-      // n²/k pair pass is ~4e9 candidates there (vs 4e7 at 10x) — the
-      // named superlinear hits its wall one decade after the gate
-      // measures it, exactly like the pair listing at sf100wide; the
-      // scaled-k fix is what runs (same honest treatment: the decade
-      // gate reads the 10x measurement, the wall is documented, and
-      // the fixed form never pretends to be a 100 TB operator)
-      embQueries.filterNot(_ == "dedup_semdedup")
-    else if (tag.startsWith("emb")) embQueries
+    // Round 13: the contract `dedup_semdedup` ROUTES k ∝ √n (the r12
+    // weak item's close), so the emb100x exclusion is retired — the
+    // query that a user would actually call now runs every decade
+    // (routed k = 10/32/100 at 2k/20k/200k; pair work ~n^1.5). The
+    // round-12 history keeps the fixed-k wall rows (4e9 candidates at
+    // 200k — why the routing exists) under the pre-"kr" algo era.
+    if (tag.startsWith("emb")) embQueries
     else if (tag == "sf100wide") wide1000Queries
     else if (tag == "sf10wide") wide100Queries
     else (if (tag == "sf1dense") denseDocQueries else docQueries) ++
@@ -282,7 +283,10 @@ object Scale {
     "pipeline_dedup" -> "m8",
     "pipeline_full" -> "m8",
     "sim_ann_lsh_auto" -> "p16",
-    "dedup_simhash_topk" -> "t2")
+    "dedup_simhash_topk" -> "t2",
+    // round 13: the contract query routes k ∝ √n (the r12 weak item's
+    // close) — fixed-k rows describe a different algorithm
+    "dedup_semdedup" -> "kr")
 
   /** Queries whose OUTPUT is itself super-linear on a duplicate-heavy
     * corpus (a pair listing's cardinality is Σ C(k,2) over duplicate
@@ -368,12 +372,11 @@ object Scale {
     // DENSE and WIDE are equivalent regimes — the gram df relation has
     // no source blocking — so both get the linear 15x band
     "dedup_substring" -> (15.0, 15.0),
-    // contract k is PINNED at IvfK=10, so within-cluster pair work is
-    // Σocc² ≈ n²/k: 4x vectors → ~16x pairs (the deployment rule grows
-    // k ∝ √n to hold this flat — see the operator scaladoc); 40 gates
-    // the model x the JIT/load spread without admitting an
-    // unclustered-n² class flip masked by a broadcast/serialization
-    // pathology
+    // ROUTED k since round 13 (the "kr" era): sf0.1 (2k) → sf1 (8k)
+    // steps k 10 → 32, so pair work grows ~(16x)·(10/32) ≈ 5x — well
+    // under the old fixed-k 16x model; 40 stays as the class ceiling
+    // (an unclustered-n² flip or a broadcast/serialization pathology
+    // still cannot hide under it)
     "dedup_semdedup" -> (40.0, 40.0),
     // span groupBy + join-back, both linear in span occurrences (each
     // token in exactly one span; spans never pair)
@@ -499,19 +502,22 @@ object Scale {
 
   /** Per-decade growth ceilings for the EMBEDDING decades (emb1x ->
     * emb10x -> emb100x, clustered regime, 10x vectors per step):
-    * linear-class members get the 15x band; `dedup_semdedup` at the
-    * contract's FIXED k = 10 is the named superlinear — pair work
-    * n²/k predicts ~100x per decade, banded at its model + spread —
-    * and `dedup_semdedup_scaledk` (k ∝ √n) is the measured fix,
-    * predicted n^1.5 ≈ 32x per decade. */
+    * linear-class members get the 15x band; `dedup_semdedup` (ROUTED
+    * k ∝ √n since round 13 — the "kr" algo era) and
+    * `dedup_semdedup_scaledk` (the continuous-k harness form) are the
+    * ~n^1.5 class, predicted ≈ 32x per decade (the menu quantization
+    * makes the routed decade steps 31–32x exactly: k steps 10→32→100
+    * while n steps 10x); `sim_ann_ivf_rerank` routes k through the
+    * same menu with the same ~n^1.5 rerank mass. */
   private val embBands: Map[String, Double] = Map(
     "sim_ann_lsh_auto" -> 15.0,
     "sim_pq_topk" -> 15.0,
     "sim_ivfpq_topk" -> 15.0,
     "txt_decontaminate_sem" -> 15.0,
     "multimodal_align_filter" -> 15.0,
-    "dedup_semdedup" -> 140.0,
-    "dedup_semdedup_scaledk" -> 45.0)
+    "dedup_semdedup" -> 45.0,
+    "dedup_semdedup_scaledk" -> 45.0,
+    "sim_ann_ivf_rerank" -> 45.0)
 
   /** `check` mode: replay docs/scale_results.jsonl against
     * [[growthBands]] (per-(tag, query) medians of the last 7 ok runs,

@@ -63,6 +63,37 @@ object SimilarityOps {
     * the plan is threshold-independent). */
   val SemDedupTau = 0.3
 
+  /** The √n cluster/list-count menu shared by `dedup_semdedup` and
+    * `sim_ann_ivf_rerank` (round-12 verdict #2/#6 — the weak item's
+    * close): FIXED k is quadratic-in-n (SemDeDup pair work Σocc² ≈
+    * n²/k; IVF rerank candidates ≈ nprobe·n²/k — the emb100x sweep
+    * EXCLUDED the fixed-k form at 4e9 candidate pairs), so the
+    * contract queries route k from a bounded corpus count by the
+    * [[AutoPlaneConfigs]] recipe: the smallest menu k holding
+    * n ≤ k²·[[SemDedupOcc]], i.e. k ≈ √(n/occ), which holds
+    * assignment (n·k) and pairing (n²/k) both at ~n^1.5 — the
+    * `dedup_semdedup_scaledk` scaling the Scale harness measured
+    * (55–66 s at 200k vectors where fixed k could not run). The menu
+    * covers 2.048M vectors; a deployment appends 1000, 3200, … — the
+    * rule, the guarded union, and the oracle algebra extend
+    * unchanged. */
+  val SemDedupKConfigs = Seq(IvfK, 32, 100, 320)
+
+  /** Occupancy factor of the k rule: n ≤ k²·occ ⇔ mean cluster size
+    * n/k ≤ k·occ. 20 keeps the sf0.1 corpus (2,000 vectors) exactly on
+    * the k = [[IvfK]] boundary, so the Verify AND bench corpora both
+    * run the algebra the oracle unrolls (pinned in
+    * SimilarityOpsSpec). */
+  val SemDedupOcc = 20
+
+  /** The k sizing rule as a pure function (the [[autoPlanesFor]]
+    * convention): smallest menu k with n ≤ k²·occ, saturating at the
+    * largest. sf0.01 (500) → 10; sf0.1 (2,000) → 10; 20k → 32;
+    * 200k → 100. */
+  private[graft] def semDedupKFor(n: Long): Int =
+    SemDedupKConfigs.find(k => n <= k.toLong * k * SemDedupOcc)
+      .getOrElse(SemDedupKConfigs.last)
+
   /** multimodal_align_filter cosine threshold: the corpus's median
     * vector-to-label-centroid alignment (≈0.15), so both keep and drop
     * decisions appear on the synthetic corpus (production CLIP-score
@@ -574,8 +605,8 @@ object SimilarityOps {
     * `dedup_semdedup_scaledk`), and a production index holds pairing
     * linear with k ∝ n at the price of hierarchical assignment. */
   private[graft] def semDedup(s: SparkSession, dir: String,
-      k: Int = IvfK): DataFrame = {
-    val e = vecs(s, dir)
+      k: Int = IvfK, source: Option[DataFrame] = None): DataFrame = {
+    val e = vecsOf(s, source.getOrElse(table(s, dir, "embeddings")))
     val cents = kmeansCentroids(e, k = k, iters = IvfIters)
     val byVec = Window.partitionBy("vec_id")
       .orderBy(col("ccos").desc, col("cid").asc)
@@ -602,6 +633,118 @@ object SimilarityOps {
       .select(col("vec_id"), col("cid"), col("dup_of"),
         col("dup_of").isNull.as("keep"))
       .orderBy("vec_id")
+  }
+
+  /** Bounded one-row corpus-count stat + guarded source for the
+    * √n-routed queries (the [[annLshAuto]] machinery, shared by
+    * [[semDedupAuto]] and [[ivfKnnAuto]]): the count never scans more
+    * than one row past the largest menu boundary (k_max²·occ + 1 =
+    * 2,048,001 rows) no matter the corpus, each regime's branch reads
+    * the embeddings scan guarded by the stat filtered to its regime,
+    * and AQE's empty-relation propagation collapses dead branches
+    * before their scans schedule. */
+  private def kRoutedBranches(s: SparkSession, dir: String)(
+      branch: (Int, Option[DataFrame]) => DataFrame): DataFrame = {
+    val lastK = SemDedupKConfigs.last
+    val cap = (lastK.toLong * lastK * SemDedupOcc).toInt + 1
+    val nStat = table(s, dir, "embeddings")
+      .select(lit(1).as("one")).limit(cap)
+      .agg(count(lit(1)).as("n"))
+    def guarded(regime: Column): DataFrame =
+      table(s, dir, "embeddings")
+        .crossJoin(broadcast(nStat.filter(regime)
+          .select(lit(1).as("__go"))))
+        .drop("__go")
+    def bound(k: Int): Long = k.toLong * k * SemDedupOcc
+    val branches = SemDedupKConfigs.zipWithIndex.map { case (k, i) =>
+      // regimes tile (0, ∞) exhaustively and exclusively
+      val regime =
+        if (i == 0) col("n") <= bound(k)
+        else if (i == SemDedupKConfigs.size - 1)
+          col("n") > bound(SemDedupKConfigs(i - 1))
+        else col("n") > bound(SemDedupKConfigs(i - 1)) &&
+          col("n") <= bound(k)
+      branch(k, Some(guarded(regime)))
+    }
+    branches.reduce(_ union _)
+  }
+
+  /** [[semDedup]] with the cluster count DERIVED from the corpus — the
+    * contract `dedup_semdedup` since round 13 (round-12 verdict #2:
+    * the fixed-k form was the repo's one remaining quadratic-in-n
+    * contract query; the scale-safe k ∝ √n sizing lived only in the
+    * Scale harness). FULLY LAZY, result-identical to [[semDedup]] at
+    * the routed k (asserted in SimilarityOpsSpec), so routing is pure
+    * planning; at the Verify/bench corpus sizes the rule lands on the
+    * contract k = [[IvfK]], so the DuckDB oracle replays the same
+    * fixed-k algebra it always has (the [[annLshAuto]] oracle
+    * convention). */
+  def semDedupAuto(s: SparkSession, dir: String): DataFrame =
+    kRoutedBranches(s, dir)((k, src) => semDedup(s, dir, k, src))
+      .orderBy("vec_id")
+
+  /** IVF coarse-route + EXACT-cosine rerank core: the `sim_ivf_knn`
+    * contract query at k = [[IvfK]]; `sim_ann_ivf_rerank` routes k
+    * through [[ivfKnnAuto]]. Every vector joins its nearest centroid's
+    * inverted list; queries probe their top-[[IvfNprobe]] lists and
+    * rerank only those candidates by exact cosine. Parameterized k for
+    * the same reason as [[semDedup]]: rerank work is ~nprobe·n²/k, so
+    * fixed k is quadratic-in-n and k ∝ √n holds the whole operator at
+    * ~n^1.5 while ROUTING recall (is the true neighbor's list probed?)
+    * stays measured-1.0 across the embedding decades. */
+  private[graft] def ivfKnn(s: SparkSession, dir: String,
+      k: Int = IvfK, source: Option[DataFrame] = None): DataFrame = {
+    val e = vecsOf(s, source.getOrElse(table(s, dir, "embeddings")))
+    val cents = kmeansCentroids(e, k = k, iters = IvfIters)
+    val affinity = e.select(col("vec_id"), col("v"), col("norm"))
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos",
+        round(dot(col("v"), col("cv")) / (col("norm") * col("cnorm")), 9))
+    val byVec = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("cid").asc)
+    // probe and list sides both read the ranked affinity: compute once
+    val ranked = shared(affinity.withColumn("crn", row_number().over(byVec)))
+    val lists = ranked.filter(col("crn") === 1)   // inverted lists
+      .select(col("cid"), col("vec_id").as("b_id"),
+        col("v").as("b_v"), col("norm").as("b_norm"))
+    val probes = ranked.filter(col("crn") <= IvfNprobe)
+      .select(col("cid"), col("vec_id").as("a_id"),
+        col("v").as("a_v"), col("norm").as("a_norm"))
+    val byQuery = Window.partitionBy("a_id")
+      .orderBy(col("cos").desc, col("b_id").asc)
+    // inverted lists are corpus-scaled array rows on k distinct keys —
+    // the canonical duplicate-heavy join; never broadcast, never let
+    // the k-key shuffle coalesce below the probe parallelism
+    SkewJoin.saltedCandidateJoin(probes, lists, Seq("cid"),
+        leftSaltBy = col("a_id"))
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("cos", cosine)
+      // arrays dropped before the rank window's exchange ([[annLsh]])
+      .select(col("a_id"), col("b_id"), col("cos"))
+      .withColumn("rank", row_number().over(byQuery))
+      .filter(col("rank") <= AnnTopK)
+      .select(col("a_id"), col("rank").cast(IntegerType).as("rank"),
+        col("b_id"), col("cos"))
+      .orderBy("a_id", "rank")
+  }
+
+  /** [[ivfKnn]] with the list count DERIVED from the corpus — the
+    * `sim_ann_ivf_rerank` contract query (round-12 verdict #6). Lazy
+    * guarded union, result-identical per branch (SimilarityOpsSpec). */
+  def ivfKnnAuto(s: SparkSession, dir: String): DataFrame =
+    kRoutedBranches(s, dir)((k, src) => ivfKnn(s, dir, k, src))
+      .orderBy("a_id", "rank")
+
+  /** Eagerly-decided variant exposing the chosen k — specs and the
+    * Scale evidence runs only (the contract query uses the lazy
+    * guarded-union form above). */
+  private[graft] def semDedupAutoChoice(s: SparkSession,
+      dir: String): (Int, DataFrame) = {
+    val lastK = SemDedupKConfigs.last
+    val cap = (lastK.toLong * lastK * SemDedupOcc).toInt + 1
+    val n = table(s, dir, "embeddings").limit(cap).count()
+    val k = semDedupKFor(n)
+    (k, semDedup(s, dir, k))
   }
 
   private[graft] def ivfpqTopK(s: SparkSession, dir: String,
@@ -964,40 +1107,19 @@ object SimilarityOps {
     // centroid's inverted list; queries probe their top-2 centroid
     // lists and rerank only those candidates by exact cosine, keeping
     // top-3. Work scales with nprobe/k, not n².
-    "sim_ivf_knn" -> { (s, dir) =>
-      val e = vecs(s, dir)
-      val cents = kmeansCentroids(e, k = IvfK, iters = IvfIters)
-      val affinity = e.select(col("vec_id"), col("v"), col("norm"))
-        .crossJoin(broadcast(cents))
-        .withColumn("ccos",
-          round(dot(col("v"), col("cv")) / (col("norm") * col("cnorm")), 9))
-      val byVec = Window.partitionBy("vec_id")
-        .orderBy(col("ccos").desc, col("cid").asc)
-      // probe and list sides both read the ranked affinity: compute once
-      val ranked = shared(affinity.withColumn("crn", row_number().over(byVec)))
-      val lists = ranked.filter(col("crn") === 1)   // inverted lists
-        .select(col("cid"), col("vec_id").as("b_id"),
-          col("v").as("b_v"), col("norm").as("b_norm"))
-      val probes = ranked.filter(col("crn") <= 2)   // 2-probe queries
-        .select(col("cid"), col("vec_id").as("a_id"),
-          col("v").as("a_v"), col("norm").as("a_norm"))
-      val byQuery = Window.partitionBy("a_id")
-        .orderBy(col("cos").desc, col("b_id").asc)
-      // inverted lists are corpus-scaled array rows on k distinct keys —
-      // the canonical duplicate-heavy join; never broadcast, never let
-      // the k-key shuffle coalesce below the probe parallelism
-      SkewJoin.saltedCandidateJoin(probes, lists, Seq("cid"),
-          leftSaltBy = col("a_id"))
-        .filter(col("a_id") =!= col("b_id"))
-        .withColumn("cos", cosine)
-        // arrays dropped before the rank window's exchange ([[annLsh]])
-        .select(col("a_id"), col("b_id"), col("cos"))
-        .withColumn("rank", row_number().over(byQuery))
-        .filter(col("rank") <= 3)
-        .select(col("a_id"), col("rank").cast(IntegerType).as("rank"),
-          col("b_id"), col("cos"))
-        .orderBy("a_id", "rank")
-    },
+    "sim_ivf_knn" -> { (s, dir) => ivfKnn(s, dir) },
+
+    // The DEPLOYMENT recall path at scale (round-12 verdict #6): the
+    // same coarse-route + EXACT-cosine-rerank composition with the
+    // list count DERIVED from the corpus (k ≈ √(n/occ) — the
+    // kRoutedBranches menu). The emb-decade sweeps measured LSH
+    // multiprobe recall decaying as the occupancy rule adds planes
+    // (0.87/0.70/0.52) while IVF ROUTING recall held 1.0 at √n lists
+    // every decade — this key makes that deployment answer an
+    // executable contract query instead of prose. At Verify/bench
+    // sizes the rule lands on k = IvfK, so the oracle replays
+    // sim_ivf_knn's algebra (the annLshAuto oracle convention).
+    "sim_ann_ivf_rerank" -> { (s, dir) => ivfKnnAuto(s, dir) },
 
     // K-means cluster assignment as a first-class operator: each vector
     // with its trained centroid id and affinity — the embedding-space
@@ -1041,7 +1163,11 @@ object SimilarityOps {
     // flat. Same salted/pinned candidate join discipline as the
     // LSH/IVF paths; the assignment relation is computed once and
     // shared by both pair sides and the output spine.
-    "dedup_semdedup" -> { (s, dir) => semDedup(s, dir) },
+    // ROUTED since round 13 (verdict #2): k derived from a bounded
+    // corpus count via the √n menu — the fixed-k form was the repo's
+    // one remaining quadratic-in-n contract query. At Verify/bench
+    // sizes the rule lands on the contract IvfK (same oracle).
+    "dedup_semdedup" -> { (s, dir) => semDedupAuto(s, dir) },
 
     // Semantic benchmark decontamination — the embedding upgrade of
     // txt_decontaminate (n-gram overlap misses PARAPHRASED eval items;
@@ -1362,6 +1488,31 @@ object SimilarityOps {
          |  FROM adc)
          |WHERE rank <= $AnnTopK ORDER BY a_id, rank""".stripMargin
 
+    val ivfKnnSql =
+      s"""WITH e AS ($vecsSql),
+         |${kmeansSql(k = IvfK, iters = IvfIters)},
+         |aff AS (SELECT e.vec_id, e.v, e.norm, c.cid,
+         |          round(list_dot_product(e.v, c.cv)
+         |                / (e.norm * c.cnorm), 9) AS ccos
+         |        FROM e CROSS JOIN cents c),
+         |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |             ORDER BY ccos DESC, cid ASC) AS crn FROM aff),
+         |lists AS (SELECT cid, vec_id AS b_id, v AS b_v, norm AS b_norm
+         |          FROM ranked WHERE crn = 1),
+         |probes AS (SELECT cid, vec_id AS a_id, v AS a_v, norm AS a_norm
+         |           FROM ranked WHERE crn <= $IvfNprobe),
+         |cand AS (SELECT a_id, b_id,
+         |           round(list_dot_product(a_v, b_v)
+         |                 / (a_norm * b_norm), 9) AS cos
+         |         FROM probes JOIN lists USING (cid)
+         |         WHERE a_id <> b_id)
+         |SELECT a_id, rank, b_id, cos FROM (
+         |  SELECT a_id, b_id, cos,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY a_id
+         |           ORDER BY cos DESC, b_id ASC) AS INTEGER) AS rank
+         |  FROM cand)
+         |WHERE rank <= $AnnTopK ORDER BY a_id, rank""".stripMargin
+
     val sList = (0 until PqM).mkString("[", ", ", "]")
     val ivfpqSql =
       s"""WITH e AS ($vecsSql),
@@ -1470,30 +1621,13 @@ object SimilarityOps {
            |WHERE rank <= $AnnTopK ORDER BY a_id, rank""".stripMargin
       },
 
-      "sim_ivf_knn" ->
-        s"""WITH e AS ($vecsSql),
-           |${kmeansSql(k = IvfK, iters = IvfIters)},
-           |aff AS (SELECT e.vec_id, e.v, e.norm, c.cid,
-           |          round(list_dot_product(e.v, c.cv)
-           |                / (e.norm * c.cnorm), 9) AS ccos
-           |        FROM e CROSS JOIN cents c),
-           |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-           |             ORDER BY ccos DESC, cid ASC) AS crn FROM aff),
-           |lists AS (SELECT cid, vec_id AS b_id, v AS b_v, norm AS b_norm
-           |          FROM ranked WHERE crn = 1),
-           |probes AS (SELECT cid, vec_id AS a_id, v AS a_v, norm AS a_norm
-           |           FROM ranked WHERE crn <= 2),
-           |cand AS (SELECT a_id, b_id,
-           |           round(list_dot_product(a_v, b_v)
-           |                 / (a_norm * b_norm), 9) AS cos
-           |         FROM probes JOIN lists USING (cid)
-           |         WHERE a_id <> b_id)
-           |SELECT a_id, rank, b_id, cos FROM (
-           |  SELECT a_id, b_id, cos,
-           |         CAST(ROW_NUMBER() OVER (PARTITION BY a_id
-           |           ORDER BY cos DESC, b_id ASC) AS INTEGER) AS rank
-           |  FROM cand)
-           |WHERE rank <= 3 ORDER BY a_id, rank""".stripMargin,
+      "sim_ivf_knn" -> ivfKnnSql,
+
+      // the √n-routed rerank replays sim_ivf_knn's oracle: at the
+      // Verify corpus size the k rule lands on the contract IvfK
+      // (semDedupKFor(500) == IvfK — pinned in SimilarityOpsSpec, the
+      // same convention as sim_ann_lsh_auto / dedup_near_auto)
+      "sim_ann_ivf_rerank" -> ivfKnnSql,
 
       "sim_centroid_assign" ->
         s"""WITH e AS ($vecsSql),

@@ -158,6 +158,55 @@ class SimilarityOpsSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSeq == direct3k)
   }
 
+  test("semDedup/ivfKnn k-routing: √n rule boundaries; routing is result-identical") {
+    import SimilarityOps._
+    // the pure sizing rule: smallest menu k with n <= k² · occ
+    assert(semDedupKFor(500) == IvfK)    // Verify corpus
+    assert(semDedupKFor(2000) == IvfK)   // sf0.1 — exactly on the boundary
+    assert(semDedupKFor(2001) == 32)
+    assert(semDedupKFor(20000) == 32)    // emb10x
+    assert(semDedupKFor(20480) == 32)
+    assert(semDedupKFor(20481) == 100)
+    assert(semDedupKFor(200000) == 100)  // emb100x
+    assert(semDedupKFor(2048000) == 320)
+    assert(semDedupKFor(5000000) == 320) // saturates (deployment appends)
+    // the oracle contract depends on the rule landing on the contract
+    // IvfK at Verify scale (dedup_semdedup / sim_ann_ivf_rerank share
+    // their fixed-k oracle SQL)
+
+    // contract corpus: eager choice = IvfK; lazy == eager == fixed-k
+    val (k01, eagerSem) = semDedupAutoChoice(spark, TestSpark.sfDir)
+    assert(k01 == IvfK)
+    val directSem = semDedup(spark, TestSpark.sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(directSem.nonEmpty)
+    assert(eagerSem.collect().map(_.toSeq).toSeq == directSem)
+    assert(semDedupAuto(spark, TestSpark.sfDir)
+      .collect().map(_.toSeq).toSeq == directSem)
+    val directIvf = ivfKnn(spark, TestSpark.sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(directIvf.nonEmpty)
+    assert(ivfKnnAuto(spark, TestSpark.sfDir)
+      .collect().map(_.toSeq).toSeq == directIvf)
+
+    // a corpus past the IvfK boundary routes to k=32 without code
+    // change; lazy == direct fixed-k for BOTH routed queries
+    val dir = java.nio.file.Files.createTempDirectory("graft_sd").toString
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    (0 until 3000).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() - 0.5f), rnd.nextInt(10))
+    }.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val direct3k = semDedup(spark, dir, k = 32).collect().map(_.toSeq).toSeq
+    assert(direct3k.nonEmpty)
+    assert(semDedupAuto(spark, dir).collect().map(_.toSeq).toSeq == direct3k)
+    val directIvf3k = ivfKnn(spark, dir, k = 32).collect().map(_.toSeq).toSeq
+    assert(directIvf3k.nonEmpty)
+    assert(ivfKnnAuto(spark, dir).collect().map(_.toSeq).toSeq == directIvf3k)
+    graft.core.Core.releaseShared()
+  }
+
   test("IVF contract configuration stays k=10 / iters=2 (oracle-pinned)") {
     // the DuckDB oracle unrolls exactly IvfIters Lloyd rounds with
     // IvfK seed centroids; changing either without regenerating the
