@@ -635,53 +635,38 @@ object SimilarityOps {
       .orderBy("vec_id")
   }
 
-  /** Bounded one-row corpus-count stat + guarded source for the
-    * √n-routed queries (the [[annLshAuto]] machinery, shared by
-    * [[semDedupAuto]] and [[ivfKnnAuto]]): the count never scans more
-    * than one row past the largest menu boundary (k_max²·occ + 1 =
-    * 2,048,001 rows) no matter the corpus, each regime's branch reads
-    * the embeddings scan guarded by the stat filtered to its regime,
-    * and AQE's empty-relation propagation collapses dead branches
-    * before their scans schedule. */
-  private def kRoutedBranches(s: SparkSession, dir: String)(
-      branch: (Int, Option[DataFrame]) => DataFrame): DataFrame = {
+  /** The routed k, decided by ONE bounded count at build time: the
+    * scan never reads more than one row past the largest menu boundary
+    * (k_max²·occ + 1 = 2,048,001 rows) no matter the corpus. EAGER by
+    * measured design, NOT the [[annLshAuto]] lazy guarded union: each
+    * k branch here carries a FULL Lloyd training chain — the most
+    * plan-heavy subtree in the library — and the 4-branch lazy union
+    * measured +2.2 s (`dedup_semdedup`) / +2.0 s (`sim_ann_ivf_rerank`
+    * vs `sim_ivf_knn`) per query at sf0.1 purely from dead-branch
+    * planning, where annLsh's branches are one map-side projection
+    * each (its lazy union stays). The count is the same bounded stat
+    * the lazy guard would read, evaluated once — the MLlib
+    * iterative-estimator pattern `sim_ivfpq_topk` already carries,
+    * LazinessSpec-exempted on the same grounds (bounded state, never
+    * corpus-scaled results). */
+  private def routedK(s: SparkSession, dir: String): Int = {
     val lastK = SemDedupKConfigs.last
     val cap = (lastK.toLong * lastK * SemDedupOcc).toInt + 1
-    val nStat = table(s, dir, "embeddings")
-      .select(lit(1).as("one")).limit(cap)
-      .agg(count(lit(1)).as("n"))
-    def guarded(regime: Column): DataFrame =
-      table(s, dir, "embeddings")
-        .crossJoin(broadcast(nStat.filter(regime)
-          .select(lit(1).as("__go"))))
-        .drop("__go")
-    def bound(k: Int): Long = k.toLong * k * SemDedupOcc
-    val branches = SemDedupKConfigs.zipWithIndex.map { case (k, i) =>
-      // regimes tile (0, ∞) exhaustively and exclusively
-      val regime =
-        if (i == 0) col("n") <= bound(k)
-        else if (i == SemDedupKConfigs.size - 1)
-          col("n") > bound(SemDedupKConfigs(i - 1))
-        else col("n") > bound(SemDedupKConfigs(i - 1)) &&
-          col("n") <= bound(k)
-      branch(k, Some(guarded(regime)))
-    }
-    branches.reduce(_ union _)
+    semDedupKFor(table(s, dir, "embeddings").limit(cap).count())
   }
 
   /** [[semDedup]] with the cluster count DERIVED from the corpus — the
     * contract `dedup_semdedup` since round 13 (round-12 verdict #2:
     * the fixed-k form was the repo's one remaining quadratic-in-n
     * contract query; the scale-safe k ∝ √n sizing lived only in the
-    * Scale harness). FULLY LAZY, result-identical to [[semDedup]] at
-    * the routed k (asserted in SimilarityOpsSpec), so routing is pure
-    * planning; at the Verify/bench corpus sizes the rule lands on the
-    * contract k = [[IvfK]], so the DuckDB oracle replays the same
-    * fixed-k algebra it always has (the [[annLshAuto]] oracle
-    * convention). */
+    * Scale harness). Result-identical to [[semDedup]] at the routed k
+    * (asserted in SimilarityOpsSpec); at the Verify/bench corpus sizes
+    * the rule lands on the contract k = [[IvfK]], so the DuckDB oracle
+    * replays the same fixed-k algebra it always has (the
+    * [[annLshAuto]] oracle convention). Eager bounded-count routing —
+    * see [[routedK]]. */
   def semDedupAuto(s: SparkSession, dir: String): DataFrame =
-    kRoutedBranches(s, dir)((k, src) => semDedup(s, dir, k, src))
-      .orderBy("vec_id")
+    semDedup(s, dir, routedK(s, dir))
 
   /** IVF coarse-route + EXACT-cosine rerank core: the `sim_ivf_knn`
     * contract query at k = [[IvfK]]; `sim_ann_ivf_rerank` routes k
@@ -729,21 +714,17 @@ object SimilarityOps {
   }
 
   /** [[ivfKnn]] with the list count DERIVED from the corpus — the
-    * `sim_ann_ivf_rerank` contract query (round-12 verdict #6). Lazy
-    * guarded union, result-identical per branch (SimilarityOpsSpec). */
+    * `sim_ann_ivf_rerank` contract query (round-12 verdict #6).
+    * Result-identical to [[ivfKnn]] at the routed k
+    * (SimilarityOpsSpec); eager bounded-count routing ([[routedK]]). */
   def ivfKnnAuto(s: SparkSession, dir: String): DataFrame =
-    kRoutedBranches(s, dir)((k, src) => ivfKnn(s, dir, k, src))
-      .orderBy("a_id", "rank")
+    ivfKnn(s, dir, routedK(s, dir))
 
-  /** Eagerly-decided variant exposing the chosen k — specs and the
-    * Scale evidence runs only (the contract query uses the lazy
-    * guarded-union form above). */
+  /** [[semDedupAuto]] also exposing the chosen k — specs and the
+    * Scale evidence runs. */
   private[graft] def semDedupAutoChoice(s: SparkSession,
       dir: String): (Int, DataFrame) = {
-    val lastK = SemDedupKConfigs.last
-    val cap = (lastK.toLong * lastK * SemDedupOcc).toInt + 1
-    val n = table(s, dir, "embeddings").limit(cap).count()
-    val k = semDedupKFor(n)
+    val k = routedK(s, dir)
     (k, semDedup(s, dir, k))
   }
 
@@ -1112,7 +1093,7 @@ object SimilarityOps {
     // The DEPLOYMENT recall path at scale (round-12 verdict #6): the
     // same coarse-route + EXACT-cosine-rerank composition with the
     // list count DERIVED from the corpus (k ≈ √(n/occ) — the
-    // kRoutedBranches menu). The emb-decade sweeps measured LSH
+    // routedK menu). The emb-decade sweeps measured LSH
     // multiprobe recall decaying as the occupancy rule adds planes
     // (0.87/0.70/0.52) while IVF ROUTING recall held 1.0 at √n lists
     // every decade — this key makes that deployment answer an

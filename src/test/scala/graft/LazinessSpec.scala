@@ -35,8 +35,14 @@ class LazinessSpec extends AnyFunSuite {
     // (docs/PLANS.md round 12), and early-exits at the corpus's own
     // measured fixpoint (6 segments on the contract corpus vs the
     // 17-pair cap).
+    // dedup_semdedup / sim_ann_ivf_rerank (round 13): the √n k-routing
+    // decides its menu entry from ONE bounded count at build
+    // (SimilarityOps.routedK — never reads past 2,048,001 rows). Same
+    // bounded-state class as sim_ivfpq_topk's training collects; the
+    // lazy guarded-union alternative measured +2.2 s per query at
+    // sf0.1 because each dead branch carries a full Lloyd chain.
     val exempt = Set("txt_bpe_vocab", "txt_bpe_vocab64", "txt_bpe_encode",
-      "sim_ivfpq_topk",
+      "sim_ivfpq_topk", "dedup_semdedup", "sim_ann_ivf_rerank",
       "pipeline_tokenize", "pipeline_dedup", "pipeline_full")
     val tracker = spark.sparkContext.statusTracker
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
