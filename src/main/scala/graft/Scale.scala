@@ -15,7 +15,7 @@ import org.apache.spark.sql.SparkSession
   *
   * Usage: runMain graft.Scale [gen|sf0.1|dense|wide|wide100|wide1000|
   * embscale|fixpoint|fixpointstar|fixpointadv|annplanes|annrecall|
-  * ivfpqrecall|bpebatch|check]
+  * ivfpqrecall|bpebatch|ccinc|ccinc1000|topkhub|check]
   * [--only=q1,q2,...]
   * (no args = gen + all three sweeps; results append to
   * docs/scale_results.jsonl and print as JSON lines). `fixpoint`
@@ -39,6 +39,7 @@ object Scale {
   private val Emb1Dir = "target/testdata/emb1x"
   private val Emb10Dir = "target/testdata/emb10x"
   private val Emb100Dir = "target/testdata/emb100x"
+  private val HubDir = "target/testdata/hub"
 
   /** The sweep baseline: the driver's read-only sf0.1 corpus repacked
     * into the ≥32-file layout ([[ScaleData.repackRef]]). The driver
@@ -953,11 +954,16 @@ object Scale {
         markGenerated(WideDir)
       }
     }
-    if (sel.exists(Set("wide100", "fixpointstar")) &&
+    if (sel.exists(Set("wide100", "fixpointstar", "ccinc")) &&
         !complete(Wide100Dir, Seq("documents"))) {
       println(s"[scale] generating $Wide100Dir")
       ScaleData.generateWide100(spark, Wide100Dir, ref)
       markGenerated(Wide100Dir)
+    }
+    if (sel.contains("topkhub") && !complete(HubDir, Seq("documents"))) {
+      println(s"[scale] generating $HubDir")
+      ScaleData.generateHub(spark, HubDir, ref)
+      markGenerated(HubDir)
     }
     if (sel.contains("wide1000") &&
         !complete(Wide1000Dir, Seq("documents"))) {
@@ -1467,6 +1473,24 @@ object Scale {
           println(s"[scale] $l")
           out.append(l).append('\n')
         }
+        // the CONTRACT routed config's recall (round-12 verdict #6):
+        // sim_ann_ivf_rerank runs k = semDedupKFor(n) menu lists at
+        // nprobe = IvfNprobe — record recall at exactly that sizing so
+        // the decade rows certify the configuration the contract query
+        // actually ships, next to the √n research sizing above. Fewer,
+        // larger lists than √n ⇒ routing recall can only be ≥ it.
+        val kc = operators.SimilarityOps.semDedupKFor(n)
+        graft.core.Core.releaseShared()
+        val recsC = operators.SimilarityOps.ivfRerankRecallSweep(spark, emb,
+          Seq(operators.SimilarityOps.IvfNprobe), ivfK = kc)
+        recsC.foreach { case (np, r) =>
+          val l =
+            s"""{"tag":"$tag","query":"ivfrerank_recall_contract",""" +
+            s""""ok":true,"corpus":"$corpus","recall":${d2(r)},""" +
+            s""""nprobe":$np,"ivfk":$kc}"""
+          println(s"[scale] $l")
+          out.append(l).append('\n')
+        }
         ()
         // unpersist in FINALLY (ADVICE r12): an exception mid-sequence
         // is caught below and recorded ok:false, but without this the
@@ -1640,6 +1664,201 @@ object Scale {
     if (sel.contains("annrecall")) runAnnRecall()
     if (sel.contains("ivfpqrecall")) runIvfpqRecall()
     if (sel.contains("bpebatch")) runBpeBatch()
+
+    // INCREMENTAL CC MAINTENANCE at the second decade (round-12
+    // verdict #3): the round-11 operator is spec-proven (bridging
+    // batch ≡ rebuild) but was never measured at scale. Fold a 1% and
+    // a 10% batch into the sf10wide (500k-doc) standing labels and
+    // record incremental wall vs the full 64-bit sketch-graph fixpoint
+    // rebuild over the same final corpus — the ingest-vs-rebuild
+    // economics a daily 100 TB pipeline actually decides on. Each fold
+    // row also records a full-outer label-mismatch count vs the
+    // rebuild (must be 0 — the spec's equivalence, re-asserted at
+    // 500k docs on every sweep).
+    def runCcIncremental(tag: String, dir: String,
+        pcts: Seq[Int] = Seq(1, 10)): Unit = {
+      import org.apache.spark.sql.functions._
+      try {
+        val docs = graft.core.Core.table(spark, dir, "documents")
+          .select("doc_id", "lang", "source", "text")
+        // the REBUILD row: sketch everything, fixpoint the full graph —
+        // the nightly job the incremental path replaces. Timed first so
+        // its labels serve as the equivalence reference for both folds.
+        graft.core.Core.releaseShared()
+        spark.catalog.clearCache()
+        System.gc()
+        drainJit()
+        val tR = System.nanoTime()
+        val skAll = operators.DedupOps.simhash64SketchesOf(docs)
+          .localCheckpoint()
+        val rebuilt = operators.DedupOps.ccFixpoint(skAll.select("doc_id"),
+          operators.DedupOps.edgesFromSketches(skAll))
+        val rebuiltCk = rebuilt.localCheckpoint()
+        val nAll = rebuiltCk.count()
+        val secR = (System.nanoTime() - tR) / 1e9
+        val rline = s"""{"tag":"$tag","query":"ccinc_rebuild",""" +
+          s""""sec":${d2(secR)},"ok":true,"corpus":"$corpus",""" +
+          s""""docs":$nAll}"""
+        println(s"[scale] $rline")
+        out.append(rline).append('\n')
+        operators.DedupOps.freeLocalCheckpoint(skAll)
+        for (pct <- pcts) {
+          graft.core.Core.releaseShared()
+          val isBatch = col("doc_id") % 100 < pct
+          // standing state build is UNTIMED: the daily pipeline
+          // amortizes it across every prior ingest
+          val corpusSk = operators.DedupOps
+            .simhash64SketchesOf(docs.filter(!isBatch)).localCheckpoint()
+          val labels0 = operators.DedupOps.ccFixpoint(
+              corpusSk.select("doc_id"),
+              operators.DedupOps.edgesFromSketches(corpusSk))
+            .localCheckpoint()
+          labels0.count()
+          graft.core.Core.releaseShared()
+          spark.catalog.clearCache()
+          System.gc()
+          drainJit()
+          // TIMED: everything the arriving batch pays, decomposed into
+          // the three pieces of clusterMaintainStep (inlined verbatim —
+          // the label-equivalence check below guards against drift
+          // from the streaming operator): (1) batch sketching + known-
+          // doc anti-join, (2) delta edges + the touched-subgraph
+          // supernode loop + the corpus-sized label rewrite, (3) the
+          // sketch-state re-materialization — a FULL-REWRITE harness
+          // artifact (the MemoryStream-testable state is one
+          // localCheckpoint; a deployment's state table upserts the
+          // delta and pays ~|batch|, not ~|corpus|).
+          val batch = docs.filter(isBatch)
+          val t0 = System.nanoTime()
+          val bSk = operators.DedupOps.simhash64SketchesOf(batch)
+            .join(corpusSk.select("doc_id"), Seq("doc_id"), "left_anti")
+            .localCheckpoint()
+          val t1 = System.nanoTime()
+          val delta = operators.DedupOps
+            .incrementalSimhashDelta(corpusSk, bSk)
+          val nlabels = operators.DedupOps.ccIncrementalUpdate(
+              labels0, bSk.select("doc_id"), delta)
+            .localCheckpoint()
+          val n = nlabels.count()
+          val t2 = System.nanoTime()
+          val nsk = corpusSk.unionByName(bSk).localCheckpoint()
+          nsk.count()
+          val t3 = System.nanoTime()
+          val sec = (t3 - t0) / 1e9
+          val (sketchSec, updateSec, stateSec) =
+            ((t1 - t0) / 1e9, (t2 - t1) / 1e9, (t3 - t2) / 1e9)
+          // equivalence at scale (untimed): incremental ≡ rebuild
+          val mism = nlabels
+            .join(rebuiltCk.withColumnRenamed("cluster", "rc"), Seq("doc_id"),
+              "full")
+            .filter(not(col("cluster") <=> col("rc"))).count()
+          val line = s"""{"tag":"$tag","query":"ccinc_fold_pct$pct",""" +
+            s""""sec":${d2(sec)},"ok":${mism == 0L},"corpus":"$corpus",""" +
+            s""""docs":$n,"batch_pct":$pct,"label_mismatch":$mism,""" +
+            s""""sketch_sec":${d2(sketchSec)},""" +
+            s""""update_sec":${d2(updateSec)},""" +
+            s""""state_sec":${d2(stateSec)},""" +
+            s""""rebuild_sec":${d2(secR)},""" +
+            s""""speedup":${d2(secR / math.max(sec, 1e-9))}}"""
+          println(s"[scale] $line")
+          out.append(line).append('\n')
+          operators.DedupOps.freeLocalCheckpoint(corpusSk)
+          operators.DedupOps.freeLocalCheckpoint(labels0)
+          operators.DedupOps.freeLocalCheckpoint(bSk)
+          operators.DedupOps.freeLocalCheckpoint(nsk)
+          operators.DedupOps.freeLocalCheckpoint(nlabels)
+        }
+        operators.DedupOps.freeLocalCheckpoint(rebuiltCk)
+        ()
+      } catch {
+        case e: Throwable =>
+          graft.core.Core.releaseShared()
+          val line = s"""{"tag":"$tag","query":"ccinc",""" +
+            s""""ok":false,"corpus":"$corpus","error":""" +
+            s""""${e.getClass.getSimpleName}"}"""
+          println(s"[scale] $line")
+          out.append(line).append('\n')
+      }
+    }
+    if (sel.contains("ccinc")) runCcIncremental("sf10wide", Wide100Dir)
+    // the THIRD-decade economics row (5M docs): the fold's cost is a
+    // few corpus-linear label/rep passes + a delta-sized loop, so its
+    // advantage over the full rebuild WIDENS with the corpus — this is
+    // the decade where the ingest-vs-rebuild decision gets its real
+    // answer. 1% batch only (each pct re-builds its own standing
+    // state, untimed but wall-clock real at 5M docs). Needs the
+    // sf100wide driver-memory note (SPARK_DRIVER_MEM >= 96g).
+    if (sel.contains("ccinc1000")) {
+      if (!complete(Wide1000Dir, Seq("documents"))) {
+        println(s"[scale] generating $Wide1000Dir")
+        ScaleData.generateWide1000(spark, Wide1000Dir, ref)
+        markGenerated(Wide1000Dir)
+      }
+      runCcIncremental("sf100wide", Wide1000Dir, pcts = Seq(1))
+    }
+
+    // TOPK HUB CENSUS (round-12 verdict #5): dedup_simhash_topk's K+1
+    // pool-cut exactness has an adversarial-geometry blind spot — every
+    // sweep corpus's sketch graph is degree-benign. The hub corpus
+    // (ScaleData.generateHub: one template doc + 100k near-dup edit
+    // variants over a 200k background) realizes a heavy-tailed
+    // sketch-degree distribution; this census records the REALIZED
+    // geometry (distinct sketches, near-pair count, max/p99 degree,
+    // max same-sketch group) next to the timed contract query, and the
+    // `check` gate requires the hub to have materialized (max degree ≥
+    // 1,000) for the row to count as adversarial evidence. Exactness
+    // on hub geometry is asserted against brute force in DedupOpsSpec
+    // (a smaller in-test hub through the same generator).
+    def runTopkHub(tag: String, dir: String): Unit = {
+      import org.apache.spark.sql.functions._
+      try {
+        val sk = operators.DedupOps.simhash64SketchesOf(
+            graft.core.Core.table(spark, dir, "documents")
+              .select("doc_id", "lang", "source", "text"))
+          .localCheckpoint()
+        val reps = sk.groupBy("simhash")
+          .agg(min(col("doc_id")).as("rep_id"),
+            count(lit(1)).as("members"))
+          .localCheckpoint()
+        val nSketches = reps.count()
+        val maxMembers = reps.agg(max(col("members"))).head().getLong(0)
+        val deg = operators.DedupOps.comboJoin(
+            reps.select(col("rep_id").as("doc_id"), col("simhash")),
+            graft.functions.TextHash.Simhash64Bits,
+            operators.DedupOps.Simhash64HammingMax,
+            operators.DedupOps.Simhash64Blocks, _ =!= _)
+          .groupBy("a_sh").agg(count(lit(1)).as("deg"))
+        val ds = deg.agg(max(col("deg")).as("mx"),
+            expr("percentile_approx(deg, 0.99)").as("p99"),
+            coalesce(sum(col("deg")), lit(0L)).as("pairs")).head()
+        val (maxDeg, p99Deg, nearPairs) =
+          (ds.getLong(0), ds.getLong(1), ds.getLong(2))
+        operators.DedupOps.freeLocalCheckpoint(sk)
+        operators.DedupOps.freeLocalCheckpoint(reps)
+        val gline = s"""{"tag":"$tag","query":"hub_geometry",""" +
+          s""""ok":true,"corpus":"$corpus","sketches":$nSketches,""" +
+          s""""max_members":$maxMembers,"near_pairs":$nearPairs,""" +
+          s""""max_degree":$maxDeg,"p99_degree":$p99Deg}"""
+        println(s"[scale] $gline")
+        out.append(gline).append('\n')
+        val (sec, ok, _) = runOne("dedup_simhash_topk", dir)
+        val tline = s"""{"tag":"$tag","query":"dedup_simhash_topk",""" +
+          s""""sec":${d2(sec)},"ok":$ok,"corpus":"$corpus",""" +
+          s""""max_degree":$maxDeg,"algo":"${algoEra("dedup_simhash_topk")}"}"""
+        println(s"[scale] $tline")
+        out.append(tline).append('\n')
+        ()
+      } catch {
+        case e: Throwable =>
+          graft.core.Core.releaseShared()
+          val line = s"""{"tag":"$tag","query":"hub_geometry",""" +
+            s""""ok":false,"corpus":"$corpus","error":""" +
+            s""""${e.getClass.getSimpleName}"}"""
+          println(s"[scale] $line")
+          out.append(line).append('\n')
+      }
+    }
+    if (sel.contains("topkhub")) runTopkHub("hub", HubDir)
 
     // every line already flushed by JsonlAppender at its newline
     spark.stop()

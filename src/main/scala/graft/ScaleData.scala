@@ -245,4 +245,57 @@ object ScaleData {
     generate(s, outDir, refDir, nDocs = 5000000, nSources = 20000,
       nEmb = 8000, nEvents = 1000000, nUsers = 15000, variant = 4,
       docsOnly = true)
+
+  /** HUB-degree document set (round-12 verdict #5): the sweep corpora's
+    * sketch graphs are benign — degree bounded by the 31-word banded
+    * vocabulary's collision structure — and `dedup_simhash_topk`'s K+1
+    * pool-cut exactness argument has only been exercised there. This
+    * relation plants a heavy-tailed sketch-DEGREE geometry: one
+    * template document plus `nVariants` one/two-token-edit variants (a
+    * near-dup's SimHash moves only the bits whose vote margin the edit
+    * can cross, so the variants land in a dense Hamming cloud around
+    * the template's sketch — the "hub sketch with thousands of near
+    * sketch values" input that stresses the (1 + degree)·(K+1) pool
+    * window and the nearTop map-side cut), over a background of
+    * sf-shaped docs. The realized degree is MEASURED, not prescribed —
+    * the topkhub census records the sketch-degree distribution next to
+    * the timing, and the gate requires the hub to have actually
+    * materialized (max degree ≥ its floor) before the timing row
+    * counts as adversarial evidence. Exposed as a relation (no files)
+    * for the spec; [[generateHub]] writes the parquet corpus for the
+    * Scale mode. */
+  def hubDocsDf(s: SparkSession, refDir: String, nDocs: Long,
+      nVariants: Long, nSources: Int, variant: Long)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val vw = vocab(s, refDir)
+    val baseLen = 31
+    val rb = rng(variant, -1L)
+    val base = Array.fill(baseLen)(vw(rb.nextInt(vw.length)))
+    s.range(0, nDocs, 1, layoutFiles(s)).map { id =>
+      val r = rng(variant, id)
+      val text =
+        if (id < nVariants) {
+          val t = base.clone()
+          t(r.nextInt(baseLen)) = vw(r.nextInt(vw.length))
+          // two-edit variants widen the cloud (more DISTINCT sketch
+          // values at small Hamming) — the degree driver
+          if (id % 3 != 0) t(r.nextInt(baseLen)) = vw(r.nextInt(vw.length))
+          t.mkString(" ")
+        } else {
+          val len = 10 + r.nextInt(91)
+          Array.fill(len)(vw(r.nextInt(vw.length))).mkString(" ")
+        }
+      val lang = { val d = r.nextDouble()
+        if (d < 0.41) "en" else langs(((d - 0.41) / 0.1475).toInt.min(3)) }
+      Doc(id, text, lang, "src" + (id % nSources), text.length.toLong)
+    }.toDF()
+  }
+
+  /** [[hubDocsDf]] written as a documents-only corpus dir for the
+    * `topkhub` Scale mode. */
+  def generateHub(s: SparkSession, outDir: String, refDir: String): Unit =
+    hubDocsDf(s, refDir, nDocs = 200000, nVariants = 100000,
+      nSources = 800, variant = 11)
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/documents.parquet")
 }

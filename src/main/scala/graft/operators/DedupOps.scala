@@ -2239,7 +2239,11 @@ object DedupOps {
     // contract endpoints: corpus doc -> its cluster supernode, batch
     // doc -> itself. Left joins against the node-sized label relation,
     // SHJ-pinned (labels are corpus-scaled — no stats broadcast).
-    val contracted = deltaEdges
+    // shared: BOTH the touched-node set and the loop's edge relation
+    // read this plan — uncached, the corpus-sized label joins would
+    // re-execute once per reference inside the loop's first
+    // materialization (measured round 13: +6 s on the sf10wide fold)
+    val contracted = shared(deltaEdges
       .join(labelOf.select(col("x").as("n"), col("cx").as("cn"))
           .hint("shuffle_hash"),
         Seq("n"), "left")
@@ -2248,11 +2252,23 @@ object DedupOps {
         Seq("m"), "left")
       .select(coalesce(col("cn"), col("n")).as("n"),
         coalesce(col("cm"), col("m")).as("m"))
-      .filter(col("n") =!= col("m"))
-    val supers = oldLabels.select(col("cluster").as("doc_id")).distinct()
-      .unionByName(newNodes)
+      .filter(col("n") =!= col("m")))
+    // The (P,S) loop runs over the TOUCHED subgraph only — supernodes
+    // that appear as a contracted delta-edge endpoint (round-13: the
+    // first sf10wide decade measurement caught the loop running over
+    // EVERY old cluster id, which made the whole fold corpus-scaled —
+    // 12.6 s vs the 37.3 s rebuild, only 3x, because each segment's
+    // label relation carried ~|clusters| rows). An UNTOUCHED supernode
+    // is exact to skip: min-label propagation over the contracted
+    // graph can only merge components connected by a delta edge, so a
+    // supernode with no delta edge is its own component and its label
+    // is itself — precisely what the coalesce fallbacks below emit.
+    // Batch docs with no edges likewise stay their own cluster.
+    val touched = contracted.select(col("n").as("doc_id"))
+      .unionByName(contracted.select(col("m").as("doc_id")))
+      .distinct()
     val (superLabels, _, converged) =
-      ccPsLoop(supers, contracted, maxPairs, StarCcJumps)
+      ccPsLoop(touched, contracted, maxPairs, StarCcJumps)
     if (!converged) throw new IllegalStateException(
       s"ccIncrementalUpdate: supernode graph did not converge within " +
         s"$maxPairs (P,S) pairs — raising maxPairs is required before " +
@@ -2260,15 +2276,17 @@ object DedupOps {
         s"geometries need <= 15)")
     val superMap = superLabels
       .select(col("doc_id").as("sn"), col("cluster").as("sc"))
-    // total by construction: every old cluster value and every NEW
-    // batch doc IS a supernode row
+    // one corpus-sized left join rewrites affected labels; untouched
+    // rows (sn null) keep their cluster — total by construction
     oldLabels
       .join(superMap.hint("shuffle_hash"),
-        col("cluster") === col("sn"))
-      .select(col("doc_id"), col("sc").as("cluster"))
+        col("cluster") === col("sn"), "left")
+      .select(col("doc_id"), coalesce(col("sc"), col("cluster")).as("cluster"))
       .unionByName(newNodes
-        .join(superMap.hint("shuffle_hash"), col("doc_id") === col("sn"))
-        .select(col("doc_id"), col("sc").as("cluster")))
+        .join(superMap.hint("shuffle_hash"),
+          col("doc_id") === col("sn"), "left")
+        .select(col("doc_id"),
+          coalesce(col("sc"), col("doc_id")).as("cluster")))
   }
 
   /** The sketch-level DELTA edge set for an arriving batch against a
