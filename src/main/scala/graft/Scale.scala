@@ -837,6 +837,81 @@ object Scale {
         fails ::= s"ann_auto_planes ${n.path("tag").asText}: " +
           s"chose ${n.path("planes").asInt}, occupancy rule says $want"
     }
+    // incremental-CC economics gates (round 13): the LATEST fold row
+    // per (tag, pct) must be equivalence-green (ok encodes
+    // label_mismatch == 0 — the spec's incremental ≡ rebuild,
+    // re-asserted at decade scale every sweep) AND keep its measured
+    // ingest-vs-rebuild advantage (a regression to a corpus-scaled
+    // supernode loop — the defect this sweep's first run caught —
+    // shows up as speedup collapsing toward 1).
+    val ccincFloor = Map(("sf10wide", 1) -> 1.8, ("sf10wide", 10) -> 1.3,
+      ("sf100wide", 1) -> 2.5)
+    for (((tag, pct), floor) <- ccincFloor.toSeq.sortBy(_.toString)) {
+      rows.filter(n =>
+        n.path("query").asText == s"ccinc_fold_pct$pct" &&
+          n.path("tag").asText == tag).lastOption match {
+        case Some(n) =>
+          checked += 1
+          if (!n.path("ok").asBoolean(false))
+            fails ::= s"ccinc_fold_pct$pct at $tag: latest row not ok " +
+              s"(label_mismatch=${n.path("label_mismatch").asLong(-1)})"
+          else if (n.path("speedup").asDouble(0.0) < floor)
+            fails ::= f"ccinc_fold_pct$pct at $tag: speedup " +
+              f"${n.path("speedup").asDouble(0.0)}%.2fx below $floor%.1fx " +
+              "floor (incremental advantage regressed)"
+          else println(f"[scale-check] ok   ccinc_fold_pct$pct%-14s " +
+            f"$tag%-9s speedup ${n.path("speedup").asDouble}%5.2fx " +
+            f"(floor $floor%.1fx, mismatch 0)")
+        case None =>
+          println(s"[scale-check] skip ccinc_fold_pct$pct $tag (no row)")
+      }
+    }
+    // hub census gates (round 13): the LATEST hub_geometry row must
+    // certify the hub MATERIALIZED (otherwise the topk timing row is
+    // benign-geometry evidence wearing an adversarial name), and the
+    // latest hub-tag topk row must be ok within the current algo era.
+    rows.filter(n => n.path("query").asText == "hub_geometry" &&
+        n.path("tag").asText == "hub").lastOption.foreach { n =>
+      checked += 1
+      // floor 300: the text-realizable ceiling is ~520 whatever the
+      // template length (near-dup text collapses to equal sketches —
+      // ScaleData.hubDocsDf's scaladoc); the PRESCRIBED 10k-degree
+      // geometry is gated separately on the hubsynth rows below
+      if (!n.path("ok").asBoolean(false))
+        fails ::= "hub_geometry latest row failed — census unusable"
+      else if (n.path("max_degree").asLong(0) < 300)
+        fails ::= s"hub max sketch degree ${n.path("max_degree").asLong(0)}" +
+          " below 300 — hub did not materialize, regenerate the corpus"
+      else println(f"[scale-check] ok   hub_geometry      max_degree " +
+        f"${n.path("max_degree").asLong}%d p99 ${n.path("p99_degree").asLong}%d")
+      rows.filter(r => r.path("query").asText == "dedup_simhash_topk" &&
+          r.path("tag").asText == "hub" &&
+          r.path("algo").asText("") == algoEra("dedup_simhash_topk"))
+        .lastOption match {
+        case Some(t) if t.path("ok").asBoolean(false) =>
+          println(f"[scale-check] ok   topk-on-hub       " +
+            f"${t.path("sec").asDouble}%.1fs")
+        case Some(_) => fails ::= "dedup_simhash_topk failed on the hub corpus"
+        case None => fails ::= "hub geometry recorded but no topk-on-hub " +
+          "row in the current algo era — re-run topkhub"
+      }
+      // the PRESCRIBED 10k-degree sketch-level leg: latest row must be
+      // ok in the current algo era (degree is exact by construction,
+      // so no materialization floor is needed)
+      rows.filter(r => r.path("query").asText == "simhash_topk_core" &&
+          r.path("tag").asText == "hubsynth" &&
+          r.path("algo").asText("") == algoEra("dedup_simhash_topk"))
+        .lastOption match {
+        case Some(t) if t.path("ok").asBoolean(false) =>
+          println(f"[scale-check] ok   topk-synth-hub    " +
+            f"${t.path("sec").asDouble}%.1fs at degree " +
+            f"${t.path("hub_degree").asLong}%d")
+        case Some(_) =>
+          fails ::= "simhash_topk_core failed on the 10k-degree synth hub"
+        case None => fails ::= "hub geometry recorded but no synth-hub " +
+          "row in the current algo era — re-run topkhub"
+      }
+    }
     if (fails.nonEmpty) {
       fails.foreach(f => println(s"[scale-check] FAIL $f"))
       1
@@ -1847,6 +1922,36 @@ object Scale {
           s""""max_degree":$maxDeg,"algo":"${algoEra("dedup_simhash_topk")}"}"""
         println(s"[scale] $tline")
         out.append(tline).append('\n')
+        // PRESCRIBED-degree sketch-level leg: text cannot realize a
+        // 10k-near-value hub (the census above measured the ~520
+        // ceiling — see ScaleData.hubDocsDf), so the
+        // (1 + degree)·(K+1) pool input at the verdict's geometry runs
+        // on the operator CORE over a synthetic sketch relation —
+        // identical plan, degree exact by construction. 10,000 near
+        // values × 3 members + a 50k-member hub group + 1M background.
+        graft.core.Core.releaseShared()
+        spark.catalog.clearCache()
+        System.gc()
+        drainJit()
+        val tS = System.nanoTime()
+        val okS = try {
+          operators.DedupOps.simhashTopKGlobalOf(
+              ScaleData.hubSketchesDf(spark, hubDegree = 10000,
+                membersPerValue = 3, hubMembers = 50000,
+                nBackground = 1000000))
+            .write.format("noop").mode("overwrite").save()
+          true
+        } catch { case e: Throwable =>
+          System.err.println(s"[scale] topk synth hub FAILED: ${e.getMessage}")
+          false
+        }
+        val secS = (System.nanoTime() - tS) / 1e9
+        val sline = s"""{"tag":"hubsynth","query":"simhash_topk_core",""" +
+          s""""sec":${d2(secS)},"ok":$okS,"corpus":"$corpus",""" +
+          s""""hub_degree":10000,"hub_members":50000,""" +
+          s""""algo":"${algoEra("dedup_simhash_topk")}"}"""
+        println(s"[scale] $sline")
+        out.append(sline).append('\n')
         ()
       } catch {
         case e: Throwable =>

@@ -269,6 +269,18 @@ object ScaleData {
       : org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val vw = vocab(s, refDir)
+    // Template length MEASURED at 21/31/101 tokens: realized max
+    // sketch-VALUE degree is ~520 at every setting — the cap is the
+    // background corpus's own sketch density, not the hub, because
+    // near-dup text COLLAPSES to equal/near sketch values (the
+    // sketch's purpose) and only the template's low-margin bits are
+    // reachable by token edits. What the text-level hub DOES plant is
+    // the giant same-sketch group (82k members at len 101; 27k at 31)
+    // plus a dense ~520-degree neighborhood — the realizable-by-
+    // documents adversarial shape. The PRESCRIBED-degree geometry
+    // (10k+ near values) cannot arise from text and is censused at
+    // the sketch level instead: [[hubSketchesDf]] + the operator core
+    // `DedupOps.simhashTopKGlobalOf`.
     val baseLen = 31
     val rb = rng(variant, -1L)
     val base = Array.fill(baseLen)(vw(rb.nextInt(vw.length)))
@@ -298,4 +310,50 @@ object ScaleData {
     hubDocsDf(s, refDir, nDocs = 200000, nVariants = 100000,
       nSources = 800, variant = 11)
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/documents.parquet")
+
+  /** PRESCRIBED-degree synthetic sketch relation (doc_id, simhash) for
+    * the sketch-level hub census: a template 62-bit value T, exactly
+    * `hubDegree` DISTINCT values within Hamming ≤ 3 of T (all 62
+    * 1-flips, all 1,891 2-flips, then deterministic 3-flips until the
+    * degree is met — every one is near T by construction, so T's
+    * sketch-VALUE degree IS hubDegree), `membersPerValue` member docs
+    * per near value, a `hubMembers`-doc same-sketch group AT T, and a
+    * far background of uniform sketches (Hamming ≫ 3 from T with
+    * overwhelming probability). This is the (1 + degree)·(K+1)
+    * pool-window input at a degree document text cannot realize. */
+  def hubSketchesDf(s: SparkSession, hubDegree: Int, membersPerValue: Int,
+      hubMembers: Int, nBackground: Long)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, expr, lit}
+    require(hubDegree <= 62 + 1891 + 37820, "degree exceeds the <=3 ball")
+    val t = 0x2AAAAAAAAAAAAAAAL & ((1L << 62) - 1) // alternating-bit template
+    // deterministic enumeration of distinct flip masks in (1,2,3)-bit
+    // order — Hamming from T equals the popcount of the mask
+    val flips = new scala.collection.mutable.ArrayBuffer[Long](hubDegree)
+    var done = false
+    for (i <- 0 until 62 if !done) {
+      flips += (1L << i); done = flips.size >= hubDegree
+    }
+    for (i <- 0 until 62 if !done; j <- (i + 1) until 62 if !done) {
+      flips += (1L << i) | (1L << j); done = flips.size >= hubDegree
+    }
+    for (i <- 0 until 62 if !done; j <- (i + 1) until 62 if !done;
+        l <- (j + 1) until 62 if !done) {
+      flips += (1L << i) | (1L << j) | (1L << l)
+      done = flips.size >= hubDegree
+    }
+    val nearValues = flips.take(hubDegree).map(t ^ _).toSeq
+    val near = s.createDataset(nearValues.zipWithIndex.flatMap {
+      case (sh, vi) => (0 until membersPerValue).map(m =>
+        (1000000L + vi.toLong * membersPerValue + m, sh))
+    })(org.apache.spark.sql.Encoders.product[(Long, Long)])
+      .toDF("doc_id", "simhash")
+    val hub = s.range(0, hubMembers, 1, layoutFiles(s))
+      .select(col("id").as("doc_id"), lit(t).as("simhash"))
+    val bg = s.range(0, nBackground, 1, layoutFiles(s))
+      .select((col("id") + 100000000L).as("doc_id"),
+        expr(s"abs(xxhash64(id)) % ${1L << 62}").as("simhash"))
+    hub.unionByName(near).unionByName(bg)
+  }
 }

@@ -1827,8 +1827,22 @@ object DedupOps {
     * the DuckDB oracle; docs with NO neighbor within the threshold are
     * absent by contract (their pool is only themselves). */
   private[graft] def simhashTopKGlobal(s: SparkSession, dir: String,
+      k: Int = SimhashTopK): DataFrame =
+    simhashTopKGlobalOf(simhash64Sketches(s, dir), k)
+
+  /** The operator core over an explicit (doc_id, simhash) relation —
+    * factored (round 13) so the prescribed-degree hub census
+    * ([[graft.ScaleData.hubSketchesDf]]) and its brute-force spec can
+    * drive the IDENTICAL plan with a synthetic sketch graph: a true
+    * 10k-near-value hub cannot arise from document text (near-dup text
+    * collapses to equal/near sketch VALUES — that is the sketch's
+    * purpose — and only a template's low-margin bits are reachable by
+    * token edits; measured ceiling ~520 distinct near values whatever
+    * the template length), so the degree-adversarial evidence is
+    * sketch-level by necessity. */
+  private[graft] def simhashTopKGlobalOf(sketches: DataFrame,
       k: Int = SimhashTopK): DataFrame = {
-    val sk = shared(simhash64Sketches(s, dir))
+    val sk = shared(sketches)
     val byId = Window.partitionBy("simhash").orderBy("doc_id")
     val topm = shared(sk
       .withColumn("rk", row_number().over(byId))

@@ -710,6 +710,33 @@ class DedupOpsSpec extends AnyFunSuite {
     graft.core.Core.releaseShared()
   }
 
+  test("top-K core == brute force on a PRESCRIBED-degree sketch hub") {
+    // degree ≫ K by construction (500 distinct near values around one
+    // template — text cannot realize this; see hubSketchesDf) so the
+    // nearTop and pool K+1 cuts actually discard thousands of
+    // candidates; any exactness error in either cut surfaces here
+    val k = DedupOps.SimhashTopK
+    val sk = ScaleData.hubSketchesDf(spark, hubDegree = 500,
+      membersPerValue = 2, hubMembers = 300, nBackground = 1500)
+    val sks = sk.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(sks.map(_._1).distinct.length == sks.length, "doc_id collision")
+    val want = sks.flatMap { case (d, sh) =>
+      sks.filter { case (o, osh) =>
+          o != d && java.lang.Long.bitCount(sh ^ osh) <= DedupOps.Simhash64HammingMax }
+        .map { case (o, osh) => (o, java.lang.Long.bitCount(sh ^ osh)) }
+        .sortBy { case (o, h) => (h, o) }
+        .take(k).zipWithIndex
+        .map { case ((o, h), i) => (d, i + 1, o, h) }
+    }.toSet
+    val got = DedupOps.simhashTopKGlobalOf(sk)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    assert(want.nonEmpty)
+    assert(got == want)
+    graft.core.Core.releaseShared()
+  }
+
   test("incremental CC update == full rebuild when a batch bridges two " +
     "existing clusters") {
     // corpus: two chain components {0..4} and {10..14}; batch doc 100
