@@ -767,6 +767,36 @@ class DedupOpsSpec extends AnyFunSuite {
     graft.core.Core.releaseShared()
   }
 
+  test("incremental CC update: degenerate deltas (no edges, edge-less " +
+    "batch docs, empty batch)") {
+    // the round-13 touched-subgraph restriction must keep the totality
+    // guarantees: an EMPTY delta edge set leaves every old label
+    // unchanged and labels every batch doc as itself (both via the
+    // coalesce fallbacks — no supernode ever enters the loop)
+    import spark.implicits._
+    val oldLabels = Seq((0L, 0L), (1L, 0L), (7L, 7L)).toDF("doc_id", "cluster")
+    val noEdges = Seq.empty[(Long, Long)].toDF("n", "m")
+    val got1 = DedupOps.ccIncrementalUpdate(oldLabels,
+        Seq(20L, 21L).toDF("doc_id"), noEdges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got1 == Map(0L -> 0L, 1L -> 0L, 7L -> 7L, 20L -> 20L, 21L -> 21L))
+    // empty batch, edges only BETWEEN existing clusters (a late edge
+    // discovery): clusters 0 and 7 merge, no batch rows appear
+    val got2 = DedupOps.ccIncrementalUpdate(oldLabels,
+        Seq.empty[Long].toDF("doc_id"),
+        Seq((0L, 7L), (7L, 0L)).toDF("n", "m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == Map(0L -> 0L, 1L -> 0L, 7L -> 0L))
+    // a batch doc with edges PLUS one without: only the touched
+    // subgraph loops, the isolated doc still gets its own label row
+    val got3 = DedupOps.ccIncrementalUpdate(oldLabels,
+        Seq(20L, 21L).toDF("doc_id"),
+        Seq((20L, 7L), (7L, 20L)).toDF("n", "m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got3 == Map(0L -> 0L, 1L -> 0L, 7L -> 7L, 20L -> 7L, 21L -> 21L))
+    graft.core.Core.releaseShared()
+  }
+
   test("incremental CC update == union-find on random graphs and splits") {
     // randomized regression net over the contraction argument: random
     // sparse shuffled-id graphs, random corpus/batch node splits
