@@ -126,4 +126,23 @@ object EngineProperties extends Properties("engine") {
       val zero = if (budget == 0L) !keep.contains(true) else true
       prefixClosed && bounded && total && zero
     }
+
+  /** The √n k-routing rule (round 13 — dedup_semdedup /
+    * sim_ann_ivf_rerank): minimal menu choice under n ≤ k²·occ,
+    * monotone in n, saturating at the menu's last entry. */
+  property("semDedupKFor picks the minimal bounding menu k, monotone, saturating") =
+    Prop.forAll(Gen.chooseNum(1L, 5000000L)) { n =>
+      import graft.operators.SimilarityOps._
+      val k = semDedupKFor(n)
+      val occ = SemDedupOcc
+      val menu = SemDedupKConfigs
+      val inMenu = menu.contains(k)
+      // bounding (unless saturated), and MINIMAL among bounding entries
+      val bounds = n <= k.toLong * k * occ || k == menu.last
+      val minimal = menu.filter(_ < k)
+        .forall(sm => n > sm.toLong * sm * occ)
+      // monotone: one more row can never shrink k
+      val mono = semDedupKFor(n + 1) >= k
+      inMenu && bounds && minimal && mono
+    }
 }
