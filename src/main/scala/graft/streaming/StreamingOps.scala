@@ -192,6 +192,16 @@ object StreamingOps {
           b.select("doc_id", "lang", "source", "text"))
         state.set((nsk, nlabels))
         onBatch(nlabels, id)
+        // the stream OWNS the state relations (including the seed pair
+        // the caller passed): the new state is materialized (eager
+        // localCheckpoints in clusterMaintainStep), so the superseded
+        // pair's checkpoint blocks have no later reader — free them
+        // now, or a long-running stream retains one corpus-sized block
+        // set per micro-batch until GC (the ccPsLoop retention class,
+        // ADVICE r12). Do NOT read a state relation you handed to this
+        // stream after it has started.
+        graft.operators.DedupOps.freeLocalCheckpoint(sk)
+        graft.operators.DedupOps.freeLocalCheckpoint(labels)
         graft.core.Core.releaseShared()
       }
 
