@@ -15,7 +15,8 @@ import org.apache.spark.sql.SparkSession
   *
   * Usage: runMain graft.Scale [gen|sf0.1|dense|wide|wide100|wide1000|
   * embscale|fixpoint|fixpointstar|fixpointadv|annplanes|annrecall|
-  * ivfpqrecall|bpebatch|ccinc|ccinc1000|topkhub|check]
+  * ivfpqrecall|bpebatch|ccinc|ccinc1000|ccincups|ccincups1000|
+  * topkhub|embscale1000|check]
   * [--only=q1,q2,...]
   * (no args = gen + all three sweeps; results append to
   * docs/scale_results.jsonl and print as JSON lines). `fixpoint`
@@ -39,6 +40,7 @@ object Scale {
   private val Emb1Dir = "target/testdata/emb1x"
   private val Emb10Dir = "target/testdata/emb10x"
   private val Emb100Dir = "target/testdata/emb100x"
+  private val Emb1000Dir = "target/testdata/emb1000x"
   private val HubDir = "target/testdata/hub"
 
   /** The sweep baseline: the driver's read-only sf0.1 corpus repacked
@@ -697,7 +699,8 @@ object Scale {
     }
     val embCandidateBound = Set("sim_ann_lsh_auto")
     for (q <- embQueries;
-        (baseTag, bigTag) <- Seq("emb1x" -> "emb10x", "emb10x" -> "emb100x");
+        (baseTag, bigTag) <- Seq("emb1x" -> "emb10x",
+          "emb10x" -> "emb100x", "emb100x" -> "emb1000x");
         band = embBands.getOrElse(q, 15.0)) {
       (median(q, baseTag), median(q, bigTag)) match {
         case (Some(base), Some(big)) =>
@@ -1057,6 +1060,12 @@ object Scale {
         gen(spark, d, ref)
         markGenerated(d)
       }
+    }
+    if (sel.contains("embscale1000") &&
+        !complete(Emb1000Dir, Seq("documents", "embeddings"))) {
+      println(s"[scale] generating $Emb1000Dir")
+      ScaleData.generateEmb1000(spark, Emb1000Dir, ref)
+      markGenerated(Emb1000Dir)
     }
 
     // Representative warmup (same rationale as Bench): the first query
@@ -1492,7 +1501,8 @@ object Scale {
     // record, pointed at each emb corpus — full LSH multiprobe plus
     // IVF routing recall (exact rerank) at the √n coarse sizing, so
     // the decades carry accuracy evidence next to their wall times.
-    def runEmbRecall(tag: String, dir: String, ivfK: Int): Unit = {
+    def runEmbRecall(tag: String, dir: String, ivfK: Int,
+        fixedPlanes: Boolean = true): Unit = {
       // guarded like every other sweep writer (self-review round 12):
       // a transient failure must record an ok:false row and let the
       // remaining corpora/modes run, not abort the invocation
@@ -1501,14 +1511,23 @@ object Scale {
         try {
         val n = emb.count() // materialize outside the timers
         graft.core.Core.releaseShared()
-        val t0 = System.nanoTime()
-        val rec = operators.SimilarityOps.annRecallMean(spark, emb)
-        val sec = (System.nanoTime() - t0) / 1e9
-        val line = s"""{"tag":"$tag","query":"ann_recall_multiprobe",""" +
-          s""""sec":${d2(sec)},"ok":true,"corpus":"$corpus",""" +
-          s""""recall":${d2(rec)}}"""
-        println(s"[scale] $line")
-        out.append(line).append('\n')
+        // the FIXED contract-planes row (8 planes) is a toy
+        // configuration whose in-bucket quadratic (n²/256) is exactly
+        // what the occupancy rule exists to prevent — measured through
+        // three decades as the decay datapoint; at emb1000x (2M
+        // vectors, 1.6e10 in-bucket pairs) it is skipped by design and
+        // the decade records the DEPLOYED auto-sized config + the IVF
+        // rerank rows only (fixedPlanes = false).
+        if (fixedPlanes) {
+          val t0 = System.nanoTime()
+          val rec = operators.SimilarityOps.annRecallMean(spark, emb)
+          val sec = (System.nanoTime() - t0) / 1e9
+          val line = s"""{"tag":"$tag","query":"ann_recall_multiprobe",""" +
+            s""""sec":${d2(sec)},"ok":true,"corpus":"$corpus",""" +
+            s""""recall":${d2(rec)}}"""
+          println(s"[scale] $line")
+          out.append(line).append('\n')
+        }
         // the DEPLOYED configuration's recall (self-review round 12:
         // the gated row above runs the fixed contract Planes=8, but
         // the decade's TIMED query is the auto-sized config — its
@@ -1735,6 +1754,23 @@ object Scale {
         runEmbRecall("emb100x", Emb100Dir, ivfK = 447)
       }
     }
+    // The FOURTH embedding decade (round 14, r13 verdict #2): 2M
+    // vectors — the exact saturation point of the pre-r14 routing menu
+    // (320²·20 = 2.048M), now a measured decade with the extended menu
+    // {…, 320, 1000, 3200} carrying two decades of headroom above it.
+    // Separate mode (the sweep runs ~n^1.5 pair mass ≈ 31.6x emb100x's
+    // — tens of minutes, priced independently of the affordable
+    // embscale trio). √n IVF sizing 1414 per the decade convention;
+    // the fixed-8-planes recall row is skipped by design (see
+    // runEmbRecall).
+    if (sel.contains("embscale1000")) {
+      sweep("emb1000x", Emb1000Dir)
+      if (only.isEmpty) {
+        runAnnPlanes("emb1000x", Emb1000Dir)
+        runEmbRecall("emb1000x", Emb1000Dir, ivfK = 1414,
+          fixedPlanes = false)
+      }
+    }
     if (sel.contains("fixpointadv")) runFixpointAdv()
     if (sel.contains("annrecall")) runAnnRecall()
     if (sel.contains("ivfpqrecall")) runIvfpqRecall()
@@ -1856,6 +1892,145 @@ object Scale {
       }
     }
     if (sel.contains("ccinc")) runCcIncremental("sf10wide", Wide100Dir)
+
+    // STATE-TABLE UPSERT fold (round 14, r13 verdict #4): the
+    // deployment form past the full-rewrite harness's measured ceiling
+    // (3.57x at 5M docs — SCALE.md r13's attribution: the remaining
+    // cost was the corpus-rep re-derivation, the redelivery anti-join
+    // against corpus-sized state, two corpus-exchange relabel joins,
+    // and the corpus-sized output rewrite). Standing state = sketch
+    // rows + the (simhash, rep_id) index + labels, all built UNTIMED
+    // (amortized across every prior ingest). The TIMED fold pays:
+    // batch sketching + a known-doc probe that SCANS the sketch state
+    // against the broadcast batch ids (no corpus exchange), delta
+    // edges probed against the STANDING rep index with the batch side
+    // broadcast (comboProbeIndex — the index is scanned map-side), the
+    // touched-subgraph supernode loop, and THREE batch-bounded state
+    // upserts (sketch append = bSk itself, rep upserts, label
+    // upserts). No corpus-sized rewrite, no state re-materialization —
+    // per-fold state I/O is recorded on the row (n_label_upserts /
+    // n_rep_upserts) and gated batch-bounded by `check`. Equivalence
+    // is still absolute: the merged view (old labels minus upserted
+    // ids, union upserts) must match the full rebuild label-for-label.
+    def runCcIncrementalUpsert(tag: String, dir: String,
+        pcts: Seq[Int] = Seq(1)): Unit = {
+      import org.apache.spark.sql.functions._
+      try {
+        val docs = graft.core.Core.table(spark, dir, "documents")
+          .select("doc_id", "lang", "source", "text")
+        graft.core.Core.releaseShared()
+        spark.catalog.clearCache()
+        System.gc()
+        drainJit()
+        val tR = System.nanoTime()
+        val skAll = operators.DedupOps.simhash64SketchesOf(docs)
+          .localCheckpoint()
+        val rebuiltCk = operators.DedupOps.ccFixpoint(
+            skAll.select("doc_id"),
+            operators.DedupOps.edgesFromSketches(skAll))
+          .localCheckpoint()
+        val nAll = rebuiltCk.count()
+        val secR = (System.nanoTime() - tR) / 1e9
+        val rline = s"""{"tag":"$tag","query":"ccincups_rebuild",""" +
+          s""""sec":${d2(secR)},"ok":true,"corpus":"$corpus",""" +
+          s""""docs":$nAll}"""
+        println(s"[scale] $rline")
+        out.append(rline).append('\n')
+        operators.DedupOps.freeLocalCheckpoint(skAll)
+        for (pct <- pcts) {
+          graft.core.Core.releaseShared()
+          val isBatch = col("doc_id") % 100 < pct
+          // standing state (untimed): sketch rows, rep index, labels
+          val corpusSk = operators.DedupOps
+            .simhash64SketchesOf(docs.filter(!isBatch)).localCheckpoint()
+          val corpusReps = operators.DedupOps.sketchRepIndex(corpusSk)
+            .localCheckpoint()
+          corpusReps.count()
+          val labels0 = operators.DedupOps.ccFixpoint(
+              corpusSk.select("doc_id"),
+              operators.DedupOps.edgesFromSketches(corpusSk))
+            .localCheckpoint()
+          labels0.count()
+          graft.core.Core.releaseShared()
+          spark.catalog.clearCache()
+          System.gc()
+          drainJit()
+          val batch = docs.filter(isBatch)
+          val t0 = System.nanoTime()
+          val bSk0 = operators.DedupOps.simhash64SketchesOf(batch)
+          // known-doc defence as a broadcast-probe SCAN of the sketch
+          // state (the redelivery anti-join was 68 s of the r13 fold)
+          val knownIds = corpusSk.select("doc_id")
+            .join(broadcast(bSk0.select("doc_id")), Seq("doc_id"),
+              "left_semi")
+          val bSk = bSk0
+            .join(broadcast(knownIds), Seq("doc_id"), "left_anti")
+            .localCheckpoint()
+          val t1 = System.nanoTime()
+          val delta = operators.DedupOps
+            .incrementalSimhashDeltaIndexed(corpusReps, bSk)
+          val ups = operators.DedupOps.ccIncrementalUpsert(
+              labels0, bSk.select("doc_id"), delta)
+            .localCheckpoint()
+          val nUps = ups.count()
+          val t2 = System.nanoTime()
+          val repUps = operators.DedupOps
+            .sketchRepUpsert(corpusReps, bSk).localCheckpoint()
+          val nRepUps = repUps.count()
+          val t3 = System.nanoTime()
+          val sec = (t3 - t0) / 1e9
+          val (sketchSec, updateSec, stateSec) =
+            ((t1 - t0) / 1e9, (t2 - t1) / 1e9, (t3 - t2) / 1e9)
+          // equivalence at scale (untimed): merged state ≡ rebuild
+          val merged = labels0
+            .join(ups.select("doc_id"), Seq("doc_id"), "left_anti")
+            .unionByName(ups)
+          val mism = merged
+            .join(rebuiltCk.withColumnRenamed("cluster", "rc"),
+              Seq("doc_id"), "full")
+            .filter(not(col("cluster") <=> col("rc"))).count()
+          val nBatch = bSk.count()
+          val line = s"""{"tag":"$tag","query":"ccincups_fold_pct$pct",""" +
+            s""""sec":${d2(sec)},"ok":${mism == 0L},"corpus":"$corpus",""" +
+            s""""docs":$nAll,"batch_pct":$pct,"label_mismatch":$mism,""" +
+            s""""n_batch":$nBatch,"n_label_upserts":$nUps,""" +
+            s""""n_rep_upserts":$nRepUps,""" +
+            s""""sketch_sec":${d2(sketchSec)},""" +
+            s""""update_sec":${d2(updateSec)},""" +
+            s""""state_sec":${d2(stateSec)},""" +
+            s""""rebuild_sec":${d2(secR)},""" +
+            s""""speedup":${d2(secR / math.max(sec, 1e-9))}}"""
+          println(s"[scale] $line")
+          out.append(line).append('\n')
+          operators.DedupOps.freeLocalCheckpoint(corpusSk)
+          operators.DedupOps.freeLocalCheckpoint(corpusReps)
+          operators.DedupOps.freeLocalCheckpoint(labels0)
+          operators.DedupOps.freeLocalCheckpoint(bSk)
+          operators.DedupOps.freeLocalCheckpoint(ups)
+          operators.DedupOps.freeLocalCheckpoint(repUps)
+        }
+        operators.DedupOps.freeLocalCheckpoint(rebuiltCk)
+        ()
+      } catch {
+        case e: Throwable =>
+          graft.core.Core.releaseShared()
+          val line = s"""{"tag":"$tag","query":"ccincups",""" +
+            s""""ok":false,"corpus":"$corpus","error":""" +
+            s""""${e.getClass.getSimpleName}"}"""
+          println(s"[scale] $line")
+          out.append(line).append('\n')
+      }
+    }
+    if (sel.contains("ccincups"))
+      runCcIncrementalUpsert("sf10wide", Wide100Dir)
+    if (sel.contains("ccincups1000")) {
+      if (!complete(Wide1000Dir, Seq("documents"))) {
+        println(s"[scale] generating $Wide1000Dir")
+        ScaleData.generateWide1000(spark, Wide1000Dir, ref)
+        markGenerated(Wide1000Dir)
+      }
+      runCcIncrementalUpsert("sf100wide", Wide1000Dir)
+    }
     // the THIRD-decade economics row (5M docs): the fold's cost is a
     // few corpus-linear label/rep passes + a delta-sized loop, so its
     // advantage over the full rebuild WIDENS with the corpus — this is
@@ -1881,7 +2056,10 @@ object Scale {
     // geometry (distinct sketches, near-pair count, max/p99 degree,
     // max same-sketch group) next to the timed contract query, and the
     // `check` gate requires the hub to have materialized (max degree ≥
-    // 1,000) for the row to count as adversarial evidence. Exactness
+    // 300 — the 62-bit sketch quantizes away most planted edit pairs,
+    // so the text-REALIZABLE ceiling is ~520 whatever hubDegree asks
+    // for; see the gate site) for the row to count as adversarial
+    // evidence. Exactness
     // on hub geometry is asserted against brute force in DedupOpsSpec
     // (a smaller in-test hub through the same generator).
     def runTopkHub(tag: String, dir: String): Unit = {

@@ -208,7 +208,12 @@ object ScaleData {
   val embGeometry: Map[String, (Long, Int)] = Map(
     "emb1x" -> ((2000L, 45)),
     "emb10x" -> ((20000L, 141)),
-    "emb100x" -> ((200000L, 447)))
+    "emb100x" -> ((200000L, 447)),
+    // the FOURTH decade (round 14, r13 verdict #2): 2M vectors — the
+    // exact point the pre-r14 routing menu saturated (320²·20 =
+    // 2.048M); measuring it makes k = 320 a certified decade and
+    // leaves the extended menu {1000, 3200} two decades of headroom
+    "emb1000x" -> ((2000000L, 1414)))
 
   /** The clustered-regime BASE (contract-scale 2,000 vectors): the
     * emb decades' growth factors compare clustered-vs-clustered, not
@@ -225,6 +230,10 @@ object ScaleData {
   def generateEmb100(s: SparkSession, outDir: String, refDir: String): Unit =
     generateEmbScale(s, outDir, refDir, nVec = embGeometry("emb100x")._1,
       nClusters = embGeometry("emb100x")._2, variant = 6)
+
+  def generateEmb1000(s: SparkSession, outDir: String, refDir: String): Unit =
+    generateEmbScale(s, outDir, refDir, nVec = embGeometry("emb1000x")._1,
+      nClusters = embGeometry("emb1000x")._2, variant = 8)
 
   def generateEmbScale(s: SparkSession, outDir: String, refDir: String,
       nVec: Long, nClusters: Int, variant: Long): Unit = {

@@ -2057,7 +2057,7 @@ object DedupOps {
   private[graft] def ccDoubled(nodes: DataFrame, edges: DataFrame,
       pairs: Int, truncate: Boolean = true,
       jumps: Int = StarCcJumps): DataFrame =
-    if (truncate) ccPsLoop(nodes, edges, pairs, jumps)._1
+    if (truncate) ccPsLoop(nodes, edges, pairs, jumps, certEvery = 2)._1
     else {
       val selfEdges = shared(withSelfLoops(nodes, edges)
         .repartition(SkewJoin.defaultParts(nodes.sparkSession), col("m")))
@@ -2085,8 +2085,10 @@ object DedupOps {
     * segment's analyzed plan is constant-size, the GraphX/Pregel
     * per-superstep persist). Runs with AQE disabled (see
     * [[ccDoubled]]'s scaladoc — fixed-shape pinned label joins, the
-    * per-segment re-planning was the measured driver cost; the conf is
-    * restored on exit).
+    * per-segment re-planning was the measured driver cost) in a
+    * CLONED session since round 14, so the flip is invisible to
+    * concurrent queries on the caller's session (see the body
+    * comment).
     *
     * Convergence check is one node-sized aggregate per segment, no
     * join: labels are per-node NON-INCREASING under both steps
@@ -2099,13 +2101,53 @@ object DedupOps {
     * certifies convergence) — the same counting contract the round-11
     * census rows recorded with the join-based check. */
   private def ccPsLoop(nodes: DataFrame, edges: DataFrame,
-      maxPairs: Int, jumps: Int): (DataFrame, Int, Boolean) =
-    withConf(nodes.sparkSession, "spark.sql.adaptive.enabled", "false") {
-      val e = withSelfLoops(nodes, edges)
-        .repartition(SkewJoin.defaultParts(nodes.sparkSession), col("m"))
-        .localCheckpoint()
-      var labels = nodes.select(col("doc_id"), col("doc_id").as("cluster"))
-        .localCheckpoint()
+      maxPairs: Int, jumps: Int, certEvery: Int = 1)
+      : (DataFrame, Int, Boolean) = {
+    val origin = nodes.sparkSession
+    // Materialize both loop inputs under the CALLER's session/conf
+    // (explicit repartition counts — AQE-stable), then run the
+    // fixed-shape segments in a CLONED session with AQE off (round 14,
+    // r13 verdict #7 / ADVICE r12): the previous `withConf` flipped
+    // `spark.sql.adaptive.enabled` SESSION-GLOBALLY for the loop's
+    // duration — from the stream-execution thread under
+    // clusterMaintenanceStream — so any concurrent query on the same
+    // SparkSession silently ran with AQE off, and racing restores
+    // could leave the session flipped. The clone shares the
+    // SparkContext and block manager (localCheckpoints and frees cross
+    // the boundary untouched) but owns its conf, so the flip is
+    // invisible outside the loop — asserted by a concurrent-poll spec
+    // in StreamingOpsSpec. Handoff mechanics: the two checkpointed
+    // inputs cross via GLOBAL temp views, which preserves their
+    // LogicalRDD output partitioning (a createDataFrame re-wrap would
+    // lose it and re-shuffle `e` every segment). The clone's AQE conf
+    // is restored before the result escapes, so downstream operators a
+    // caller chains onto the returned labels plan under identical conf
+    // values whichever session executes them.
+    val e0 = withSelfLoops(nodes, edges)
+      .repartition(SkewJoin.defaultParts(origin), col("m"))
+      .localCheckpoint()
+    val l0 = nodes.select(col("doc_id"), col("doc_id").as("cluster"))
+      .localCheckpoint()
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val (vE, vL) = (s"graft_cc_e_$tag", s"graft_cc_l_$tag")
+    // GLOBAL temp views cross the session boundary (plain temp views
+    // are per-session, and SparkSession.cloneSession is private[sql]);
+    // UUID-named, dropped in the finally. newSession() + a runtime-conf
+    // copy is the public-API clone: every modifiable conf the caller
+    // has set (shuffle partitions, timezone, AQE) carries over, then
+    // only the clone's AQE flips.
+    e0.createOrReplaceGlobalTempView(vE)
+    l0.createOrReplaceGlobalTempView(vL)
+    val scoped = origin.newSession()
+    origin.conf.getAll.foreach { case (k, v) =>
+      try scoped.conf.set(k, v)
+      catch { case _: Throwable => () } // non-modifiable confs
+    }
+    scoped.conf.set("spark.sql.adaptive.enabled", "false")
+    val gdb = origin.conf.get("spark.sql.globalTempDatabase", "global_temp")
+    try {
+      val e = scoped.table(s"$gdb.$vE")
+      var labels = scoped.table(s"$gdb.$vL")
       // Certificate sum in DECIMAL(38,0), not LONG (ADVICE r12): labels
       // are per-node non-increasing, so the EXACT sum strictly decreases
       // unless no label changed — but a long sum over arbitrary 64-bit
@@ -2141,18 +2183,46 @@ object DedupOps {
           freeLocalCheckpoint(step)
           step = next
         }
-        val s2 = labelSum(step)
-        converged = s2.compareTo(prevSum) == 0
-        prevSum = s2
+        i += 1
+        // CERTIFICATE CADENCE (round 14, r13 verdict #3): the sum
+        // aggregate runs every `certEvery`-th segment (and always at
+        // the cap, so fail-closed callers still throw on genuine
+        // non-convergence). Soundness is unchanged: labels are
+        // per-node non-increasing, so sum(i−c) == sum(i) certifies
+        // that EVERY segment in between changed nothing — the loop is
+        // exact at any cadence; cadence only times the exit, at worst
+        // certEvery−1 segments past the true fixpoint. The contract
+        // manifests run certEvery = 2 (halves the certificate jobs —
+        // the per-job floor at local[32] was the manifests' measured
+        // residual cost); the census path keeps certEvery = 1 so
+        // recorded pair counts stay the TRUE fixpoint the StarCcPairs
+        // bound is gated against.
+        if (i % certEvery == 0 || i >= maxPairs) {
+          val s2 = labelSum(step)
+          converged = s2.compareTo(prevSum) == 0
+          prevSum = s2
+        }
         // previous segment's labels: last read was ccRound above
         freeLocalCheckpoint(labels)
         labels = step
-        i += 1
       }
-      // the edge relation's last read is the final segment's propagate
-      freeLocalCheckpoint(e)
+      // the edge relation's last read is the final segment's
+      // propagate; the seed labels were superseded by the first
+      // segment's output (both freed via their ORIGIN handles — the
+      // clone's view wrappers are not LogicalRDD roots)
+      freeLocalCheckpoint(e0)
+      if (i > 0) freeLocalCheckpoint(l0)
       (labels, i, converged)
+    } finally {
+      // the returned labels Dataset belongs to the clone: restore its
+      // AQE to the caller's current value so anything a caller chains
+      // onto the result plans under identical conf values
+      scoped.conf.set("spark.sql.adaptive.enabled",
+        origin.conf.get("spark.sql.adaptive.enabled", "true"))
+      origin.catalog.dropGlobalTempView(vE)
+      origin.catalog.dropGlobalTempView(vL)
     }
+  }
 
   /** Release a `localCheckpoint`ed relation's storage blocks (ADVICE
     * r12: [[ccPsLoop]] retained every segment's and every jump's
@@ -2234,22 +2304,83 @@ object DedupOps {
     * fold — contraction reroutes them to the existing supernodes,
     * which is exactly right).
     *
-    * CONCURRENCY (ADVICE r12): the internal (P,S) loop toggles
-    * `spark.sql.adaptive.enabled` SESSION-GLOBALLY for its jobs (see
-    * [[graft.core.Core.withConf]]) — a concurrent batch query or a
-    * second stream sharing the SparkSession runs with AQE silently off
-    * while the loop executes, and racing restores can leave the session
-    * flipped. Run this (and [[graft.streaming.StreamingOps
-    * .clusterMaintenanceStream]], which calls it per micro-batch) on a
-    * session with no concurrent query activity, or give the stream its
-    * own `SparkSession.newSession()` whose confs it may own. */
+    * CONCURRENCY (ADVICE r12, closed round 14): the internal (P,S)
+    * loop runs its AQE-off jobs in a CLONED session ([[ccPsLoop]]'s
+    * body comment), so a concurrent batch query or a second stream
+    * sharing the caller's SparkSession never observes the flip —
+    * asserted by a concurrent-poll spec in StreamingOpsSpec. This
+    * operator (and [[graft.streaming.StreamingOps
+    * .clusterMaintenanceStream]], which calls it per micro-batch) is
+    * safe to run alongside concurrent query activity. */
   def ccIncrementalUpdate(oldLabels: DataFrame, deltaNodes: DataFrame,
       deltaEdges: DataFrame, maxPairs: Int = 32): DataFrame = {
+    val (newNodes, superMap) =
+      ccIncrementalSuperMap(oldLabels, deltaNodes, deltaEdges, maxPairs)
+    // one corpus-sized left join rewrites affected labels; untouched
+    // rows (sn null) keep their cluster — total by construction
+    oldLabels
+      .join(superMap.hint("shuffle_hash"),
+        col("cluster") === col("sn"), "left")
+      .select(col("doc_id"), coalesce(col("sc"), col("cluster")).as("cluster"))
+      .unionByName(newNodes
+        .join(superMap.hint("shuffle_hash"),
+          col("doc_id") === col("sn"), "left")
+        .select(col("doc_id"),
+          coalesce(col("sc"), col("doc_id")).as("cluster")))
+  }
+
+  /** STATE-TABLE UPSERT variant of [[ccIncrementalUpdate]] (round 14,
+    * r13 verdict #4 — the deployment form SCALE.md round 13 named):
+    * returns ONLY the label rows the fold CHANGES — (doc_id, cluster)
+    * for every new batch doc plus every standing doc whose cluster id
+    * was rewritten — instead of re-emitting the corpus labeling. A
+    * deployment MERGEs these rows into a doc_id-keyed label state
+    * table (Delta/Iceberg MERGE; the Scale harness folds them into a
+    * localCheckpoint the same way); old-labels-minus-changed UNION
+    * these rows is EXACTLY [[ccIncrementalUpdate]]'s output (asserted
+    * in DedupOpsSpec and re-asserted against a full rebuild at 5M docs
+    * by the `ccincups` sweeps), so per-fold label I/O is bounded by
+    * the TOUCHED subgraph (≾ 2·|delta edges| + |batch|), never the
+    * corpus. The relabel probe is a BROADCAST of the
+    * touched-subgraph-bounded superMap over ONE map-side scan of the
+    * standing labels — the full-rewrite form's two corpus-exchange
+    * shuffle_hash joins and its corpus-sized output are exactly the
+    * linear passes SCALE.md round 13 measured as the fold's remaining
+    * cost. */
+  def ccIncrementalUpsert(oldLabels: DataFrame, deltaNodes: DataFrame,
+      deltaEdges: DataFrame, maxPairs: Int = 32): DataFrame = {
+    val (newNodes, superMap) =
+      ccIncrementalSuperMap(oldLabels, deltaNodes, deltaEdges, maxPairs)
+    val changed = oldLabels
+      .join(broadcast(superMap), col("cluster") === col("sn"))
+      .filter(col("sc") =!= col("cluster"))
+      .select(col("doc_id"), col("sc").as("cluster"))
+    changed.unionByName(newNodes
+      .join(broadcast(superMap), col("doc_id") === col("sn"), "left")
+      .select(col("doc_id"),
+        coalesce(col("sc"), col("doc_id")).as("cluster")))
+  }
+
+  /** Shared front half of [[ccIncrementalUpdate]] /
+    * [[ccIncrementalUpsert]]: endpoint contraction, touched-subgraph
+    * (P,S) fixpoint, fail-closed convergence. Returns (newNodes,
+    * superMap): the batch docs genuinely new to the corpus, and the
+    * map from each TOUCHED supernode id (an old cluster id or a batch
+    * doc id) to its final label — both touched-subgraph-bounded. The
+    * known-doc defence runs as a broadcast-probe SCAN of the standing
+    * labels (semi against the broadcast batch ids, then the batch
+    * anti-joins the bounded hit set) rather than a corpus-exchange
+    * anti join — `deltaNodes` is a batch, bounded by contract. */
+  private def ccIncrementalSuperMap(oldLabels: DataFrame,
+      deltaNodes: DataFrame, deltaEdges: DataFrame, maxPairs: Int)
+      : (DataFrame, DataFrame) = {
     val labelOf = shared(oldLabels
       .select(col("doc_id").as("x"), col("cluster").as("cx")))
-    val newNodes = deltaNodes.select("doc_id").distinct()
-      .join(labelOf.select(col("x").as("doc_id")), Seq("doc_id"),
-        "left_anti")
+    val batchIds = deltaNodes.select("doc_id").distinct()
+    val knownIds = labelOf.select(col("x").as("doc_id"))
+      .join(broadcast(batchIds), Seq("doc_id"), "left_semi")
+    val newNodes = batchIds
+      .join(broadcast(knownIds), Seq("doc_id"), "left_anti")
     // contract endpoints: corpus doc -> its cluster supernode, batch
     // doc -> itself. Left joins against the node-sized label relation,
     // SHJ-pinned (labels are corpus-scaled — no stats broadcast).
@@ -2282,7 +2413,7 @@ object DedupOps {
       .unionByName(contracted.select(col("m").as("doc_id")))
       .distinct()
     val (superLabels, _, converged) =
-      ccPsLoop(touched, contracted, maxPairs, StarCcJumps)
+      ccPsLoop(touched, contracted, maxPairs, StarCcJumps, certEvery = 2)
     if (!converged) throw new IllegalStateException(
       s"ccIncrementalUpdate: supernode graph did not converge within " +
         s"$maxPairs (P,S) pairs — raising maxPairs is required before " +
@@ -2290,17 +2421,7 @@ object DedupOps {
         s"geometries need <= 15)")
     val superMap = superLabels
       .select(col("doc_id").as("sn"), col("cluster").as("sc"))
-    // one corpus-sized left join rewrites affected labels; untouched
-    // rows (sn null) keep their cluster — total by construction
-    oldLabels
-      .join(superMap.hint("shuffle_hash"),
-        col("cluster") === col("sn"), "left")
-      .select(col("doc_id"), coalesce(col("sc"), col("cluster")).as("cluster"))
-      .unionByName(newNodes
-        .join(superMap.hint("shuffle_hash"),
-          col("doc_id") === col("sn"), "left")
-        .select(col("doc_id"),
-          coalesce(col("sc"), col("doc_id")).as("cluster")))
+    (newNodes, superMap)
   }
 
   /** The sketch-level DELTA edge set for an arriving batch against a
@@ -2315,17 +2436,73 @@ object DedupOps {
     * a corpus doc c reaches c's component through b's rep ->
     * c's rep (sketch-value Hamming equals doc Hamming). */
   def incrementalSimhashDelta(corpusSk: DataFrame, batchSk: DataFrame)
-      : DataFrame = {
-    val cross = comboJoin2(
+      : DataFrame =
+    incrementalSimhashDeltaIndexed(sketchReps(corpusSk), batchSk)
+
+  /** [[incrementalSimhashDelta]] with the corpus sketch-rep index as
+    * STANDING STATE instead of re-derived from the corpus sketches on
+    * every fold (round 14, r13 verdict #4): a deployment keeps the
+    * (simhash, rep_id) index as a state table maintained by
+    * [[sketchRepUpsert]], so the fold never runs the corpus-exchange
+    * groupBy that SCALE.md round 13 measured inside `update_sec`. The
+    * batch side of the combination-key candidate join is BROADCAST
+    * (a batch's exploded combo keys are batch-bounded — ~16 light
+    * rows per distinct batch sketch), so the standing index is
+    * scanned ONCE map-side with no corpus exchange; a deployment
+    * whose batches outgrow the broadcast threshold reads the index
+    * bucketed by combo key instead (same plan one tier up). Rep
+    * choice does not affect components (a rep is Hamming-0 from its
+    * members), so labels stay rebuild-exact for ANY valid index. */
+  def incrementalSimhashDeltaIndexed(corpusReps: DataFrame,
+      batchSk: DataFrame): DataFrame = {
+    val cross = comboProbeIndex(
         sketchReps(batchSk).select(col("rep_id").as("doc_id"),
           col("simhash")),
-        sketchReps(corpusSk).select(col("rep_id").as("doc_id"),
-          col("simhash")),
+        corpusReps.select(col("rep_id").as("doc_id"), col("simhash")),
         Simhash64Bits, Simhash64HammingMax, Simhash64Blocks)
       .select(col("a_id").as("n"), col("b_id").as("m"))
     edgesFromSketches(batchSk)
       .unionByName(cross)
       .unionByName(cross.select(col("m").as("n"), col("n").as("m")))
+  }
+
+  /** One representative per distinct sketch value — the STANDING
+    * sketch-rep index a deployment maintains between folds (the
+    * `dedup_incremental_indexed` convention): build once over the
+    * corpus sketches, then per fold append only [[sketchRepUpsert]]'s
+    * rows. */
+  def sketchRepIndex(corpusSk: DataFrame): DataFrame = sketchReps(corpusSk)
+
+  /** The rep-index UPSERT rows for a fold: the batch's reps whose
+    * sketch VALUE is new to the standing index — batch-bounded state
+    * I/O. Known values keep their standing rep (exact: components are
+    * invariant to which Hamming-0 member represents a value, so the
+    * fold's labels match a rebuild regardless — the `ccincups` sweeps
+    * assert it at scale). The probe is one map-side scan of the index
+    * against the broadcast batch values; the anti join then runs
+    * against the bounded hit set, never the index. */
+  def sketchRepUpsert(corpusReps: DataFrame, batchSk: DataFrame)
+      : DataFrame = {
+    val bReps = sketchReps(batchSk)
+    val known = corpusReps.select("simhash")
+      .join(broadcast(bReps.select("simhash")), Seq("simhash"),
+        "left_semi")
+    bReps.join(broadcast(known), Seq("simhash"), "left_anti")
+  }
+
+  /** Batch-side-BROADCAST combination-key candidate join: `left` (the
+    * batch's sketch reps, bounded) probes `right` (the standing
+    * corpus rep index) with the batch's exploded combo keys broadcast,
+    * so the index side is scanned map-side — zero corpus exchange, no
+    * salt needed (broadcast joins cannot skew a partition). Candidate
+    * semantics identical to [[comboJoin2]]. */
+  private def comboProbeIndex(left: DataFrame, right: DataFrame,
+      bits: Int, hammingMax: Int, blocks: Int): DataFrame = {
+    val sch = ComboScheme(bits, hammingMax, blocks)
+    sch.verify(
+      sch.side(sch.explodeKeys(right), "b")
+        .join(broadcast(sch.side(sch.explodeKeys(left), "a")),
+          Seq("combo", "kbits")))
   }
 
   /** Exact connected components over an ARBITRARY symmetric edge

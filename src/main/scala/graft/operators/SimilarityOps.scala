@@ -74,10 +74,13 @@ object SimilarityOps {
     * assignment (n·k) and pairing (n²/k) both at ~n^1.5 — the
     * `dedup_semdedup_scaledk` scaling the Scale harness measured
     * (55–66 s at 200k vectors where fixed k could not run). The menu
-    * covers 2.048M vectors; a deployment appends 1000, 3200, … — the
-    * rule, the guarded union, and the oracle algebra extend
-    * unchanged. */
-  val SemDedupKConfigs = Seq(IvfK, 32, 100, 320)
+    * covers 204.8M vectors (k = 3200 at occupancy 20) — two decades of
+    * headroom past the largest MEASURED decade (emb1000x, 2M vectors
+    * at k = 320, round 14 — the decade that closed the r13 weak item:
+    * the old menu saturated at exactly 2.048M); a 10⁹-vector
+    * deployment appends 10000, … — the rule, the eager routed count,
+    * and the oracle algebra extend unchanged. */
+  val SemDedupKConfigs = Seq(IvfK, 32, 100, 320, 1000, 3200)
 
   /** Occupancy factor of the k rule: n ≤ k²·occ ⇔ mean cluster size
     * n/k ≤ k·occ. 20 keeps the sf0.1 corpus (2,000 vectors) exactly on
@@ -89,7 +92,7 @@ object SimilarityOps {
   /** The k sizing rule as a pure function (the [[autoPlanesFor]]
     * convention): smallest menu k with n ≤ k²·occ, saturating at the
     * largest. sf0.01 (500) → 10; sf0.1 (2,000) → 10; 20k → 32;
-    * 200k → 100. */
+    * 200k → 100; 2M → 320; 20M → 1000; 204.8M → 3200. */
   private[graft] def semDedupKFor(n: Long): Int =
     SemDedupKConfigs.find(k => n <= k.toLong * k * SemDedupOcc)
       .getOrElse(SemDedupKConfigs.last)
@@ -198,20 +201,47 @@ object SimilarityOps {
     * engines. At 100 TB the crossJoin stays n×k with broadcast
     * centroids, and the component mean is a (cid, dim)-keyed partial
     * agg — linear per iteration, no all-pairs anywhere. */
+  /** Coarse assignment (nearest centroid by 9-dp-rounded cosine, cid
+    * tiebreak) as a PARTIAL-AGGREGATING `max_by`, not a `row_number`
+    * window (round 14): the window form shuffled the whole n·k
+    * affinity WITH the vector payloads through one exchange — at the
+    * emb1000x decade (2M vectors, k = 320) that is 640M rows × two
+    * 64-double arrays, hundreds of GB, and at the 100 TB design point
+    * (10⁹ vectors, k ≈ √(n/occ)) it is the plan that dies. `max_by`'s
+    * map-side combine reduces each scan partition to ONE row per
+    * vec_id before the exchange, so the shuffle carries n rows of
+    * (vec_id, best, v, norm) while the n·k dot products stay map-side
+    * — assignment work is inherently n·k COMPUTE, but never n·k
+    * EXCHANGE. Tie-breaking is the window's exactly: ROW_NUMBER over
+    * (ccos DESC, cid ASC) ≡ max_by over the orderable struct
+    * (ccos, −cid), which is unique per (vec_id, cid) — so results are
+    * bitwise the window form's and the DuckDB oracles keep their
+    * ROW_NUMBER algebra. `exclude`, when set to a column of `e`,
+    * drops that cid from the vector's candidate set (the second-probe
+    * pass of [[ivfKnn]]). */
+  private def assignBest(e: DataFrame, cents: DataFrame,
+      exclude: Option[Column] = None): DataFrame = {
+    val aff0 = e.crossJoin(broadcast(cents))
+    val aff = exclude.map(ex => aff0.filter(col("cid") =!= ex))
+      .getOrElse(aff0)
+    aff.withColumn("ccos",
+        round(dot(col("v"), col("cv")) / (col("norm") * col("cnorm")), 9))
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("cid"), col("ccos")),
+          struct(col("ccos"), (lit(0L) - col("cid")).as("nc"))).as("best"),
+        first(col("v")).as("v"), first(col("norm")).as("norm"))
+      .select(col("vec_id"), col("best.cid").as("cid"),
+        col("best.ccos").as("ccos"), col("v"), col("norm"))
+  }
+
   private[operators] def kmeansCentroids(e: DataFrame, k: Int,
       iters: Int): DataFrame = {
     var cents = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("v").as("cv"),
         col("norm").as("cnorm"))
     for (_ <- 0 until iters) {
-      val byVec = Window.partitionBy("vec_id")
-        .orderBy(col("ccos").desc, col("cid").asc)
-      val assign = e.select(col("vec_id"), col("v"), col("norm"))
-        .crossJoin(broadcast(cents))
-        .withColumn("ccos",
-          round(dot(col("v"), col("cv")) / (col("norm") * col("cnorm")), 9))
-        .withColumn("crn", row_number().over(byVec))
-        .filter(col("crn") === 1)
+      val assign = assignBest(
+          e.select(col("vec_id"), col("v"), col("norm")), cents)
         .select(col("cid"), col("v"))
       val comps = assign
         .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
@@ -497,16 +527,18 @@ object SimilarityOps {
   /** Nearest PQ centroid per (s, vec_id) by 9-dp-rounded L2² with cid
     * tiebreak — the assignment used by every Lloyd round AND the final
     * encode, so training and encoding cannot drift. */
-  private def pqAssign(sv: DataFrame, cents: DataFrame): DataFrame = {
-    val byVec = Window.partitionBy("s", "vec_id")
-      .orderBy(col("l2").asc, col("cid").asc)
+  private def pqAssign(sv: DataFrame, cents: DataFrame): DataFrame =
+    // partial-aggregating min_by, same mechanics and tie-order as
+    // [[assignBest]] (l2 ASC, cid ASC ≡ min over the unique orderable
+    // struct (l2, cid)): the n·M·PqK candidate rows never reach an
+    // exchange — only n·M assigned rows do
     sv.join(broadcast(cents), "s")
       .withColumn("l2", round(
         dot(col("u"), col("u")) - lit(2.0) * dot(col("u"), col("cu"))
           + dot(col("cu"), col("cu")), 9))
-      .withColumn("rn", row_number().over(byVec))
-      .filter(col("rn") === 1)
-  }
+      .groupBy(col("s"), col("vec_id"))
+      .agg(min_by(col("cid"), struct(col("l2"), col("cid"))).as("cid"),
+        first(col("u")).as("u"))
 
   /** Subspace-keyed Lloyd rounds over a (vec_id, s, u) relation: ONE
     * relational k-means for all [[PqM]] subspaces at once (centroid
@@ -608,14 +640,8 @@ object SimilarityOps {
       k: Int = IvfK, source: Option[DataFrame] = None): DataFrame = {
     val e = vecsOf(s, source.getOrElse(table(s, dir, "embeddings")))
     val cents = kmeansCentroids(e, k = k, iters = IvfIters)
-    val byVec = Window.partitionBy("vec_id")
-      .orderBy(col("ccos").desc, col("cid").asc)
-    val assigned = shared(e.select(col("vec_id"), col("v"), col("norm"))
-      .crossJoin(broadcast(cents))
-      .withColumn("ccos",
-        round(dot(col("v"), col("cv")) / (col("norm") * col("cnorm")), 9))
-      .withColumn("crn", row_number().over(byVec))
-      .filter(col("crn") === 1)
+    val assigned = shared(assignBest(
+        e.select(col("vec_id"), col("v"), col("norm")), cents)
       .select(col("cid"), col("vec_id"), col("v"), col("norm")))
     val a = assigned.select(col("cid"), col("vec_id").as("a_id"),
       col("v").as("a_v"), col("norm").as("a_norm"))
@@ -637,7 +663,7 @@ object SimilarityOps {
 
   /** The routed k, decided by ONE bounded count at build time: the
     * scan never reads more than one row past the largest menu boundary
-    * (k_max²·occ + 1 = 2,048,001 rows) no matter the corpus. EAGER by
+    * (k_max²·occ + 1 = 204,800,001 rows) no matter the corpus. EAGER by
     * measured design, NOT the [[annLshAuto]] lazy guarded union: each
     * k branch here carries a FULL Lloyd training chain — the most
     * plan-heavy subtree in the library — and the 4-branch lazy union
@@ -681,18 +707,24 @@ object SimilarityOps {
       k: Int = IvfK, source: Option[DataFrame] = None): DataFrame = {
     val e = vecsOf(s, source.getOrElse(table(s, dir, "embeddings")))
     val cents = kmeansCentroids(e, k = k, iters = IvfIters)
-    val affinity = e.select(col("vec_id"), col("v"), col("norm"))
-      .crossJoin(broadcast(cents))
-      .withColumn("ccos",
-        round(dot(col("v"), col("cv")) / (col("norm") * col("cnorm")), 9))
-    val byVec = Window.partitionBy("vec_id")
-      .orderBy(col("ccos").desc, col("cid").asc)
-    // probe and list sides both read the ranked affinity: compute once
-    val ranked = shared(affinity.withColumn("crn", row_number().over(byVec)))
-    val lists = ranked.filter(col("crn") === 1)   // inverted lists
-      .select(col("cid"), col("vec_id").as("b_id"),
-        col("v").as("b_v"), col("norm").as("b_norm"))
-    val probes = ranked.filter(col("crn") <= IvfNprobe)
+    val e3 = e.select(col("vec_id"), col("v"), col("norm"))
+    // crn = 1 (nearest list) via the partial-aggregating argmax; both
+    // the inverted lists and the probes' first pick read it
+    val a1 = shared(assignBest(e3, cents))
+    // crn = 2 (IvfNprobe = 2): re-run the map-side argmax with each
+    // vector's first pick excluded — the n·k dot products are
+    // recomputed map-side (compute is the cheap resource), while the
+    // exchanges stay n-row; the window form this replaces shuffled
+    // the full n·k affinity with vector payloads (see [[assignBest]]).
+    // ROW_NUMBER semantics preserved pass-by-pass: pass p picks
+    // exactly the window's crn = p row. An nprobe > 2 deployment
+    // iterates with an accumulated exclusion array.
+    val a2 = assignBest(
+      e3.join(a1.select(col("vec_id"), col("cid").as("c1")), "vec_id"),
+      cents, exclude = Some(col("c1")))
+    val lists = a1.select(col("cid"), col("vec_id").as("b_id"),
+      col("v").as("b_v"), col("norm").as("b_norm"))
+    val probes = a1.unionByName(a2)
       .select(col("cid"), col("vec_id").as("a_id"),
         col("v").as("a_v"), col("norm").as("a_norm"))
     val byQuery = Window.partitionBy("a_id")
@@ -1110,14 +1142,7 @@ object SimilarityOps {
     "sim_centroid_assign" -> { (s, dir) =>
       val e = vecs(s, dir)
       val cents = kmeansCentroids(e, k = IvfK, iters = IvfIters)
-      val byVec = Window.partitionBy("vec_id")
-        .orderBy(col("ccos").desc, col("cid").asc)
-      e.select(col("vec_id"), col("v"), col("norm"))
-        .crossJoin(broadcast(cents))
-        .withColumn("ccos",
-          round(dot(col("v"), col("cv")) / (col("norm") * col("cnorm")), 9))
-        .withColumn("crn", row_number().over(byVec))
-        .filter(col("crn") === 1)
+      assignBest(e.select(col("vec_id"), col("v"), col("norm")), cents)
         .select(col("vec_id"), col("cid"), col("ccos"))
         .orderBy("vec_id")
     },

@@ -169,20 +169,26 @@ object StreamingOps {
     * ingested so far in StreamingOpsSpec, including a batch that
     * bridges two standing clusters.
     *
-    * CONCURRENCY (ADVICE r12): each micro-batch's
-    * [[graft.operators.DedupOps.ccIncrementalUpdate]] toggles
-    * `spark.sql.adaptive.enabled` SESSION-GLOBALLY for the duration of
-    * its (P,S) loop — from the stream-execution thread. A concurrent
-    * batch query, or a second stream on the same SparkSession, would
-    * run with AQE silently off during those windows, and racing
-    * restores can leave the session flipped. Run this stream on a
-    * session with no concurrent query activity (the single-driver
-    * harness model), or start it from `SparkSession.newSession()` so
-    * the conf scope is its own. */
+    * CONCURRENCY (ADVICE r12, closed round 14): each micro-batch's
+    * [[graft.operators.DedupOps.ccIncrementalUpdate]] runs its
+    * AQE-off (P,S) jobs in a CLONED session, so the conf flip is
+    * invisible to concurrent queries on this SparkSession — a
+    * concurrent poll during maintenance observes AQE on throughout
+    * (asserted in StreamingOpsSpec). */
   def clusterMaintenanceStream(docs: DataFrame, watermark: String,
       state: java.util.concurrent.atomic.AtomicReference[
         (DataFrame, DataFrame)])(
-      onBatch: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+      onBatch: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    // ownership boundary (ADVICE r13): the stream frees only state it
+    // PRODUCED. The caller's seed pair — captured here, before any
+    // batch runs — is never freed, so reading the seed after the
+    // stream starts (a previously valid pattern) keeps working; the
+    // retention fix (ADVICE r12: one corpus-sized block set leaked per
+    // micro-batch until GC) still applies to every stream-produced
+    // superseded pair.
+    val seed = state.get()
+    def streamOwned(df: DataFrame): Boolean =
+      seed == null || ((df ne seed._1) && (df ne seed._2))
     docs.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("doc_id")
       .writeStream
@@ -192,18 +198,18 @@ object StreamingOps {
           b.select("doc_id", "lang", "source", "text"))
         state.set((nsk, nlabels))
         onBatch(nlabels, id)
-        // the stream OWNS the state relations (including the seed pair
-        // the caller passed): the new state is materialized (eager
-        // localCheckpoints in clusterMaintainStep), so the superseded
-        // pair's checkpoint blocks have no later reader — free them
-        // now, or a long-running stream retains one corpus-sized block
-        // set per micro-batch until GC (the ccPsLoop retention class,
-        // ADVICE r12). Do NOT read a state relation you handed to this
-        // stream after it has started.
-        graft.operators.DedupOps.freeLocalCheckpoint(sk)
-        graft.operators.DedupOps.freeLocalCheckpoint(labels)
+        // the superseded pair is materialized away (eager
+        // localCheckpoints in clusterMaintainStep), so if the stream
+        // produced it, its checkpoint blocks have no later reader —
+        // free now (the ccPsLoop retention class, ADVICE r12); the
+        // caller-owned seed pair is skipped and stays readable.
+        if (streamOwned(sk))
+          graft.operators.DedupOps.freeLocalCheckpoint(sk)
+        if (streamOwned(labels))
+          graft.operators.DedupOps.freeLocalCheckpoint(labels)
         graft.core.Core.releaseShared()
       }
+  }
 
   /** Streaming twin of `pipeline_curate`: the curation manifest over an
     * arriving document stream. The quality/repetition flag chain and

@@ -837,6 +837,82 @@ class DedupOpsSpec extends AnyFunSuite {
     graft.core.Core.releaseShared()
   }
 
+  test("incremental CC UPSERT: merged view == full-rewrite output, " +
+    "rows bounded by the touched subgraph") {
+    // the state-table deployment form (round 14): ccIncrementalUpsert
+    // returns ONLY changed/new label rows; old-minus-upserted UNION
+    // upserts must equal ccIncrementalUpdate's full rewrite, and no
+    // untouched doc may appear in the upsert set
+    def sym(es: Seq[(Long, Long)]) = es.flatMap(e => Seq(e, e.swap))
+    val corpusNodes = ((0L to 4L) ++ (10L to 14L) ++ (30L to 33L))
+      .toDF("doc_id")
+    val corpusEdges = sym((0L until 4L).map(i => (i, i + 1)) ++
+      (10L until 14L).map(i => (i, i + 1)) ++
+      (30L until 33L).map(i => (i, i + 1))).toDF("n", "m")
+    val oldLabels = DedupOps.ccFixpoint(corpusNodes, corpusEdges)
+    val batchNodes = Seq(100L, 101L, 102L, 103L).toDF("doc_id")
+    val deltaEdges = sym(Seq((100L, 4L), (100L, 10L), (101L, 102L)))
+      .toDF("n", "m")
+    val ups = DedupOps.ccIncrementalUpsert(oldLabels, batchNodes,
+        deltaEdges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = DedupOps.ccIncrementalUpdate(oldLabels, batchNodes,
+        deltaEdges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val old = oldLabels.collect().map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert((old -- ups.keys) ++ ups == full,
+      s"merged view $ups over $old != full rewrite $full")
+    // boundedness: docs 30-33 are untouched (no delta edge reaches
+    // their cluster) — they must NOT be re-emitted; docs 10-14 DID
+    // merge (label 10 -> 0) and must be; unchanged members of the
+    // surviving cluster (0-4 keep label 0) must not be
+    assert(!(30L to 33L).exists(ups.contains))
+    assert((10L to 14L).forall(d => ups.get(d).contains(0L)))
+    assert(!(0L to 4L).exists(ups.contains))
+    assert(ups(100L) == 0L && ups(101L) == 101L && ups(102L) == 101L &&
+      ups(103L) == 103L)
+    graft.core.Core.releaseShared()
+  }
+
+  test("indexed delta + rep upsert: standing-index fold == re-derived " +
+    "fold == full rebuild on the gate corpus") {
+    // the standing-rep-index path (round 14): probing a pre-built
+    // (simhash, rep_id) index with the batch broadcast must produce
+    // the same components as re-deriving reps per fold, and the rep
+    // upsert must add exactly the batch's NEW sketch values
+    val sk = DedupOps.simhash64Sketches(spark, TestSpark.sfDir)
+    val corpusSk = sk.filter(col("doc_id") % 2 === 0)
+    val batchSk = sk.filter(col("doc_id") % 2 === 1)
+    val reps = DedupOps.sketchRepIndex(corpusSk).localCheckpoint()
+    val oldLabels = DedupOps.ccFixpoint(corpusSk.select("doc_id"),
+      DedupOps.edgesFromSketches(corpusSk)).localCheckpoint()
+    val ups = DedupOps.ccIncrementalUpsert(oldLabels,
+        batchSk.select("doc_id"),
+        DedupOps.incrementalSimhashDeltaIndexed(reps, batchSk),
+        maxPairs = 32)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val old = oldLabels.collect().map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    val full = DedupOps.ccFixpoint(sk.select("doc_id"),
+        DedupOps.edgesFromSketches(sk))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((old -- ups.keys) ++ ups == full)
+    // rep upsert rows = batch sketch values absent from the index,
+    // rep = min batch doc carrying the value
+    val gotReps = DedupOps.sketchRepUpsert(reps, batchSk)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val corpusVals = corpusSk.select("simhash").collect()
+      .map(_.getLong(0)).toSet
+    val wantReps = batchSk.select("simhash", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filterNot(p => corpusVals(p._1))
+      .groupBy(_._1).map { case (sh, ms) => (sh, ms.map(_._2).min) }
+      .toSet
+    assert(gotReps == wantReps)
+    graft.core.Core.releaseShared()
+  }
+
   test("incremental SimHash delta edges reach every cross-corpus " +
     "component a full rebuild finds") {
     // end-to-end on the gate corpus: split docs into 'corpus' (even

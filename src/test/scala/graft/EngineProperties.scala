@@ -131,7 +131,7 @@ object EngineProperties extends Properties("engine") {
     * sim_ann_ivf_rerank): minimal menu choice under n ≤ k²·occ,
     * monotone in n, saturating at the menu's last entry. */
   property("semDedupKFor picks the minimal bounding menu k, monotone, saturating") =
-    Prop.forAll(Gen.chooseNum(1L, 5000000L)) { n =>
+    Prop.forAll(Gen.chooseNum(1L, 500000000L)) { n =>
       import graft.operators.SimilarityOps._
       val k = semDedupKFor(n)
       val occ = SemDedupOcc

@@ -37,7 +37,7 @@ class LazinessSpec extends AnyFunSuite {
     // 17-pair cap).
     // dedup_semdedup / sim_ann_ivf_rerank (round 13): the √n k-routing
     // decides its menu entry from ONE bounded count at build
-    // (SimilarityOps.routedK — never reads past 2,048,001 rows). Same
+    // (SimilarityOps.routedK — never reads past 204,800,001 rows). Same
     // bounded-state class as sim_ivfpq_topk's training collects; the
     // lazy guarded-union alternative measured +2.2 s per query at
     // sf0.1 because each dead branch carries a full Lloyd chain.

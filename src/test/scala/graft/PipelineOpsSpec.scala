@@ -266,6 +266,68 @@ class PipelineOpsSpec extends AnyFunSuite {
       textBytes.foldLeft(0L)((a, b) => a + (b & 0xff)) % 256)
   }
 
+  test("real WAV codec decodes actual PCM samples through the same seam") {
+    import spark.implicits._
+    // real RIFF/WAVE containers built byte-by-byte (no audio lib on
+    // either side): the decoder must parse genuine chunk structure,
+    // including a LIST chunk before data (players emit those) and the
+    // odd-length word-alignment rule
+    def le16(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def fmtChunk(channels: Int, rate: Int): Array[Byte] =
+      "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++
+        le16(channels) ++ le32(rate) ++
+        le32(rate * channels * 2) ++ le16(channels * 2) ++ le16(16)
+    def wav(channels: Int, samples: Seq[Int],
+        extraChunk: Array[Byte] = Array.empty): Array[Byte] = {
+      val data = "data".getBytes("US-ASCII") ++
+        le32(samples.size * 2) ++ samples.flatMap(le16).toArray
+      val body = "WAVE".getBytes("US-ASCII") ++
+        fmtChunk(channels, 8000) ++ extraChunk ++ data
+      "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    }
+    // odd-length LIST chunk: the next chunk starts on the padded
+    // word boundary — an unaligned walker misses `data` entirely
+    val list = "LIST".getBytes("US-ASCII") ++ le32(5) ++
+      "INFOx".getBytes("US-ASCII") ++ Array(0.toByte)
+    val mono = Seq(100, -200, 300, -400, 500, -600)
+    val stereo = Seq(1000, -1000, 2000, -2000) // 2 frames x 2 channels
+    val assets = Seq(
+      MultimodalOps.Asset(1L, "audio/wav", wav(1, mono)),
+      MultimodalOps.Asset(2L, "audio/wav", wav(2, stereo, list)),
+      MultimodalOps.Asset(3L, "text/plain", "not audio".getBytes("UTF-8")))
+      .toDS()
+    val out = MultimodalOps.decode(assets, MultimodalOps.WavAudioDecoder)
+      .collect().map(f => f.doc_id -> f).toMap
+    // real geometry out of a real decode: samples/channel + channels
+    assert(out(1L).width == 6 && out(1L).height == 1)
+    assert(out(2L).width == 2 && out(2L).height == 2)
+    // checksum over DECODED signed samples, independently computable
+    def ck(ss: Seq[Int]): Long =
+      ((ss.map(_.toLong).sum % 2147483647L) + 2147483647L) % 2147483647L
+    assert(out(1L).checksum == ck(mono))
+    assert(out(2L).checksum == ck(stereo))
+    assert(out(1L).first_byte == 'R'.toInt)
+    // non-audio bytes degrade to the stub's byte stats, never throw
+    val nb = "not audio".getBytes("UTF-8")
+    assert(out(3L).width == -1 &&
+      out(3L).checksum == nb.foldLeft(0L)((a, b) => a + (b & 0xff)) % 256)
+    // a PCM-but-24-bit container also degrades (unsupported width):
+    val w24 = {
+      val b = wav(1, mono)
+      // patch bitsPerSample (offset: 12 RIFF+WAVE header, 8 fmt tag,
+      // then 14 bytes into fmt payload)
+      b(12 + 8 + 14) = 24.toByte; b
+    }
+    val out2 = MultimodalOps.decode(
+      Seq(MultimodalOps.Asset(9L, "audio/wav", w24)).toDS(),
+      MultimodalOps.WavAudioDecoder).collect().head
+    assert(out2.width == -1)
+  }
+
   test("PNG codec on checked-in fixture payloads: dimensions + pixel " +
     "checksums match independently-computed constants") {
     import spark.implicits._

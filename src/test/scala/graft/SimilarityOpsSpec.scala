@@ -167,9 +167,13 @@ class SimilarityOpsSpec extends AnyFunSuite {
     assert(semDedupKFor(20000) == 32)    // emb10x
     assert(semDedupKFor(20480) == 32)
     assert(semDedupKFor(20481) == 100)
-    assert(semDedupKFor(200000) == 100)  // emb100x
+    assert(semDedupKFor(200000) == 100)   // emb100x
+    assert(semDedupKFor(2000000) == 320)  // emb1000x (round 14)
     assert(semDedupKFor(2048000) == 320)
-    assert(semDedupKFor(5000000) == 320) // saturates (deployment appends)
+    assert(semDedupKFor(2048001) == 1000) // r14 menu extension past the
+    assert(semDedupKFor(20000000) == 1000)   // old 2.048M saturation
+    assert(semDedupKFor(204800000) == 3200)
+    assert(semDedupKFor(500000000) == 3200) // saturates (deployment appends)
     // the oracle contract depends on the rule landing on the contract
     // IvfK at Verify scale (dedup_semdedup / sim_ann_ivf_rerank share
     // their fixed-k oracle SQL)

@@ -632,6 +632,67 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(finalLabels.count() == after2.size)
     assert(finalLabels.collect().map(r => r.getLong(0) -> r.getLong(1))
       .toMap == rebuild(after2))
+    // ADVICE r13: the caller's SEED pair stays readable after the
+    // stream has folded batches over it — the stream frees only state
+    // it PRODUCED (pre-fix, these reads died on destroyed
+    // local-checkpoint blocks)
+    assert(labels0.count() == corpusIds.size)
+    assert(corpusSk.count() == corpusIds.size)
+  }
+
+  test("cluster maintenance never flips AQE on the caller's session " +
+    "(concurrent-query isolation, r13 verdict #7)") {
+    import spark.implicits._
+    // the (P,S) loop inside ccIncrementalUpdate runs AQE-off jobs; a
+    // concurrent observer of THIS session's conf must never see the
+    // flip (pre-round-14, withConf toggled it session-globally from
+    // the maintenance thread). Poll every ms across the whole fold.
+    val t1 = "alpha beta gamma delta epsilon"
+    val t2 = "omicron rho sigma tau upsilon"
+    val corpus = Seq((10L, "en", "src0", t1), (12L, "en", "src0", t1),
+        (20L, "en", "src1", t2), (22L, "en", "src1", t2))
+      .toDF("doc_id", "lang", "source", "text")
+    val corpusSk = graft.operators.DedupOps.simhash64SketchesOf(corpus)
+      .localCheckpoint()
+    val labels0 = graft.operators.DedupOps.ccFixpoint(
+        corpusSk.select("doc_id"),
+        graft.operators.DedupOps.edgesFromSketches(corpusSk))
+      .localCheckpoint()
+    val prev = spark.conf.getOption("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val flips = new java.util.concurrent.atomic.AtomicInteger(0)
+    val polls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val poller = new Thread(() => {
+      while (!done.get()) {
+        polls.incrementAndGet()
+        if (spark.conf.get("spark.sql.adaptive.enabled") != "true")
+          flips.incrementAndGet()
+        Thread.sleep(1)
+      }
+    })
+    poller.setDaemon(true)
+    poller.start()
+    try {
+      val batch = Seq((1L, "en", "src9", t1))
+        .toDF("doc_id", "lang", "source", "text")
+      val (nsk, l1) = StreamingOps.clusterMaintainStep(
+        corpusSk, labels0, batch)
+      assert(l1.count() == 5)
+      graft.operators.DedupOps.freeLocalCheckpoint(nsk)
+      graft.operators.DedupOps.freeLocalCheckpoint(l1)
+    } finally {
+      done.set(true)
+      poller.join(2000)
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+        case None => spark.conf.unset("spark.sql.adaptive.enabled")
+      }
+    }
+    assert(polls.get() > 50, s"poller only sampled ${polls.get()} times")
+    assert(flips.get() == 0,
+      s"caller session observed AQE off ${flips.get()}/${polls.get()} polls")
+    graft.core.Core.releaseShared()
   }
 
   test("cluster maintenance step rewrites standing labels in place " +

@@ -121,6 +121,52 @@ def main():
         if len(last3) >= 2 and latest > args.total_ratio * med:
             total_fail = (latest, med)
 
+    # Attribution verdict for the LATEST run (replayable twin of
+    # Bench's in-run guard line — round-13 verdict #5): per-query
+    # ratios vs the medians of the PRECEDING 7 same-corpus runs, a
+    # band estimate, and a tiered outlier rule — sub-3 s-median
+    # queries must clear max(2.2, 1.8x band) before they can name the
+    # run drifted (the r13 driver artifact named four sub-2 s spikes
+    # in a +27% band "query_drift"; at that size a 2x excursion under
+    # load is scheduler/JIT noise, not a plan regression). Informational
+    # only — never fails the guard.
+    latest_b = same_corpus[-1][1]
+    prior = [b for _, b in same_corpus[:-1]][-7:]
+    med_q = {}
+    for name in {n for b in prior for n in b.get("queries", {})}:
+        ts = [b["queries"][name] for b in prior
+              if b.get("queries", {}).get(name, -1) > 0]
+        if ts:
+            med_q[name] = statistics.median(ts)
+    qr = [(n, v / med_q[n]) for n, v in latest_b.get("queries", {}).items()
+          if v > 0 and med_q.get(n, 0) >= 1.0]
+    band = statistics.median([r for _, r in qr]) if qr else -1.0
+    outs = sorted(
+        [(n, r) for n, r in qr
+         if (r > max(2.2, 1.8 * max(band, 1.0)) if med_q[n] < 3.0
+             else r > max(1.75, 1.4 * max(band, 1.0)))],
+        key=lambda x: -x[1])[:5]
+    prior_full = [b for _, b in same_corpus[:-1] if not b.get("partial")]
+    hist3 = [b.get("value") for b in prior_full[-3:]]
+    hmed = statistics.median(hist3) if hist3 else -1.0
+    tratio = latest_b.get("value", -1.0) / hmed if hmed > 0 else -1.0
+    if latest_b.get("partial"):
+        v = "partial"
+    elif hmed < 0:
+        v = "no_history"
+    elif tratio <= 1.08:
+        v = "quiet"
+    elif not outs:
+        v = "uniform_load"
+    elif band >= 1.15:
+        v = "uniform_load_with_spikes"
+    else:
+        v = "query_drift"
+    print(f"bench_guard: latest-run verdict = {v} "
+          f"(ratio_to_hist {tratio:.3f}, band {band:.3f}"
+          + (", outliers " + ", ".join(f"{n}:{r:.2f}" for n, r in outs)
+             if outs else "") + ")")
+
     if total_fail:
         latest, med = total_fail
         print(f"bench_guard: FAIL — latest full total {latest:.1f}s is "
