@@ -720,7 +720,8 @@ object SimilarityOps {
     // exactly the window's crn = p row. An nprobe > 2 deployment
     // iterates with an accumulated exclusion array.
     val a2 = assignBest(
-      e3.join(a1.select(col("vec_id"), col("cid").as("c1")), "vec_id"),
+      a1.select(col("vec_id"), col("v"), col("norm"),
+        col("cid").as("c1")),
       cents, exclude = Some(col("c1")))
     val lists = a1.select(col("cid"), col("vec_id").as("b_id"),
       col("v").as("b_v"), col("norm").as("b_norm"))
