@@ -16,7 +16,7 @@ import org.apache.spark.sql.SparkSession
   * Usage: runMain graft.Scale [gen|sf0.1|dense|wide|wide100|wide1000|
   * embscale|fixpoint|fixpointstar|fixpointadv|annplanes|annrecall|
   * ivfpqrecall|bpebatch|ccinc|ccinc1000|ccincups|ccincups1000|
-  * topkhub|embscale1000|check]
+  * topkhub|embscale1000|embrecall1000|check]
   * [--only=q1,q2,...]
   * (no args = gen + all three sweeps; results append to
   * docs/scale_results.jsonl and print as JSON lines). `fixpoint`
@@ -289,7 +289,13 @@ object Scale {
     "dedup_simhash_topk" -> "t2",
     // round 13: the contract query routes k ∝ √n (the r12 weak item's
     // close) — fixed-k rows describe a different algorithm
-    "dedup_semdedup" -> "kr")
+    "dedup_semdedup" -> "kr",
+    // round 14: pivoted ADC — codes collapsed to an M-entry array and
+    // the distance-table sum computed map-side inside the pair join,
+    // replacing the (s, pcid) join whose n·M·probes partial-aggregate
+    // input measured 21x per 10x vectors at the 4th embedding decade
+    // (spill past the linear band; see SimilarityOps.pqTopK scaladoc)
+    "sim_pq_topk" -> "pv")
 
   /** Queries whose OUTPUT is itself super-linear on a duplicate-heavy
     * corpus (a pair listing's cardinality is Σ C(k,2) over duplicate
@@ -1061,7 +1067,7 @@ object Scale {
         markGenerated(d)
       }
     }
-    if (sel.contains("embscale1000") &&
+    if ((sel.contains("embscale1000") || sel.contains("embrecall1000")) &&
         !complete(Emb1000Dir, Seq("documents", "embeddings"))) {
       println(s"[scale] generating $Emb1000Dir")
       ScaleData.generateEmb1000(spark, Emb1000Dir, ref)
@@ -1770,6 +1776,19 @@ object Scale {
         runEmbRecall("emb1000x", Emb1000Dir, ivfK = 1414,
           fixedPlanes = false)
       }
+    }
+    // The recall/plane rows alone, runnable NEXT TO an --only'd sweep
+    // (round 14): the fourth decade's timed sweep restricts to the
+    // routed family (sim_ann_lsh_auto at 2M vectors is a 1-2 h
+    // in-bucket quadratic at the plane menu's 16-plane cap — the
+    // measured THIRD-decade decay row already records that the 1-bit
+    // multiprobe family is not the deployment path at this scale; the
+    // IVF rerank rows below are), but the deployment recall evidence
+    // must still land on the ledger.
+    if (sel.contains("embrecall1000")) {
+      runAnnPlanes("emb1000x", Emb1000Dir)
+      runEmbRecall("emb1000x", Emb1000Dir, ivfK = 1414,
+        fixedPlanes = false)
     }
     if (sel.contains("fixpointadv")) runFixpointAdv()
     if (sel.contains("annrecall")) runAnnRecall()
