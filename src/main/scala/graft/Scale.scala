@@ -1839,9 +1839,16 @@ object Scale {
           // amortizes it across every prior ingest
           val corpusSk = operators.DedupOps
             .simhash64SketchesOf(docs.filter(!isBatch)).localCheckpoint()
+          // label state pinned to session parallelism like the rep
+          // index: the fold scans it map-side (endpoint-label probe +
+          // changed-label scan), and an AQE-coalesced 1-2 partition
+          // checkpoint would serialize those scans (round 14 — the
+          // ccincups1000 delta_sec finding)
           val labels0 = operators.DedupOps.ccFixpoint(
               corpusSk.select("doc_id"),
               operators.DedupOps.edgesFromSketches(corpusSk))
+            .repartition(operators.SkewJoin.defaultParts(spark),
+              org.apache.spark.sql.functions.col("doc_id"))
             .localCheckpoint()
           labels0.count()
           graft.core.Core.releaseShared()
@@ -1980,9 +1987,16 @@ object Scale {
           val corpusReps = operators.DedupOps.sketchRepIndex(corpusSk)
             .localCheckpoint()
           corpusReps.count()
+          // label state pinned to session parallelism like the rep
+          // index: the fold scans it map-side (endpoint-label probe +
+          // changed-label scan), and an AQE-coalesced 1-2 partition
+          // checkpoint would serialize those scans (round 14 — the
+          // ccincups1000 delta_sec finding)
           val labels0 = operators.DedupOps.ccFixpoint(
               corpusSk.select("doc_id"),
               operators.DedupOps.edgesFromSketches(corpusSk))
+            .repartition(operators.SkewJoin.defaultParts(spark),
+              org.apache.spark.sql.functions.col("doc_id"))
             .localCheckpoint()
           labels0.count()
           graft.core.Core.releaseShared()
@@ -2031,8 +2045,15 @@ object Scale {
               Seq("doc_id"), "full")
             .filter(not(col("cluster") <=> col("rc"))).count()
           val nBatch = bSk.count()
+          // layout evidence (round 14): the standing index's partition
+          // count — the first 5M fold ran its probe scan on an
+          // AQE-coalesced 1-2-partition index (delta_sec 166 s); the
+          // row records the layout so a regression is visible in the
+          // ledger, not just in the timing
+          val repsParts = corpusReps.rdd.getNumPartitions
           val line = s"""{"tag":"$tag","query":"ccincups_fold_pct$pct",""" +
             s""""sec":${d2(sec)},"ok":${mism == 0L},"corpus":"$corpus",""" +
+            s""""reps_parts":$repsParts,""" +
             s""""docs":$nAll,"batch_pct":$pct,"label_mismatch":$mism,""" +
             s""""n_batch":$nBatch,"n_label_upserts":$nUps,""" +
             s""""n_rep_upserts":$nRepUps,"n_delta_edges":$nDelta,""" +
@@ -2064,8 +2085,14 @@ object Scale {
           out.append(line).append('\n')
       }
     }
-    if (sel.contains("ccincups"))
+    if (sel.contains("ccincups")) {
+      if (!complete(Wide100Dir, Seq("documents"))) {
+        println(s"[scale] generating $Wide100Dir")
+        ScaleData.generateWide100(spark, Wide100Dir, ref)
+        markGenerated(Wide100Dir)
+      }
       runCcIncrementalUpsert("sf10wide", Wide100Dir)
+    }
     if (sel.contains("ccincups1000")) {
       if (!complete(Wide1000Dir, Seq("documents"))) {
         println(s"[scale] generating $Wide1000Dir")

@@ -2488,8 +2488,23 @@ object DedupOps {
     * sketch-rep index a deployment maintains between folds (the
     * `dedup_incremental_indexed` convention): build once over the
     * corpus sketches, then per fold append only [[sketchRepUpsert]]'s
-    * rows. */
-  def sketchRepIndex(corpusSk: DataFrame): DataFrame = sketchReps(corpusSk)
+    * rows.
+    *
+    * REPARTITIONED EXPLICITLY (round 14): the rep groupBy's exchange
+    * input is tiny in bytes (two longs per distinct sketch — ~40 MB at
+    * 5M docs), so AQE coalesces it to 1-2 partitions, and a state
+    * build that materializes THAT layout serializes every later
+    * fold's probe scan — the first ccincups1000 fold measured
+    * delta_sec 166 s of a 209 s fold with the index's 40M exploded
+    * combo keys and ~10^8 candidate popcounts walking 1-2 tasks (the
+    * round-4 coalesce trap, resurfacing on standing state instead of
+    * a join boundary). The explicit count pins the layout at the
+    * session's parallelism; a real deployment writes this index
+    * bucketed by simhash at ≥ cluster-cores buckets for the same
+    * reason. */
+  def sketchRepIndex(corpusSk: DataFrame): DataFrame =
+    sketchReps(corpusSk).repartition(
+      SkewJoin.defaultParts(corpusSk.sparkSession), col("simhash"))
 
   /** The rep-index UPSERT rows for a fold: the batch's reps whose
     * sketch VALUE is new to the standing index — batch-bounded state

@@ -587,16 +587,50 @@ object SimilarityOps {
     val e = vecsOf(s, source.getOrElse(table(s, dir, "embeddings")))
     val sv = shared(pqSubvectors(e.select(col("vec_id"), col("v")), "v"))
     val cents = pqCentroids(sv)
-    // encode: final assignment — the n·M-row integer code relation
-    val codes = pqAssign(sv, cents)
-      .select(col("vec_id").as("b_id"), col("s"), col("cid").as("pcid"))
-    // ADC tables for the bounded probe set: micro-quantized dot of the
-    // probe's EXACT subvector against every (s, cid) centroid
-    val dt = sv.filter(col("vec_id") < KnnEvalProbes)
+    // PIVOTED ADC (round 14): the previous plan joined the n·M code
+    // rows against the broadcast distance table on (s, pcid) — every
+    // code row matches EVERY probe, so the partial-aggregate input was
+    // n·M·probes rows (8e9 at the emb1000x decade) feeding a
+    // probes·n-pair exchange, and the 4th embedding decade measured it
+    // 21x per 10x vectors (spill past the linear model's 15x band).
+    // Pivot instead: one exchange of the n·M assignment rows collapses
+    // the codes to an M-entry array per vector, the probes' 16-entry
+    // lookup tables broadcast as arrays, and the ADC M-way sum runs
+    // MAP-SIDE inside the pair join (`aggregate` over the code array —
+    // same micro-quantized integers, same (adc desc, b_id) ranking, so
+    // the DuckDB oracle and the spec's determinism claim are
+    // untouched). The only remaining corpus-scaled exchange is the
+    // probes·n pair relation the top-K window ranks — the output-bound
+    // floor. IVF-PQ keeps the (s, pcid) join form: its per-list
+    // distance tables make the same pivot a per-(probe, list) array
+    // problem for a candidate set already bounded by nprobe lists
+    // (measured in-band at every decade).
+    val codesArr = pqAssign(sv, cents)
+      .groupBy(col("vec_id").as("b_id"))
+      .agg(array_sort(collect_list(struct(col("s"), col("cid"))))
+        .as("sc"))
+      .select(col("b_id"), expr("transform(sc, t -> t.cid)").as("pc"))
+    val dtArr = sv.filter(col("vec_id") < KnnEvalProbes)
       .join(broadcast(cents), "s")
-      .select(col("vec_id").as("a_id"), col("s"), col("cid").as("pcid"),
+      .select(col("vec_id").as("a_id"),
+        (col("s") * PqK + col("cid")).as("i"),
         round(dot(col("u"), col("cu")) * 1e6).cast(LongType).as("dm"))
-    adcTopK(codes, dt, Seq.empty)
+      .groupBy("a_id")
+      .agg(array_sort(collect_list(struct(col("i"), col("dm"))))
+        .as("idm"))
+      .select(col("a_id"), expr("transform(idm, t -> t.dm)").as("dm"))
+    val byA = Window.partitionBy("a_id")
+      .orderBy(col("adc_micro").desc, col("b_id").asc)
+    codesArr.join(broadcast(dtArr), col("b_id") =!= col("a_id"))
+      .select(col("a_id"), col("b_id"),
+        expr(s"aggregate(sequence(0, ${PqM - 1}), 0L, (acc, s) -> " +
+          s"acc + element_at(dm, CAST(s * $PqK + " +
+          "element_at(pc, s + 1) + 1 AS INT)))").as("adc_micro"))
+      .withColumn("rank", row_number().over(byA))
+      .filter(col("rank") <= AnnTopK)
+      .select(col("a_id"), col("rank").cast(IntegerType).as("rank"),
+        col("b_id"), col("adc_micro"))
+      .orderBy("a_id", "rank")
   }
 
   /** Per-vector coarse-list ranking as ONE map-side expression over
