@@ -1787,7 +1787,17 @@ object Scale {
     // must still land on the ledger.
     if (sel.contains("embrecall1000")) {
       runAnnPlanes("emb1000x", Emb1000Dir)
-      runEmbRecall("emb1000x", Emb1000Dir, ivfK = 1414,
+      // ivfK = the MENU's pick at 2M vectors (320), not the continuous
+      // √n 1414: the recall evidence should measure the configuration
+      // the routed contract queries actually ship at this corpus, and
+      // the 1414-list Lloyd chain additionally exhausted this host's
+      // 68 GB of free disk in shuffle spill at 2M vectors (round 14 —
+      // the ok:false emb_recall row in the ledger records the attempt;
+      // the continuous-k TIMED scaling datapoint already exists as
+      // dedup_semdedup_scaledk, which shares the same trained-k-means
+      // chain at k = 1414 and completed at 1549.8 s).
+      runEmbRecall("emb1000x", Emb1000Dir,
+        ivfK = operators.SimilarityOps.semDedupKFor(2000000L),
         fixedPlanes = false)
     }
     if (sel.contains("fixpointadv")) runFixpointAdv()
