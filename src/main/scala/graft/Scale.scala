@@ -1805,6 +1805,25 @@ object Scale {
     if (sel.contains("ivfpqrecall")) runIvfpqRecall()
     if (sel.contains("bpebatch")) runBpeBatch()
 
+    // Standing label state for an incremental-CC arm, pinned to
+    // session parallelism like the rep index: the fold scans it
+    // map-side (endpoint-label probe + changed-label scan), and an
+    // AQE-coalesced 1-2 partition checkpoint would serialize those
+    // scans (round 14 — the ccincups1000 delta_sec finding). ONE
+    // helper for both arms (ADVICE r14) so the layout pin cannot
+    // drift between the full-rewrite and upsert measurements.
+    def pinnedCcLabels(corpusSk: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame = {
+      val l = operators.DedupOps.ccFixpoint(
+          corpusSk.select("doc_id"),
+          operators.DedupOps.edgesFromSketches(corpusSk))
+        .repartition(operators.SkewJoin.defaultParts(spark),
+          org.apache.spark.sql.functions.col("doc_id"))
+        .localCheckpoint()
+      l.count()
+      l
+    }
+
     // INCREMENTAL CC MAINTENANCE at the second decade (round-12
     // verdict #3): the round-11 operator is spec-proven (bridging
     // batch ≡ rebuild) but was never measured at scale. Fold a 1% and
@@ -1849,18 +1868,7 @@ object Scale {
           // amortizes it across every prior ingest
           val corpusSk = operators.DedupOps
             .simhash64SketchesOf(docs.filter(!isBatch)).localCheckpoint()
-          // label state pinned to session parallelism like the rep
-          // index: the fold scans it map-side (endpoint-label probe +
-          // changed-label scan), and an AQE-coalesced 1-2 partition
-          // checkpoint would serialize those scans (round 14 — the
-          // ccincups1000 delta_sec finding)
-          val labels0 = operators.DedupOps.ccFixpoint(
-              corpusSk.select("doc_id"),
-              operators.DedupOps.edgesFromSketches(corpusSk))
-            .repartition(operators.SkewJoin.defaultParts(spark),
-              org.apache.spark.sql.functions.col("doc_id"))
-            .localCheckpoint()
-          labels0.count()
+          val labels0 = pinnedCcLabels(corpusSk)
           graft.core.Core.releaseShared()
           spark.catalog.clearCache()
           System.gc()
@@ -1939,11 +1947,16 @@ object Scale {
     // (amortized across every prior ingest). The TIMED fold pays:
     // batch sketching + a known-doc probe that SCANS the sketch state
     // against the broadcast batch ids (no corpus exchange), delta
-    // edges probed against the STANDING rep index with the batch side
-    // broadcast (comboProbeIndex — the index is scanned map-side), the
+    // edges probed against the standing LABELED rep index with the
+    // batch side broadcast (round 15: incrementalSimhashDeltaLabeled —
+    // stored combo keys posexploded, ONE popcount per collision row,
+    // edges emitted PRE-CONTRACTED to (batch_rep, cluster) and
+    // collapsed by a map-side-combining distinct; the r14 form's
+    // first-agreeing-combination expression and its 24.9M-edge
+    // materialization were 166-203 s of the 5M fold), the
     // touched-subgraph supernode loop, and THREE batch-bounded state
-    // upserts (sketch append = bSk itself, rep upserts, label
-    // upserts). No corpus-sized rewrite, no state re-materialization —
+    // upserts (sketch append = bSk itself, label-aware rep upserts,
+    // label upserts). No corpus-sized rewrite, no state re-materialization —
     // per-fold state I/O is recorded on the row (n_label_upserts /
     // n_rep_upserts) and gated batch-bounded by `check`. Equivalence
     // is still absolute: the merged view (old labels minus upserted
@@ -1991,24 +2004,17 @@ object Scale {
           // label-equivalence vs the rebuild is asserted under both.
           val cut = nDocs * (100 - pct) / 100
           val isBatch = col("doc_id") >= cut
-          // standing state (untimed): sketch rows, rep index, labels
+          // standing state (untimed): sketch rows, the LABELED rep
+          // index (round 15 — pre-extracted combo keys + the rep's
+          // current cluster on every row, r14 verdict #1), labels.
+          // Labels build first: the index stores them.
           val corpusSk = operators.DedupOps
             .simhash64SketchesOf(docs.filter(!isBatch)).localCheckpoint()
-          val corpusReps = operators.DedupOps.sketchRepIndex(corpusSk)
+          val labels0 = pinnedCcLabels(corpusSk)
+          val corpusReps = operators.DedupOps
+            .sketchRepLabelIndex(corpusSk, labels0)
             .localCheckpoint()
           corpusReps.count()
-          // label state pinned to session parallelism like the rep
-          // index: the fold scans it map-side (endpoint-label probe +
-          // changed-label scan), and an AQE-coalesced 1-2 partition
-          // checkpoint would serialize those scans (round 14 — the
-          // ccincups1000 delta_sec finding)
-          val labels0 = operators.DedupOps.ccFixpoint(
-              corpusSk.select("doc_id"),
-              operators.DedupOps.edgesFromSketches(corpusSk))
-            .repartition(operators.SkewJoin.defaultParts(spark),
-              org.apache.spark.sql.functions.col("doc_id"))
-            .localCheckpoint()
-          labels0.count()
           graft.core.Core.releaseShared()
           spark.catalog.clearCache()
           System.gc()
@@ -2030,7 +2036,7 @@ object Scale {
           // below separates candidate-probe cost from the supernode
           // loop + relabel cost
           val deltaCk = operators.DedupOps
-            .incrementalSimhashDeltaIndexed(corpusReps, bSk)
+            .incrementalSimhashDeltaLabeled(corpusReps, bSk)
             .localCheckpoint()
           val nDelta = deltaCk.count()
           val t1b = System.nanoTime()
@@ -2039,8 +2045,10 @@ object Scale {
             .localCheckpoint()
           val nUps = ups.count()
           val t2 = System.nanoTime()
+          // index maintenance is now label-aware: new-value rows PLUS
+          // relabeled-rep rows, both batch-bounded (sketchRepLabelUpsert)
           val repUps = operators.DedupOps
-            .sketchRepUpsert(corpusReps, bSk).localCheckpoint()
+            .sketchRepLabelUpsert(corpusReps, bSk, ups).localCheckpoint()
           val nRepUps = repUps.count()
           val t3 = System.nanoTime()
           val sec = (t3 - t0) / 1e9
@@ -2063,7 +2071,7 @@ object Scale {
           val repsParts = corpusReps.rdd.getNumPartitions
           val line = s"""{"tag":"$tag","query":"ccincups_fold_pct$pct",""" +
             s""""sec":${d2(sec)},"ok":${mism == 0L},"corpus":"$corpus",""" +
-            s""""reps_parts":$repsParts,""" +
+            s""""era":"lbl","reps_parts":$repsParts,""" +
             s""""docs":$nAll,"batch_pct":$pct,"label_mismatch":$mism,""" +
             s""""n_batch":$nBatch,"n_label_upserts":$nUps,""" +
             s""""n_rep_upserts":$nRepUps,"n_delta_edges":$nDelta,""" +

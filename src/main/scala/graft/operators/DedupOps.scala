@@ -1565,6 +1565,15 @@ object DedupOps {
         .map(_.toIndexedSeq).toIndexedSeq
     /** (doc_id, simhash) -> one row per combination key. Persisted:
       * the self-join reads it from both sides. */
+    /** One packed key per combination, in combo order — combo i's key
+      * at position i (1-based i+1 under element_at). The PRE-EXTRACTED
+      * form a standing index STORES (round 15): position replaces the
+      * `combo` column, so a probe posexplodes stored longs instead of
+      * re-slicing the sketch per fold. */
+    def keyArr(sh: Column): Column = array(combos.map { cb =>
+      cb.foldLeft(lit(0L))((acc, j) =>
+        shiftleft(acc, widths(j)) + blockBits(sh, j))
+    }: _*)
     def explodeKeys(sketch: DataFrame): DataFrame = {
       val comboStructs = array(combos.zipWithIndex.map { case (cb, i) =>
         // pack the selected blocks' bits into one long key (<= 32 bits)
@@ -2536,6 +2545,127 @@ object DedupOps {
       sch.side(sch.explodeKeys(right), "b")
         .join(broadcast(sch.side(sch.explodeKeys(left), "a")),
           Seq("combo", "kbits")))
+  }
+
+  private def combo64 =
+    ComboScheme(Simhash64Bits, Simhash64HammingMax, Simhash64Blocks)
+
+  /** LABELED sketch-rep index — the round-15 standing state the
+    * incremental fold probes (r14 verdict #1, closing the delta-probe
+    * weak item): one row per distinct corpus sketch VALUE carrying
+    * (a) its rep doc, (b) the rep's CURRENT cluster label, and (c) the
+    * Manku combination keys PRE-EXTRACTED into a position-ordered long
+    * array. Both additions kill a measured per-fold cost: the stored
+    * keys mean a fold's probe posexplodes 20 stored longs per index
+    * row instead of re-packing them from the sketch, and — the big
+    * one — the stored LABEL lets the probe emit delta edges
+    * PRE-CONTRACTED (batch rep -> standing CLUSTER id) so the
+    * first-agreeing-combination dedup expression (~2·60 block
+    * extractions per collision row over ~10^8 collisions at the 5M
+    * decade — 166-203 s of the r14 fold, docs/SCALE.md round 14) is
+    * replaced by a map-side-combining DISTINCT on (batch_rep, cluster)
+    * pairs, and the 24.9M-edge delta materialization collapses to the
+    * distinct pairs the supernode loop actually consumes.
+    *
+    * Layout pinned exactly like [[sketchRepIndex]] (the r14 AQE
+    * byte-coalesce lesson): explicit repartition by simhash at session
+    * parallelism; a deployment writes it bucketed by simhash at
+    * >= cluster cores. Maintenance between folds is batch-bounded:
+    * [[sketchRepLabelUpsert]] emits exactly the new-value rows plus
+    * the relabeled-rep rows, keyed by simhash for a state-table
+    * MERGE. `labels` must be the same converged labeling the fold's
+    * [[ccIncrementalUpsert]] call receives (cluster = component min
+    * doc_id — what [[ccFixpoint]]/[[ccIncrementalUpdate]] emit). */
+  def sketchRepLabelIndex(corpusSk: DataFrame, labels: DataFrame)
+      : DataFrame =
+    sketchReps(corpusSk)
+      // build-time corpus join (amortized standing state, never paid
+      // by a fold); hinted so table stats cannot broadcast the
+      // corpus-sized label relation at scale
+      .join(labels.hint("shuffle_hash")
+        .select(col("doc_id").as("rep_id"), col("cluster")),
+        Seq("rep_id"))
+      .select(col("simhash"), col("rep_id"), col("cluster"),
+        combo64.keyArr(col("simhash")).as("keys"))
+      .repartition(SkewJoin.defaultParts(corpusSk.sparkSession),
+        col("simhash"))
+
+  /** [[incrementalSimhashDeltaIndexed]] over the LABELED index, with
+    * corpus endpoints PRE-CONTRACTED to their standing cluster ids —
+    * the round-15 delta probe. Semantics: a batch rep b within
+    * [[Simhash64HammingMax]] of a standing rep r yields the edge
+    * (b, cluster(r)) — exactly the edge [[ccIncrementalSuperMap]]'s
+    * endpoint contraction would produce from (b, r), since r's
+    * supernode IS its cluster label; contraction there is the identity
+    * on these endpoints (a cluster id is its component's min doc_id,
+    * which labels ITSELF in any converged min-label labeling), so
+    * folding these edges through [[ccIncrementalUpsert]] is
+    * rebuild-exact for the same reason the unlabeled path is
+    * (asserted in DedupOpsSpec and at 5M docs by the ccincups sweeps).
+    *
+    * Plan shape: the index is scanned ONCE map-side (batch combo keys
+    * broadcast, stored key arrays posexploded — no corpus exchange),
+    * each collision row pays ONE popcount, and the only aggregation is
+    * the distinct on (batch_rep, cluster) — whose partial hash-agg
+    * collapses the ~10^8 collision rows to the touched-pair set
+    * map-side BEFORE the exchange. No per-pair first-agreeing-
+    * combination dedup: multiplicity is irrelevant under DISTINCT,
+    * which is the whole point of contracting early. Batch-internal
+    * edges ([[edgesFromSketches]]) are unchanged — they carry the
+    * member->rep stars the labeling needs doc-level. */
+  def incrementalSimhashDeltaLabeled(labeledIdx: DataFrame,
+      batchSk: DataFrame): DataFrame = {
+    val sch = combo64
+    val bx = sch.explodeKeys(sketchReps(batchSk)
+        .select(col("rep_id").as("doc_id"), col("simhash")))
+      .select(col("combo"), col("kbits"), col("doc_id").as("b_id"),
+        col("simhash").as("b_sh"))
+    val contracted = labeledIdx
+      .select(col("cluster"), col("simhash").as("c_sh"),
+        posexplode(col("keys")).as(Seq("combo", "kbits")))
+      .join(broadcast(bx), Seq("combo", "kbits"))
+      .filter(bit_count(col("c_sh").bitwiseXOR(col("b_sh")))
+        .cast(IntegerType) <= Simhash64HammingMax)
+      .select(col("b_id").as("n"), col("cluster").as("m"))
+      .distinct()
+    val sym = contracted
+      .select(explode(array(
+        struct(col("n"), col("m")),
+        struct(col("m").as("n"), col("n").as("m")))).as("e"))
+      .select(col("e.n").as("n"), col("e.m").as("m"))
+    edgesFromSketches(batchSk).unionByName(sym)
+  }
+
+  /** The labeled index's MERGE rows for a fold (keyed by simhash,
+    * batch-bounded — the state-I/O twin of [[ccIncrementalUpsert]]'s
+    * label rows): (1) the batch's NEW sketch values, rep = min batch
+    * doc carrying the value, label = that doc's fold label; (2) the
+    * standing rows whose rep was RELABELED by this fold (its doc_id
+    * appears in `labelUpserts` — every relabeled standing doc does,
+    * by [[ccIncrementalUpsert]]'s contract). Both probes run against
+    * the BROADCAST fold outputs, so the index is scanned map-side and
+    * the output is bounded by |batch| + |touched reps|, never the
+    * index. Old-index-minus-these-keys UNION these rows is the next
+    * fold's index (asserted across a two-fold sequence in
+    * DedupOpsSpec); a deployment MERGEs on simhash. */
+  def sketchRepLabelUpsert(labeledIdx: DataFrame, batchSk: DataFrame,
+      labelUpserts: DataFrame): DataFrame = {
+    val newReps = sketchRepUpsert(
+      labeledIdx.select("simhash", "rep_id"), batchSk)
+    val newRows = newReps
+      .join(broadcast(labelUpserts
+        .select(col("doc_id").as("rep_id"), col("cluster"))),
+        Seq("rep_id"))
+      .select(col("simhash"), col("rep_id"), col("cluster"),
+        combo64.keyArr(col("simhash")).as("keys"))
+    val relabeled = labeledIdx
+      .join(broadcast(labelUpserts
+        .select(col("doc_id").as("rep_id"), col("cluster").as("nc"))),
+        Seq("rep_id"))
+      .filter(col("nc") =!= col("cluster"))
+      .select(col("simhash"), col("rep_id"), col("nc").as("cluster"),
+        col("keys"))
+    newRows.unionByName(relabeled)
   }
 
   /** Exact connected components over an ARBITRARY symmetric edge

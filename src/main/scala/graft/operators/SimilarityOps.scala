@@ -412,41 +412,83 @@ object SimilarityOps {
     AutoPlaneConfigs.find(p => n <= (AutoOccupancy.toLong << p))
       .getOrElse(AutoPlaneConfigs.last)
 
+  /** The ANN FAMILY decision for [[annLshAuto]] (round 15, r14
+    * verdict #2 — the executable form of the measured handoff):
+    * within the plane menu's occupancy ceiling (8·2^16 = 524,288
+    * vectors), hyperplane LSH at the occupancy-routed plane count —
+    * `Left(planes)`; past it, the √n-routed IVF + exact-rerank path —
+    * `Right(k)`. The ceiling is where the evidence says to switch,
+    * not just where the menu ends: at 2M vectors the saturated
+    * 16-plane LSH measured recall 0.60 while routed IVF-rerank
+    * measured 1.0 on the same corpus at nprobe 1 and 4
+    * (docs/SCALE.md rounds 13-14) — extending the plane menu instead
+    * would raise the probe factor linearly for recall that decays
+    * anyway, while IVF's k ∝ √n holds both assignment and rerank at
+    * ~n^1.5 with routing recall measured 1.0 through the 2M decade. */
+  private[graft] def annFamilyFor(n: Long): Either[Int, Int] =
+    if (n <= (AutoOccupancy.toLong << AutoPlaneConfigs.last))
+      Left(autoPlanesFor(n))
+    else Right(semDedupKFor(n))
+
   /** [[annLsh]] with the plane count DERIVED from a corpus statistic —
     * the occupancy rule above, codified the way [[DedupOps.dedupNearAuto]]
-    * codifies the df-skew rule. FULLY LAZY: a bounded count (capped at
-    * one row past the largest config's boundary, so the stat never
-    * scans more than 8·2^maxConfig + 1 = 524,289 rows since the
-    * round-12 menu extension, no matter the corpus) forms a one-row
-    * relation; each plane config's branch reads the embeddings scan
-    * guarded by that stat filtered to its regime (the regimes tile
-    * (0, ∞) exhaustively and exclusively), and AQE's empty-relation
-    * propagation collapses the dead branches before their scans
-    * schedule. Each branch is result-identical to annLsh at its plane
-    * count (asserted in SimilarityOpsSpec), so routing is pure
-    * planning. */
+    * codifies the df-skew rule — and, past the plane menu's ceiling,
+    * the FAMILY handoff to routed IVF-rerank ([[annFamilyFor]],
+    * round 15). Within the LSH regime the query is built exactly as
+    * before: each plane config's branch reads the embeddings scan
+    * guarded by a one-row bounded-count relation filtered to its
+    * regime (the regimes tile the LSH range exhaustively and
+    * exclusively), and AQE's empty-relation propagation collapses the
+    * dead branches before their scans schedule; each branch is
+    * result-identical to annLsh at its plane count (asserted in
+    * SimilarityOpsSpec). The family decision itself is one eager
+    * bounded count (the [[routedK]] convention — body comment). */
   def annLshAuto(s: SparkSession, dir: String,
-      topK: Int = AnnTopK): DataFrame = {
-    val cap = (AutoOccupancy.toLong << AutoPlaneConfigs.last).toInt + 1
-    val nStat = table(s, dir, "embeddings")
-      .select(lit(1).as("one")).limit(cap)
-      .agg(count(lit(1)).as("n"))
-    def guarded(regime: Column): DataFrame =
-      table(s, dir, "embeddings")
-        .crossJoin(broadcast(nStat.filter(regime)
-          .select(lit(1).as("__go"))))
-        .drop("__go")
-    val branches = AutoPlaneConfigs.zipWithIndex.map { case (p, i) =>
-      val regime =
-        if (i == 0) col("n") <= (AutoOccupancy.toLong << p)
-        else if (i == AutoPlaneConfigs.size - 1)
-          col("n") > (AutoOccupancy.toLong << AutoPlaneConfigs(i - 1))
-        else col("n") > (AutoOccupancy.toLong << AutoPlaneConfigs(i - 1)) &&
-          col("n") <= (AutoOccupancy.toLong << p)
-      annLsh(s, dir, nPlanes = p, topK = topK,
-        source = Some(guarded(regime)))
+      topK: Int = AnnTopK, source: Option[DataFrame] = None): DataFrame = {
+    // ONE bounded count decides the FAMILY (round 15): capped one row
+    // past the largest √n menu boundary (204,800,001 — the same
+    // bound [[routedK]] reads; `limit` terminates the scan there no
+    // matter the corpus), it either keeps the LSH regime — where the
+    // lazy guarded union below is built EXACTLY as before, so the
+    // contract-scale plan and the oracle's replay are untouched — or
+    // hands off to the routed IVF-rerank path ([[annFamilyFor]]).
+    // Eager-bounded-count routing is the [[routedK]] convention
+    // (LazinessSpec-exempt on the same grounds: bounded state, never
+    // corpus-scaled results); the handoff branch cannot be a lazy
+    // union arm because a dead IVF arm carries a full Lloyd training
+    // chain — the measured +2 s/query dead-branch planning cost that
+    // made dedup_semdedup's routing eager in round 13.
+    val emb = source.getOrElse(table(s, dir, "embeddings"))
+    val lastK = SemDedupKConfigs.last
+    val kCap = (lastK.toLong * lastK * SemDedupOcc).toInt + 1
+    annFamilyFor(emb.limit(kCap).count()) match {
+      case Right(k) =>
+        // same determinism rules (9-dp rounding, id tiebreaks), same
+        // output shape: `bucket` = the query's own nearest coarse
+        // list — the IVF analog of the LSH reporting bucket
+        ivfKnn(s, dir, k, source, topK = topK, withBucket = true)
+      case Left(_) =>
+        val cap = (AutoOccupancy.toLong << AutoPlaneConfigs.last).toInt + 1
+        val nStat = emb
+          .select(lit(1).as("one")).limit(cap)
+          .agg(count(lit(1)).as("n"))
+        def guarded(regime: Column): DataFrame =
+          emb
+            .crossJoin(broadcast(nStat.filter(regime)
+              .select(lit(1).as("__go"))))
+            .drop("__go")
+        val branches = AutoPlaneConfigs.zipWithIndex.map { case (p, i) =>
+          val regime =
+            if (i == 0) col("n") <= (AutoOccupancy.toLong << p)
+            else if (i == AutoPlaneConfigs.size - 1)
+              col("n") > (AutoOccupancy.toLong << AutoPlaneConfigs(i - 1))
+            else col("n") > (AutoOccupancy.toLong << AutoPlaneConfigs(i - 1)) &&
+              col("n") <= (AutoOccupancy.toLong << p)
+          annLsh(s, dir, nPlanes = p, topK = topK,
+            source = Some(guarded(regime)))
+        }
+        branches.reduce(_ union _).orderBy("a_id", "rank")
     }
-    branches.reduce(_ union _).orderBy("a_id", "rank")
   }
 
   /** Eagerly-decided variant of [[annLshAuto]] exposing the chosen
@@ -582,6 +624,36 @@ object SimilarityOps {
       .orderBy("a_id", "rank")
   }
 
+  /** Filler for grid cells absent from a probe's distance map — a
+    * (s, cid) pair no vector was assigned to (an empty Lloyd cluster,
+    * or a seeded init over non-contiguous vec_ids). Codes can never
+    * REFERENCE such a cell — [[pqAssign]]'s argmin ranges over exactly
+    * the trained `cents` rows, so every stored code points at a cell
+    * the probe's distance table also derives from `cents` — the
+    * sentinel exists only so the dense array's POSITIONS stay exact
+    * when the grid is sparse. Magnitude chosen so even an impossible
+    * read is harmless: M sentinel reads cannot overflow a long sum. */
+  private[graft] val AdcGapSentinel: Long = -(1L << 60)
+
+  /** GAP-PROOF dense ADC lookup array (ADVICE r14): the pivoted plan
+    * indexes the probe's distance array POSITIONALLY (i = s·PqK + cid),
+    * which is only correct if the (s, cid) grid is dense — an empty
+    * Lloyd cluster or a seeded init over non-contiguous vec_ids would
+    * silently shift every later entry of a collect_list-built array
+    * (and `element_at` past the end NULLs or throws by ANSI mode). So
+    * the array is built by LOOKUP over the full 0..PqM·PqK−1 domain
+    * from a (i → dm) map: present cells land at their exact position,
+    * absent cells hold [[AdcGapSentinel]] (never referenced — scaladoc
+    * there), and `try_element_at` behaves identically under both ANSI
+    * modes. `map_from_entries` throws on duplicate keys, so a corrupt
+    * grid (two centroids at one (s, cid)) fails LOUD instead of
+    * mis-ranking. The DuckDB oracle keeps its gap-robust (s, cid) join
+    * — engine and oracle now agree on sparse grids by construction. */
+  private[graft] def denseAdcArr(im: Column): Column =
+    transform(
+      sequence(lit(0L), lit((PqM * PqK - 1).toLong)),
+      j => coalesce(try_element_at(im, j), lit(AdcGapSentinel)))
+
   private[graft] def pqTopK(s: SparkSession, dir: String,
       source: Option[DataFrame] = None): DataFrame = {
     val e = vecsOf(s, source.getOrElse(table(s, dir, "embeddings")))
@@ -599,12 +671,17 @@ object SimilarityOps {
     // MAP-SIDE inside the pair join (`aggregate` over the code array —
     // same micro-quantized integers, same (adc desc, b_id) ranking, so
     // the DuckDB oracle and the spec's determinism claim are
-    // untouched). The only remaining corpus-scaled exchange is the
-    // probes·n pair relation the top-K window ranks — the output-bound
-    // floor. IVF-PQ keeps the (s, pcid) join form: its per-list
-    // distance tables make the same pivot a per-(probe, list) array
-    // problem for a candidate set already bounded by nprobe lists
-    // (measured in-band at every decade).
+    // untouched). Exchange count, honestly (ADVICE r14): pqAssign's
+    // partial-aggregating argmin already exchanges the n·M assignment
+    // rows on (s, vec_id), and the codes-array groupBy(vec_id) below
+    // is a SECOND linear n·M exchange on a different key — two linear
+    // n·M exchanges total, both (id, int) light. The only remaining
+    // corpus-scaled exchange after that is the probes·n pair relation
+    // the top-K window ranks — the output-bound floor. IVF-PQ keeps
+    // the (s, pcid) join form: its per-list distance tables make the
+    // same pivot a per-(probe, list) array problem for a candidate set
+    // already bounded by nprobe lists (measured in-band at every
+    // decade).
     val codesArr = pqAssign(sv, cents)
       .groupBy(col("vec_id").as("b_id"))
       .agg(array_sort(collect_list(struct(col("s"), col("cid"))))
@@ -616,9 +693,9 @@ object SimilarityOps {
         (col("s") * PqK + col("cid")).as("i"),
         round(dot(col("u"), col("cu")) * 1e6).cast(LongType).as("dm"))
       .groupBy("a_id")
-      .agg(array_sort(collect_list(struct(col("i"), col("dm"))))
-        .as("idm"))
-      .select(col("a_id"), expr("transform(idm, t -> t.dm)").as("dm"))
+      .agg(map_from_entries(collect_list(struct(col("i"), col("dm"))))
+        .as("im"))
+      .select(col("a_id"), denseAdcArr(col("im")).as("dm"))
     val byA = Window.partitionBy("a_id")
       .orderBy(col("adc_micro").desc, col("b_id").asc)
     codesArr.join(broadcast(dtArr), col("b_id") =!= col("a_id"))
@@ -738,7 +815,8 @@ object SimilarityOps {
     * ~n^1.5 while ROUTING recall (is the true neighbor's list probed?)
     * stays measured-1.0 across the embedding decades. */
   private[graft] def ivfKnn(s: SparkSession, dir: String,
-      k: Int = IvfK, source: Option[DataFrame] = None): DataFrame = {
+      k: Int = IvfK, source: Option[DataFrame] = None,
+      topK: Int = AnnTopK, withBucket: Boolean = false): DataFrame = {
     val e = vecsOf(s, source.getOrElse(table(s, dir, "embeddings")))
     val cents = kmeansCentroids(e, k = k, iters = IvfIters)
     val e3 = e.select(col("vec_id"), col("v"), col("norm"))
@@ -767,17 +845,31 @@ object SimilarityOps {
     // inverted lists are corpus-scaled array rows on k distinct keys —
     // the canonical duplicate-heavy join; never broadcast, never let
     // the k-key shuffle coalesce below the probe parallelism
-    SkewJoin.saltedCandidateJoin(probes, lists, Seq("cid"),
+    val ranked = SkewJoin.saltedCandidateJoin(probes, lists, Seq("cid"),
         leftSaltBy = col("a_id"))
       .filter(col("a_id") =!= col("b_id"))
       .withColumn("cos", cosine)
       // arrays dropped before the rank window's exchange ([[annLsh]])
       .select(col("a_id"), col("b_id"), col("cos"))
       .withColumn("rank", row_number().over(byQuery))
-      .filter(col("rank") <= AnnTopK)
+      .filter(col("rank") <= topK)
       .select(col("a_id"), col("rank").cast(IntegerType).as("rank"),
         col("b_id"), col("cos"))
-      .orderBy("a_id", "rank")
+    if (!withBucket) ranked.orderBy("a_id", "rank")
+    else
+      // the annLshAuto FAMILY-HANDOFF shape (round 15): report the
+      // query's OWN nearest coarse list as `bucket` — the IVF analog
+      // of annLsh's reporting bucket, so both families share one
+      // output schema. One join of the topK-bounded result against
+      // the cached crn=1 assignment (ids + a small int — never
+      // vector payloads); cids are seed vec_ids < k, so the int cast
+      // is exact.
+      ranked
+        .join(a1.select(col("vec_id").as("a_id"),
+          col("cid").cast(IntegerType).as("bucket")), Seq("a_id"))
+        .select(col("a_id"), col("rank"), col("b_id"), col("cos"),
+          col("bucket"))
+        .orderBy("a_id", "rank")
   }
 
   /** [[ivfKnn]] with the list count DERIVED from the corpus — the

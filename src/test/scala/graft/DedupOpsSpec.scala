@@ -913,6 +913,75 @@ class DedupOpsSpec extends AnyFunSuite {
     graft.core.Core.releaseShared()
   }
 
+  test("LABELED index fold: pre-contracted delta == unlabeled delta " +
+    "fold == full rebuild; index upserts maintain the state across " +
+    "two folds") {
+    // the round-15 delta probe (r14 verdict #1): the labeled index
+    // emits (batch_rep, cluster) edges directly — folding them must
+    // land byte-identical labels to the unlabeled-index path and the
+    // full rebuild, and sketchRepLabelUpsert must be exactly the MERGE
+    // rows that keep the index correct for the NEXT fold
+    val sk = DedupOps.simhash64Sketches(spark, TestSpark.sfDir)
+    val corpusSk = sk.filter(col("doc_id") % 3 === 0)
+    val batch1Sk = sk.filter(col("doc_id") % 3 === 1)
+    val batch2Sk = sk.filter(col("doc_id") % 3 === 2)
+    val labels0 = DedupOps.ccFixpoint(corpusSk.select("doc_id"),
+      DedupOps.edgesFromSketches(corpusSk)).localCheckpoint()
+    val idx0 = DedupOps.sketchRepLabelIndex(corpusSk, labels0)
+      .localCheckpoint()
+    // fold 1: labeled path == unlabeled path == incremental reference
+    val ups1 = DedupOps.ccIncrementalUpsert(labels0,
+        batch1Sk.select("doc_id"),
+        DedupOps.incrementalSimhashDeltaLabeled(idx0, batch1Sk),
+        maxPairs = 32)
+      .localCheckpoint()
+    val ups1Ref = DedupOps.ccIncrementalUpsert(labels0,
+        batch1Sk.select("doc_id"),
+        DedupOps.incrementalSimhashDeltaIndexed(
+          idx0.select("simhash", "rep_id"), batch1Sk),
+        maxPairs = 32)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ups1M = ups1.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ups1M == ups1Ref,
+      s"labeled-index fold $ups1M != unlabeled-index fold $ups1Ref")
+    // merge fold-1 state: labels and index
+    val labels1 = labels0
+      .join(ups1.select("doc_id"), Seq("doc_id"), "left_anti")
+      .unionByName(ups1).localCheckpoint()
+    val idxUps1 = DedupOps.sketchRepLabelUpsert(idx0, batch1Sk, ups1)
+      .localCheckpoint()
+    val idx1 = idx0
+      .join(idxUps1.select("simhash"), Seq("simhash"), "left_anti")
+      .unionByName(idxUps1).localCheckpoint()
+    // the merged index must agree with a from-scratch labeled index
+    // over the fold-1 corpus on (simhash, cluster, keys). rep_id may
+    // legitimately differ — known values keep their STANDING rep while
+    // a rebuild picks the global min-doc — but same-value docs are
+    // Hamming-0, so they share a component and the CLUSTER (the column
+    // the round-15 probe actually reads) is rep-choice-invariant.
+    val wantIdx1 = DedupOps.sketchRepLabelIndex(
+        corpusSk.unionByName(batch1Sk), labels1)
+      .collect().map(r => (r.getLong(0), r.getLong(2),
+        r.getSeq[Long](3))).toSet
+    val gotIdx1 = idx1.collect().map(r => (r.getLong(0), r.getLong(2),
+      r.getSeq[Long](3))).toSet
+    assert(gotIdx1 == wantIdx1, "merged index != rebuilt index after fold 1")
+    // fold 2 probes the MAINTAINED state — equivalence vs full rebuild
+    val ups2 = DedupOps.ccIncrementalUpsert(labels1,
+        batch2Sk.select("doc_id"),
+        DedupOps.incrementalSimhashDeltaLabeled(idx1, batch2Sk),
+        maxPairs = 32)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val merged = labels1.collect().map(r => r.getLong(0) -> r.getLong(1))
+      .toMap -- ups2.keys
+    val full = DedupOps.ccFixpoint(sk.select("doc_id"),
+        DedupOps.edgesFromSketches(sk))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged ++ ups2 == full,
+      "two labeled-index folds != full rebuild")
+    graft.core.Core.releaseShared()
+  }
+
   test("incremental SimHash delta edges reach every cross-corpus " +
     "component a full rebuild finds") {
     // end-to-end on the gate corpus: split docs into 'corpus' (even

@@ -41,8 +41,14 @@ class LazinessSpec extends AnyFunSuite {
     // bounded-state class as sim_ivfpq_topk's training collects; the
     // lazy guarded-union alternative measured +2.2 s per query at
     // sf0.1 because each dead branch carries a full Lloyd chain.
+    // sim_ann_lsh_auto (round 15): the LSH->IVF FAMILY handoff runs
+    // the same bounded count at build (annFamilyFor) — a lazy IVF arm
+    // would carry a dead Lloyd chain into every LSH-regime plan. The
+    // LSH-regime plan it returns below the ceiling is the same lazy
+    // guarded union as before.
     val exempt = Set("txt_bpe_vocab", "txt_bpe_vocab64", "txt_bpe_encode",
       "sim_ivfpq_topk", "dedup_semdedup", "sim_ann_ivf_rerank",
+      "sim_ann_lsh_auto",
       "pipeline_tokenize", "pipeline_dedup", "pipeline_full")
     val tracker = spark.sparkContext.statusTracker
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)

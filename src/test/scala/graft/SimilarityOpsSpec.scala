@@ -158,6 +158,51 @@ class SimilarityOpsSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSeq == direct3k)
   }
 
+  test("annLshAuto FAMILY handoff: past the plane-menu ceiling the auto " +
+    "query delegates to routed IVF-rerank (r14 verdict #2)") {
+    import SimilarityOps._
+    // the pure decision: LSH (occupancy-routed planes) up to the
+    // menu's occupancy ceiling 8·2^16, routed-k IVF-rerank past it —
+    // at exactly the measured-evidence boundary (16-plane LSH recall
+    // 0.60 at 2M vectors vs IVF-rerank 1.0, docs/SCALE.md r13/r14)
+    assert(annFamilyFor(500) == Left(8))
+    assert(annFamilyFor(524288) == Left(16))
+    assert(annFamilyFor(524289) == Right(320))
+    assert(annFamilyFor(2000000) == Right(320))
+    assert(annFamilyFor(20000000) == Right(1000))
+    // the handoff FIRES through the public query builder on a >524k
+    // corpus: the family count sees 525k vectors and the returned
+    // plan is the IVF path — same output schema as the LSH regime,
+    // so downstream consumers never see the switch. (Plan-built and
+    // schema-checked, not executed: a 525k-vector IVF run is the
+    // Scale harness's job — emb1000x measured it at recall 1.0.)
+    import spark.implicits._
+    val big = spark.range(525000).select(col("id").as("vec_id"),
+      array(lit(0.1f), lit(0.2f), lit(0.3f), lit(0.4f)).as("embedding"),
+      (col("id") % 10).cast("int").as("label"))
+    val handed = annLshAuto(spark, dir = "", source = Some(big))
+    val lshSchema = annLsh(spark, TestSpark.sfDir).schema
+      .fields.map(f => (f.name, f.dataType)).toSeq
+    assert(handed.schema.fields.map(f => (f.name, f.dataType)).toSeq
+      == lshSchema,
+      "handoff branch schema diverged from the LSH regime's")
+    // below the ceiling the contract plan is untouched: the auto query
+    // still reproduces annLsh at the routed plane count (asserted by
+    // the occupancy-rule test above; re-pinned here on the gate corpus)
+    assert(annLshAuto(spark, TestSpark.sfDir).collect().map(_.toSeq).toSeq
+      == annLsh(spark, TestSpark.sfDir, nPlanes = 8)
+        .collect().map(_.toSeq).toSeq)
+    // the bucket-carrying IVF shape is the plain ivfKnn ranking plus
+    // the query's own nearest-list id: identical (a_id, rank, b_id,
+    // cos) rows, bucket = a seed cid in [0, k)
+    val base = ivfKnn(spark, TestSpark.sfDir).collect().map(_.toSeq).toSeq
+    val withB = ivfKnn(spark, TestSpark.sfDir, withBucket = true).collect()
+    assert(withB.map(_.toSeq.take(4)).toSeq == base)
+    assert(withB.forall { r =>
+      val b = r.getInt(4); b >= 0 && b < IvfK })
+    graft.core.Core.releaseShared()
+  }
+
   test("semDedup/ivfKnn k-routing: √n rule boundaries; routing is result-identical") {
     import SimilarityOps._
     // the pure sizing rule: smallest menu k with n <= k² · occ
@@ -246,6 +291,32 @@ class SimilarityOpsSpec extends AnyFunSuite {
       .toDouble / out.length
     info(f"PQ cluster retrieval @3 on planted clusters: $clusterHit%.3f")
     assert(clusterHit >= 0.8, s"cluster retrieval $clusterHit")
+  }
+
+  test("pivoted ADC lookup array is gap-proof: sparse (s,cid) grids " +
+    "keep exact positions (ADVICE r14)") {
+    // the pivoted plan indexes the probe's distance array POSITIONALLY
+    // (i = s·PqK + cid); a dropped Lloyd cluster or non-contiguous
+    // seed ids must not shift later entries (the r14 collect_list
+    // form would have, silently mis-ranking). denseAdcArr builds by
+    // LOOKUP over the full domain: present cells at exact positions,
+    // absent cells = the sentinel, same behavior under both ANSI modes.
+    import spark.implicits._
+    val n = SimilarityOps.PqM * SimilarityOps.PqK
+    // a grid missing cells 5 and n-1 (mid-gap AND trailing gap — the
+    // trailing case is the one element_at-past-the-end NULLed/threw on)
+    val present = (0 until n).filterNot(i => i == 5 || i == n - 1)
+    val df = Seq(1L).toDF("a_id").select(col("a_id"),
+      map_from_entries(array(present.map(i =>
+        struct(lit(i.toLong).as("i"), lit(i * 100L).as("dm"))): _*))
+        .as("im"))
+    val got = df.select(SimilarityOps.denseAdcArr(col("im")).as("dm"))
+      .head().getSeq[Long](0)
+    assert(got.size == n, s"dense array size ${got.size} != $n")
+    present.foreach { i =>
+      assert(got(i) == i * 100L, s"position $i shifted: ${got(i)}") }
+    assert(got(5) == SimilarityOps.AdcGapSentinel &&
+      got(n - 1) == SimilarityOps.AdcGapSentinel)
   }
 
   test("IVF-PQ: routing costs a bounded recall step for a k/nprobe candidate cut") {
