@@ -16,7 +16,7 @@ import org.apache.spark.sql.SparkSession
   * Usage: runMain graft.Scale [gen|sf0.1|dense|wide|wide100|wide1000|
   * embscale|fixpoint|fixpointstar|fixpointadv|annplanes|annrecall|
   * ivfpqrecall|bpebatch|ccinc|ccinc1000|ccincups|ccincups1000|
-  * topkhub|embscale1000|embrecall1000|check]
+  * topkhub|embscale1000|embrecall1000|embrecall1414|check]
   * [--only=q1,q2,...]
   * (no args = gen + all three sweeps; results append to
   * docs/scale_results.jsonl and print as JSON lines). `fixpoint`
@@ -1788,17 +1788,60 @@ object Scale {
     if (sel.contains("embrecall1000")) {
       runAnnPlanes("emb1000x", Emb1000Dir)
       // ivfK = the MENU's pick at 2M vectors (320), not the continuous
-      // √n 1414: the recall evidence should measure the configuration
-      // the routed contract queries actually ship at this corpus, and
-      // the 1414-list Lloyd chain additionally exhausted this host's
-      // 68 GB of free disk in shuffle spill at 2M vectors (round 14 —
-      // the ok:false emb_recall row in the ledger records the attempt;
-      // the continuous-k TIMED scaling datapoint already exists as
-      // dedup_semdedup_scaledk, which shares the same trained-k-means
-      // chain at k = 1414 and completed at 1549.8 s).
+      // √n 1414: the recall evidence here measures the configuration
+      // the routed contract queries actually ship at this corpus. The
+      // continuous-√n 1414 rows have their OWN bounded mode
+      // (embrecall1414, round 15) now that the sweep's wide ranked
+      // cache — the actual cause of the r14 68 GB disk exhaustion —
+      // is sliced to max(nprobe) before sharing.
       runEmbRecall("emb1000x", Emb1000Dir,
         ivfK = operators.SimilarityOps.semDedupKFor(2000000L),
         fixedPlanes = false)
+    }
+    // The continuous-√n k = 1414 recall rows, SWEEP-ONLY (round 15,
+    // r14 verdict #4): the r14 attempt died exhausting 68 GB of disk
+    // because ivfRerankRecallSweep CACHED the full k-length ranked
+    // array per vector (~45 GB at k=1414 × 2M — the wide-cache trap on
+    // standing sweep state); the sweep now slices to max(nprobe)
+    // before sharing, bounding the cache at (4 × 16 B)/vector for any
+    // menu k. This mode records ONLY the k=1414 sweep rows (the LSH
+    // recall rows and the k=320 deployed-config row are already on the
+    // r14 ledger — re-running them would re-pay ~30 min of measured
+    // evidence for identical datapoints).
+    if (sel.contains("embrecall1414")) {
+      try {
+        val emb = graft.core.Core.table(spark, Emb1000Dir, "embeddings")
+          .persist()
+        try {
+          emb.count()
+          graft.core.Core.releaseShared()
+          val t1 = System.nanoTime()
+          val recs = operators.SimilarityOps.ivfRerankRecallSweep(spark,
+            emb, Seq(1, 4), ivfK = 1414)
+          val sec1 = (System.nanoTime() - t1) / 1e9
+          val sline = s"""{"tag":"emb1000x","query":"ivfrerank_sweep_k1414",""" +
+            s""""sec":${d2(sec1)},"ok":true,"corpus":"$corpus",""" +
+            s""""nprobes":[${recs.map(_._1).mkString(",")}],"ivfk":1414}"""
+          println(s"[scale] $sline")
+          out.append(sline).append('\n')
+          recs.foreach { case (np, r) =>
+            val l =
+              s"""{"tag":"emb1000x","query":"ivfrerank_recall_k1414_np$np",""" +
+              s""""ok":true,"corpus":"$corpus","recall":${d2(r)},""" +
+              s""""nprobe":$np,"ivfk":1414}"""
+            println(s"[scale] $l")
+            out.append(l).append('\n')
+          }
+        } finally emb.unpersist()
+      } catch {
+        case e: Throwable =>
+          graft.core.Core.releaseShared()
+          val line = s"""{"tag":"emb1000x","query":"emb_recall",""" +
+            s""""ok":false,"corpus":"$corpus","error":""" +
+            s""""${e.getClass.getSimpleName}"}"""
+          println(s"[scale] $line")
+          out.append(line).append('\n')
+      }
     }
     if (sel.contains("fixpointadv")) runFixpointAdv()
     if (sel.contains("annrecall")) runAnnRecall()

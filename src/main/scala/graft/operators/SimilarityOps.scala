@@ -1115,8 +1115,21 @@ object SimilarityOps {
     val coarse = kmeansCentroids(e, ivfK, IvfIters)
       .collect().sortBy(_.getLong(0))
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    // SLICE BEFORE SHARING (round 15, r14 verdict #4): the cached
+    // relation previously carried the FULL k-length ranked struct
+    // array per vector — the round-3 wide-cache trap, invisible until
+    // k grew: at the continuous-√n k = 1414 on 2M vectors that is
+    // ~45 GB of (negccos, cid) structs, and the k=1414 harness attempt
+    // exhausted the host's 68 GB free disk in cache+shuffle spill (the
+    // r14 ok:false emb_recall ledger row). Every consumer reads only a
+    // PREFIX — lists take rk[1], probes take rk[1..nprobe] — so the
+    // slice to the schedule's max nprobe happens in the SAME
+    // projection and the cache stays (maxNp × 16 B)/vector no matter
+    // the menu k. Ranking algebra untouched: a prefix of the sorted
+    // array is the same top-maxNp the full array yields.
+    val maxNp = nprobes.max
     val ranked = shared(e.select(col("vec_id"), col("v"), col("norm"))
-      .withColumn("rk", coarseRankArr(coarse)))
+      .withColumn("rk", slice(coarseRankArr(coarse), 1, maxNp)))
     val lists = ranked.select(col("vec_id").as("b_id"),
       col("v").as("b_v"), col("norm").as("b_norm"),
       element_at(col("rk"), 1).getField("cid").as("lcid"))
