@@ -398,19 +398,29 @@ object TextOps {
     * gram join. One definition, three consumers — composed outputs
     * cannot drift from the standalone operator by construction. */
   private def curateWithReasons(s: SparkSession, dir: String): DataFrame = {
-    // gram relation for cross-doc contamination (txt_decontaminate's
-    // shape): shared NARROW — (doc_id, g) after the explode, never
-    // the per-doc arrays (the wide-cache rule)
-    val grams = shared(
+    // ONE curate pass shared by both branches (round-15 A/B): the
+    // gram branch and the flag branch previously each carried their
+    // own curateMapSide subtree — two corpus text scans per
+    // curate-family query (column pruning kept tok_stats out of the
+    // gram branch, but the scan + lower/split ran twice). cm persists
+    // the pass once with exactly the columns the two branches union
+    // (grams for contamination, n/map_drop/hashes for the funnel);
+    // both branches read it via columnar cache pruning. This DOES
+    // cache a corpus-sized grams array — a measured exception to the
+    // narrow-cache rule, scoped to one query's lifetime (released
+    // with the query's shared scope).
+    val cm = shared(
       curateMapSide(table(s, dir, "documents").select("doc_id", "text"))
-        .select(col("doc_id"), explode(col("grams")).as("g")))
+        .select(col("doc_id"), col("grams"), col("n"), col("map_drop"),
+          col("h_split"), col("h_shard")))
+    val grams = shared(cm.select(col("doc_id"), explode(col("grams")).as("g")))
     val bench = grams.filter(col("doc_id") < DecontaminateBenchDocs)
       .select(col("doc_id").as("bench_id"), col("g"))
     val contaminated = grams.join(broadcast(bench), Seq("g"))
       .filter(col("bench_id") =!= col("doc_id"))
       .select("doc_id").distinct()
       .withColumn("contaminated", lit(true))
-    curateMapSide(table(s, dir, "documents").select("doc_id", "text"))
+    cm.drop("grams")
       .join(contaminated, Seq("doc_id"), "left")
       .withColumn("drop_reason", coalesce(col("map_drop"),
         when(coalesce(col("contaminated"), lit(false)),
