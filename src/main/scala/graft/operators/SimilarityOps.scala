@@ -219,20 +219,43 @@ object SimilarityOps {
     * ROW_NUMBER algebra. `exclude`, when set to a column of `e`,
     * drops that cid from the vector's candidate set (the second-probe
     * pass of [[ivfKnn]]). */
-  private def assignBest(e: DataFrame, cents: DataFrame,
+  /** [[assignBest]] without the vector payload — (vec_id, cid, ccos)
+    * only. NARROW AGGREGATION (round 15): the wide form's agg buffer
+    * carried `v` (`first(v)` — an array), so the planner picks
+    * SortAggregate and the partial sort's input was the FULL n·k
+    * candidate stream with the 512 B vector aboard: measured ~65 GB
+    * of sorted spill PER ASSIGNMENT at n = 2M, k = 1414
+    * (docs/SCALE.md round 15), and at the 10⁹-vector design point
+    * that sort is the plan that dies. Aggregating the (vec_id, cid,
+    * ccos) stream cuts the sorted bytes ~25× at any k; assignment is
+    * bitwise unchanged (same max_by over the same (ccos, −cid)
+    * order). `sim_centroid_assign` consumes this form directly — it
+    * never needed the payload at all. */
+  private def assignBestNarrow(e: DataFrame, cents: DataFrame,
       exclude: Option[Column] = None): DataFrame = {
     val aff0 = e.crossJoin(broadcast(cents))
     val aff = exclude.map(ex => aff0.filter(col("cid") =!= ex))
       .getOrElse(aff0)
     aff.withColumn("ccos",
         round(dot(col("v"), col("cv")) / (col("norm") * col("cnorm")), 9))
+      .select(col("vec_id"), col("cid"), col("ccos"))
       .groupBy("vec_id")
       .agg(max_by(struct(col("cid"), col("ccos")),
-          struct(col("ccos"), (lit(0L) - col("cid")).as("nc"))).as("best"),
-        first(col("v")).as("v"), first(col("norm")).as("norm"))
+          struct(col("ccos"), (lit(0L) - col("cid")).as("nc"))).as("best"))
       .select(col("vec_id"), col("best.cid").as("cid"),
-        col("best.ccos").as("ccos"), col("v"), col("norm"))
+        col("best.ccos").as("ccos"))
   }
+
+  private def assignBest(e: DataFrame, cents: DataFrame,
+      exclude: Option[Column] = None): DataFrame =
+    // v/norm recovered by one n-row equi-join on the unique vec_id —
+    // an exchange the old plan paid anyway (its partial-agg buffers
+    // carried v through the same boundary); shuffle_hash pinned so
+    // stats can never broadcast either corpus-scaled side
+    assignBestNarrow(e, cents, exclude).hint("shuffle_hash")
+      .join(e.select(col("vec_id"), col("v"), col("norm")), "vec_id")
+      .select(col("vec_id"), col("cid"), col("ccos"), col("v"),
+        col("norm"))
 
   private[operators] def kmeansCentroids(e: DataFrame, k: Int,
       iters: Int): DataFrame = {
@@ -1282,8 +1305,8 @@ object SimilarityOps {
     "sim_centroid_assign" -> { (s, dir) =>
       val e = vecs(s, dir)
       val cents = kmeansCentroids(e, k = IvfK, iters = IvfIters)
-      assignBest(e.select(col("vec_id"), col("v"), col("norm")), cents)
-        .select(col("vec_id"), col("cid"), col("ccos"))
+      assignBestNarrow(e.select(col("vec_id"), col("v"), col("norm")),
+          cents)
         .orderBy("vec_id")
     },
 

@@ -982,6 +982,30 @@ class DedupOpsSpec extends AnyFunSuite {
     graft.core.Core.releaseShared()
   }
 
+  test("labeled-index delta probe plan: batch side broadcast, no " +
+    "sort-merge join, no cartesian — the index scans map-side") {
+    // the scale contract of the round-15 probe: the standing index is
+    // read ONCE map-side against the broadcast batch combo keys; a
+    // stats flip to SMJ (an index exchange per fold) or a cartesian
+    // would be the corpus-exchange regression the labeled index exists
+    // to prevent
+    val sk = DedupOps.simhash64Sketches(spark, TestSpark.sfDir)
+    val corpusSk = sk.filter(col("doc_id") % 2 === 0)
+    val batchSk = sk.filter(col("doc_id") % 2 === 1)
+    val labels = DedupOps.ccFixpoint(corpusSk.select("doc_id"),
+      DedupOps.edgesFromSketches(corpusSk)).localCheckpoint()
+    val idx = DedupOps.sketchRepLabelIndex(corpusSk, labels)
+      .localCheckpoint()
+    val plan = DedupOps.incrementalSimhashDeltaLabeled(idx, batchSk)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "index probe lost its broadcast join")
+    assert(!plan.contains("SortMergeJoin"),
+      "a sort-merge join appeared in the fold's delta plan")
+    assert(!plan.contains("CartesianProduct"))
+    graft.core.Core.releaseShared()
+  }
+
   test("incremental SimHash delta edges reach every cross-corpus " +
     "component a full rebuild finds") {
     // end-to-end on the gate corpus: split docs into 'corpus' (even
