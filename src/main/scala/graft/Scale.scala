@@ -1836,8 +1836,11 @@ object Scale {
       } catch {
         case e: Throwable =>
           graft.core.Core.releaseShared()
-          val line = s"""{"tag":"emb1000x","query":"emb_recall",""" +
-            s""""ok":false,"corpus":"$corpus","error":""" +
+          // failure rows carry the mode's own name + ivfk (ADVICE r15:
+          // an "emb_recall" failure row here was indistinguishable in
+          // the ledger from a failed embrecall1000 run)
+          val line = s"""{"tag":"emb1000x","query":"emb_recall_k1414",""" +
+            s""""ok":false,"corpus":"$corpus","ivfk":1414,"error":""" +
             s""""${e.getClass.getSimpleName}"}"""
           println(s"[scale] $line")
           out.append(line).append('\n')

@@ -2652,10 +2652,22 @@ object DedupOps {
       labelUpserts: DataFrame): DataFrame = {
     val newReps = sketchRepUpsert(
       labeledIdx.select("simhash", "rep_id"), batchSk)
+    // LEFT join + fail-loud (ADVICE r15): every NEW sketch value's rep
+    // is a batch doc, and every batch doc carries a label upsert row
+    // under the disjoint-id/redelivery contract — an inner join would
+    // silently DROP the index row on a contract violation and
+    // permanently desync the standing index, where the convention
+    // elsewhere (denseAdcArr's sentinel lookup) is to fail the job.
     val newRows = newReps
       .join(broadcast(labelUpserts
         .select(col("doc_id").as("rep_id"), col("cluster"))),
-        Seq("rep_id"))
+        Seq("rep_id"), "left")
+      .withColumn("cluster",
+        when(col("cluster").isNull, raise_error(concat(
+          lit("sketchRepLabelUpsert: new sketch rep "), col("rep_id"),
+          lit(" has no label upsert row — the fold's batch/label " +
+            "contract is violated; refusing to desync the index"))))
+          .otherwise(col("cluster")))
       .select(col("simhash"), col("rep_id"), col("cluster"),
         combo64.keyArr(col("simhash")).as("keys"))
     val relabeled = labeledIdx

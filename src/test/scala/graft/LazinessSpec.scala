@@ -46,10 +46,17 @@ class LazinessSpec extends AnyFunSuite {
     // would carry a dead Lloyd chain into every LSH-regime plan. The
     // LSH-regime plan it returns below the ceiling is the same lazy
     // guarded union as before.
+    // curate family (round 16): the fused-curate cache is SIZE-GATED
+    // by one bounded count at build (TextOps.CurateFuseMaxDocs — the
+    // scan never reads past 2M+1 rows): below the gate the pass
+    // persists the grams arrays (one corpus scan for both branches),
+    // above it only narrow funnel columns persist and the gram branch
+    // rescans pruned. Same bounded-state class as routedK.
     val exempt = Set("txt_bpe_vocab", "txt_bpe_vocab64", "txt_bpe_encode",
       "sim_ivfpq_topk", "dedup_semdedup", "sim_ann_ivf_rerank",
       "sim_ann_lsh_auto",
-      "pipeline_tokenize", "pipeline_dedup", "pipeline_full")
+      "pipeline_tokenize", "pipeline_dedup", "pipeline_full",
+      "pipeline_curate", "pipeline_stats", "pipeline_pack")
     val tracker = spark.sparkContext.statusTracker
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(kv => exempt(kv._1)).flatMap {

@@ -1196,4 +1196,28 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(ranking != other)
     }
   }
+  test("curate fusion gate: fused and rescan regimes produce identical " +
+    "drop reasons (round-16 size gate)") {
+    // below the gate (the contract default) the curate pass persists
+    // the corpus-sized grams arrays; at/above it only narrow funnel
+    // columns persist and the gram branch rescans the parquet pruned.
+    // The gate must be invisible in the OUTPUT: same funnel, same
+    // contamination set, same hashes, at any threshold.
+    def collectReasons(fuseMaxDocs: Long) = {
+      val out = graft.operators.TextOps
+        .curateWithReasonsGated(spark, dir, fuseMaxDocs)
+        .select("doc_id", "n", "map_drop", "drop_reason",
+          "h_split", "h_shard")
+        .collect()
+        .map(r => r.getLong(0) -> (r.get(1), Option(r.getString(2)),
+          Option(r.getString(3)), r.get(4), r.get(5)))
+        .toMap
+      graft.core.Core.releaseShared()
+      out
+    }
+    val fused = collectReasons(graft.operators.TextOps.CurateFuseMaxDocs)
+    val rescan = collectReasons(0L) // gate forced: nothing fits below 0
+    assert(fused.nonEmpty && fused == rescan,
+      "fused and rescan curate regimes diverged")
+  }
 }
