@@ -66,6 +66,24 @@ def main():
                    help="fail if the latest FULL run's total exceeds this "
                         "x the median of the last 3 full same-corpus "
                         "totals (ship the median, not the outlier)")
+    p.add_argument("--step-window", type=int, default=5,
+                   help="band-step detector window: median of the last N "
+                        "full same-corpus runs vs the median of the N "
+                        "before them")
+    p.add_argument("--step-ratio", type=float, default=1.5,
+                   help="flag a query whose window-median ratio exceeds "
+                        "max(this, this x basket-median ratio) — the "
+                        "basket normalization keeps a uniform host step "
+                        "from flagging every query")
+    p.add_argument("--step-persist", type=int, default=3,
+                   help="a step must hold on each of the last N runs "
+                        "(not a one-run spike) to flag")
+    p.add_argument("--step-min-sec", type=float, default=0.5,
+                   help="ignore queries whose prior-window median is "
+                        "below this")
+    p.add_argument("--fail-on-step", action="store_true",
+                   help="exit 1 when the band-step detector flags a "
+                        "query (default: informational)")
     args = p.parse_args()
 
     # Load the FULL history, THEN filter to the latest run's corpus,
@@ -167,6 +185,63 @@ def main():
           + (", outliers " + ", ".join(f"{n}:{r:.2f}" for n, r in outs)
              if outs else "") + ")")
 
+    # BAND-STEP DETECTOR (round-16 verdict #4): the within-window tiered
+    # rule above compares runs of ONE window against each other, so a
+    # query that steps to a new band and STAYS there (the r15
+    # multimodal_align_filter: 0.9-1.1 s for five runs, then 1.4-2.2 s
+    # for five runs — ~1.8x, never >2.5x within either window) ships
+    # silently. Compare each query's median over the last --step-window
+    # full same-corpus runs against the median of the window BEFORE it,
+    # normalized by the basket's own window ratio (a uniform host step
+    # moves every query together and is the guard-verdict's job, not a
+    # per-query step), and flag ratios past the bar that persist on each
+    # of the last --step-persist runs. Replayed on history this flags
+    # align_filter's r15 step (1.76x, basket 1.12) and the documented
+    # round-12 CC re-pricings, and stays quiet on the r12-r14 quiet
+    # stretch. Informational unless --fail-on-step.
+    step_flags = []
+    step_watch = []
+    W = args.step_window
+    if len(full) >= 2 * W:
+        recent, prior_w = full[-W:], full[-2 * W:-W]
+
+        def wmed(win, name):
+            ts = [b["queries"][name] for _, b in win
+                  if b.get("queries", {}).get(name, -1) > 0]
+            return statistics.median(ts) if ts else None
+
+        snames = set()
+        for _, b in recent:
+            snames.update(b["queries"])
+        sratios = {}
+        for name in sorted(snames):
+            pm, rm = wmed(prior_w, name), wmed(recent, name)
+            if pm and rm and pm >= args.step_min_sec:
+                sratios[name] = (rm / pm, pm)
+        basket = (statistics.median([r for r, _ in sratios.values()])
+                  if sratios else 1.0)
+        bar = max(args.step_ratio, args.step_ratio * basket)
+        for name, (ratio, pm) in sorted(sratios.items()):
+            last_n = [b["queries"][name] for _, b in full[-args.step_persist:]
+                      if b.get("queries", {}).get(name, -1) > 0]
+            persists = (len(last_n) == args.step_persist
+                        and all(t > bar * pm for t in last_n))
+            if ratio > bar and persists:
+                step_flags.append((name, ratio, pm))
+            elif ratio > 1.25:
+                step_watch.append((name, ratio, pm))
+        print(f"bench_guard: band-step [{W}v{W} windows, basket "
+              f"{basket:.3f}, bar {bar:.2f}x] "
+              + (("FLAGS: " + ", ".join(
+                  f"{n}:{r:.2f}x (prior med {pm:.2f}s)"
+                  for n, r, pm in step_flags)) if step_flags else "clean")
+              + ((" | watch: " + ", ".join(
+                  f"{n}:{r:.2f}x" for n, r, _ in step_watch[:8]))
+                 if step_watch else ""))
+    else:
+        print(f"bench_guard: band-step needs {2 * W} full same-corpus "
+              f"runs, have {len(full)} — skipped")
+
     if total_fail:
         latest, med = total_fail
         print(f"bench_guard: FAIL — latest full total {latest:.1f}s is "
@@ -182,6 +257,11 @@ def main():
         for ratio, name, ts in sorted(bad, reverse=True):
             print(f"  {name}: {ratio:.1f}x  "
                   + " / ".join(f"{t:.1f}s" for t in ts))
+        sys.exit(1)
+    if step_flags and args.fail_on_step:
+        print(f"bench_guard: FAIL — band-step detector flagged "
+              + ", ".join(n for n, _, _ in step_flags)
+              + " (--fail-on-step)")
         sys.exit(1)
     print(f"bench_guard: OK — no query moved past the tiered limit "
           f"({args.expensive_ratio}x at >= {args.expensive_sec}s, else "
