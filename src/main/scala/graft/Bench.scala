@@ -65,6 +65,31 @@ object Bench {
     } catch { case _: Throwable => Nil }
   }
 
+  /** Median of a floor-probe field over the last `lastRuns` FULL runs
+    * that recorded one (any corpus — the probes measure the HOST, not
+    * the data; rounds before round 16 carry no floor fields and are
+    * simply absent). -1 when no history. */
+  private def historyFloor(field: String, lastRuns: Int): Double = {
+    try {
+      val path = java.nio.file.Paths.get("docs/bench_history.jsonl")
+      if (!java.nio.file.Files.exists(path)) return -1.0
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val lines = java.nio.file.Files.readAllLines(path)
+      import scala.jdk.CollectionConverters._
+      val vs = lines.asScala.filter(_.trim.nonEmpty).flatMap { l =>
+        try {
+          val node = mapper.readTree(l)
+          val bench = if (node.has("bench")) node.get("bench") else node
+          if (bench.has("floor") && !bench.has("partial")
+              && bench.get("floor").has(field))
+            Some(bench.get("floor").get(field).asDouble())
+          else None
+        } catch { case _: Throwable => None }
+      }.takeRight(lastRuns).toSeq.sorted
+      if (vs.isEmpty) -1.0 else vs(vs.size / 2)
+    } catch { case _: Throwable => -1.0 }
+  }
+
   def main(args: Array[String]): Unit = {
     // --only=q1,q2 restricts the run to named queries (affordable
     // per-query iteration, mirrors Scale's flag). Such runs ship with
@@ -197,6 +222,50 @@ object Bench {
         f"$best%.3fs, stable=$stable%b")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] settle failed (continuing): " +
+        e.getMessage)
+    }
+
+    // ENGINE-INDEPENDENT HOST-FLOOR PROBES (round-16 verdict #5): the
+    // r14 adjudication battery — single-thread CPU arithmetic (flat
+    // across the r13/r14 hosts) vs the Spark per-stage launch floor
+    // (1.3x between the same hosts, the mechanism behind every
+    // uniform-total drift since) — ran by hand each round; now it runs
+    // before every full bench and ships IN the artifact, so each
+    // driver run carries its own host evidence. spin_ms: a fixed
+    // 2e8-step xorshift fold on one thread — pure CPU, no JVM/Spark
+    // surface beyond the JIT (one untimed warm pass). stage_ms: median
+    // per-job wall of 12 trivial single-stage 32-task jobs — the
+    // scheduling/launch floor every multi-stage plan pays per stage.
+    // The guard line reports each as a factor vs the history median of
+    // the same probe (host property, corpus-independent): factors ~1.0
+    // = same host band; stage factor >> spin factor = the r14
+    // VM-floor signature, totals drift without any code-side cause.
+    var floorSpinMs = -1.0
+    var floorStageMs = -1.0
+    try {
+      def spin(): Double = {
+        val t0 = System.nanoTime()
+        var x = 0x9E3779B97F4A7C15L
+        var i = 0
+        while (i < 200000000) {
+          x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+          i += 1
+        }
+        if (x == 42L) System.err.println("") // defeat DCE
+        (System.nanoTime() - t0) / 1e6
+      }
+      spin() // JIT-compile the loop untimed
+      floorSpinMs = math.min(spin(), spin())
+      val stageTs = (0 until 12).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(0, 32, 1, 32).count()
+        (System.nanoTime() - t0) / 1e6
+      }.sorted
+      floorStageMs = stageTs(stageTs.size / 2)
+      System.err.println(f"[bench] floor probes: spin=$floorSpinMs%.1fms " +
+        f"stage=$floorStageMs%.1fms")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] floor probes failed (continuing): " +
         e.getMessage)
     }
 
@@ -354,8 +423,11 @@ object Bench {
       .mkString("{", ",", "}")
     val total = timedFinal.collect { case (_, v, true) => v }.sum
     val partial = if (only.isDefined) ""","partial":true""" else ""
+    val r1 = (x: Double) => math.round(x * 10) / 10.0
+    val floorJson =
+      s""""floor":{"spin_ms":${r1(floorSpinMs)},"stage_ms":${r1(floorStageMs)}}"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"reruns":$rr,"corpus":"$corpus"$partial,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"reruns":$rr,$floorJson,"corpus":"$corpus"$partial,"sf":"$sfDir"}"""
     println(line)
     // The per-round artifact keeps only the last ~2000 chars of stdout,
     // and the full per-query line (~5 KB at 169 queries) has never fit:
@@ -429,9 +501,21 @@ object Bench {
       val oStr = outliers
         .map { case (n, r) => "\"" + n + "\":" + round3(r) }
         .mkString("{", ",", "}")
+      // per-run host attribution: each probe as a factor vs its own
+      // history median — stage_factor >> spin_factor is the measured
+      // VM-floor signature (BASELINE.md round 14), reading ~1.0/~1.0
+      // on an unchanged host
+      val spinH = historyFloor("spin_ms", 7)
+      val stageH = historyFloor("stage_ms", 7)
+      val spinF =
+        if (spinH > 0 && floorSpinMs > 0) floorSpinMs / spinH else -1.0
+      val stageF =
+        if (stageH > 0 && floorStageMs > 0) floorStageMs / stageH else -1.0
       println(s"""{"metric":"guard","hist_median3":${round3(histMed)},""" +
         s""""ratio_to_hist":${round3(ratio)},""" +
         s""""per_query_ratio_median":${round3(bandMed)},""" +
+        s""""floor_factor_spin":${round3(spinF)},""" +
+        s""""floor_factor_stage":${round3(stageF)},""" +
         s""""outliers":$oStr,"verdict":"$verdict"}""")
     } catch { case _: Throwable => } // evidence must never fail the bench
     // self-archive: the driver's BENCH_r{N}.json has truncated its tail
