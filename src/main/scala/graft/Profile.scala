@@ -13,10 +13,14 @@ object Profile {
     val explain = args.contains("-e")
     val noop = args.contains("-noop")
     val stages = args.contains("-stages")
+    // -once: single evaluation (skip the warm rerun) — decade-scale
+    // stage decomposition where one execution is 30+ min
+    val once = args.contains("-once")
     // -c key=value pairs become session confs (e.g. -c
     // spark.sql.autoBroadcastJoinThreshold=-1) for plan experiments
     val (confArgs, rest) = args.toSeq
-      .filterNot(a => a == "-e" || a == "-noop" || a == "-stages")
+      .filterNot(a => a == "-e" || a == "-noop" || a == "-stages"
+        || a == "-once")
       .foldLeft((Seq.empty[(String, String)], Seq.empty[String], false)) {
         case ((cs, ns, true), kv) =>
           val Array(k, v) = kv.split("=", 2); (cs :+ (k -> v), ns, false)
@@ -64,8 +68,8 @@ object Profile {
       val t0 = System.nanoTime(); val n1 = eval(fn(spark, sfDir))
       val t1 = System.nanoTime()
       // the warm plan can differ: materialized caches carry real stats
-      if (explain) fn(spark, sfDir).explain("formatted")
-      eval(fn(spark, sfDir))
+      if (!once && explain) fn(spark, sfDir).explain("formatted")
+      if (!once) eval(fn(spark, sfDir))
       val t2 = System.nanoTime()
       println(f"[profile] $name%-22s cold=${(t1 - t0) / 1e9}%7.2fs " +
         f"warm=${(t2 - t1) / 1e9}%7.2fs rows=$n1")

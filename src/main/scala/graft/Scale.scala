@@ -41,6 +41,7 @@ object Scale {
   private val Emb10Dir = "target/testdata/emb10x"
   private val Emb100Dir = "target/testdata/emb100x"
   private val Emb1000Dir = "target/testdata/emb1000x"
+  private val Emb10000Dir = "target/testdata/emb10000x"
   private val HubDir = "target/testdata/hub"
 
   /** The sweep baseline: the driver's read-only sf0.1 corpus repacked
@@ -1194,6 +1195,64 @@ object Scale {
     }
     val out = new JsonlAppender(
       java.nio.file.Paths.get("docs/scale_results.jsonl"))
+
+    // ---- PRE-FLIGHT DISK GATE + PEAK TRACKER (round-16 verdict #6) ---
+    // Decade modes have died on disk twice (r14: the 45 GB ranked
+    // cache + 65 GB assignment transient vs 68 GB free; both diagnosed
+    // POST-MORTEM, ~45 min in). Refuse to START a mode whose projected
+    // transient exceeds the target volume's free space, and sample
+    // free space while a mode runs so every ledger row carries the
+    // measured peak — the projections stay calibrated by their own
+    // rows. Projections are generous-side from the measured ledger
+    // (docs/SCALE.md): the narrow-assignment fix cut the old ~65 GB
+    // n·k sorted transient ~25×, so the post-fix decade modes budget
+    // caches + checkpoints + a few GB of shuffle.
+    val projectedPeakGb: Map[String, Double] = Map(
+      "embscale1000" -> 45.0, "embrecall1000" -> 30.0,
+      "embrecall1414" -> 30.0, "ccincups1000" -> 25.0,
+      "ccinc1000" -> 25.0, "wide1000" -> 30.0, "pq20m" -> 35.0)
+    // SPARK_GRAFT_FAKE_FREE_GB overrides the reading so the fail-fast
+    // path is testable without actually filling the volume
+    def freeGb(): Double = sys.env.get("SPARK_GRAFT_FAKE_FREE_GB")
+      .map(_.toDouble)
+      .getOrElse(new java.io.File("target").getUsableSpace / 1e9)
+    def diskGate(mode: String): Boolean = projectedPeakGb.get(mode) match {
+      case Some(p) =>
+        val f = freeGb()
+        val ok = f >= p + 5.0
+        if (!ok) {
+          println(s"[scale] DISK GATE: refusing to start $mode — " +
+            s"projected transient ${d2(p)} GB + 5 GB margin > " +
+            s"${d2(f)} GB free on target")
+          val line = s"""{"tag":"$mode","query":"disk_gate",""" +
+            s""""ok":false,"corpus":"$corpus",""" +
+            s""""projected_peak_gb":${d2(p)},"free_gb":${d2(f)}}"""
+          println(s"[scale] $line")
+          out.append(line).append('\n')
+        }
+        ok
+      case None => true
+    }
+    // measured peak = start-free − min-free over the mode's lifetime,
+    // sampled every 2 s on a daemon thread (always the REAL volume,
+    // never the fake override)
+    class PeakDisk {
+      private val startFree = new java.io.File("target").getUsableSpace
+      @volatile private var minFree = startFree
+      @volatile private var stopped = false
+      private val t = new Thread(() => {
+        while (!stopped) {
+          val f = new java.io.File("target").getUsableSpace
+          if (f < minFree) minFree = f
+          Thread.sleep(2000)
+        }
+      }, "scale-peak-disk")
+      t.setDaemon(true)
+      t.start()
+      def peakGb(): Double =
+        math.max(0.0, (startFree - minFree) / 1e9)
+      def stop(): Unit = stopped = true
+    }
     def runOne(name: String, dir: String): (Double, Boolean, Long) = {
       val fn = extraQueries.getOrElse(name, SparkEntry.queries(name))
       // un-timed setup (e.g. the one-time bucketed index build the
@@ -1717,7 +1776,7 @@ object Scale {
     if (sel.contains("dense")) sweep("sf1dense", DenseDir)
     if (sel.contains("wide")) sweep("sf1wide", WideDir)
     if (sel.contains("wide100")) sweep("sf10wide", Wide100Dir)
-    if (sel.contains("wide1000")) {
+    if (sel.contains("wide1000") && diskGate("wide1000")) {
       // the third-decade convergence datapoint rides the same mode:
       // the sf100wide census is the direct test of whether StarCcPairs
       // holds another decade (the gate fails loudly if it doesn't).
@@ -1769,7 +1828,7 @@ object Scale {
     // embscale trio). √n IVF sizing 1414 per the decade convention;
     // the fixed-8-planes recall row is skipped by design (see
     // runEmbRecall).
-    if (sel.contains("embscale1000")) {
+    if (sel.contains("embscale1000") && diskGate("embscale1000")) {
       sweep("emb1000x", Emb1000Dir)
       if (only.isEmpty) {
         runAnnPlanes("emb1000x", Emb1000Dir)
@@ -1785,7 +1844,7 @@ object Scale {
     // multiprobe family is not the deployment path at this scale; the
     // IVF rerank rows below are), but the deployment recall evidence
     // must still land on the ledger.
-    if (sel.contains("embrecall1000")) {
+    if (sel.contains("embrecall1000") && diskGate("embrecall1000")) {
       runAnnPlanes("emb1000x", Emb1000Dir)
       // ivfK = the MENU's pick at 2M vectors (320), not the continuous
       // √n 1414: the recall evidence here measures the configuration
@@ -1808,7 +1867,8 @@ object Scale {
     // recall rows and the k=320 deployed-config row are already on the
     // r14 ledger — re-running them would re-pay ~30 min of measured
     // evidence for identical datapoints).
-    if (sel.contains("embrecall1414")) {
+    if (sel.contains("embrecall1414") && diskGate("embrecall1414")) {
+      val peak = new PeakDisk
       try {
         val emb = graft.core.Core.table(spark, Emb1000Dir, "embeddings")
           .persist()
@@ -1821,6 +1881,7 @@ object Scale {
           val sec1 = (System.nanoTime() - t1) / 1e9
           val sline = s"""{"tag":"emb1000x","query":"ivfrerank_sweep_k1414",""" +
             s""""sec":${d2(sec1)},"ok":true,"corpus":"$corpus",""" +
+            s""""peak_disk_gb":${d2(peak.peakGb())},""" +
             s""""nprobes":[${recs.map(_._1).mkString(",")}],"ivfk":1414}"""
           println(s"[scale] $sline")
           out.append(sline).append('\n')
@@ -1840,12 +1901,56 @@ object Scale {
           // an "emb_recall" failure row here was indistinguishable in
           // the ledger from a failed embrecall1000 run)
           val line = s"""{"tag":"emb1000x","query":"emb_recall_k1414",""" +
-            s""""ok":false,"corpus":"$corpus","ivfk":1414,"error":""" +
+            s""""ok":false,"corpus":"$corpus","ivfk":1414,""" +
+            s""""peak_disk_gb":${d2(peak.peakGb())},"error":""" +
             s""""${e.getClass.getSimpleName}"}"""
           println(s"[scale] $line")
           out.append(line).append('\n')
-      }
+      } finally peak.stop()
     }
+    // THE 5TH EMBEDDING DECADE'S ONE AFFORDABLE ROW (round 16, r15
+    // verdict #3): `sim_pq_topk` era-pv at 20M vectors — the pivoted
+    // ADC plan is two linear n·M (id, int) exchanges plus the
+    // probes·n output floor, so its projected 5th-decade cost was
+    // ~10× the 4th decade's ~28 s. This mode converts that one
+    // projection into a ledger row (the full ANN-family sweep at 20M
+    // stays priced-out at ≥ 12 h — docs/SCALE.md round 15). The row
+    // records growth vs the 4th-decade median and the measured peak
+    // disk; corpus is embeddings-only (~5 GB).
+    if (sel.contains("pq20m") && diskGate("pq20m")) {
+      if (!complete(Emb10000Dir, Seq("embeddings"))) {
+        println(s"[scale] generating $Emb10000Dir")
+        ScaleData.generateEmb10000(spark, Emb10000Dir, ref)
+        markGenerated(Emb10000Dir)
+      }
+      val peak = new PeakDisk
+      try {
+        val (sec, ok, seq) = runOne("sim_pq_topk", Emb10000Dir)
+        val prior = history.get(("emb1000x", "sim_pq_topk"))
+        val growth = prior.map(p => sec / math.max(p, 1e-9))
+        val plan = settledPlan(seq, ok)
+        val line = s"""{"tag":"emb10000x","query":"sim_pq_topk",""" +
+          s""""sec":${d2(sec)},"ok":$ok,"corpus":"$corpus",""" +
+          s""""era":"pv","vectors":20000000,""" +
+          s""""peak_disk_gb":${d2(peak.peakGb())}""" +
+          growth.map(g => s""","growth_vs_emb1000x":${d2(g)},"band":15""")
+            .getOrElse("") +
+          s""","bhj":${countOcc(plan, "BroadcastHashJoin")}""" +
+          s""","bex":${countOcc(plan, "BroadcastExchange")}}"""
+        println(s"[scale] $line")
+        out.append(line).append('\n')
+      } catch {
+        case e: Throwable =>
+          graft.core.Core.releaseShared()
+          val line = s"""{"tag":"emb10000x","query":"sim_pq_topk",""" +
+            s""""ok":false,"corpus":"$corpus","era":"pv",""" +
+            s""""peak_disk_gb":${d2(peak.peakGb())},"error":""" +
+            s""""${e.getClass.getSimpleName}"}"""
+          println(s"[scale] $line")
+          out.append(line).append('\n')
+      } finally peak.stop()
+    }
+
     if (sel.contains("fixpointadv")) runFixpointAdv()
     if (sel.contains("annrecall")) runAnnRecall()
     if (sel.contains("ivfpqrecall")) runIvfpqRecall()
@@ -2010,6 +2115,7 @@ object Scale {
     def runCcIncrementalUpsert(tag: String, dir: String,
         pcts: Seq[Int] = Seq(1)): Unit = {
       import org.apache.spark.sql.functions._
+      val peak = new PeakDisk
       try {
         val docs = graft.core.Core.table(spark, dir, "documents")
           .select("doc_id", "lang", "source", "text")
@@ -2028,7 +2134,7 @@ object Scale {
         val secR = (System.nanoTime() - tR) / 1e9
         val rline = s"""{"tag":"$tag","query":"ccincups_rebuild",""" +
           s""""sec":${d2(secR)},"ok":true,"corpus":"$corpus",""" +
-          s""""docs":$nAll}"""
+          s""""peak_disk_gb":${d2(peak.peakGb())},"docs":$nAll}"""
         println(s"[scale] $rline")
         out.append(rline).append('\n')
         operators.DedupOps.freeLocalCheckpoint(skAll)
@@ -2118,6 +2224,7 @@ object Scale {
           val line = s"""{"tag":"$tag","query":"ccincups_fold_pct$pct",""" +
             s""""sec":${d2(sec)},"ok":${mism == 0L},"corpus":"$corpus",""" +
             s""""era":"lbl","reps_parts":$repsParts,""" +
+            s""""peak_disk_gb":${d2(peak.peakGb())},""" +
             s""""docs":$nAll,"batch_pct":$pct,"label_mismatch":$mism,""" +
             s""""n_batch":$nBatch,"n_label_upserts":$nUps,""" +
             s""""n_rep_upserts":$nRepUps,"n_delta_edges":$nDelta,""" +
@@ -2143,11 +2250,12 @@ object Scale {
         case e: Throwable =>
           graft.core.Core.releaseShared()
           val line = s"""{"tag":"$tag","query":"ccincups",""" +
-            s""""ok":false,"corpus":"$corpus","error":""" +
+            s""""ok":false,"corpus":"$corpus",""" +
+            s""""peak_disk_gb":${d2(peak.peakGb())},"error":""" +
             s""""${e.getClass.getSimpleName}"}"""
           println(s"[scale] $line")
           out.append(line).append('\n')
-      }
+      } finally peak.stop()
     }
     if (sel.contains("ccincups")) {
       if (!complete(Wide100Dir, Seq("documents"))) {
@@ -2157,7 +2265,7 @@ object Scale {
       }
       runCcIncrementalUpsert("sf10wide", Wide100Dir)
     }
-    if (sel.contains("ccincups1000")) {
+    if (sel.contains("ccincups1000") && diskGate("ccincups1000")) {
       if (!complete(Wide1000Dir, Seq("documents"))) {
         println(s"[scale] generating $Wide1000Dir")
         ScaleData.generateWide1000(spark, Wide1000Dir, ref)
@@ -2172,7 +2280,7 @@ object Scale {
     // answer. 1% batch only (each pct re-builds its own standing
     // state, untimed but wall-clock real at 5M docs). Needs the
     // sf100wide driver-memory note (SPARK_DRIVER_MEM >= 96g).
-    if (sel.contains("ccinc1000")) {
+    if (sel.contains("ccinc1000") && diskGate("ccinc1000")) {
       if (!complete(Wide1000Dir, Seq("documents"))) {
         println(s"[scale] generating $Wide1000Dir")
         ScaleData.generateWide1000(spark, Wide1000Dir, ref)

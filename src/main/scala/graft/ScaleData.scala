@@ -213,7 +213,13 @@ object ScaleData {
     // exact point the pre-r14 routing menu saturated (320²·20 =
     // 2.048M); measuring it makes k = 320 a certified decade and
     // leaves the extended menu {1000, 3200} two decades of headroom
-    "emb1000x" -> ((2000000L, 1414)))
+    "emb1000x" -> ((2000000L, 1414)),
+    // the FIFTH decade (round 16, r15 verdict #3): 20M vectors at the
+    // continuous √n cluster geometry — generated ONLY for the one
+    // affordable row of the 5th-decade projection (sim_pq_topk's
+    // era-pv, ~280 s projected); the full ANN-family sweep at this
+    // scale is the ≥ 12 h item docs/SCALE.md round 15 prices out
+    "emb10000x" -> ((20000000L, 4472)))
 
   /** The clustered-regime BASE (contract-scale 2,000 vectors): the
     * emb decades' growth factors compare clustered-vs-clustered, not
@@ -234,6 +240,18 @@ object ScaleData {
   def generateEmb1000(s: SparkSession, outDir: String, refDir: String): Unit =
     generateEmbScale(s, outDir, refDir, nVec = embGeometry("emb1000x")._1,
       nClusters = embGeometry("emb1000x")._2, variant = 8)
+
+  /** The FIFTH embedding decade, EMBEDDINGS ONLY: `sim_pq_topk` (the
+    * one query measured at this scale) reads nothing else, and the
+    * 20M-row documents table would roughly triple the corpus bytes
+    * for an unread input. ~5 GB parquet at 20M × 64-float vectors. */
+  def generateEmb10000(s: SparkSession, outDir: String,
+      refDir: String): Unit = {
+    import s.implicits._
+    s.range(0, embGeometry("emb10000x")._1, 1, layoutFiles(s))
+      .map(id => clusteredEmb(109, id, embGeometry("emb10000x")._2))
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/embeddings.parquet")
+  }
 
   def generateEmbScale(s: SparkSession, outDir: String, refDir: String,
       nVec: Long, nClusters: Int, variant: Long): Unit = {
