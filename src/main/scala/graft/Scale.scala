@@ -296,7 +296,13 @@ object Scale {
     // replacing the (s, pcid) join whose n·M·probes partial-aggregate
     // input measured 21x per 10x vectors at the 4th embedding decade
     // (spill past the linear band; see SimilarityOps.pqTopK scaladoc)
-    "sim_pq_topk" -> "pv")
+    // mv = round 16's literal map-side PQ (training via bounded
+    // driver-side literal rounds, encode as per-vector expressions):
+    // the measured 5th decade showed the pv plan's n·M exchanges and
+    // subvector cache dominating (68x growth row) — the mv plan has
+    // no corpus-scaled exchange outside the output floor, so pv-era
+    // timing rows describe retired machinery
+    "sim_pq_topk" -> "mv")
 
   /** Queries whose OUTPUT is itself super-linear on a duplicate-heavy
     * corpus (a pair listing's cardinality is Σ C(k,2) over duplicate
@@ -1926,12 +1932,36 @@ object Scale {
       val peak = new PeakDisk
       try {
         val (sec, ok, seq) = runOne("sim_pq_topk", Emb10000Dir)
-        val prior = history.get(("emb1000x", "sim_pq_topk"))
+        // growth base: SAME-ERA 4th-decade rows only (the generic
+        // history map is not era-aware; comparing the mv plan against
+        // pv-era rows would mix algorithms into one growth factor)
+        val prior: Option[Double] = try {
+          val om = new com.fasterxml.jackson.databind.ObjectMapper()
+          import scala.jdk.CollectionConverters._
+          val vs = java.nio.file.Files
+            .readAllLines(java.nio.file.Paths
+              .get("docs/scale_results.jsonl")).asScala
+            .filter(_.trim.nonEmpty)
+            .flatMap { l =>
+              try {
+                val n = om.readTree(l)
+                if (n.path("tag").asText("") == "emb1000x" &&
+                    n.path("query").asText("") == "sim_pq_topk" &&
+                    // sweep rows stamp the era under "algo"
+                    n.path("algo").asText(n.path("era").asText("")) ==
+                      algoEra("sim_pq_topk") &&
+                    n.path("ok").asBoolean(false) && n.has("sec"))
+                  Some(n.get("sec").asDouble)
+                else None
+              } catch { case _: Throwable => None }
+            }.toSeq.takeRight(7).sorted
+          if (vs.isEmpty) None else Some(vs(vs.size / 2))
+        } catch { case _: Throwable => None }
         val growth = prior.map(p => sec / math.max(p, 1e-9))
         val plan = settledPlan(seq, ok)
         val line = s"""{"tag":"emb10000x","query":"sim_pq_topk",""" +
           s""""sec":${d2(sec)},"ok":$ok,"corpus":"$corpus",""" +
-          s""""era":"pv","vectors":20000000,""" +
+          s""""era":"${algoEra("sim_pq_topk")}","vectors":20000000,""" +
           s""""peak_disk_gb":${d2(peak.peakGb())}""" +
           growth.map(g => s""","growth_vs_emb1000x":${d2(g)},"band":15""")
             .getOrElse("") +
@@ -1943,7 +1973,8 @@ object Scale {
         case e: Throwable =>
           graft.core.Core.releaseShared()
           val line = s"""{"tag":"emb10000x","query":"sim_pq_topk",""" +
-            s""""ok":false,"corpus":"$corpus","era":"pv",""" +
+            s""""ok":false,"corpus":"$corpus",""" +
+            s""""era":"${algoEra("sim_pq_topk")}",""" +
             s""""peak_disk_gb":${d2(peak.peakGb())},"error":""" +
             s""""${e.getClass.getSimpleName}"}"""
           println(s"[scale] $line")

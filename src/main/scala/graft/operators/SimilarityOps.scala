@@ -607,40 +607,83 @@ object SimilarityOps {
   /** Nearest PQ centroid per (s, vec_id) by 9-dp-rounded L2² with cid
     * tiebreak — the assignment used by every Lloyd round AND the final
     * encode, so training and encoding cannot drift. */
-  private def pqAssign(sv: DataFrame, cents: DataFrame): DataFrame =
-    // partial-aggregating min_by, same mechanics and tie-order as
-    // [[assignBest]] (l2 ASC, cid ASC ≡ min over the unique orderable
-    // struct (l2, cid)): the n·M·PqK candidate rows never reach an
-    // exchange — only n·M assigned rows do
-    sv.join(broadcast(cents), "s")
-      .withColumn("l2", round(
-        dot(col("u"), col("u")) - lit(2.0) * dot(col("u"), col("cu"))
-          + dot(col("cu"), col("cu")), 9))
-      .groupBy(col("s"), col("vec_id"))
-      .agg(min_by(col("cid"), struct(col("l2"), col("cid"))).as("cid"),
-        first(col("u")).as("u"))
+  /** Sub-vector slice of subspace `j`: dims j·PqSub+1 .. (j+1)·PqSub
+    * (1-based slice) — the ONE slicing arithmetic, shared with
+    * [[pqSubvectors]]. */
+  private def subU(vCol: Column, j: Int): Column =
+    slice(vCol, j * PqSub + 1, PqSub)
 
-  /** Subspace-keyed Lloyd rounds over a (vec_id, s, u) relation: ONE
-    * relational k-means for all [[PqM]] subspaces at once (centroid
-    * key = (s, cid)); linear plan growth — each round references the
-    * previous centroids exactly once. Returns (s, cid, cu). */
-  private def pqCentroids(sv: DataFrame): DataFrame = {
-    var cents = shared(sv.filter(col("vec_id") < PqK)
-      .select(col("s"), col("vec_id").as("cid"), col("u").as("cu")))
+  /** Map-side PQ sub-centroid argmin for a FIXED subspace `j` against
+    * literal cells: the (l2, cid) struct array sorts ascending ⇒
+    * (l2 asc, cid asc) — byte-for-byte the tie-order of the retired
+    * relational pqAssign (min_by over the (l2, cid) struct). */
+  private def pqCodeForSub(j: Int, uCol: Column,
+      cs: Seq[(Int, Long, Array[Double])]): Column =
+    element_at(sort_array(array(
+      cs.filter(_._1 == j).map { case (_, cid, cu) =>
+        struct(round(dot(uCol, uCol)
+          - lit(2.0) * dot(uCol, typedLit(cu.toSeq))
+          + dot(typedLit(cu.toSeq), typedLit(cu.toSeq)), 9).as("l2"),
+          lit(cid).as("cid"))
+      }: _*)), 1).getField("cid")
+
+  /** [[pqCodeForSub]] dispatched on a subspace COLUMN — the form the
+    * exploded (s, u) training relation and the IVF-PQ residual paths
+    * consume. */
+  private def pqCodeFor(sCol: Column, uCol: Column,
+      cs: Seq[(Int, Long, Array[Double])]): Column =
+    (0 until PqM).tail.foldLeft(pqCodeForSub(0, uCol, cs)) { (acc, j) =>
+      when(sCol === j, pqCodeForSub(j, uCol, cs)).otherwise(acc)
+    }
+
+  /** LITERAL PQ sub-centroid training (round 16): [[PqIters]] Lloyd
+    * rounds where each round is ONE map-side assign over a corpus scan
+    * plus ONE bounded (s, cid, dim) integer-mean aggregate collected
+    * to the driver (≤ PqM·PqK·PqSub rows) — the [[ivfpqTopK]]
+    * residual-trainer shape, now the flat-PQ trainer too. Replaces the
+    * relational pqAssign/pqCentroids chain, whose measured 5th decade
+    * (20M vectors, docs/SCALE.md round 16) exposed BOTH of its n·M
+    * exchanges as the scale wall: the assignment agg buffer carried
+    * `u` (`first(u)`), so the sort-based hash fallback spilled 34.4 GB
+    * of candidate stream PER LLOYD ROUND, and the narrow-agg rewrite
+    * that removed the spill still paid two 80M-row payload exchanges
+    * per round (~300 s each). With literal cells the per-round cost is
+    * the n·M·PqK dot products — map-side compute, the cheap resource —
+    * and ZERO corpus-scaled exchange. Values are bitwise the
+    * relational fixpoint's (same 9-dp L2² with cid tiebreak, same
+    * micro-int component means), so the unrolled DuckDB oracle CTEs
+    * replay unchanged — the [[ivfpqTopK]] precedent. Bounded
+    * per-round collects = the MLlib iterative-estimator pattern,
+    * LazinessSpec-exempt on the sim_ivfpq_topk grounds. */
+  private def pqCentroidsLit(ev: DataFrame)
+      : Seq[(Int, Long, Array[Double])] = {
+    // seeded init = the first PqK vectors' subvectors (the
+    // kmeansCentroids convention, as before)
+    var pcents: Seq[(Int, Long, Array[Double])] =
+      ev.filter(col("vec_id") < PqK)
+        .select(col("vec_id"), col("v")).collect()
+        .sortBy(_.getLong(0))
+        .flatMap { r =>
+          val v = r.getSeq[Double](1).toArray
+          (0 until PqM).map(j =>
+            (j, r.getLong(0), v.slice(j * PqSub, (j + 1) * PqSub)))
+        }.toSeq
     for (_ <- 0 until PqIters) {
-      val comps = pqAssign(sv, cents)
+      val rows = pqSubvectors(ev, "v")
+        .withColumn("cid", pqCodeFor(col("s"), col("u"), pcents))
         .select(col("s"), col("cid"),
           posexplode(col("u")).as(Seq("dim", "x")))
         .withColumn("ec", round(col("x") * 1e6).cast(LongType))
         .groupBy("s", "cid", "dim")
         .agg((sum(col("ec")) / (count(lit(1)) * 1e6)).as("comp"))
-      cents = shared(comps.groupBy("s", "cid")
-        .agg(array_sort(collect_list(struct(col("dim"), col("comp"))))
-          .as("dc"))
-        .select(col("s"), col("cid"),
-          expr("transform(dc, t -> t.comp)").as("cu")))
+        .collect()
+      pcents = rows.map(r => ((r.getInt(0), r.getLong(1)),
+          (r.getInt(2), r.getDouble(3))))
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case ((j, cid), comps) =>
+          (j, cid, comps.map(_._2).sortBy(_._1).map(_._2).toArray) }
     }
-    cents
+    pcents
   }
 
   /** The ADC tail shared by PQ and IVF-PQ: micro-sum the per-subspace
@@ -662,85 +705,92 @@ object SimilarityOps {
       .orderBy("a_id", "rank")
   }
 
-  /** Filler for grid cells absent from a probe's distance map — a
+  /** Filler for grid cells absent from a probe's distance array — a
     * (s, cid) pair no vector was assigned to (an empty Lloyd cluster,
     * or a seeded init over non-contiguous vec_ids). Codes can never
-    * REFERENCE such a cell — [[pqAssign]]'s argmin ranges over exactly
-    * the trained `cents` rows, so every stored code points at a cell
-    * the probe's distance table also derives from `cents` — the
-    * sentinel exists only so the dense array's POSITIONS stay exact
-    * when the grid is sparse. Magnitude chosen so even an impossible
-    * read is harmless: M sentinel reads cannot overflow a long sum. */
+    * REFERENCE such a cell — [[pqCodeForSub]]'s argmin ranges over
+    * exactly the trained cells, so every stored code points at a cell
+    * the probe's distance array also derives from — the sentinel
+    * exists only so the dense array's POSITIONS stay exact when the
+    * grid is sparse. Magnitude chosen so even an impossible read is
+    * harmless: M sentinel reads cannot overflow a long sum. */
   private[graft] val AdcGapSentinel: Long = -(1L << 60)
 
-  /** GAP-PROOF dense ADC lookup array (ADVICE r14): the pivoted plan
-    * indexes the probe's distance array POSITIONALLY (i = s·PqK + cid),
-    * which is only correct if the (s, cid) grid is dense — an empty
-    * Lloyd cluster or a seeded init over non-contiguous vec_ids would
-    * silently shift every later entry of a collect_list-built array
-    * (and `element_at` past the end NULLs or throws by ANSI mode). So
-    * the array is built by LOOKUP over the full 0..PqM·PqK−1 domain
-    * from a (i → dm) map: present cells land at their exact position,
-    * absent cells hold [[AdcGapSentinel]] (never referenced — scaladoc
-    * there), and `try_element_at` behaves identically under both ANSI
-    * modes. `map_from_entries` throws on duplicate keys, so a corrupt
-    * grid (two centroids at one (s, cid)) fails LOUD instead of
-    * mis-ranking. The DuckDB oracle keeps its gap-robust (s, cid) join
-    * — engine and oracle now agree on sparse grids by construction. */
-  private[graft] def denseAdcArr(im: Column): Column =
-    transform(
-      sequence(lit(0L), lit((PqM * PqK - 1).toLong)),
-      j => coalesce(try_element_at(im, j), lit(AdcGapSentinel)))
+  /** GAP-PROOF dense ADC lookup array from the literal-trained cells
+    * (ADVICE r14, literal form round 16): position i = s·PqK + cid
+    * holds round(probe_u_s · cu, 6-dp micros) for a trained cell, the
+    * sentinel where training left no cell — gap-proof BY CONSTRUCTION
+    * (a plain Scala map over the full 0..PqM·PqK−1 domain; no runtime
+    * map lookup, no element_at, identical under both ANSI modes). */
+  private[graft] def denseAdcArrLit(vCol: Column,
+      cs: Seq[(Int, Long, Array[Double])]): Column =
+    array((0 until PqM).flatMap { j =>
+      val byCid = cs.filter(_._1 == j).map(c => c._2 -> c._3).toMap
+      (0 until PqK).map { cid =>
+        byCid.get(cid.toLong)
+          .map(cu => round(dot(subU(vCol, j), typedLit(cu.toSeq)) * 1e6)
+            .cast(LongType))
+          .getOrElse(lit(AdcGapSentinel): Column)
+      }
+    }: _*)
 
   private[graft] def pqTopK(s: SparkSession, dir: String,
       source: Option[DataFrame] = None): DataFrame = {
     val e = vecsOf(s, source.getOrElse(table(s, dir, "embeddings")))
-    val sv = shared(pqSubvectors(e.select(col("vec_id"), col("v")), "v"))
-    val cents = pqCentroids(sv)
-    // PIVOTED ADC (round 14): the previous plan joined the n·M code
-    // rows against the broadcast distance table on (s, pcid) — every
-    // code row matches EVERY probe, so the partial-aggregate input was
-    // n·M·probes rows (8e9 at the emb1000x decade) feeding a
-    // probes·n-pair exchange, and the 4th embedding decade measured it
-    // 21x per 10x vectors (spill past the linear model's 15x band).
-    // Pivot instead: one exchange of the n·M assignment rows collapses
-    // the codes to an M-entry array per vector, the probes' 16-entry
-    // lookup tables broadcast as arrays, and the ADC M-way sum runs
-    // MAP-SIDE inside the pair join (`aggregate` over the code array —
-    // same micro-quantized integers, same (adc desc, b_id) ranking, so
-    // the DuckDB oracle and the spec's determinism claim are
-    // untouched). Exchange count, honestly (ADVICE r14): pqAssign's
-    // partial-aggregating argmin already exchanges the n·M assignment
-    // rows on (s, vec_id), and the codes-array groupBy(vec_id) below
-    // is a SECOND linear n·M exchange on a different key — two linear
-    // n·M exchanges total, both (id, int) light. The only remaining
-    // corpus-scaled exchange after that is the probes·n pair relation
-    // the top-K window ranks — the output-bound floor. IVF-PQ keeps
-    // the (s, pcid) join form: its per-list distance tables make the
-    // same pivot a per-(probe, list) array problem for a candidate set
-    // already bounded by nprobe lists (measured in-band at every
-    // decade).
-    val codesArr = pqAssign(sv, cents)
-      .groupBy(col("vec_id").as("b_id"))
-      .agg(array_sort(collect_list(struct(col("s"), col("cid"))))
-        .as("sc"))
-      .select(col("b_id"), expr("transform(sc, t -> t.cid)").as("pc"))
-    val dtArr = sv.filter(col("vec_id") < KnnEvalProbes)
-      .join(broadcast(cents), "s")
+    val ev = e.select(col("vec_id"), col("v"))
+    // PIVOTED ADC (round 14) over LITERAL-TRAINED cells (round 16).
+    // r14 removed the n·M·probes partial-aggregate (the 21×/decade
+    // spill at the 4th decade) by collapsing codes to an M-entry
+    // array and broadcasting the probes' lookup arrays. The measured
+    // 5TH decade (20M vectors, docs/SCALE.md round 16) then exposed
+    // the remaining corpus-scaled machinery as the next wall, in
+    // order: the cached n·M subvector relation (714 s of columnar
+    // build + sibling stages parked on its cache locks), and the
+    // relational Lloyd rounds' n·M exchanges (34.4 GB of sorted agg
+    // spill per round from the `first(u)` buffer; still ~2×300 s per
+    // round after a narrow-agg rewrite). This form has NO
+    // corpus-scaled exchange left outside the output floor:
+    // sub-centroids train via bounded driver-side literals
+    // ([[pqCentroidsLit]] — the ivfpqTopK shape), the encode is one
+    // map-side expression per vector (M literal argmins over sliced
+    // subvectors — no explode, no groupBy), and the probes' dense
+    // lookup arrays build map-side gap-proof ([[denseAdcArrLit]]).
+    // The ONLY corpus-scaled exchange is the probes·n pair relation
+    // the top-K window ranks — the output-bound floor. Values are
+    // bitwise the relational chain's (same quantized algebra), so the
+    // unrolled DuckDB oracle CTEs replay unchanged.
+    val pcents = pqCentroidsLit(ev)
+    // ONE deliberate light exchange ((b_id, M-int array) rows) between
+    // the encode and the pair join: without it the M literal argmins
+    // (sort_array over struct arrays — interpreted, allocation-heavy)
+    // fuse into the pair-scan stage and de-optimize its inner loop —
+    // measured 1514 vs 397 CPU-s on the same 960M pairs at the 4th
+    // decade. The exchange materializes `pc` to plain arrays the pair
+    // loop just reads — the pivoted plan's budgeted "second linear
+    // n-row exchange", now the ONLY corpus-scaled exchange before the
+    // output floor.
+    val codesArr = ev.select(col("vec_id").as("b_id"),
+      array((0 until PqM).map(j =>
+        pqCodeForSub(j, subU(col("v"), j), pcents)): _*).as("pc"))
+      .repartition(SkewJoin.defaultParts(s), col("b_id"))
+    val dtArr = ev.filter(col("vec_id") < KnnEvalProbes)
       .select(col("vec_id").as("a_id"),
-        (col("s") * PqK + col("cid")).as("i"),
-        round(dot(col("u"), col("cu")) * 1e6).cast(LongType).as("dm"))
-      .groupBy("a_id")
-      .agg(map_from_entries(collect_list(struct(col("i"), col("dm"))))
-        .as("im"))
-      .select(col("a_id"), denseAdcArr(col("im")).as("dm"))
+        denseAdcArrLit(col("v"), pcents).as("dm"))
     val byA = Window.partitionBy("a_id")
       .orderBy(col("adc_micro").desc, col("b_id").asc)
+    // the M-way ADC sum UNROLLED to plain column arithmetic (round
+    // 16): the `aggregate(sequence(0, M-1), ...)` HOF form allocated a
+    // sequence and ran an interpreted lambda PER PAIR — at the 5th
+    // decade's 9.6B-pair stream that interpretation constant was the
+    // dominant remaining term. M is a compile-time constant, so the
+    // sum is M codegen'd element_ats and M-1 adds; the integer values
+    // are identical, so ranking and the DuckDB oracle are untouched.
+    val adcSum = (0 until PqM).map(j =>
+      element_at(col("dm"),
+        (lit(j * PqK) + element_at(col("pc"), lit(j + 1)) + lit(1))
+          .cast(IntegerType))).reduce(_ + _)
     codesArr.join(broadcast(dtArr), col("b_id") =!= col("a_id"))
-      .select(col("a_id"), col("b_id"),
-        expr(s"aggregate(sequence(0, ${PqM - 1}), 0L, (acc, s) -> " +
-          s"acc + element_at(dm, CAST(s * $PqK + " +
-          "element_at(pc, s + 1) + 1 AS INT)))").as("adc_micro"))
+      .select(col("a_id"), col("b_id"), adcSum.as("adc_micro"))
       .withColumn("rank", row_number().over(byA))
       .filter(col("rank") <= AnnTopK)
       .select(col("a_id"), col("rank").cast(IntegerType).as("rank"),
@@ -974,24 +1024,11 @@ object SimilarityOps {
           (0 until PqM).map(j =>
             (j, r.getLong(0), res.slice(j * PqSub, (j + 1) * PqSub)))
         }.toSeq
-    // map-side argmin vs literal sub-centroids: per subspace, the
-    // (l2, cid) struct array sorts ascending ⇒ (l2 asc, cid asc)
-    def pcodeFor(sCol: Column, uCol: Column,
-        cs: Seq[(Int, Long, Array[Double])]): Column = {
-      def argmin(j: Int): Column = element_at(sort_array(array(
-        cs.filter(_._1 == j).map { case (_, cid, cu) =>
-          struct(round(dot(uCol, uCol)
-            - lit(2.0) * dot(uCol, typedLit(cu.toSeq))
-            + dot(typedLit(cu.toSeq), typedLit(cu.toSeq)), 9).as("l2"),
-            lit(cid).as("cid"))
-        }: _*)), 1).getField("cid")
-      (0 until PqM).tail.foldLeft(argmin(0)) { (acc, j) =>
-        when(sCol === j, argmin(j)).otherwise(acc)
-      }
-    }
+    // map-side argmin vs literal sub-centroids: [[pqCodeFor]] (the
+    // factored form both PQ families train and encode through)
     for (_ <- 0 until PqIters) {
       val rows = sv
-        .withColumn("pcid", pcodeFor(col("s"), col("u"), pcents))
+        .withColumn("pcid", pqCodeFor(col("s"), col("u"), pcents))
         .select(col("s"), col("pcid"),
           posexplode(col("u")).as(Seq("dim", "x")))
         .withColumn("ec", round(col("x") * 1e6).cast(LongType))
@@ -1007,7 +1044,7 @@ object SimilarityOps {
     // encode + probe tables, both map-side against the trained literals
     val codes = sv
       .select(col("vec_id").as("b_id"), col("lcid"), col("s"),
-        pcodeFor(col("s"), col("u"), pcents).as("pcid"))
+        pqCodeFor(col("s"), col("u"), pcents).as("pcid"))
     def dmOne(uCol: Column, cu: Array[Double]): Column =
       round(dot(uCol, typedLit(cu.toSeq)) * 1e6).cast(LongType)
     // per-subspace table rows: ONLY the (s, cid) combinations that

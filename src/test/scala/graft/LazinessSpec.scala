@@ -52,7 +52,12 @@ class LazinessSpec extends AnyFunSuite {
     // persists the grams arrays (one corpus scan for both branches),
     // above it only narrow funnel columns persist and the gram branch
     // rescans pruned. Same bounded-state class as routedK.
+    // sim_pq_topk (round 16): flat-PQ sub-centroids now train via the
+    // same bounded driver-side literal rounds as sim_ivfpq_topk
+    // (pqCentroidsLit — the measured 5th decade retired the relational
+    // chain's n·M exchanges); identical bounded-state rationale.
     val exempt = Set("txt_bpe_vocab", "txt_bpe_vocab64", "txt_bpe_encode",
+      "sim_pq_topk",
       "sim_ivfpq_topk", "dedup_semdedup", "sim_ann_ivf_rerank",
       "sim_ann_lsh_auto",
       "pipeline_tokenize", "pipeline_dedup", "pipeline_full",

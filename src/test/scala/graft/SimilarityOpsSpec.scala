@@ -294,28 +294,43 @@ class SimilarityOpsSpec extends AnyFunSuite {
   }
 
   test("pivoted ADC lookup array is gap-proof: sparse (s,cid) grids " +
-    "keep exact positions (ADVICE r14)") {
+    "keep exact positions (ADVICE r14, literal form r16)") {
     // the pivoted plan indexes the probe's distance array POSITIONALLY
     // (i = s·PqK + cid); a dropped Lloyd cluster or non-contiguous
     // seed ids must not shift later entries (the r14 collect_list
-    // form would have, silently mis-ranking). denseAdcArr builds by
-    // LOOKUP over the full domain: present cells at exact positions,
-    // absent cells = the sentinel, same behavior under both ANSI modes.
+    // form would have, silently mis-ranking). denseAdcArrLit builds by
+    // a Scala-side map over the full domain: present cells at exact
+    // positions computed from the literal sub-centroid, absent cells =
+    // the sentinel, identically under both ANSI modes.
     import spark.implicits._
-    val n = SimilarityOps.PqM * SimilarityOps.PqK
-    // a grid missing cells 5 and n-1 (mid-gap AND trailing gap — the
-    // trailing case is the one element_at-past-the-end NULLed/threw on)
-    val present = (0 until n).filterNot(i => i == 5 || i == n - 1)
-    val df = Seq(1L).toDF("a_id").select(col("a_id"),
-      map_from_entries(array(present.map(i =>
-        struct(lit(i.toLong).as("i"), lit(i * 100L).as("dm"))): _*))
-        .as("im"))
-    val got = df.select(SimilarityOps.denseAdcArr(col("im")).as("dm"))
+    val m = SimilarityOps.PqM
+    val k = SimilarityOps.PqK
+    val sub = SimilarityOps.PqSub
+    val n = m * k
+    // trained cells MISSING (s=1, cid=1) mid-grid and the trailing
+    // (s=m-1, cid=k-1) — the trailing case is the one
+    // element_at-past-the-end NULLed/threw on in the r14 map form.
+    // Each present cell's sub-centroid is all-ones scaled by its flat
+    // index, so dm = round(sum(u_s) * (i) * 1e6) is position-revealing.
+    val cells = for {
+      j <- 0 until m; cid <- 0 until k
+      if !(j == 1 && cid == 1) && !(j == m - 1 && cid == k - 1)
+    } yield (j, cid.toLong,
+      Array.fill(sub)((j * k + cid).toDouble))
+    val v = (1 to m * sub).map(_.toDouble / 10)
+    val df = Seq(1L).toDF("a_id")
+      .select(col("a_id"), typedLit(v).as("v"))
+    val got = df
+      .select(SimilarityOps.denseAdcArrLit(col("v"), cells).as("dm"))
       .head().getSeq[Long](0)
     assert(got.size == n, s"dense array size ${got.size} != $n")
-    present.foreach { i =>
-      assert(got(i) == i * 100L, s"position $i shifted: ${got(i)}") }
-    assert(got(5) == SimilarityOps.AdcGapSentinel &&
+    val subSums = (0 until m).map(j =>
+      v.slice(j * sub, (j + 1) * sub).sum)
+    cells.foreach { case (j, cid, _) =>
+      val i = j * k + cid.toInt
+      val want = math.round(subSums(j) * i * 1e6)
+      assert(got(i) == want, s"position $i: ${got(i)} != $want") }
+    assert(got(1 * k + 1) == SimilarityOps.AdcGapSentinel &&
       got(n - 1) == SimilarityOps.AdcGapSentinel)
   }
 
