@@ -68,7 +68,10 @@ object Bench {
   /** Median of a floor-probe field over the last `lastRuns` FULL runs
     * that recorded one (any corpus — the probes measure the HOST, not
     * the data; rounds before round 16 carry no floor fields and are
-    * simply absent). -1 when no history. */
+    * simply absent). Failed probes archive -1.0 sentinels; those are
+    * NOT measurements and are filtered here, or a few failed-probe
+    * runs in the window would poison the host median the floor
+    * factors divide by (ADVICE r16). -1 when no history. */
   private def historyFloor(field: String, lastRuns: Int): Double = {
     try {
       val path = java.nio.file.Paths.get("docs/bench_history.jsonl")
@@ -85,7 +88,7 @@ object Bench {
             Some(bench.get("floor").get(field).asDouble())
           else None
         } catch { case _: Throwable => None }
-      }.takeRight(lastRuns).toSeq.sorted
+      }.filter(_ > 0.0).takeRight(lastRuns).toSeq.sorted
       if (vs.isEmpty) -1.0 else vs(vs.size / 2)
     } catch { case _: Throwable => -1.0 }
   }

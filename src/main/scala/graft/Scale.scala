@@ -16,7 +16,8 @@ import org.apache.spark.sql.SparkSession
   * Usage: runMain graft.Scale [gen|sf0.1|dense|wide|wide100|wide1000|
   * embscale|fixpoint|fixpointstar|fixpointadv|annplanes|annrecall|
   * ivfpqrecall|bpebatch|ccinc|ccinc1000|ccincups|ccincups1000|
-  * topkhub|embscale1000|embrecall1000|embrecall1414|check]
+  * topkhub|embscale1000|embrecall1000|embrecall1414|pq20m|ivfpq20m|
+  * check]
   * [--only=q1,q2,...]
   * (no args = gen + all three sweeps; results append to
   * docs/scale_results.jsonl and print as JSON lines). `fixpoint`
@@ -302,7 +303,14 @@ object Scale {
     // subvector cache dominating (68x growth row) — the mv plan has
     // no corpus-scaled exchange outside the output floor, so pv-era
     // timing rows describe retired machinery
-    "sim_pq_topk" -> "mv")
+    // tk = round 17's bounded partial top-K aggregate replacing the
+    // rank window + map-side WindowGroupLimit over the ADC pair
+    // stream (both PQ families share the tail): the mv 5th decade's
+    // -stages decomposition showed the per-task local sorts feeding
+    // the window dominating, so mv/unstamped rows describe a retired
+    // output floor
+    "sim_pq_topk" -> "tk",
+    "sim_ivfpq_topk" -> "tk")
 
   /** Queries whose OUTPUT is itself super-linear on a duplicate-heavy
     * corpus (a pair listing's cardinality is Σ C(k,2) over duplicate
@@ -1216,12 +1224,26 @@ object Scale {
     val projectedPeakGb: Map[String, Double] = Map(
       "embscale1000" -> 45.0, "embrecall1000" -> 30.0,
       "embrecall1414" -> 30.0, "ccincups1000" -> 25.0,
-      "ccinc1000" -> 25.0, "wide1000" -> 30.0, "pq20m" -> 35.0)
+      "ccinc1000" -> 25.0, "wide1000" -> 30.0, "pq20m" -> 35.0,
+      // ivfpq20m budgets the shared n·M residual-subvector cache's
+      // disk tier (~80M rows × ~160 B ≈ 13 GB at 20M vectors) plus
+      // candidate-pair shuffle — generous-side until its own row
+      // calibrates it
+      "ivfpq20m" -> 30.0)
+    // getUsableSpace on a NONEXISTENT path returns 0 (ADVICE r16: a
+    // fresh checkout before data generation, or a cwd that isn't the
+    // repo root, made every gated mode refuse with "0.00 GB free") —
+    // fall back to the cwd's volume, which is where target/ will be
+    // created anyway
+    def usableBytes(): Long = {
+      val t = new java.io.File("target")
+      (if (t.exists()) t else new java.io.File(".")).getUsableSpace
+    }
     // SPARK_GRAFT_FAKE_FREE_GB overrides the reading so the fail-fast
     // path is testable without actually filling the volume
     def freeGb(): Double = sys.env.get("SPARK_GRAFT_FAKE_FREE_GB")
       .map(_.toDouble)
-      .getOrElse(new java.io.File("target").getUsableSpace / 1e9)
+      .getOrElse(usableBytes() / 1e9)
     def diskGate(mode: String): Boolean = projectedPeakGb.get(mode) match {
       case Some(p) =>
         val f = freeGb()
@@ -1243,12 +1265,12 @@ object Scale {
     // sampled every 2 s on a daemon thread (always the REAL volume,
     // never the fake override)
     class PeakDisk {
-      private val startFree = new java.io.File("target").getUsableSpace
+      private val startFree = usableBytes()
       @volatile private var minFree = startFree
       @volatile private var stopped = false
       private val t = new Thread(() => {
         while (!stopped) {
-          val f = new java.io.File("target").getUsableSpace
+          val f = usableBytes()
           if (f < minFree) minFree = f
           Thread.sleep(2000)
         }
@@ -1923,7 +1945,13 @@ object Scale {
     // stays priced-out at ≥ 12 h — docs/SCALE.md round 15). The row
     // records growth vs the 4th-decade median and the measured peak
     // disk; corpus is embeddings-only (~5 GB).
-    if (sel.contains("pq20m") && diskGate("pq20m")) {
+    // ONE 5th-decade ledger row for an ANN-family query at 20M
+    // vectors (pq20m round 16; ivfpq20m round 17 — r16 verdict #2:
+    // the documented ≥10⁸-vector deployment path's largest row was
+    // 2M). The full ANN-family sweep at 20M stays priced-out at
+    // ≥ 12 h (docs/SCALE.md round 15); each row records growth vs the
+    // SAME-ERA 4th-decade median and the measured peak disk.
+    def runEmb20m(query: String): Unit = {
       if (!complete(Emb10000Dir, Seq("embeddings"))) {
         println(s"[scale] generating $Emb10000Dir")
         ScaleData.generateEmb10000(spark, Emb10000Dir, ref)
@@ -1931,10 +1959,10 @@ object Scale {
       }
       val peak = new PeakDisk
       try {
-        val (sec, ok, seq) = runOne("sim_pq_topk", Emb10000Dir)
+        val (sec, ok, seq) = runOne(query, Emb10000Dir)
         // growth base: SAME-ERA 4th-decade rows only (the generic
-        // history map is not era-aware; comparing the mv plan against
-        // pv-era rows would mix algorithms into one growth factor)
+        // history map is not era-aware; comparing the tk plan against
+        // mv/pv-era rows would mix algorithms into one growth factor)
         val prior: Option[Double] = try {
           val om = new com.fasterxml.jackson.databind.ObjectMapper()
           import scala.jdk.CollectionConverters._
@@ -1946,10 +1974,10 @@ object Scale {
               try {
                 val n = om.readTree(l)
                 if (n.path("tag").asText("") == "emb1000x" &&
-                    n.path("query").asText("") == "sim_pq_topk" &&
+                    n.path("query").asText("") == query &&
                     // sweep rows stamp the era under "algo"
                     n.path("algo").asText(n.path("era").asText("")) ==
-                      algoEra("sim_pq_topk") &&
+                      algoEra.getOrElse(query, "") &&
                     n.path("ok").asBoolean(false) && n.has("sec"))
                   Some(n.get("sec").asDouble)
                 else None
@@ -1959,9 +1987,10 @@ object Scale {
         } catch { case _: Throwable => None }
         val growth = prior.map(p => sec / math.max(p, 1e-9))
         val plan = settledPlan(seq, ok)
-        val line = s"""{"tag":"emb10000x","query":"sim_pq_topk",""" +
+        val line = s"""{"tag":"emb10000x","query":"$query",""" +
           s""""sec":${d2(sec)},"ok":$ok,"corpus":"$corpus",""" +
-          s""""era":"${algoEra("sim_pq_topk")}","vectors":20000000,""" +
+          s""""era":"${algoEra.getOrElse(query, "")}",""" +
+          s""""vectors":20000000,""" +
           s""""peak_disk_gb":${d2(peak.peakGb())}""" +
           growth.map(g => s""","growth_vs_emb1000x":${d2(g)},"band":15""")
             .getOrElse("") +
@@ -1972,15 +2001,19 @@ object Scale {
       } catch {
         case e: Throwable =>
           graft.core.Core.releaseShared()
-          val line = s"""{"tag":"emb10000x","query":"sim_pq_topk",""" +
+          val line = s"""{"tag":"emb10000x","query":"$query",""" +
             s""""ok":false,"corpus":"$corpus",""" +
-            s""""era":"${algoEra("sim_pq_topk")}",""" +
+            s""""era":"${algoEra.getOrElse(query, "")}",""" +
             s""""peak_disk_gb":${d2(peak.peakGb())},"error":""" +
             s""""${e.getClass.getSimpleName}"}"""
           println(s"[scale] $line")
           out.append(line).append('\n')
       } finally peak.stop()
     }
+    if (sel.contains("pq20m") && diskGate("pq20m"))
+      runEmb20m("sim_pq_topk")
+    if (sel.contains("ivfpq20m") && diskGate("ivfpq20m"))
+      runEmb20m("sim_ivfpq_topk")
 
     if (sel.contains("fixpointadv")) runFixpointAdv()
     if (sel.contains("annrecall")) runAnnRecall()

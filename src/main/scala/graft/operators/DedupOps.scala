@@ -2658,16 +2658,24 @@ object DedupOps {
     // silently DROP the index row on a contract violation and
     // permanently desync the standing index, where the convention
     // elsewhere (denseAdcArr's sentinel lookup) is to fail the job.
+    // The guard is a FILTER predicate, not a projection (ADVICE r16):
+    // a projection-embedded raise_error vanished for any consumer
+    // whose plan pruned the `cluster` column (e.g. a count()), while a
+    // filter condition is evaluated by EVERY consumer. It cannot be
+    // pushed below the join (it references the left-outer's
+    // null-extended side) and EliminateOuterJoin's null-input probe
+    // treats throwing predicates as not-null-filtering, so the outer
+    // join survives (both asserted in DedupOpsSpec).
     val newRows = newReps
       .join(broadcast(labelUpserts
         .select(col("doc_id").as("rep_id"), col("cluster"))),
         Seq("rep_id"), "left")
-      .withColumn("cluster",
-        when(col("cluster").isNull, raise_error(concat(
-          lit("sketchRepLabelUpsert: new sketch rep "), col("rep_id"),
-          lit(" has no label upsert row — the fold's batch/label " +
-            "contract is violated; refusing to desync the index"))))
-          .otherwise(col("cluster")))
+      .filter(when(col("cluster").isNull, raise_error(concat(
+        lit("sketchRepLabelUpsert: new sketch rep "), col("rep_id"),
+        lit(" has no label upsert row — the fold's batch/label " +
+          "contract is violated; refusing to desync the index")))
+        .cast(BooleanType))
+        .otherwise(lit(true)))
       .select(col("simhash"), col("rep_id"), col("cluster"),
         combo64.keyArr(col("simhash")).as("keys"))
     val relabeled = labeledIdx

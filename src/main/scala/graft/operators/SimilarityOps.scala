@@ -567,6 +567,20 @@ object SimilarityOps {
   val PqK = 4
   val PqIters = 2
 
+  /** Training-sample cap for BOTH PQ sub-quantizers (round 17): Lloyd
+    * rounds read only the vec_id-prefix sample; the encode still
+    * covers the corpus. Training on a bounded learning set is the
+    * published PQ recipe (Jégou TPAMI'11 §V trains codebooks on a
+    * learning subset, not the indexed corpus), and the 20M-vector
+    * decomposition measured why: the shipped trainer's two Lloyd scans
+    * + init cache were 717 s of the 1,321 s wall — 54% of the query
+    * spent re-deriving 1,024 cell means whose precision saturates far
+    * below 10⁶ samples. The cap keeps training cost FLAT past 1M
+    * vectors while the oracle replays bit-identically: every contract
+    * corpus is ≤ 2k vectors, so the capped CTE (`tv`) selects the
+    * whole table there and the trained cells are unchanged. */
+  private[graft] val PqTrainVectors: Long = 1000000L
+
   /** PQ top-k by asymmetric distance computation (ADC): the THIRD ANN
     * family next to IVF (sim_ivf_knn) and hyperplane LSH (sim_ann_lsh)
     * — the memory-compression scale path. Each vector is reduced to
@@ -654,7 +668,10 @@ object SimilarityOps {
     * micro-int component means), so the unrolled DuckDB oracle CTEs
     * replay unchanged — the [[ivfpqTopK]] precedent. Bounded
     * per-round collects = the MLlib iterative-estimator pattern,
-    * LazinessSpec-exempt on the sim_ivfpq_topk grounds. */
+    * LazinessSpec-exempt on the sim_ivfpq_topk grounds. `ev` is the
+    * TRAINING relation — callers pass the [[PqTrainVectors]]-capped
+    * sample (round 17), which at every contract corpus is the whole
+    * table. */
   private def pqCentroidsLit(ev: DataFrame)
       : Seq[(Int, Long, Array[Double])] = {
     // seeded init = the first PqK vectors' subvectors (the
@@ -686,24 +703,41 @@ object SimilarityOps {
     pcents
   }
 
+  /** Shared contract tail of both ADC scorers: explode an
+    * (a_id, tk) bounded top-K relation (tk = graft_topk_pairs output,
+    * best-first) to the (a_id, rank, b_id, adc_micro) rows the rank
+    * window used to emit — position is the rank, by the aggregate's
+    * ordering contract. */
+  private def explodeTopK(df: DataFrame): DataFrame =
+    df.select(col("a_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("a_id"),
+        (col("pos") + 1).cast(IntegerType).as("rank"),
+        col("e").getField("id").as("b_id"),
+        col("e").getField("score").as("adc_micro"))
+      .orderBy("a_id", "rank")
+
   /** The ADC tail shared by PQ and IVF-PQ: micro-sum the per-subspace
     * table lookups, rank top-[[AnnTopK]] per probe. `codes` carries
     * (b_id, <joinCols...>, s, pcid); `dt` carries (a_id,
-    * <joinCols...>, s, pcid, dm). */
+    * <joinCols...>, s, pcid, dm). Ranking is the BOUNDED partial
+    * top-K aggregate ([[graft.plans.TopKPairs]], round 17), not a
+    * rank window: the window form locally sorted each task's full
+    * share of the candidate-pair stream before its map-side
+    * WindowGroupLimit pruned it — the flat-PQ 5th-decade wall, the
+    * same class here at list-occupancy-bounded volume. Survivor rows
+    * and order are identical (unique b_id per a_id after the pair
+    * aggregate; TopKPairsSpec), so the DuckDB oracle replays
+    * unchanged. */
   private def adcTopK(codes: DataFrame, dt: DataFrame,
-      joinCols: Seq[String]): DataFrame = {
-    val byA = Window.partitionBy("a_id")
-      .orderBy(col("adc_micro").desc, col("b_id").asc)
-    codes.join(broadcast(dt), joinCols ++ Seq("s", "pcid"))
-      .filter(col("b_id") =!= col("a_id"))
-      .groupBy(col("a_id"), col("b_id"))
-      .agg(sum(col("dm")).as("adc_micro"))
-      .withColumn("rank", row_number().over(byA))
-      .filter(col("rank") <= AnnTopK)
-      .select(col("a_id"), col("rank").cast(IntegerType).as("rank"),
-        col("b_id"), col("adc_micro"))
-      .orderBy("a_id", "rank")
-  }
+      joinCols: Seq[String]): DataFrame =
+    explodeTopK(
+      codes.join(broadcast(dt), joinCols ++ Seq("s", "pcid"))
+        .filter(col("b_id") =!= col("a_id"))
+        .groupBy(col("a_id"), col("b_id"))
+        .agg(sum(col("dm")).as("adc_micro"))
+        .groupBy(col("a_id"))
+        .agg(call_function("graft_topk_pairs",
+          col("adc_micro"), col("b_id"), lit(AnnTopK)).as("tk")))
 
   /** Filler for grid cells absent from a probe's distance array — a
     * (s, cid) pair no vector was assigned to (an empty Lloyd cluster,
@@ -736,8 +770,19 @@ object SimilarityOps {
 
   private[graft] def pqTopK(s: SparkSession, dir: String,
       source: Option[DataFrame] = None): DataFrame = {
-    val e = vecsOf(s, source.getOrElse(table(s, dir, "embeddings")))
-    val ev = e.select(col("vec_id"), col("v"))
+    graft.plans.GraftFunctions.register(s)
+    // NOT [[vecsOf]] (round 17): the shared full-corpus cache (with a
+    // norm column this query never reads) was the 20M decomposition's
+    // third term — a 148 s GC-heavy columnar build of ~10 GB serving
+    // exactly one encode scan and one 50-row probe scan. Only the
+    // TRAINING SAMPLE is cached now (≤ [[PqTrainVectors]] rows — it is
+    // scanned once per Lloyd round plus the init collect); the encode
+    // and the probes read the source directly, with the probe filter
+    // pushed to the scan.
+    val ev = source.getOrElse(table(s, dir, "embeddings"))
+      .select(col("vec_id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("v"))
+    val train = shared(ev.filter(col("vec_id") < PqTrainVectors))
     // PIVOTED ADC (round 14) over LITERAL-TRAINED cells (round 16).
     // r14 removed the n·M·probes partial-aggregate (the 21×/decade
     // spill at the 4th decade) by collapsing codes to an M-entry
@@ -758,8 +803,12 @@ object SimilarityOps {
     // The ONLY corpus-scaled exchange is the probes·n pair relation
     // the top-K window ranks — the output-bound floor. Values are
     // bitwise the relational chain's (same quantized algebra), so the
-    // unrolled DuckDB oracle CTEs replay unchanged.
-    val pcents = pqCentroidsLit(ev)
+    // unrolled DuckDB oracle CTEs replay unchanged. Round 17 adds the
+    // bounded TRAINING SAMPLE ([[PqTrainVectors]] — the oracle's `tv`
+    // CTE): the 20M decomposition showed the two Lloyd scans + init
+    // cache at 717 s of the 1,321 s wall, all of it re-deriving 1,024
+    // bounded cell means from 20× more samples than they need.
+    val pcents = pqCentroidsLit(train)
     // ONE deliberate light exchange ((b_id, M-int array) rows) between
     // the encode and the pair join: without it the M literal argmins
     // (sort_array over struct arrays — interpreted, allocation-heavy)
@@ -776,8 +825,6 @@ object SimilarityOps {
     val dtArr = ev.filter(col("vec_id") < KnnEvalProbes)
       .select(col("vec_id").as("a_id"),
         denseAdcArrLit(col("v"), pcents).as("dm"))
-    val byA = Window.partitionBy("a_id")
-      .orderBy(col("adc_micro").desc, col("b_id").asc)
     // the M-way ADC sum UNROLLED to plain column arithmetic (round
     // 16): the `aggregate(sequence(0, M-1), ...)` HOF form allocated a
     // sequence and ran an interpreted lambda PER PAIR — at the 5th
@@ -789,13 +836,76 @@ object SimilarityOps {
       element_at(col("dm"),
         (lit(j * PqK) + element_at(col("pc"), lit(j + 1)) + lit(1))
           .cast(IntegerType))).reduce(_ + _)
-    codesArr.join(broadcast(dtArr), col("b_id") =!= col("a_id"))
-      .select(col("a_id"), col("b_id"), adcSum.as("adc_micro"))
-      .withColumn("rank", row_number().over(byA))
-      .filter(col("rank") <= AnnTopK)
-      .select(col("a_id"), col("rank").cast(IntegerType).as("rank"),
-        col("b_id"), col("adc_micro"))
-      .orderBy("a_id", "rank")
+    // Top-K over the pair stream via the BOUNDED partial aggregate
+    // (round 17): the rank-window form (`row_number().over(
+    // partitionBy(a_id).orderBy(adc_micro desc, b_id asc))`) forced
+    // each task to materialize and LOCALLY SORT its full share of the
+    // probes·n stream before the map-side WindowGroupLimit could prune
+    // it — the measured dominant 5th-decade term at 20M vectors
+    // (docs/SCALE.md round 17: the sort stages carried ~300M rows per
+    // task against a 150-row survivor set). graft_topk_pairs
+    // ([[graft.plans.TopKPairs]]) admits-or-rejects each pair in O(1)
+    // against a per-group heap root map-side, shuffles one k-entry
+    // buffer per (task, probe), and returns the survivors best-first —
+    // identical rows and order (unique b_id makes the per-group order
+    // total; property-asserted against the window form in
+    // TopKPairsSpec), so the DuckDB oracle replays unchanged.
+    explodeTopK(
+      codesArr.join(broadcast(dtArr), col("b_id") =!= col("a_id"))
+        .select(col("a_id"), col("b_id"), adcSum.as("adc_micro"))
+        .groupBy(col("a_id"))
+        .agg(call_function("graft_topk_pairs",
+          col("adc_micro"), col("b_id"), lit(AnnTopK)).as("tk")))
+  }
+
+  /** The flat-PQ → IVF-PQ family boundary for [[pqTopKAuto]] (round
+    * 17, r16 verdict #3 — the [[annFamilyFor]] precedent made code,
+    * not prose): flat PQ's all-pairs ADC floor is probes·n BY DESIGN,
+    * so past this corpus size the routed query hands off to IVF-PQ,
+    * whose candidate set is nprobe-bounded by list occupancy
+    * (occupancy ∝ √n at the routed √n list count). Placed at the 5th
+    * measured decade boundary from the round-17 ledger rows
+    * (docs/SCALE.md round 17): through 2M vectors flat PQ is the
+    * measured winner (tk era: flat ≪ IVF-PQ at 2M — IVF-PQ pays its
+    * coarse+residual training there for pruning it can't yet cash),
+    * while at 20M the measured gap collapses as flat PQ's linear
+    * floor grows a full decade per decade and IVF-PQ's scoring term
+    * does not. A 10⁸-vector deployment is 5× past this boundary —
+    * exactly the regime the r16 SCALE.md guidance steered to IVF-PQ
+    * in prose. */
+  private[graft] val PqFlatMaxVectors: Long = 20000000L
+
+  /** The PQ FAMILY decision, as a pure function: flat all-pairs ADC
+    * (Left) within [[PqFlatMaxVectors]], IVF-PQ at the √n-routed
+    * coarse list count (Right) past it. */
+  private[graft] def pqFamilyFor(n: Long): Either[Unit, Int] =
+    if (n <= PqFlatMaxVectors) Left(()) else Right(semDedupKFor(n))
+
+  /** [[pqTopK]] with the FAMILY derived from a corpus statistic — the
+    * `sim_pq_topk` contract query since round 17 (the [[annLshAuto]]
+    * handoff convention, r16 verdict #3: the ≥10⁸-vector deployment
+    * guidance was prose in SCALE.md, now it's the plan the query
+    * builds). ONE eager bounded count (the [[routedK]] convention —
+    * capped one row past the larger of the family boundary and the
+    * √n menu's ceiling, so the scan is bounded no matter the corpus)
+    * either keeps the flat-PQ regime — built EXACTLY as before, so
+    * the contract-scale plan and the DuckDB oracle replay are
+    * untouched — or hands off to [[ivfpqTopK]] at the routed list
+    * count with the same output schema (a_id, rank, b_id, adc_micro).
+    * `flatMax` is parameterized so specs can force the boundary
+    * regime on an executable corpus; contract callers use the
+    * measured default. */
+  private[graft] def pqTopKAuto(s: SparkSession, dir: String,
+      source: Option[DataFrame] = None,
+      flatMax: Long = PqFlatMaxVectors): DataFrame = {
+    val emb = source.getOrElse(table(s, dir, "embeddings"))
+    val lastK = SemDedupKConfigs.last
+    val kCap = lastK.toLong * lastK * SemDedupOcc
+    val cap = math.min(math.max(flatMax, kCap) + 1L,
+      Int.MaxValue.toLong - 1L).toInt
+    val n = emb.limit(cap).count()
+    if (n <= flatMax) pqTopK(s, dir, Some(emb))
+    else ivfpqTopK(s, dir, Some(emb), ivfK = semDedupKFor(n))
   }
 
   /** Per-vector coarse-list ranking as ONE map-side expression over
@@ -1010,9 +1120,18 @@ object SimilarityOps {
       .withColumn("res", zip_with(col("v"), cvFor(col("lcid")),
         (a, b) => a - b))
       .select(col("vec_id"), col("lcid"), col("res"))
-    val sv = shared(pqSubvectors(lists.select(col("vec_id"),
+    val sv = pqSubvectors(lists.select(col("vec_id"),
         col("res")), "res")
-      .join(lists.select(col("vec_id"), col("lcid")), "vec_id"))
+      .join(lists.select(col("vec_id"), col("lcid")), "vec_id")
+    // ONLY the training slice is cached (round 17, the flat-PQ
+    // convention): sv is n·M small-array rows — at 20M vectors an
+    // 80M-row columnar cache build, the measured pv-era flat-PQ wall
+    // (714 s + sibling stages parked on its cache locks) — and the
+    // Lloyd rounds only ever read the [[PqTrainVectors]]-capped
+    // sample anyway (the oracle's `tv` CTE; every contract corpus
+    // sits under the cap, so trained cells are unchanged). The
+    // encode's single pass streams sv uncached.
+    val tv = shared(sv.filter(col("vec_id") < PqTrainVectors))
     // residual-PQ Lloyd rounds, each a map-side assign + one bounded
     // (s, cid, dim) agg collected back (PqM·PqK·PqSub rows)
     var pcents: Seq[(Int, Long, Array[Double])] =
@@ -1027,7 +1146,7 @@ object SimilarityOps {
     // map-side argmin vs literal sub-centroids: [[pqCodeFor]] (the
     // factored form both PQ families train and encode through)
     for (_ <- 0 until PqIters) {
-      val rows = sv
+      val rows = tv
         .withColumn("pcid", pqCodeFor(col("s"), col("u"), pcents))
         .select(col("s"), col("pcid"),
           posexplode(col("u")).as(Seq("dim", "x")))
@@ -1279,8 +1398,11 @@ object SimilarityOps {
   }
 
   def queries: Map[String, Q] = Map(
-    // Product-quantization ADC top-k — see [[pqTopK]].
-    "sim_pq_topk" -> { (s, dir) => pqTopK(s, dir) },
+    // Product-quantization ADC top-k, FAMILY-ROUTED (round 17): flat
+    // all-pairs ADC within [[PqFlatMaxVectors]] (every Verify/bench
+    // corpus — the oracle replays the flat algebra unchanged), IVF-PQ
+    // at the √n list count past it. See [[pqTopKAuto]]/[[pqTopK]].
+    "sim_pq_topk" -> { (s, dir) => pqTopKAuto(s, dir) },
 
     // IVF-PQ (IVFADC): coarse routing + residual PQ — see [[ivfpqTopK]].
     "sim_ivfpq_topk" -> { (s, dir) => ivfpqTopK(s, dir) },
@@ -1656,8 +1778,11 @@ object SimilarityOps {
 
     // PQ oracle: subspace-keyed Lloyd rounds unrolled from the same
     // constants as [[pqTopK]] (the kmeansSql convention), integer-micro
-    // ADC sums so the M-way addition is order-independent cross-engine
-    val pqAssignSql: String => String = prev =>
+    // ADC sums so the M-way addition is order-independent cross-engine.
+    // Training reads the `tv` CTE — the [[PqTrainVectors]]-capped
+    // sample, which selects the whole table at every contract corpus
+    // (round 17); the final encode assigns over the full `sv`.
+    val pqAssignSql: (String, String) => String = (prev, src) =>
       s"""SELECT s, vec_id, u, cid FROM (
          |  SELECT sv.s, sv.vec_id, sv.u, c.cid,
          |    ROW_NUMBER() OVER (PARTITION BY sv.s, sv.vec_id ORDER BY
@@ -1665,10 +1790,12 @@ object SimilarityOps {
          |        - 2.0 * list_dot_product(sv.u, c.cu)
          |        + list_dot_product(c.cu, c.cu), 9) ASC, c.cid ASC)
          |      AS rn
-         |  FROM sv JOIN $prev c ON c.s = sv.s)
+         |  FROM $src sv JOIN $prev c ON c.s = sv.s)
          |WHERE rn = 1""".stripMargin
+    val pqTrainCte =
+      s"tv AS (SELECT * FROM sv WHERE vec_id < $PqTrainVectors)"
     val pqRounds = (1 to PqIters).map { r =>
-      s"""pa$r AS (${pqAssignSql(s"pc${r - 1}")}),
+      s"""pa$r AS (${pqAssignSql(s"pc${r - 1}", "tv")}),
          |pm$r AS (SELECT s, cid, dim,
          |           SUM(ec) / (COUNT(*) * 1000000.0) AS comp
          |         FROM (SELECT s, cid, generate_subscripts(u, 1) AS dim,
@@ -1686,11 +1813,12 @@ object SimilarityOps {
          |       FROM e CROSS JOIN
          |         (SELECT unnest(${(0 until PqM).mkString("[", ", ", "]")})
          |            AS s)),
-         |pc0 AS (SELECT s, vec_id AS cid, u AS cu FROM sv
+         |$pqTrainCte,
+         |pc0 AS (SELECT s, vec_id AS cid, u AS cu FROM tv
          |        WHERE vec_id < $PqK),
          |$pqRounds,
          |codes AS (SELECT s, vec_id, cid
-         |          FROM (${pqAssignSql(s"pc$PqIters")})),
+         |          FROM (${pqAssignSql(s"pc$PqIters", "sv")})),
          |dt AS (SELECT sv.vec_id AS a_id, sv.s, c.cid,
          |         CAST(round(list_dot_product(sv.u, c.cu) * 1000000.0)
          |           AS BIGINT) AS dm
@@ -1754,12 +1882,13 @@ object SimilarityOps {
          |sv AS (SELECT vec_id, s,
          |         list_slice(res, s * $PqSub + 1, (s + 1) * $PqSub) AS u
          |       FROM lists CROSS JOIN (SELECT unnest($sList) AS s)),
-         |pc0 AS (SELECT s, vec_id AS cid, u AS cu FROM sv
+         |$pqTrainCte,
+         |pc0 AS (SELECT s, vec_id AS cid, u AS cu FROM tv
          |        WHERE vec_id < $PqK),
          |$pqRounds,
          |codes AS (SELECT a.vec_id AS b_id, l.cid AS lcid, a.s,
          |            a.cid AS pcid
-         |          FROM (${pqAssignSql(s"pc$PqIters")}) a
+         |          FROM (${pqAssignSql(s"pc$PqIters", "sv")}) a
          |          JOIN lists l ON l.vec_id = a.vec_id),
          |qp AS (
          |  SELECT r.vec_id AS a_id, r.cid AS lcid, e.v AS v,

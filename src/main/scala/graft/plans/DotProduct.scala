@@ -74,9 +74,13 @@ object GraftFunctions {
   }
 
   /** Register into a live session (idempotent). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_dot"), dotInfo, dotBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_topk_pairs"), TopKPairs.info,
+      TopKPairs.builder)
+  }
 }
 
 /** `spark.sql.extensions=graft.plans.GraftExtensions` — the public
@@ -94,5 +98,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_char_counts"),
       CharCounts.info,
       { children: Seq[Expression] => CharCounts(children.head) }))
+    ext.injectFunction((FunctionIdentifier("graft_topk_pairs"),
+      TopKPairs.info, TopKPairs.builder))
   }
 }

@@ -1047,10 +1047,14 @@ class DedupOpsSpec extends AnyFunSuite {
         DedupOps.incrementalSimhashDeltaLabeled(idx0, batchSk),
         maxPairs = 32)
       .localCheckpoint()
-    // the healthy fold still works end-to-end (consume `cluster`: a
-    // count() would prune the guarded column away)
-    assert(DedupOps.sketchRepLabelUpsert(idx0, batchSk, fullUps)
-      .select("cluster").collect().length >= 0)
+    // the healthy fold still works end-to-end — INCLUDING through a
+    // count(), which prunes every column: the guard is a filter
+    // predicate now (ADVICE r16), so plan-side column pruning cannot
+    // skip it, and a throwing predicate must not make the optimizer's
+    // null-input probe collapse the left-outer join on healthy data
+    val healthy = DedupOps.sketchRepLabelUpsert(idx0, batchSk, fullUps)
+    assert(healthy.count() ==
+      healthy.select("cluster").collect().length.toLong)
     // drop ONE batch doc's upsert row that is a new-value rep: the
     // contract violation must surface as a job failure, not a missing
     // index row
@@ -1059,15 +1063,22 @@ class DedupOpsSpec extends AnyFunSuite {
       .select("rep_id").collect().map(_.getLong(0))
     assert(newRepIds.nonEmpty, "test needs at least one new sketch value")
     val brokenUps = fullUps.filter(col("doc_id") =!= newRepIds.min)
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     val e = intercept[Exception] {
       DedupOps.sketchRepLabelUpsert(idx0, batchSk, brokenUps)
         .select("cluster").collect()
     }
-    def msgs(t: Throwable): Seq[String] =
-      if (t == null) Nil
-      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(e).exists(_.contains("no label upsert row")),
       s"expected the fail-loud contract message, got: ${msgs(e)}")
+    // and the ADVICE-r16 case: a consumer that prunes `cluster` away
+    // entirely (count()) must STILL hit the guard
+    val e2 = intercept[Exception] {
+      DedupOps.sketchRepLabelUpsert(idx0, batchSk, brokenUps).count()
+    }
+    assert(msgs(e2).exists(_.contains("no label upsert row")),
+      s"expected the fail-loud contract message via count(), got: ${msgs(e2)}")
     graft.core.Core.releaseShared()
   }
 }

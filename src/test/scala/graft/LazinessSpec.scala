@@ -56,6 +56,9 @@ class LazinessSpec extends AnyFunSuite {
     // same bounded driver-side literal rounds as sim_ivfpq_topk
     // (pqCentroidsLit — the measured 5th decade retired the relational
     // chain's n·M exchanges); identical bounded-state rationale.
+    // Round 17: the contract query additionally routes the FAMILY
+    // (pqTopKAuto — flat PQ within the measured boundary, IVF-PQ past
+    // it) via one more bounded count, the annFamilyFor convention.
     val exempt = Set("txt_bpe_vocab", "txt_bpe_vocab64", "txt_bpe_encode",
       "sim_pq_topk",
       "sim_ivfpq_topk", "dedup_semdedup", "sim_ann_ivf_rerank",

@@ -1219,5 +1219,10 @@ class PipelineOpsSpec extends AnyFunSuite {
     val rescan = collectReasons(0L) // gate forced: nothing fits below 0
     assert(fused.nonEmpty && fused == rescan,
       "fused and rescan curate regimes diverged")
+    // ADVICE r16: a gate raised past Int.MaxValue used to overflow the
+    // limit+count probe to a negative limit (plan-build throw); now it
+    // skips the probe (rescan regime) with identical output
+    val huge = collectReasons(Int.MaxValue.toLong + 5L)
+    assert(huge == rescan, "huge-gate regime diverged")
   }
 }

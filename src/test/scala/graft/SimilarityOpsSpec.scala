@@ -203,6 +203,39 @@ class SimilarityOpsSpec extends AnyFunSuite {
     graft.core.Core.releaseShared()
   }
 
+  test("sim_pq_topk FAMILY handoff: past the flat-PQ boundary the " +
+    "routed query delegates to IVF-PQ at the √n list count " +
+    "(r16 verdict #3)") {
+    import SimilarityOps._
+    // the pure decision: flat all-pairs ADC (probes·n output floor)
+    // within the measured boundary, nprobe-bounded IVF-PQ past it
+    assert(pqFamilyFor(2000000L) == Left(()))
+    assert(pqFamilyFor(PqFlatMaxVectors) == Left(()))
+    assert(pqFamilyFor(PqFlatMaxVectors + 1)
+      == Right(semDedupKFor(PqFlatMaxVectors + 1)))
+    // contract scale: the routed query IS the flat plan — same rows,
+    // so the DuckDB oracle replay is untouched
+    val auto = pqTopKAuto(spark, TestSpark.sfDir)
+    val flat = pqTopK(spark, TestSpark.sfDir)
+    assert(auto.schema.fields.map(f => (f.name, f.dataType)).toSeq
+      == flat.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(auto.collect().map(_.toSeq).toSeq
+      == flat.collect().map(_.toSeq).toSeq)
+    graft.core.Core.releaseShared()
+    // boundary regime FORCED on an executable corpus (flatMax
+    // parameterized for exactly this): identical rows and schema to
+    // ivfpqTopK at the routed k (= IvfK at this corpus size — the
+    // same landing the other routed queries' oracles rely on)
+    val handed = pqTopKAuto(spark, TestSpark.sfDir, flatMax = 1L)
+    assert(handed.schema.fields.map(f => (f.name, f.dataType)).toSeq
+      == flat.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+      "handoff branch schema diverged from the flat regime's")
+    val ivf = ivfpqTopK(spark, TestSpark.sfDir)
+    assert(handed.collect().map(_.toSeq).toSeq
+      == ivf.collect().map(_.toSeq).toSeq)
+    graft.core.Core.releaseShared()
+  }
+
   test("semDedup/ivfKnn k-routing: √n rule boundaries; routing is result-identical") {
     import SimilarityOps._
     // the pure sizing rule: smallest menu k with n <= k² · occ
