@@ -1123,15 +1123,25 @@ object SimilarityOps {
     val sv = pqSubvectors(lists.select(col("vec_id"),
         col("res")), "res")
       .join(lists.select(col("vec_id"), col("lcid")), "vec_id")
-    // ONLY the training slice is cached (round 17, the flat-PQ
-    // convention): sv is n·M small-array rows — at 20M vectors an
-    // 80M-row columnar cache build, the measured pv-era flat-PQ wall
-    // (714 s + sibling stages parked on its cache locks) — and the
-    // Lloyd rounds only ever read the [[PqTrainVectors]]-capped
-    // sample anyway (the oracle's `tv` CTE; every contract corpus
-    // sits under the cap, so trained cells are unchanged). The
-    // encode's single pass streams sv uncached.
+    // ONLY the training slice is cached at scale (round 17, the
+    // flat-PQ convention): sv is n·M small-array rows — at 20M
+    // vectors an 80M-row columnar cache build, the measured pv-era
+    // flat-PQ wall (714 s + sibling stages parked on its cache
+    // locks) — and the Lloyd rounds only ever read the
+    // [[PqTrainVectors]]-capped sample anyway (the oracle's `tv`
+    // CTE). SIZE-GATED like the curate cache (one bounded count, the
+    // routedK convention): within the cap the capped slice IS the
+    // whole relation, so the encode reads the same cache the rounds
+    // train from — the r16 contract-scale plan, whose removal
+    // measured +3-8 s/query at sf0.1 from re-deriving the lists
+    // chain per consumer — while past the cap the encode's single
+    // pass streams sv uncached (the 20M regime, where the cache IS
+    // the wall).
+    val svCap = math.min(PqTrainVectors + 1L, Int.MaxValue.toLong - 1L)
+    val withinCap =
+      e.select(col("vec_id")).limit(svCap.toInt).count() <= PqTrainVectors
     val tv = shared(sv.filter(col("vec_id") < PqTrainVectors))
+    val codesSrc = if (withinCap) tv else sv
     // residual-PQ Lloyd rounds, each a map-side assign + one bounded
     // (s, cid, dim) agg collected back (PqM·PqK·PqSub rows)
     var pcents: Seq[(Int, Long, Array[Double])] =
@@ -1161,7 +1171,7 @@ object SimilarityOps {
           (j, cid, comps.map(_._2).sortBy(_._1).map(_._2).toArray) }
     }
     // encode + probe tables, both map-side against the trained literals
-    val codes = sv
+    val codes = codesSrc
       .select(col("vec_id").as("b_id"), col("lcid"), col("s"),
         pqCodeFor(col("s"), col("u"), pcents).as("pcid"))
     def dmOne(uCol: Column, cu: Array[Double]): Column =
