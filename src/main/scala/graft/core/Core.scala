@@ -27,8 +27,9 @@ object Core {
     // UTC session timezone is a wall-time identity — exactly how the
     // DuckDB oracle reads the same column.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = s.read.parquet(s"$dir/$name.parquet")
-    if (name == "events") raw.schema("ts").dataType match {
+    val path = s"$dir/$name.parquet"
+    val raw = s.read.parquet(path)
+    val normalized = if (name == "events") raw.schema("ts").dataType match {
       case LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       case TimestampNTZType =>
@@ -36,6 +37,78 @@ object Core {
       case _ => raw
     }
     else raw
+    scanParallel(s, normalized, path, name)
+  }
+
+  /** Scan-parallelism floor for small low-split inputs (optimization
+    * guide §2.5 "input skew" / §6): a table whose parquet footprint
+    * yields fewer scan splits than the session has cores serializes not
+    * just the read but EVERY map-side operator up to the first exchange
+    * — tokenize/explode, sketch hashing, vector decode — onto those few
+    * tasks while the rest of the machine idles (measured: the sf0.1
+    * single-file, single-row-group tables run their whole pre-exchange
+    * segment on ONE task; a row-group-bounded file cannot be split by
+    * `spark.sql.files.maxPartitionBytes`, so the fix must be an explicit
+    * round-robin exchange after the read). The exchange is gated on the
+    * DRIVER-SIDE file stat, so it exists only where it pays:
+    *
+    *  - total bytes >= `spark.graft.scan.parallelizeMinBytes` (64 KB
+    *    default): dimension tables below it broadcast anyway, and an
+    *    exchange there is pure stage overhead;
+    *  - total bytes <= `spark.graft.scan.parallelizeMaxBytes` (32 MB
+    *    default): above it the natural splits already spread the scan,
+    *    and repartitioning a large input is exactly the shuffle this
+    *    engine spends its plans avoiding — at 100 TB the gate NEVER
+    *    fires (inputs arrive as many >= 128 MB files) and the plan is
+    *    byte-identical to the ungated read;
+    *  - leaf file count < defaultParallelism / 2: a many-file directory
+    *    (Scale's generated corpora) already scans wide;
+    *  - table name ∈ `spark.graft.scan.parallelizeTables` (default:
+    *    `documents`): the exchange pays only where the pre-exchange
+    *    per-row work is heavy — the text corpus's tokenize/sketch/
+    *    winnow/quality chains burn whole seconds single-threaded, while
+    *    the relational tables' scan segments are cheap projections and
+    *    the embeddings family runs many small bounded jobs (Lloyd
+    *    rounds, probe builds) where an extra exchange per job is pure
+    *    overhead. MEASURED both ways at sf0.1/local[32] (full 171-query
+    *    bench, quiet floor-probe windows): ungated, the heavy text
+    *    queries won 5.5/4.6/2.7/2.6 s (dedup_incremental,
+    *    pipeline_dedup, dedup_cluster_cc, txt_langid_ngram) but the
+    *    sub-1.5 s basket paid +29 s in aggregate and the embeddings
+    *    family +8 s — net +11 s; gated to `documents` the wins stay and
+    *    the tax goes (OPTIMIZATION_r17.md).
+    *
+    * Round-robin (`repartition(n)`) rather than a key: even spread with
+    * no key-skew risk, and deterministic under retries because Spark
+    * local-sorts before round-robin assignment (SPARK-23207, on by
+    * default). Row content is untouched and every contract query ends
+    * in a total-order sort, so results are unchanged (oracle-verified).
+    * Lazy: the file stat is bounded driver IO at plan build (the
+    * corpusTag convention), no job runs (LazinessSpec).
+    */
+  private def scanParallel(s: SparkSession, df: DataFrame, path: String,
+      name: String): DataFrame = {
+    try {
+      val conf = s.conf
+      val tables = conf.getOption("spark.graft.scan.parallelizeTables")
+        .getOrElse("documents").split(",").map(_.trim).toSet
+      if (!tables.contains(name)) return df
+      val minB = conf.getOption("spark.graft.scan.parallelizeMinBytes")
+        .map(_.toLong).getOrElse(64L * 1024)
+      val maxB = conf.getOption("spark.graft.scan.parallelizeMaxBytes")
+        .map(_.toLong).getOrElse(32L * 1024 * 1024)
+      val n = s.sparkContext.defaultParallelism
+      def leaves(f: java.io.File): Seq[java.io.File] =
+        if (f.isFile) Seq(f)
+        else Option(f.listFiles).getOrElse(Array.empty[java.io.File])
+          .toSeq.flatMap(leaves)
+      val ls = leaves(new java.io.File(path))
+        .filter(f => f.getName.endsWith(".parquet") || f.isFile)
+      val total = ls.map(_.length).sum
+      if (n > 1 && total >= minB && total <= maxB && ls.size < n / 2)
+        df.repartition(n)
+      else df
+    } catch { case _: Throwable => df } // stat failure ⇒ plain read
   }
 
   /** Mark a multiply-referenced subplan as compute-once. Catalyst does
