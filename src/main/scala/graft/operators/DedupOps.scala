@@ -2132,11 +2132,44 @@ object DedupOps {
     // is restored before the result escapes, so downstream operators a
     // caller chains onto the returned labels plan under identical conf
     // values whichever session executes them.
-    val e0 = withSelfLoops(nodes, edges)
+    val e0big = withSelfLoops(nodes, edges)
       .repartition(SkewJoin.defaultParts(origin), col("m"))
       .localCheckpoint()
     val l0 = nodes.select(col("doc_id"), col("doc_id").as("cluster"))
       .localCheckpoint()
+    // SCALE-ADAPTIVE loop parallelism (optimization round 17, guide
+    // §2.2 "fewer, larger partitions" / §1.2 step 1): the loop's unit
+    // of work is a label join over ≤ max(|E|, n) rows of 2–3 longs —
+    // at contract scale a few hundred thousand rows, i.e. a few MB,
+    // yet every segment's joins, checkpoints and certificate ran at
+    // the session's shuffle.partitions (32): ~50 stages × 32 tasks of
+    // sub-ms work per manifest, measured as the dominant cost of the
+    // whole pipeline family (pipeline_full 14.7 s warm at 32 parts vs
+    // 4.5 s at 4 — OPTIMIZATION_r17.md). Both loop inputs are already
+    // eagerly checkpointed, so their EXACT row counts are one cheap
+    // block-counting job each (this loop is the documented
+    // LazinessSpec-exempt eager path); size partitions to the data:
+    // one partition per `spark.graft.cc.rowsPerPartition` (2M rows ≈
+    // 50 MB of label/edge rows, guide §2.2's range), capped at the
+    // session's configured parallelism — at deployment row counts the
+    // formula saturates to defaultParts and the plan is unchanged;
+    // only the regime where 32 tasks chase kilobytes gets smaller.
+    val rowsPerPart = origin.conf
+      .getOption("spark.graft.cc.rowsPerPartition")
+      .map(_.toLong).getOrElse(2000000L)
+    val dp = SkewJoin.defaultParts(origin)
+    val loopRows = math.max(e0big.count(), l0.count())
+    val parts = math.max(1L, math.min(dp.toLong,
+      (loopRows + rowsPerPart - 1) / rowsPerPart)).toInt
+    // re-lay the edge relation only when the derived count is SMALLER
+    // (one extra node-sized exchange, amortized over every segment's
+    // propagate); at scale parts == dp and e0big is used as-is
+    val e0 =
+      if (parts < dp) {
+        val r = e0big.repartition(parts, col("m")).localCheckpoint()
+        freeLocalCheckpoint(e0big)
+        r
+      } else e0big
     val tag = java.util.UUID.randomUUID().toString.replace("-", "")
     val (vE, vL) = (s"graft_cc_e_$tag", s"graft_cc_l_$tag")
     // GLOBAL temp views cross the session boundary (plain temp views
@@ -2155,6 +2188,11 @@ object DedupOps {
       if (scoped.conf.isModifiable(k)) scoped.conf.set(k, v)
     }
     scoped.conf.set("spark.sql.adaptive.enabled", "false")
+    // the loop's OWN shuffles (label joins, certificate aggregates)
+    // follow the derived count; the clone scopes it, so the caller's
+    // session — and everything chained onto the returned labels —
+    // keeps its configured parallelism
+    scoped.conf.set("spark.sql.shuffle.partitions", parts.toString)
     val gdb = origin.conf.get("spark.sql.globalTempDatabase", "global_temp")
     try {
       val e = scoped.table(s"$gdb.$vE")
@@ -2232,6 +2270,13 @@ object DedupOps {
       // onto the result plans under identical conf values
       scoped.conf.set("spark.sql.adaptive.enabled",
         origin.conf.get("spark.sql.adaptive.enabled", "true"))
+      // same contract for the derived loop parallelism: the caller's
+      // downstream operators (cluster window, final sort) must plan at
+      // the session's configured count, not the loop's
+      origin.conf.getOption("spark.sql.shuffle.partitions") match {
+        case Some(v) => scoped.conf.set("spark.sql.shuffle.partitions", v)
+        case None => scoped.conf.unset("spark.sql.shuffle.partitions")
+      }
       origin.catalog.dropGlobalTempView(vE)
       origin.catalog.dropGlobalTempView(vL)
     }

@@ -431,6 +431,37 @@ class DedupOpsSpec extends AnyFunSuite {
     graft.core.Core.releaseShared()
   }
 
+  test("ccPsLoop sizes its loop parallelism to the measured input rows, " +
+      "saturates to the session count, and restores the caller's conf " +
+      "(optimization r17)") {
+    import spark.implicits._
+    val nodes = (0L until 64L).toDF("doc_id")
+    val edges = (0L until 63L).flatMap(i =>
+      Seq((i, i + 1), (i + 1, i))).toDF("n", "m")
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    // ~190 loop rows, 2M-row default budget -> the loop runs at ONE
+    // partition instead of the session's count
+    val small = DedupOps.ccDoubled(nodes, edges, 17)
+    assert(small.rdd.getNumPartitions == 1,
+      s"a 190-row loop should derive 1 partition, " +
+        s"got ${small.rdd.getNumPartitions}")
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before,
+      "ccPsLoop leaked its derived partition count into the session")
+    // a 1-row budget saturates the formula at the configured count —
+    // the deployment regime, where the plan is unchanged
+    val wide = graft.core.Core.withConf(spark,
+        "spark.graft.cc.rowsPerPartition", "1") {
+      DedupOps.ccDoubled(nodes, edges, 17)
+    }
+    assert(wide.rdd.getNumPartitions == before.toInt,
+      s"row counts past the budget must saturate to the session count")
+    // labels are partitioning-independent: identical either way
+    assert(small.orderBy("doc_id").collect()
+      .sameElements(wide.orderBy("doc_id").collect()),
+      "loop parallelism changed the CC labels")
+    graft.core.Core.releaseShared()
+  }
+
   test("as-of join: no Join node, single window, parity with join form") {
     val df = RelationalOps.queries("join_range_asof")(spark, TestSpark.sfDir)
     val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
