@@ -113,7 +113,20 @@ object RelationalOps {
   private def profileTableWith(s: SparkSession, dir: String,
       distinctAgg: Column => Column): DataFrame = {
     val priceCents = cents(col("o_totalprice"))
-    profileWith(table(s, dir, "orders"), Seq(
+    // Opt this ONE orders read into the scan-parallelism floor
+    // (Core.scanParallel — conf-scoped to this build, measured r17):
+    // the exact profile's multi-distinct plans as an Expand of rows ×
+    // profiled columns BELOW the first exchange, so the single-split
+    // orders scan multiplied 6× on one task while the session idled
+    // (the generic orders consumers measured the exchange as a net
+    // tax, which is why `orders` is not in the session default —
+    // OPTIMIZATION_r17.md). Same byte gates as every scanParallel
+    // site: at deployment input sizes the conf is a no-op.
+    val orders = graft.core.Core.withConf(s,
+      "spark.graft.scan.parallelizeTables", "documents,orders") {
+      table(s, dir, "orders")
+    }
+    profileWith(orders, Seq(
       "o_orderkey" -> longProfile("o_orderkey", distinctAgg),
       "o_custkey" -> longProfile("o_custkey", distinctAgg),
       "o_orderstatus" -> strProfile("o_orderstatus", distinctAgg),
